@@ -1,0 +1,326 @@
+"""The OLAP query surface: cut / drilldown / measure / aggregate.
+
+Compiles the reference API's query grammar (reference:
+api-library-olap/README.md:16-88) into a single declarative DataFrame
+plan ``df.filter(...).groupBy(...).agg(...).orderBy(...)`` and lets
+Catalyst do the rest (predicate pushdown, partition pruning on scope
+columns, AQE).  There is deliberately NO custom physical planning —
+SURVEY.md §4: every rewrite this workload needs is stock Catalyst.
+
+Cut grammar ("approximately the WHERE of the SQL query",
+api-library-olap/README.md:27-51):
+
+- ``dim:member``                equality slice            (README.md:31-34)
+- ``a|b``                       multi-dimension dice      (README.md:36)
+- ``dim:1-120``                 contiguous range          (README.md:38-40)
+- ``dim:23-``                   open range                (README.md:41)
+- ``dim:23;50``                 discrete set              (README.md:38,42)
+- ``dim:2016,10[,3]``           hierarchy level path      (README.md:44-49)
+- ``dim:2016,10-2017,02``       hierarchy tuple range     (README.md:51)
+
+Drilldown grammar ("equivalent to SQL GROUP BY",
+api-library-olap/README.md:54-79):
+
+- ``dim``         → one level below the dimension's cut (README.md:57-63),
+                    or the TOP hierarchy level if the dim is un-cut
+                    (README.md:69-71)
+- ``dim:level``   → levels from below-cut down to ``level`` inclusive
+                    (README.md:65-67); a level at-or-above the cut depth
+                    selects exactly that level (README.md:77-79 — the
+                    boundary-spanning-range disambiguation case)
+- ``a|b``         → multi-dimension drilldown (README.md:73-75)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opl_spark.catalog import Dimension, FactMeta, Measure
+
+# ---------------------------------------------------------------------------
+# parsing helpers
+# ---------------------------------------------------------------------------
+
+
+def _atom(value: str, numeric: bool):
+    """Type a cut literal against the target column's family."""
+    if numeric:
+        try:
+            return int(value)
+        except ValueError:
+            return float(value)
+    return value
+
+
+def _is_numeric(dtype: T.DataType) -> bool:
+    return isinstance(dtype, T.NumericType)
+
+
+@dataclass
+class _CutTerm:
+    dimension: str
+    spec: str
+    condition: Column | None = None
+    depth: int = 1  # how many hierarchy levels the cut pins
+
+
+@dataclass
+class CubeQuery:
+    """One parsed ``/aggregate`` request against a fact."""
+
+    fact: FactMeta
+    cut: str | None = None
+    drilldown: str | None = None
+    measure: str | None = None
+    aggregate: str | None = None
+    cut_terms: list[_CutTerm] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.cut:
+            for term in self.cut.split("|"):
+                dim, _, spec = term.partition(":")
+                if not spec:
+                    raise ValueError(f"malformed cut term {term!r} (need dim:member)")
+                self.cut_terms.append(_CutTerm(dimension=dim.strip(), spec=spec.strip()))
+
+
+# ---------------------------------------------------------------------------
+# cut compilation (C1-C7)
+# ---------------------------------------------------------------------------
+
+
+class CubeEngine:
+    """Compiles CubeQuery → DataFrame plan over a registered fact DF."""
+
+    def __init__(self, catalog, fact_frames: dict[str, DataFrame] | None = None):
+        self.catalog = catalog
+        self._frames: dict[str, DataFrame] = dict(fact_frames or {})
+
+    def register_fact(self, name: str, df: DataFrame) -> None:
+        self._frames[name] = df
+
+    def frame(self, name: str) -> DataFrame:
+        if name not in self._frames:
+            raise KeyError(f"fact {name!r} has no registered DataFrame")
+        return self._frames[name]
+
+    # -- grammar compilation ------------------------------------------------
+
+    def _level_cols(self, df: DataFrame, dim: Dimension) -> list[str]:
+        return [dim.level(lv).physical for lv in dim.hierarchy_order()]
+
+    def _compile_cut(self, df: DataFrame, dim: Dimension, spec: str) -> tuple[Column, int]:
+        """One cut term → (filter condition, cut depth in hierarchy levels)."""
+        cols = self._level_cols(df, dim)
+        dtypes = dict(df.dtypes)
+        first = F.col(cols[0])
+        first_numeric = _is_numeric(df.schema[cols[0]].dataType)
+
+        # C5 — discrete set: union of independently-compiled members
+        if ";" in spec:
+            conds, depth = [], 1
+            for member in spec.split(";"):
+                if not member.strip():
+                    raise ValueError(
+                        f"empty member in cut set {spec!r} on dimension {dim.name!r}"
+                    )
+                c, d = self._compile_cut(df, dim, member)
+                conds.append(c)
+                depth = max(depth, d)
+            out = conds[0]
+            for c in conds[1:]:
+                out = out | c
+            return out, depth
+
+        # range forms — split on the FIRST '-' that separates two members
+        if "-" in spec and (first_numeric or "," in spec):
+            lo_s, _, hi_s = spec.partition("-")
+            lo_s, hi_s = lo_s.strip(), hi_s.strip()
+            if "," in lo_s or "," in hi_s:
+                # C7 — hierarchy tuple range: (y,m[,d]) BETWEEN bounds,
+                # compiled as a composite struct comparison (sortable by
+                # Catalyst; prunes on the leading level's min/max stats).
+                lo = [_atom(v, True) for v in lo_s.split(",")] if lo_s else []
+                hi = [_atom(v, True) for v in hi_s.split(",")] if hi_s else []
+                depth = max(len(lo), len(hi))
+
+                def _bound(vals: list) -> Column:
+                    # literals cast to the column types so the struct
+                    # comparison type-checks; prefix-arity compare is
+                    # exactly tuple-order semantics for each bound.
+                    return F.struct(
+                        *[
+                            F.lit(v).cast(df.schema[cols[i]].dataType)
+                            for i, v in enumerate(vals)
+                        ]
+                    )
+
+                cond = F.lit(True)
+                if lo:
+                    cond = cond & (F.struct(*[F.col(c) for c in cols[: len(lo)]]) >= _bound(lo))
+                if hi:
+                    cond = cond & (F.struct(*[F.col(c) for c in cols[: len(hi)]]) <= _bound(hi))
+                return cond, depth
+            # C3/C4 — flat (open) range on the first level
+            if lo_s and hi_s:
+                return first.between(_atom(lo_s, first_numeric), _atom(hi_s, first_numeric)), 1
+            if lo_s:
+                return first >= F.lit(_atom(lo_s, first_numeric)), 1
+            return first <= F.lit(_atom(hi_s, first_numeric)), 1
+
+        # C6 — hierarchy level path: equality down the declared order
+        if "," in spec:
+            parts = spec.split(",")
+            cond = F.lit(True)
+            for col, val in zip(cols, parts):
+                numeric = _is_numeric(df.schema[col].dataType)
+                cond = cond & (F.col(col) == F.lit(_atom(val.strip(), numeric)))
+            return cond, len(parts)
+
+        # C1 — plain equality slice on the first hierarchy level
+        return first == F.lit(_atom(spec, first_numeric)), 1
+
+    # -- drilldown resolution (D1-D5) ---------------------------------------
+
+    def _resolve_drilldown(
+        self, df: DataFrame, q: CubeQuery
+    ) -> list[str]:
+        """Drilldown string → ordered list of physical group-by columns."""
+        if not q.drilldown:
+            return []  # A5 — full-table aggregate
+        cut_depth: dict[str, int] = {}
+        for t in q.cut_terms:
+            cut_depth[t.dimension] = max(cut_depth.get(t.dimension, 0), t.depth)
+
+        group_levels: list[tuple[Dimension, str]] = []
+        for term in q.drilldown.split("|"):
+            dname, _, lname = term.strip().partition(":")
+            dim = q.fact.dimension(dname)
+            order = dim.hierarchy_order()
+            k = cut_depth.get(dname, 0)
+            if lname:
+                if lname not in order:
+                    raise KeyError(f"dimension {dname!r} has no level {lname!r}")
+                idx = order.index(lname)
+                if idx >= k:
+                    # D2 — below-cut down to the named level, inclusive
+                    selected = order[k : idx + 1] if k < idx + 1 else (order[idx],)
+                else:
+                    # D5 — explicitly re-including a level at/above the cut
+                    selected = (order[idx],)
+            else:
+                if k == 0:
+                    selected = (order[0],)  # D3 — un-cut dim → top level
+                else:
+                    # D1 — one level below the cut (clamped at the leaf)
+                    selected = (order[min(k, len(order) - 1)],)
+            for lv in selected:
+                group_levels.append((dim, lv))
+
+        cols: list[str] = []
+        for dim, lv in group_levels:
+            level = dim.level(lv)
+            for c in (level.physical, *level.attributes):
+                if c not in cols:
+                    cols.append(c)
+        return cols
+
+    # -- measures / aggregates (A2-A7) --------------------------------------
+
+    # ``avg`` is computed as round(double(exact_sum)/count, 6) instead of
+    # the engine-native AVG: over decimal inputs the sum is exact and
+    # order-independent, so the result is bit-identical across engines
+    # and across shuffle orders — a plain AVG over doubles is neither.
+    _AGG_FNS = {
+        "sum": F.sum,
+        "avg": lambda c: F.round(F.sum(c).cast("double") / F.count(c), 6),
+        "count": F.count,
+    }
+
+    def _agg_exprs(self, q: CubeQuery) -> list[Column]:
+        names = q.measure.split("|") if q.measure else [q.fact.default_measure.name]
+        exprs = []
+        for name in names:
+            m: Measure = q.fact.measure(name.strip())
+            agg = q.aggregate or m.default_aggregate
+            if agg not in self._AGG_FNS:
+                raise ValueError(f"unsupported aggregate {agg!r} (sum/avg/count)")
+            exprs.append(self._AGG_FNS[agg](F.col(m.physical)).alias(m.name))
+        return exprs
+
+    # -- the entry point ----------------------------------------------------
+
+    def aggregate(
+        self,
+        fact: str,
+        cut: str | None = None,
+        drilldown: str | None = None,
+        measure: str | None = None,
+        aggregate: str | None = None,
+    ) -> DataFrame:
+        """``GET /olap/<fact>/aggregate`` → DataFrame.
+
+        The emitted plan is a single filter→groupBy→agg→orderBy chain;
+        cut conditions land on the fact's scope/partition columns so
+        partition pruning fires (SURVEY.md §4).
+        """
+        meta = self.catalog.fact(fact)
+        df = self.frame(fact)
+        q = CubeQuery(fact=meta, cut=cut, drilldown=drilldown, measure=measure, aggregate=aggregate)
+
+        for t in q.cut_terms:
+            dim = meta.dimension(t.dimension)
+            t.condition, t.depth = self._compile_cut(df, dim, t.spec)
+        for t in q.cut_terms:
+            df = df.filter(t.condition)
+
+        group_cols = self._resolve_drilldown(df, q)
+        aggs = self._agg_exprs(q)
+        if group_cols:
+            out = df.groupBy(*group_cols).agg(*aggs)
+            # deterministic ordering — required by output=table consumers
+            return out.orderBy(*group_cols)
+        return df.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# output shaping (S11 output=table, P7 zero-fill)
+# ---------------------------------------------------------------------------
+
+
+def to_table(df: DataFrame) -> list[list]:
+    """``output=table`` shape: first row = column names, then value rows
+    (reference: Codice.gs:349 request, Codice.gs:155-184 consumption).
+
+    Driver-side materialization — only ever called on aggregated
+    (small) results, never on a raw fact table.
+    """
+    return [list(df.columns), *[list(r) for r in df.collect()]]
+
+
+def zero_fill(df: DataFrame, measure_cols: list[str]) -> DataFrame:
+    """Empty-result handling: one row of ``'null'`` dimension values and
+    0 measures (reference `empty_dataset` contract: Codice.gs:361-373).
+
+    Implemented as a union with a default row that is kept only when the
+    aggregate result is empty — fully declarative, no driver round-trip.
+    """
+    spark = df.sparkSession
+    defaults = []
+    for f_ in df.schema.fields:
+        if f_.name in measure_cols:
+            defaults.append(F.lit(0).cast(f_.dataType).alias(f_.name))
+        elif isinstance(f_.dataType, T.StringType):
+            defaults.append(F.lit("null").alias(f_.name))
+        else:
+            defaults.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    default_row = spark.range(1).select(*defaults)
+    has_rows = df.agg(F.count(F.lit(1)).alias("n"))
+    # cross-join against the 0-or-1-row guard keeps the default row only
+    # when the aggregate was empty; broadcast-sized by construction.
+    guarded_default = default_row.crossJoin(has_rows.filter(F.col("n") == 0)).drop("n")
+    return df.unionByName(guarded_default)

@@ -1,0 +1,167 @@
+"""The snapshot ETL engine.
+
+Spark-native re-expression of the reference's cron-driven snapshot run
+(reference: library_olap/OLAP.php:296-384 — ``php OLAP.php -c add -d
+<date> [-f fact]``): for each enabled fact query, gate on the cron
+interval, run the operator-authored SQL with the pivot date bound,
+prepend the six audit columns, and append idempotently to the fact
+table.
+
+Where the reference pumps rows one at a time over PDO
+(OLAP.php:91-102,373-375), here the whole step collapses to one lazy
+DataFrame plan and a partitioned columnar write — pushdown, schema
+merge and parallel write are native (SURVEY.md §3.1).
+
+Scale notes (100 TB design):
+- fact tables are parquet directories partitioned by ``(year, month)``
+  — cut compilation emits filters on exactly these columns, so API
+  queries partition-prune instead of scanning history;
+- idempotence is a metadata-only check against the target scope
+  partition (reference intent of ``alreadyExecuted`` OLAP.php:166-175,
+  minus its NULL-interpolation defect — SURVEY.md §1.4);
+- schema evolution on append (reference ``modifyTableStruct``
+  OLAP.php:177-199) maps to parquet ``mergeSchema`` on read: appends
+  with new columns are legal, old files read as NULL. Type *narrowing*
+  is rejected instead of silently degraded (the reference truncates
+  decimals to ints, OLAP.php:51-58 — we deliberately do not).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opl_spark.timescope import Scope, gate
+
+#: The six standard audit columns prepended to every snapshot row
+#: (OLAP.php:356-358, library_olap/README.md:51).
+AUDIT_COLUMNS = ("queryId", "year", "month", "week", "day", "executionDate")
+
+
+@dataclass(frozen=True)
+class FactQuery:
+    """One configured fact query (olapSettings.json entry — reference:
+    library_olap/README.md:26-36)."""
+
+    query_id: int
+    fact_table: str
+    sql: str  # may contain the ``@date`` placeholder (README.md:36)
+    cron: str = "daily"
+    enable: bool = True  # OLAP.php:332 enable==1 gate
+
+
+def bind_date(sql: str, pivot: _dt.date | str) -> str:
+    """Substitute the ``@date`` parameter with a typed date literal
+    (reference does textual substitution, OLAP.php:339).  The same
+    substitution works verbatim for ANSI-SQL oracles."""
+    d = pivot if isinstance(pivot, str) else pivot.isoformat()
+    return sql.replace("@date", f"DATE '{d}'")
+
+
+def attach_audit(
+    df: DataFrame,
+    query_id: int,
+    scope: Scope,
+    execution_ts: _dt.datetime | None = None,
+) -> DataFrame:
+    """Prepend the audit columns (S9; OLAP.php:201-205,356-372).
+
+    ``execution_ts`` is an explicit parameter (not ``now()``) so runs
+    are reproducible and cross-engine hashes stable.
+    """
+    ts = execution_ts or _dt.datetime(1970, 1, 1)
+    audit = [
+        F.lit(query_id).cast("long").alias("queryId"),
+        F.lit(scope.year).cast("long").alias("year"),
+        F.lit(scope.month).cast("long").alias("month"),
+        F.lit(scope.week).cast("string").alias("week"),
+        F.lit(scope.day).cast("long").alias("day"),
+        F.lit(ts).cast("timestamp").alias("executionDate"),
+    ]
+    return df.select(*audit, "*")
+
+
+class SnapshotEngine:
+    """Runs fact queries against registered source views and maintains
+    partitioned parquet fact tables under ``warehouse_dir``."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+
+    def _path(self, fact_table: str) -> str:
+        return os.path.join(self.warehouse_dir, fact_table)
+
+    def fact_frame(self, fact_table: str) -> DataFrame:
+        """Read a fact table with schema merge across evolved appends."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self._path(fact_table))
+
+    def exists(self, fact_table: str) -> bool:
+        path = self._path(fact_table)
+        return os.path.isdir(path) and any(
+            n.endswith(".parquet") or n.startswith("year=") or n.startswith("_")
+            for n in os.listdir(path)
+        )
+
+    def already_executed(self, fact_table: str, query_id: int, scope: Scope) -> bool:
+        """Idempotent re-run guard (E4; intent of OLAP.php:166-175).
+
+        Null-safe scope equality via ``eqNullSafe`` — unlike the
+        reference, NULLed scope fields of weekly/monthly/yearly facts
+        compare correctly.  Partition filters on year/month make this a
+        pruned metadata-sized scan, not a table scan.
+        """
+        if not self.exists(fact_table):
+            return False
+        df = self.fact_frame(fact_table)
+        cond = F.col("queryId") == F.lit(query_id)
+        for name, val in scope.as_dict().items():
+            cond = cond & F.col(name).eqNullSafe(F.lit(val))
+        return df.filter(cond).limit(1).count() > 0
+
+    def write(self, df: DataFrame, fact_table: str) -> None:
+        """Partitioned append (S6/S7/S8).
+
+        Partitioning by ``(year, month)`` bounds partition count
+        (12/year regardless of data volume) while giving the API layer
+        pruning on the dominant cut dimension (date).  Within a
+        partition, file count follows the shuffle parallelism — at
+        100 TB the write parallelizes across executors with no driver
+        involvement.
+        """
+        (
+            df.write.mode("append")
+            .partitionBy("year", "month")
+            .parquet(self._path(fact_table))
+        )
+
+    def run(
+        self,
+        pivot_date: _dt.date | str,
+        facts: list[FactQuery],
+        only_fact: str | None = None,
+        execution_ts: _dt.datetime | None = None,
+    ) -> dict[str, int]:
+        """One snapshot run (the ``-c add -d <date> [-f fact]`` CLI,
+        OLAP.php:388-403).  Returns {fact_table: appended_row_count}.
+        """
+        written: dict[str, int] = {}
+        for fq in facts:
+            if only_fact is not None and fq.fact_table != only_fact:
+                continue  # E5 — per-fact CLI filter (OLAP.php:322-323)
+            if not fq.enable:
+                continue  # E6 — enable flag (OLAP.php:332)
+            scope = gate(pivot_date, fq.cron)
+            if scope is None:
+                continue  # E2 — not a period-boundary day (OLAP.php:328-330)
+            if self.already_executed(fq.fact_table, fq.query_id, scope):
+                continue  # E4 — scope already snapshotted (OLAP.php:355)
+            df = self.spark.sql(bind_date(fq.sql, pivot_date))
+            df = attach_audit(df, fq.query_id, scope, execution_ts)
+            self.write(df, fq.fact_table)
+            written[fq.fact_table] = written.get(fq.fact_table, 0) + df.count()
+        return written
