@@ -1,0 +1,30 @@
+"""Large-scale data-pipeline operators beyond the reference's surface
+(BASELINE.json north-star): deduplication, similarity search, text
+analysis, multimodal columns.
+
+Design rule shared by every operator here: the hot path is built-in
+JVM column expressions (whole-stage codegen, no Python in the loop);
+Python appears only at clearly-marked Pandas-UDF boundaries
+(multimodal decode) where Spark genuinely lacks the primitive.
+"""
+
+from opl_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    shingles_col,
+)
+from opl_spark.operators.similarity import (  # noqa: F401
+    cosine_sim_col,
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+)
+from opl_spark.operators.text import (  # noqa: F401
+    fingerprint_col,
+    lang_id_col,
+    quality_columns,
+    token_count_col,
+)

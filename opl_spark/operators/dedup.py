@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- **exact**       — one hash-partitioned groupBy on the key; the only
+  full-shuffle pass, and it's map-side combinable.
+- **n-gram Jaccard** — exact pairwise similarity via a shingle
+  inverted index (explode → join on shingle → count). Quadratic in the
+  worst case; the reference implementation for verifying candidates.
+- **MinHash-LSH** — the 100 TB path: fixed-width signatures (k
+  hashes), banded into buckets; only docs sharing a band bucket are
+  joined.  Cost is O(docs × k) map work + one shuffle on band keys —
+  no all-pairs comparison ever materializes.
+- **SimHash**     — 63-bit fingerprint; near-dup candidates via the
+  pigeonhole chunk join (hamming ≤ 3 ⇒ at least one of 4 16-bit
+  chunks equal).
+
+Everything is built-in column expressions (xxhash64, transform,
+aggregate) — no Python UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one surviving row id per duplicate group + group
+    size.  ``min(id)`` as the deterministic keeper."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("copies")
+    )
+
+
+def words_col(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (pure expression:
+    sequence → transform → concat of array slices)."""
+    words = words_col(text)
+    k = F.greatest(F.array_size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), k)  # slice() is 1-based
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index (SQL-expressible oracle path)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count co-occurrences (= intersection size), then
+    ``|A∩B| / (|A| + |B| - |A∩B|)``.  The join key is the shingle, so
+    common-shingle skew is the scale hazard — callers at 100 TB should
+    drop ultra-frequent shingles first (stop-shingle filtering), or use
+    :func:`minhash_lsh_candidates` instead.
+
+    Jaccard is emitted rounded(6) from exact integer counts —
+    cross-engine stable.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature as an ``array<bigint>`` column.
+
+    Permutation i is simulated by salting: ``xxhash64(shingle || '#i')``
+    — deterministic, seedable, JVM-side.  Map-only: no shuffle.
+    """
+    sh = shingles_col(F.col(text_col), n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#{i}"))))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of at least one band become
+    candidate pairs.  The only shuffle is the groupable self-join on
+    ``(band, band_key)`` — the signature matrix never leaves the
+    executors, and bucket sizes (not corpus size²) bound the join."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("doc", F.explode(band_structs).alias("bk")).select(
+        "doc", "bk.band", "bk.band_key"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard on the shingle sets
+    (candidate generation is approximate; the verify join makes the
+    output exact-above-threshold)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    cand = minhash_lsh_candidates(sigs, bands, rows)
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles_col(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
+    union = F.array_size("sh_a") + F.array_size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFrame:
+    """63-bit SimHash fingerprint per document.
+
+    Per token hash once (``xxhash64``), then for each bit position sum
+    ±1 votes across tokens; bit set where the vote is positive.  63
+    bits (not 64) so the packed value stays inside a signed BIGINT.
+    """
+    hashes = F.transform(words_col(F.col(text_col)), lambda w: F.xxhash64(w))
+
+    def _vote_merge(b: int):
+        # two-arg closure (a default-arg lambda would confuse pyspark's
+        # higher-order-function arity inspection)
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+        return merge
+
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(b))
+        packed = packed + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return df.select(F.col(id_col).alias("doc"), packed.alias("simhash"))
+
+
+def simhash_candidates(sim: DataFrame, chunks: int = 4) -> DataFrame:
+    """Near-dup candidates by the pigeonhole principle: hamming ≤
+    chunks-1 guarantees at least one equal 16-bit chunk — join on chunk
+    equality, then exact hamming via ``bit_count(xor)``."""
+    chunked = sim.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", "c.chunk", "c.ck")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -50,11 +50,19 @@ def register(name: str, oracle: str | None = None):
 
 
 def queries() -> dict[str, QueryFn]:
+    _load_extensions()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return dict(_ORACLES)
+
+
+def _load_extensions() -> None:
+    """Pull in the extension registrations (deferred import — the
+    extension module imports ``register`` from here)."""
+    import opl_spark.workload_ext  # noqa: F401
 
 
 def _cube(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:

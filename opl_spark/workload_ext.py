@@ -1,0 +1,500 @@
+"""Extension workload: the LLM-data-pipeline operators (SURVEY.md §7.4
+/ BASELINE.json north-star) as t2 queries — dedup, similarity search,
+text analysis, multimodal, streaming-equivalent windows, metadata
+endpoints.
+
+Queries whose machinery is not ANSI-SQL-expressible (xxhash64-based
+MinHash/SimHash, the Pandas-UDF decode) register WITHOUT an oracle —
+the driver records the weaker rows-only check, as SURVEY.md §2 notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opl_spark.facts import default_catalog
+from opl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from opl_spark.operators.multimodal import (
+    decode_images,
+    media_metadata,
+    with_media_column,
+)
+from opl_spark.operators.similarity import (
+    cosine_topk,
+    embedding_dup_pairs,
+    ivf_topk,
+)
+from opl_spark.operators.text import (
+    TOKEN_RE,
+    fingerprint_col,
+    lang_id_col,
+    quality_columns,
+    token_count_col,
+    whitespace_token_count_col,
+)
+from opl_spark.sources import load_table
+from opl_spark.streaming.events import windowed_counts
+from opl_spark.workload import register
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+SELECT MIN(doc_id) AS keeper, COUNT(*) AS copies
+FROM documents GROUP BY text
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on document text: deterministic keeper + group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("keeper", "copies")
+
+
+#: shared DuckDB shingle CTE (3-gram word shingles, mirrors
+#: opl_spark.operators.dedup.shingles_col exactly)
+_SHINGLE_CTE = r"""
+WITH docs AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents WHERE source = 'src0'
+),
+sh AS (
+    SELECT doc_id AS doc, unnest(list_distinct(
+        list_transform(
+            range(1, greatest(len(w) - 2, 1) + 1),
+            i -> array_to_string(list_slice(w, i, i + 2), ' ')
+        ))) AS s
+    FROM docs
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "q_dedup_ngram",
+    oracle=_SHINGLE_CTE
+    + """
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
+""",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by exact 3-gram Jaccard over the src0 slice (the
+    inverted-index reference path that LSH approximates)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+@register("q_dedup_minhash")  # xxhash64 signatures — not DuckDB-expressible
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard (the 100 TB
+    dedup path; rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.2)
+
+
+@register("q_simhash")  # xxhash64-based — not DuckDB-expressible
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash fingerprints (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id")
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup within label buckets (blocking key
+    keeps the pair space linear-ish)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, "embedding", "vec_id", "label", threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE_BODY = """
+scored AS (
+    SELECT e.vec_id AS id,
+           ROUND(
+             list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+             6) AS sim
+    FROM pool e CROSS JOIN q
+)
+SELECT id, sim, CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank
+FROM scored
+ORDER BY sim DESC, id
+LIMIT 10
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The probe vector (vec_id 0) — driver-side single-row lookup."""
+    row = (
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "q_similarity_topk",
+    oracle="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+pool AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+"""
+    + _TOPK_ORACLE_BODY,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id-0 probe (the exactness
+    baseline every ANN variant is checked against)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "q_similarity_ivf",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+dists AS (
+    SELECT e.vec_id, e.v, c.cell,
+           list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+    FROM e CROSS JOIN c
+),
+assign AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT cell FROM (
+        SELECT c.cell,
+               list_sum(list_transform(range(1, 65),
+                   i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d2
+        FROM c CROSS JOIN q
+    ) ORDER BY d2, cell LIMIT 2
+),
+pool AS (
+    SELECT vec_id, v FROM assign WHERE cell IN (SELECT cell FROM probe)
+),
+"""
+    + _TOPK_ORACLE_BODY,
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10: probe the 2 nearest of 8 cells, brute-force inside
+    (the partition-pruned ANN scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=10, ncells=8, nprobe=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_LANGS_DESC = ("it", "fr", "es", "en", "de")  # lex-desc = argmax tiebreak order
+_MARKER_SQL = {
+    "en": "('the','and','of','to','in')",
+    "es": "('el','la','de','que','y')",
+    "de": "('der','die','und','das','ist')",
+    "fr": "('le','la','les','et','est')",
+    "it": "('il','la','di','che','e')",
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+        f" w -> w IN {_MARKER_SQL[lang]}))"
+    )
+
+
+_LANG_CASE = (
+    "CASE WHEN "
+    + " AND ".join(f"s_{lg} = 0" for lg in _LANGS_DESC)
+    + " THEN 'und' "
+    + " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{lg} >= s_{other}" for other in _LANGS_DESC if other != lg)
+        + f" THEN '{lg}'"
+        for lg in _LANGS_DESC
+    )
+    + " END"
+)
+
+
+@register(
+    "q_lang_id",
+    oracle="WITH scored AS (SELECT doc_id, "
+    + ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS_DESC)
+    + f" FROM documents)\nSELECT doc_id, {_LANG_CASE} AS predicted FROM scored",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-marker language ID (argmax with documented
+    lex-desc tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col(F.col("text")).alias("predicted"))
+
+
+@register(
+    "q_quality_score",
+    oracle=r"""
+WITH stats AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                w -> w IN ('the','and','of','to','in'))) AS BIGINT) AS stop_hits
+    FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS avg_word_len,
+       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       ROUND(CAST(stop_hits AS DOUBLE) / n_words, 6) AS stopword_ratio
+FROM stats
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training corpus quality heuristics (length / punctuation /
+    stopword ratios), exact-integer-derived so ratios hash stably."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_columns(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in q.items()])
+
+
+@register(
+    "q_token_count",
+    oracle=rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count + whitespace token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        whitespace_token_count_col(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words md5 fingerprint (fingerprint
+    clustering key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_bytes",
+    oracle="""
+SELECT doc_id AS media_id,
+       'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+""",
+)
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column metadata pass (byte length + content hash)
+    — built-in expressions over the opaque payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    return media_metadata(with_media_column(docs, "text", "doc_id"))
+
+
+@register("q_multimodal_decode")  # Pandas-UDF stub decode — rows-only
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing with the deterministic fake codec
+    (real codec is the stubbed integration point)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_column(docs, "text", "doc_id")
+    return decode_images(media, codec="fake").select(
+        "media_id", "byte_len", "width", "height"
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-equivalent windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_window",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS VARCHAR)
+           AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window counts + exact sums — the batch twin of
+    the Structured Streaming pipeline (same code path)."""
+    return windowed_counts(load_table(spark, sf_dir, "events"), window="5 minutes")
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+),
+flagged AS (
+    SELECT user_id, us,
+           CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                     > 30 * 60 * 1000000 OR
+                lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM ev
+),
+sessions AS (
+    SELECT user_id, us,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + 30 * 60 * 1000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (session_window), boundaries
+    as epoch micros so the comparison is integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            F.unix_micros(F.col("s.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# metadata endpoints (M1-M3)
+# ---------------------------------------------------------------------------
+
+
+def _meta_values_oracle() -> tuple[str, str, str]:
+    cat = default_catalog()
+    ft = ", ".join(f"('{r['name']}', '{r['label']}')" for r in cat.fact_tables())
+    dims = []
+    meas = []
+    for fact in [r["name"] for r in cat.fact_tables()]:
+        for d in cat.dimensions(fact):
+            for pos, lv in enumerate(d["levels"]):
+                dims.append(f"('{fact}', '{d['name']}', '{lv['name']}', {pos})")
+        for m in cat.measures(fact):
+            aggs = ",".join(m["aggregates"])
+            meas.append(f"('{fact}', '{m['name']}', '{m['column']}', '{aggs}')")
+    return (
+        f"SELECT * FROM (VALUES {ft}) AS t(name, label)",
+        "SELECT * FROM (VALUES "
+        + ", ".join(dims)
+        + ") AS t(fact, dimension, level, position)",
+        "SELECT * FROM (VALUES "
+        + ", ".join(meas)
+        + ") AS t(fact, measure, phys_column, aggregates)",
+    )
+
+
+_FT_SQL, _DIM_SQL, _MEAS_SQL = _meta_values_oracle()
+
+
+@register("q_meta_fact_tables", oracle=_FT_SQL)
+def q_meta_fact_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — /olap/fact_tables."""
+    rows = [(r["name"], r["label"]) for r in default_catalog().fact_tables()]
+    return spark.createDataFrame(rows, "name string, label string")
+
+
+@register("q_meta_dimensions", oracle=_DIM_SQL)
+def q_meta_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — /olap/<fact>/dimensions, flattened to rows."""
+    cat = default_catalog()
+    rows = []
+    for fact in [r["name"] for r in cat.fact_tables()]:
+        for d in cat.dimensions(fact):
+            for pos, lv in enumerate(d["levels"]):
+                rows.append((fact, d["name"], lv["name"], pos))
+    return spark.createDataFrame(
+        rows, "fact string, dimension string, level string, position int"
+    )
+
+
+@register("q_meta_measures", oracle=_MEAS_SQL)
+def q_meta_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — /olap/<fact>/measures, flattened to rows."""
+    cat = default_catalog()
+    rows = []
+    for fact in [r["name"] for r in cat.fact_tables()]:
+        for m in cat.measures(fact):
+            rows.append((fact, m["name"], m["column"], ",".join(m["aggregates"])))
+    return spark.createDataFrame(
+        rows, "fact string, measure string, phys_column string, aggregates string"
+    )

@@ -1,0 +1,136 @@
+"""Operator-level invariants for the extension operators (dedup,
+similarity, multimodal) — properties the DuckDB oracle can't express."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash,
+    simhash_candidates,
+)
+from opl_spark.operators.multimodal import (
+    decode_images,
+    frame_sample,
+    media_metadata,
+    with_media_column,
+)
+from opl_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    seed_centroids,
+)
+from opl_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_exact_dedup_partitions_corpus(docs):
+    """Dedup groups partition the corpus: group sizes sum to row count."""
+    total = docs.count()
+    groups = exact_dedup(docs, ["text"], "doc_id")
+    assert groups.agg(F.sum("copies")).first()[0] == total
+    # keeper is a real doc_id
+    assert groups.join(docs, groups.keeper == docs.doc_id, "left_anti").count() == 0
+
+
+def test_shingles_short_text(spark):
+    """Texts shorter than n words still produce one (degenerate) shingle."""
+    df = spark.createDataFrame([(1, "only two")], "id long, text string")
+    row = df.select(shingles_col(F.col("text"), 3).alias("sh")).first()
+    assert row["sh"] == ["only two"]
+
+
+def test_minhash_finds_exact_jaccard_pairs(spark, docs):
+    """LSH+verify output must contain every high-jaccard pair (recall on
+    clearly-similar docs) and no pair below threshold (the verify join
+    makes precision exact)."""
+    sub = docs.filter(F.col("source") == "src0")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(sub, "text", "doc_id", 3, 0.2).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_dedup_pairs(sub, "text", "doc_id", threshold=0.2).collect()
+    }
+    for pair, j in lsh.items():
+        assert j >= 0.2
+        assert pair in exact  # exact-verified → subset of true pairs
+    # recall: strongly-similar pairs (j >= 0.5) must survive banding
+    for pair, j in exact.items():
+        if j >= 0.5:
+            assert pair in lsh
+
+
+def test_simhash_deterministic_and_dup_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "spark window join filter"), (2, "spark window join filter"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    sims = {r.doc: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    assert sims[1] == sims[2]  # identical docs → identical fingerprints
+    assert sims[1] != sims[3]
+    cands = simhash_candidates(
+        simhash(df, "text", "doc_id")
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in cands}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_cosine_topk_self_first(emb):
+    """The probe vector itself must rank first with sim 1.0."""
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = cosine_topk(emb, "embedding", "vec_id", q, k=5).collect()
+    assert top[0].id == 0 and abs(top[0].sim - 1.0) < 1e-9
+    sims = [r.sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_assign_covers_all_and_topk_subset_of_brute(emb):
+    cents = seed_centroids(emb, "embedding", "vec_id", 8)
+    assigned = ivf_assign(emb, "embedding", cents)
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+    assert assigned.select("cell").distinct().count() <= 8
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = {r.id for r in cosine_topk(emb, "embedding", "vec_id", q, k=50).collect()}
+    approx = ivf_topk(emb, "embedding", "vec_id", q, k=10, ncells=8, nprobe=8)
+    # nprobe = ncells → scans everything → must agree with brute force
+    assert {r.id for r in approx.collect()} <= brute
+
+
+def test_multimodal_plumbing(docs):
+    media = with_media_column(docs.limit(20), "text", "doc_id")
+    meta = media_metadata(media)
+    rows = meta.collect()
+    assert len(rows) == 20
+    assert all(r.byte_len > 0 and len(r.content_md5) == 32 for r in rows)
+
+    decoded = decode_images(media, codec="fake").collect()
+    assert len(decoded) == 20
+    for r in decoded:
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 48
+        assert len(r.feature) == 8
+
+    frames = frame_sample(media, every_n_bytes=100)
+    fr = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in fr)
+
+
+def test_multimodal_real_codec_is_explicit_stub(docs):
+    media = with_media_column(docs.limit(1), "text", "doc_id")
+    with pytest.raises(NotImplementedError):
+        decode_images(media, codec="real")
