@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the no-op sink (full execution,
+no driver-side result materialization beyond Spark's own collect-free
+write path) and timed wall-clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: the OLAP core (flagship fact + the heaviest cut /
+#: drilldown shapes) plus every scale-relevant pipeline operator.
+BENCH_QUERIES = [
+    # OLAP core
+    "q_active_users",
+    "q_cut_hierarchy_range",
+    "q_drilldown_multi",
+    "q_measure_multi",
+    "q_idempotent_antijoin",
+    "q_time_scope",
+    # dedup family
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_minhash",
+    "q_simhash",
+    "q_dedup_embedding",
+    # similarity search
+    "q_similarity_topk",
+    "q_similarity_ivf",
+    # text analysis
+    "q_lang_id",
+    "q_quality_score",
+    "q_token_count",
+    "q_fingerprint",
+    # events / streaming-equivalent
+    "q_events_window",
+    "q_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from opl_spark import workload
+    from opl_spark.session import get_spark
+
+    spark = get_spark(app_name="opl-bench")
+    qs = workload.queries()
+
+    # Warm-up: JVM/codegen spin-up + parquet footer reads, so per-query
+    # numbers measure the plan, not first-touch costs.
+    from opl_spark.sources import load_table, TABLES
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
