@@ -105,17 +105,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature as an ``array<bigint>`` column.
 
-    Permutation i is simulated by salting: ``xxhash64(shingle || '#i')``
-    — deterministic, seedable, JVM-side.  Map-only: no shuffle.
+    Single pass: each shingle is string-hashed ONCE (``xxhash64``);
+    permutation i is then the fixed-width re-hash ``xxhash64(h, i)``
+    — so the per-shingle cost is one variable-length hash + k
+    long-hashes, not k string builds + k string hashes, and the
+    shingle array is never re-derived per permutation.  Map-only: no
+    shuffle.
     """
-    sh = shingles_col(F.col(text_col), n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#{i}"))))
-            )
-            for i in range(num_hashes)
-        ]
+    base = F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        base,
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(acc, idx, lambda m, i: F.least(m, F.xxhash64(h, i))),
     )
     return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
 
@@ -201,19 +203,30 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFr
     bits (not 64) so the packed value stays inside a signed BIGINT.
     """
     hashes = F.transform(words_col(F.col(text_col)), lambda w: F.xxhash64(w))
-
-    def _vote_merge(b: int):
-        # two-arg closure (a default-arg lambda would confuse pyspark's
-        # higher-order-function arity inspection)
-        def merge(acc: Column, h: Column) -> Column:
-            return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
-
-        return merge
-
-    packed = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(b))
-        packed = packed + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    # one pass over the tokens, accumulating all per-bit votes at once
+    # (vs. one full re-scan of the token hashes per bit)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda a, b: a
+            + (F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            idx,
+            lambda v, b: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return df.select(F.col(id_col).alias("doc"), packed.alias("simhash"))
 
 

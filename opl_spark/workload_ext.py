@@ -65,7 +65,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_CTE = r"""
 WITH docs AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
-    FROM documents WHERE source = 'src0'
+    FROM documents
 ),
 sh AS (
     SELECT doc_id AS doc, unnest(list_distinct(
@@ -97,18 +97,19 @@ WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
 """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup by exact 3-gram Jaccard over the src0 slice (the
-    inverted-index reference path that LSH approximates)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    """Near-dup by exact 3-gram Jaccard (the inverted-index reference
+    path that LSH approximates)."""
+    docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
 
 
 @register("q_dedup_minhash")  # xxhash64 signatures — not DuckDB-expressible
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard (the 100 TB
-    dedup path; rows-only check)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src0")
-    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.2)
+    dedup path; rows-only check).  16 bands × 4 rows ⇒ LSH threshold
+    ≈ (1/16)^(1/4) ≈ 0.5, matching the verify threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
 @register("q_simhash")  # xxhash64-based — not DuckDB-expressible
