@@ -38,14 +38,26 @@ def words_col(text: Column) -> Column:
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (pure expression:
-    sequence → transform → concat of array slices)."""
+    """Distinct word n-gram shingles of a text column.
+
+    Built as a ``zip_with`` chain over shifted copies of the word
+    array.  The shape matters: Spark interprets higher-order-function
+    lambdas and re-evaluates any CAPTURED outer expression once per
+    element (no CSE inside HOFs), so a ``transform(idx, i ->
+    slice(words, i, n))`` re-splits the text O(words) times — O(n²)
+    per document.  Here every O(words) expression (split, slice) is a
+    lambda ARGUMENT, evaluated once per document; the lambda itself
+    only concats its two element args.  ``zip_with`` null-pads the
+    shorter (shifted) side and ``concat_ws`` skips NULLs, so the tail
+    yields short shingles exactly like a short trailing slice; the
+    final ``slice`` drops them to keep size-n+1 shingles (min 1)."""
     words = words_col(text)
-    k = F.greatest(F.array_size(words) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), k)  # slice() is 1-based
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
-    )
+    sz = F.array_size(words)
+    sh = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(sz - j, F.lit(0)))
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(F.slice(sh, 1, F.greatest(sz - (n - 1), F.lit(1))))
 
 
 # ---------------------------------------------------------------------------
@@ -72,9 +84,13 @@ def ngram_jaccard_pairs(
     Jaccard is emitted rounded(6) from exact integer counts —
     cross-engine stable.
     """
+    # join key is the 64-bit shingle hash, not the shingle string —
+    # the shuffle moves 8-byte longs instead of variable-width text
+    # (collision odds over distinct shingles are ~|S|²/2⁶⁴ ≈ 0)
     sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), n)).alias("sh")
-    )
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    ).select("doc", F.xxhash64("s").alias("sh"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -105,21 +121,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature as an ``array<bigint>`` column.
 
-    Single pass: each shingle is string-hashed ONCE (``xxhash64``);
-    permutation i is then the fixed-width re-hash ``xxhash64(h, i)``
-    — so the per-shingle cost is one variable-length hash + k
-    long-hashes, not k string builds + k string hashes, and the
-    shingle array is never re-derived per permutation.  Map-only: no
-    shuffle.
+    Shape: explode shingles → string-hash each ONCE (``xxhash64``) →
+    groupBy(doc) with k ``min(xxhash64(h, i))`` aggregates → pack into
+    an array.  The k permutations are flat codegen'd aggregate
+    expressions over a long, not higher-order-function lambdas (which
+    Spark interprets per element, allocating a k-array per step).  The
+    groupBy is map-side combinable, so what crosses the shuffle is one
+    k-long row per document — at 100 TB that's the smallest possible
+    exchange for this op.
     """
-    base = F.transform(shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s))
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.aggregate(
-        base,
-        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(acc, idx, lambda m, i: F.least(m, F.xxhash64(h, i))),
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    ).select("doc", F.xxhash64("s").alias("h"))
+    sig = ex.groupBy("doc").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     )
-    return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    return sig.select(
+        "doc", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -202,32 +222,27 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFr
     ±1 votes across tokens; bit set where the vote is positive.  63
     bits (not 64) so the packed value stays inside a signed BIGINT.
     """
-    hashes = F.transform(words_col(F.col(text_col)), lambda w: F.xxhash64(w))
-    idx = F.sequence(F.lit(0), F.lit(bits - 1))
-    # one pass over the tokens, accumulating all per-bit votes at once
-    # (vs. one full re-scan of the token hashes per bit)
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            idx,
-            lambda a, b: a
-            + (F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) * 2 - 1),
-        ),
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(words_col(F.col(text_col))).alias("w"),
+    ).select("doc", F.xxhash64("w").alias("h"))
+    # one codegen'd sum aggregate per bit position (±1 votes),
+    # map-side combinable — one 63-long row per doc crosses the shuffle
+    votes = ex.groupBy("doc").agg(
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    packed = F.aggregate(
-        F.zip_with(
-            votes,
-            idx,
-            lambda v, b: F.when(
-                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long")),
+    packed = sum(
+        (
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
         ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+        start=F.lit(0).cast("long"),
     )
-    return df.select(F.col(id_col).alias("doc"), packed.alias("simhash"))
+    return votes.select("doc", packed.alias("simhash"))
 
 
 def simhash_candidates(sim: DataFrame, chunks: int = 4) -> DataFrame:
