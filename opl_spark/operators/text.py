@@ -39,12 +39,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def _marker_score(words: Column, markers: tuple[str, ...]) -> Column:
-    score = F.lit(0)
-    for m in markers:
-        score = score + F.array_size(F.array_compact(F.transform(
-            words, lambda w: F.when(w == m, F.lit(1))
-        )))
-    return score
+    # one filter pass per language (lambda compares its element arg
+    # against literals only — no captured array expressions, so the
+    # tokenization is evaluated once per row, not once per element)
+    return F.array_size(F.filter(words, lambda w: w.isin(*markers)))
 
 
 def lang_id_col(text: Column, default: str = "und") -> Column:
