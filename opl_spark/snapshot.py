@@ -32,7 +32,7 @@ import datetime as _dt
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from opl_spark.timescope import Scope, gate
@@ -162,6 +162,9 @@ class SnapshotEngine:
                 continue  # E4 — scope already snapshotted (OLAP.php:355)
             df = self.spark.sql(bind_date(fq.sql, pivot_date))
             df = attach_audit(df, fq.query_id, scope, execution_ts)
-            self.write(df, fq.fact_table)
-            written[fq.fact_table] = written.get(fq.fact_table, 0) + df.count()
+            # row count observed as a side effect of the write itself —
+            # a separate .count() would re-execute the fact query
+            obs = Observation(f"snapshot_{fq.fact_table}_{fq.query_id}")
+            self.write(df.observe(obs, F.count(F.lit(1)).alias("rows")), fq.fact_table)
+            written[fq.fact_table] = written.get(fq.fact_table, 0) + obs.get["rows"]
         return written

@@ -20,6 +20,7 @@ Scale/correctness notes:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,11 +41,25 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table as a file stream (one-file-per-trigger replay)."""
+    """events table as a file stream (one-file-per-trigger replay).
+
+    ``FileStreamSource`` monitors a DIRECTORY of arriving files — the
+    production shape — while the testdata ships one flat file, so the
+    file is staged into a scratch directory via symlink first."""
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(src):
+        stage = os.path.join(
+            tempfile.gettempdir(), f"opl_events_stage_{abs(hash(sf_dir))}"
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events-000.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = stage
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .parquet(src)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
