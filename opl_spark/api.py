@@ -1,0 +1,68 @@
+"""The OLAP HTTP API surface, transport-free.
+
+Routes and response shapes follow the reference API spec
+(api-library-olap/README.md:4-19 endpoints; the connector,
+DataStudio-connector/Codice.gs:42,20-26,349,361-373, is the observed
+client): ``handle(path, params)`` returns JSON-serializable Python
+values, so any transport (Flask/FastAPI/lambda) is a three-line shim.
+
+Aggregate responses materialize driver-side — they are the OUTPUT of a
+cube aggregation (dimension-cardinality-sized), never a raw fact scan;
+the heavy lifting stays distributed inside ``CubeEngine.aggregate``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from opl_spark.cube import CubeEngine, to_table
+
+
+class OlapApi:
+    """Dispatcher for the four documented endpoints:
+
+    - ``/olap/fact_tables``                       (M1)
+    - ``/olap/<fact>/dimensions``                 (M2)
+    - ``/olap/<fact>/measures``                   (M3)
+    - ``/olap/<fact>/aggregate?cut=&drilldown=&measure=&aggregate=&output=``
+    """
+
+    def __init__(self, engine: CubeEngine):
+        self.engine = engine
+        self.catalog = engine.catalog
+
+    def handle(self, path: str, params: dict[str, str] | None = None) -> Any:
+        params = params or {}
+        parts = [p for p in path.split("/") if p]
+        if not parts or parts[0] != "olap":
+            raise KeyError(f"unknown route {path!r}")
+        if parts[1:] == ["fact_tables"]:
+            return self.catalog.fact_tables()
+        if len(parts) == 3:
+            fact, endpoint = parts[1], parts[2]
+            if endpoint == "dimensions":
+                return self.catalog.dimensions(fact)
+            if endpoint == "measures":
+                return self.catalog.measures(fact)
+            if endpoint == "aggregate":
+                return self._aggregate(fact, params)
+        raise KeyError(f"unknown route {path!r}")
+
+    def _aggregate(self, fact: str, params: dict[str, str]) -> Any:
+        df = self.engine.aggregate(
+            fact,
+            cut=params.get("cut"),
+            drilldown=params.get("drilldown"),
+            measure=params.get("measure"),
+            aggregate=params.get("aggregate"),
+        )
+        if params.get("output") == "table":
+            # S11 — first row = column names, then value rows
+            # (Codice.gs:349 request / 155-184 consumption)
+            return to_table(df)
+        rows = [r.asDict() for r in df.collect()]
+        if not rows:
+            # P7 — the connector zero-fills on this marker
+            # (Codice.gs:361-373)
+            return {"message": "empty_dataset"}
+        return {"data": rows}

@@ -1,0 +1,118 @@
+"""Command-line entry — parity with the reference's operational surface.
+
+The reference is driven as ``php OLAP.php -c add -d 2019-05-22
+[-f fact]`` (OLAP.php:388-403) with fact queries configured in
+``olapSettings.json`` (library_olap/README.md:26-36).  Same flags here:
+
+    python -m opl_spark.cli -c add -d 2019-05-22 \
+        --settings olapSettings.json --sources /root/testdata/sf0.001 \
+        --warehouse /tmp/wh [-f loans2]
+
+plus an ``aggregate`` command for the query side:
+
+    python -m opl_spark.cli -c aggregate --warehouse /tmp/wh \
+        --fact loans2 --cut date:1995 --drilldown loan_type
+
+Settings format mirrors the reference's (library_olap/README.md:26-36):
+
+    {"fact_tables": [{"name": "loans2", "fact_queries": [
+        {"id": 1, "query": "SELECT ... @date ...",
+         "cron": "daily", "enable": 1}]}]}
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import json
+import sys
+
+from opl_spark.snapshot import FactQuery, SnapshotEngine
+
+
+def load_settings(path: str) -> list[FactQuery]:
+    """olapSettings.json → FactQuery list (library_olap/README.md:26-36)."""
+    with open(path) as f:
+        spec = json.load(f)
+    out: list[FactQuery] = []
+    for fact in spec.get("fact_tables", []):
+        for q in fact.get("fact_queries", []):
+            out.append(
+                FactQuery(
+                    query_id=int(q["id"]),
+                    fact_table=fact["name"],
+                    sql=q["query"],
+                    cron=q.get("cron", "daily"),
+                    enable=bool(int(q.get("enable", 1))),
+                )
+            )
+    return out
+
+
+def _validate_date(s: str) -> _dt.date:
+    """Y-m-d validation (OLAP.php:416-420)."""
+    try:
+        return _dt.date.fromisoformat(s)
+    except ValueError as e:
+        raise SystemExit(f"invalid -d date {s!r} (expected YYYY-MM-DD): {e}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="opl-spark")
+    p.add_argument("-c", "--command", required=True, choices=["add", "aggregate"])
+    p.add_argument("-d", "--date", help="pivot date YYYY-MM-DD (add)")
+    p.add_argument("-f", "--fact", help="restrict to one fact table")
+    p.add_argument("--settings", help="olapSettings.json path (add)")
+    p.add_argument("--sources", help="source parquet dir to register (add)")
+    p.add_argument("--warehouse", required=True, help="fact-table warehouse dir")
+    p.add_argument("--cut")
+    p.add_argument("--drilldown")
+    p.add_argument("--measure")
+    p.add_argument("--aggregate", dest="agg")
+    p.add_argument("--output", choices=["json", "table"], default="json")
+    args = p.parse_args(argv)
+
+    from opl_spark.session import get_spark
+
+    spark = get_spark(app_name="opl-cli")
+
+    if args.command == "add":
+        if not (args.date and args.settings and args.sources):
+            raise SystemExit("add requires -d, --settings and --sources")
+        from opl_spark.sources import register_sources
+
+        register_sources(spark, args.sources)
+        facts = load_settings(args.settings)
+        engine = SnapshotEngine(spark, args.warehouse)
+        written = engine.run(_validate_date(args.date), facts, only_fact=args.fact)
+        print(json.dumps({"written": written}))
+        return 0
+
+    # aggregate: serve a cube query over the warehouse facts
+    if not args.fact:
+        raise SystemExit("aggregate requires -f/--fact")
+    from opl_spark.api import OlapApi
+    from opl_spark.cube import CubeEngine
+    from opl_spark.facts import default_catalog
+
+    engine = SnapshotEngine(spark, args.warehouse)
+    cube = CubeEngine(default_catalog())
+    cube.register_fact(args.fact, engine.fact_frame(args.fact))
+    api = OlapApi(cube)
+    params = {
+        k: v
+        for k, v in {
+            "cut": args.cut,
+            "drilldown": args.drilldown,
+            "measure": args.measure,
+            "aggregate": args.agg,
+            "output": "table" if args.output == "table" else None,
+        }.items()
+        if v
+    }
+    print(json.dumps(api.handle(f"/olap/{args.fact}/aggregate", params), default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

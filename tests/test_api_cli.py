@@ -1,0 +1,111 @@
+"""API dispatcher + CLI: the reference's operational surface
+(endpoints per api-library-olap/README.md:4-19; CLI flags per
+OLAP.php:388-403) must work end to end over the synthetic star."""
+
+import json
+
+import pytest
+
+from opl_spark.api import OlapApi
+from opl_spark.cli import main as cli_main
+from opl_spark.cube import CubeEngine
+from opl_spark.facts import build_loans_fact, default_catalog
+
+
+@pytest.fixture(scope="module")
+def api(spark, sf_dir):
+    eng = CubeEngine(default_catalog())
+    eng.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    return OlapApi(eng)
+
+
+def test_fact_tables_route(api):
+    names = {f["name"] for f in api.handle("/olap/fact_tables")}
+    assert {"loans2", "enabled_users"} <= names
+
+
+def test_dimensions_route(api):
+    dims = {d["name"]: d for d in api.handle("/olap/loans2/dimensions")}
+    assert dims["date"]["hierarchies"] == [
+        {"name": "calendar", "order": ["year", "month", "day"]}
+    ]
+    assert dims["organization_level"]["levels"][0]["attributes"] == ["consortia_label"]
+
+
+def test_measures_route(api):
+    ms = {m["name"]: m for m in api.handle("/olap/loans2/measures")}
+    assert ms["value"]["aggregates"] == ["sum", "avg"]
+
+
+def test_aggregate_route_matches_engine(api):
+    resp = api.handle(
+        "/olap/loans2/aggregate",
+        {"cut": "date:1995", "drilldown": "loan_type", "measure": "value"},
+    )
+    direct = api.engine.aggregate(
+        "loans2", cut="date:1995", drilldown="loan_type", measure="value"
+    ).collect()
+    assert resp["data"] == [r.asDict() for r in direct]
+    assert len(resp["data"]) > 0
+
+
+def test_aggregate_output_table_shape(api):
+    table = api.handle(
+        "/olap/loans2/aggregate",
+        {"cut": "date:1995", "drilldown": "loan_type", "output": "table"},
+    )
+    assert table[0] == ["loan_type", "value"]
+    assert len(table) > 1
+
+
+def test_empty_dataset_marker(api):
+    resp = api.handle(
+        "/olap/loans2/aggregate", {"cut": "date:2099", "drilldown": "loan_type"}
+    )
+    assert resp == {"message": "empty_dataset"}
+
+
+def test_unknown_route(api):
+    with pytest.raises(KeyError):
+        api.handle("/olap/loans2/nope")
+
+
+def test_cli_add_then_aggregate(spark, sf_dir, tmp_path, capsys):
+    from opl_spark.facts import ACTIVE_USERS_SQL
+
+    settings = tmp_path / "olapSettings.json"
+    settings.write_text(
+        json.dumps(
+            {
+                "fact_tables": [
+                    {
+                        "name": "enabled_users",
+                        "fact_queries": [
+                            {"id": 1, "query": ACTIVE_USERS_SQL, "cron": "daily", "enable": 1}
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    wh = str(tmp_path / "wh")
+    rc = cli_main(
+        [
+            "-c", "add", "-d", "1998-06-01",
+            "--settings", str(settings), "--sources", sf_dir, "--warehouse", wh,
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["written"]["enabled_users"] > 0
+
+    rc = cli_main(
+        [
+            "-c", "aggregate", "--warehouse", wh, "-f", "enabled_users",
+            "--cut", "date:1998", "--drilldown", "age_group", "--measure", "value",
+        ]
+    )
+    assert rc == 0
+    resp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    groups = {r["age_group"] for r in resp["data"]}
+    assert groups and groups <= {"0-14", "15-25", "26-40", "41-60", "61+", "n/a"}
