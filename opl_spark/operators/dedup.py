@@ -37,8 +37,9 @@ def words_col(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column.
+def shingle_seq_col(text: Column, n: int = 3) -> Column:
+    """Positional (non-distinct) word n-gram shingle sequence — the
+    input for order-sensitive consumers like winnowing.
 
     Built as a ``zip_with`` chain over shifted copies of the word
     array.  The shape matters: Spark interprets higher-order-function
@@ -57,7 +58,13 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     for j in range(1, n):
         shifted = F.slice(words, j + 1, F.greatest(sz - j, F.lit(0)))
         sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(F.slice(sh, 1, F.greatest(sz - (n - 1), F.lit(1))))
+    return F.slice(sh, 1, F.greatest(sz - (n - 1), F.lit(1)))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (set semantics — the Jaccard /
+    MinHash input)."""
+    return F.array_distinct(shingle_seq_col(text, n))
 
 
 # ---------------------------------------------------------------------------

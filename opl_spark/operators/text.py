@@ -8,7 +8,7 @@ run inside whole-stage codegen and scale linearly with no shuffle; a
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: BPE-ish tokenizer regex: letter runs, digit runs, or single
@@ -90,4 +90,63 @@ def fingerprint_col(text: Column) -> Column:
     key (two docs with permuted/duplicated words collide)."""
     return F.md5(
         F.array_join(F.array_sort(F.array_distinct(F.split(F.trim(text), r"\s+"))), " ")
+    )
+
+
+def winnow_col(text: Column, n: int = 3, window: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every positional n-gram shingle, slide a ``window`` over the
+    hash sequence, keep each window's minimum — the distinct minima
+    are the document's fingerprint set (guaranteed to share members
+    with any document overlapping ≥ window+n-1 words).
+
+    The rolling hash is ``md5`` (hex string, min = lexicographic):
+    deterministic and IDENTICAL across engines, so the operator is
+    SQL-oracle-checkable — a numeric xxhash would be Spark-private.
+    Window minima build as a ``least``-chain of shifted slices (one
+    pass, no captured-expression re-evaluation; see shingle builder).
+    """
+    from opl_spark.operators.dedup import shingle_seq_col
+
+    hs = F.transform(shingle_seq_col(text, n), lambda s: F.md5(s))
+    sz = F.array_size(hs)
+    mins = hs
+    for j in range(1, window):
+        shifted = F.slice(hs, j + 1, F.greatest(sz - j, F.lit(0)))
+        mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
+    return F.array_distinct(F.slice(mins, 1, F.greatest(sz - (window - 1), F.lit(1))))
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 20
+) -> DataFrame:
+    """Corpus top-k terms by summed tf·idf (idf = ln(N/docfreq)).
+
+    Two map-side-combinable aggregations (doc-term tf, then term
+    stats) plus a broadcast of the single-row corpus count; the top-k
+    is ``orderBy().limit(k)`` — Spark executes that as a distributed
+    TakeOrdered (per-partition heads merged on the driver), never a
+    full vocabulary sort.  Ties at the cut break by term."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.sum("tf").alias("total_tf"), F.count(F.lit(1)).alias("docfreq")
+    )
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "docfreq",
+            F.round(
+                F.col("total_tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("docfreq")),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "term")
+        .limit(k)
     )

@@ -35,8 +35,10 @@ from opl_spark.operators.text import (
     fingerprint_col,
     lang_id_col,
     quality_columns,
+    tfidf_top_terms,
     token_count_col,
     whitespace_token_count_col,
+    winnow_col,
 )
 from opl_spark.sources import load_table
 from opl_spark.streaming.events import windowed_counts
@@ -335,6 +337,64 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering key)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "q_winnow",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, list_transform(
+        range(1, greatest(len(w) - 2, 1) + 1),
+        i -> md5(array_to_string(list_slice(w, i, i + 2), ' '))
+    ) AS hs
+    FROM docs
+),
+mins AS (
+    SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(hs) - 3, 1) + 1),
+        i -> list_min(list_slice(hs, i, i + 3))
+    )) AS fps
+    FROM sh
+)
+SELECT doc_id AS doc, unnest(fps) AS fp FROM mins
+""",
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: window-4 minima over md5-hashed 3-gram
+    shingles (rolling-hash document fingerprinting, SIGMOD'03)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(winnow_col(F.col("text"), n=3, window=4)).alias("fp"),
+    )
+
+
+@register(
+    "q_tfidf",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+stats AS (SELECT term, SUM(tf) AS total_tf, COUNT(*) AS docfreq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT term, docfreq,
+       ROUND(total_tf * ln(CAST(n_docs AS DOUBLE) / docfreq), 6) AS tfidf
+FROM stats CROSS JOIN n
+ORDER BY tfidf DESC, term
+LIMIT 20
+""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 terms by summed tf-idf (distributed TakeOrdered,
+    broadcast corpus count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=20)
 
 
 # ---------------------------------------------------------------------------
