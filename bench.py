@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "q_quality_score",
     "q_token_count",
     "q_fingerprint",
+    "q_winnow",
+    "q_tfidf",
     # events / streaming-equivalent
     "q_events_window",
     "q_sessionize",

@@ -221,6 +221,46 @@ def ivf_topk(
     return cosine_topk(pool, vec_col, id_col, query, k)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_path: str,
+    ncells: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: vectors written cell-partitioned.
+
+    This is the write-time half of the ANN contract — ``cell`` becomes
+    a physical partition directory, so a probe query's ``cell IN (...)``
+    filter prunes at the FILE level (non-probed cells are never opened,
+    `PartitionFilters` in the scan plan).  Returns the centroid table
+    (metadata-sized; persist next to the index)."""
+    cents = centroids or seed_centroids(df, vec_col, id_col, ncells)
+    ivf_assign(df, vec_col, cents).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(index_path)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a materialized IVF index: scan only the ``nprobe`` nearest
+    cells' partitions — ``nprobe/ncells`` of the store regardless of
+    corpus size."""
+    cells = probe_cells(centroids, query, nprobe)
+    pool = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return cosine_topk(pool, vec_col, id_col, query, k)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -103,18 +103,49 @@ def winnow_col(text: Column, n: int = 3, window: int = 4) -> Column:
     The rolling hash is ``md5`` (hex string, min = lexicographic):
     deterministic and IDENTICAL across engines, so the operator is
     SQL-oracle-checkable — a numeric xxhash would be Spark-private.
-    Window minima build as a ``least``-chain of shifted slices (one
-    pass, no captured-expression re-evaluation; see shingle builder).
+
+    NOTE: this single-expression form references the hash array once
+    per ``least``-chain link, and duplicated non-cheap subtrees
+    re-evaluate inside interpreted HOF projections — prefer
+    :func:`winnow_fingerprints`, which materializes the hash array as
+    a named column first (~6× faster; CollapseProject is cost-aware
+    and keeps the alias).
     """
+    hs = hashed_shingles_col(text, n)
+    return _winnow_minima(hs, F.array_size(hs), window)
+
+
+def hashed_shingles_col(text: Column, n: int = 3) -> Column:
+    """md5 over each positional n-gram shingle (the winnowing input)."""
     from opl_spark.operators.dedup import shingle_seq_col
 
-    hs = F.transform(shingle_seq_col(text, n), lambda s: F.md5(s))
-    sz = F.array_size(hs)
+    return F.transform(shingle_seq_col(text, n), lambda s: F.md5(s))
+
+
+def _winnow_minima(hs: Column, sz: Column, window: int) -> Column:
+    """Distinct window minima over a hash-sequence column: a
+    ``least``-chain of shifted slices (zip_with null-pads the tail;
+    ``least`` ignores NULLs; the final slice drops tail windows)."""
     mins = hs
     for j in range(1, window):
         shifted = F.slice(hs, j + 1, F.greatest(sz - j, F.lit(0)))
         mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
     return F.array_distinct(F.slice(mins, 1, F.greatest(sz - (window - 1), F.lit(1))))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing as a two-stage plan: stage 1 materializes the hashed
+    shingle sequence as a named column (evaluated once per row — the
+    min-chain's four references to it would otherwise each re-run the
+    split+shingle+md5 pipeline inside the interpreted HOF projection),
+    stage 2 takes window minima and explodes the fingerprint set."""
+    hs_df = df.select(
+        F.col(id_col).alias("doc"), hashed_shingles_col(F.col(text_col), n).alias("hs")
+    )
+    mins = _winnow_minima(F.col("hs"), F.array_size(F.col("hs")), window)
+    return hs_df.select("doc", F.explode(mins).alias("fp"))
 
 
 def tfidf_top_terms(

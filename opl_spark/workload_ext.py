@@ -38,7 +38,7 @@ from opl_spark.operators.text import (
     tfidf_top_terms,
     token_count_col,
     whitespace_token_count_col,
-    winnow_col,
+    winnow_fingerprints,
 )
 from opl_spark.sources import load_table
 from opl_spark.streaming.events import windowed_counts
@@ -367,10 +367,7 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints: window-4 minima over md5-hashed 3-gram
     shingles (rolling-hash document fingerprinting, SIGMOD'03)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").alias("doc"),
-        F.explode(winnow_col(F.col("text"), n=3, window=4)).alias("fp"),
-    )
+    return winnow_fingerprints(docs, "text", "doc_id", n=3, window=4)
 
 
 @register(

@@ -1,0 +1,74 @@
+"""Schema evolution on fact-table append (S7; reference
+modifyTableStruct OLAP.php:177-199) and the materialized IVF index's
+partition-pruned probe path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opl_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_topk,
+    ivf_topk_indexed,
+)
+from opl_spark.snapshot import FactQuery, SnapshotEngine
+from opl_spark.sources import load_table, register_sources
+
+
+@pytest.fixture(scope="module")
+def registered(spark, sf_dir):
+    register_sources(spark, sf_dir)
+    return spark
+
+
+def test_append_with_new_column_widens_schema(registered, tmp_path):
+    """An evolved fact query (extra column) appends legally; rows from
+    the old shape read back as NULL in the new column (the ADD COLUMN
+    half of the reference's ALTER TABLE dance, free via mergeSchema)."""
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    v1 = "SELECT r_regionkey AS k, r_name AS name FROM region"
+    v2 = "SELECT r_regionkey AS k, r_name AS name, 1 AS extra FROM region"
+    eng.run("1998-06-01", [FactQuery(1, "f_evolve", v1)])
+    eng.run("1998-06-02", [FactQuery(1, "f_evolve", v2)])
+    df = eng.fact_frame("f_evolve")
+    assert "extra" in df.columns
+    old = df.filter(F.col("day") == 152)  # 1998-06-01 day-of-year
+    new = df.filter(F.col("day") == 153)
+    assert old.count() == new.count() == 5
+    assert old.filter(F.col("extra").isNull()).count() == 5
+    assert new.filter(F.col("extra") == 1).count() == 5
+
+
+def test_append_with_type_change_is_rejected(registered, tmp_path):
+    """Type NARROWING/conflict is an error, not a silent degradation —
+    the deliberate divergence from the reference, which truncates
+    decimals to ints (OLAP.php:51-58; SURVEY.md §1.2)."""
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    eng.run("1998-06-01", [FactQuery(1, "f_conflict", "SELECT r_regionkey AS k FROM region")])
+    eng.run(
+        "1998-06-02",
+        [FactQuery(1, "f_conflict", "SELECT r_name AS k FROM region")],
+    )
+    with pytest.raises(Exception, match="(?i)merge|incompatible|failed"):
+        eng.fact_frame("f_conflict").collect()
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The materialized IVF probe must (a) return exactly what the
+    on-the-fly IVF returns and (b) show the cell filter as a partition
+    filter — file-level pruning, the point of writing the index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    index = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, "embedding", "vec_id", index)
+    got = ivf_topk_indexed(spark, index, "embedding", "vec_id", query, cents)
+    want = ivf_topk(emb, "embedding", "vec_id", query, centroids=cents)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    got.createOrReplaceTempView("_ivf_probe")
+    plan = "\n".join(
+        r[0] for r in spark.sql("EXPLAIN FORMATTED SELECT * FROM _ivf_probe").collect()
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan
