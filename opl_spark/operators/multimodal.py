@@ -143,6 +143,48 @@ def decode_images(
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame, media_col: str = "media", max_dim: int = 32
+) -> DataFrame:
+    """Resize stage stand-in: recomputes target dimensions with aspect
+    preserved and re-emits the payload (a real codec would transcode
+    the bytes; the Spark shape — map-only mapInPandas, media bytes
+    never touching the driver — is identical)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("media_bytes", T.BinaryType()),
+        ]
+    )
+    cap = int(max_dim)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd  # self-contained closure (see decode_images)
+
+        for pdf in it:
+            rows = []
+            for rec in pdf[media_col]:
+                by = bytes(rec["media_bytes"])
+                n = len(by)
+                w, h = (n % 64) + 1, (n % 48) + 1  # fake-decode dims
+                scale = min(1.0, cap / max(w, h))
+                rows.append(
+                    {
+                        "media_id": rec["media_id"],
+                        "width": max(1, int(w * scale)),
+                        "height": max(1, int(h * scale)),
+                        "media_bytes": by,
+                    }
+                )
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "media_bytes"]
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
 def frame_sample(
     df: DataFrame, media_col: str = "media", every_n_bytes: int = 1024
 ) -> DataFrame:

@@ -22,7 +22,9 @@ from opl_spark.operators.dedup import (
 )
 from opl_spark.operators.multimodal import (
     decode_images,
+    frame_sample,
     media_metadata,
+    resize_images,
     with_media_column,
 )
 from opl_spark.operators.similarity import (
@@ -425,6 +427,49 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media, codec="fake").select(
         "media_id", "byte_len", "width", "height"
     )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id AS media_id,
+           (octet_length(encode(text)) % 64) + 1 AS w,
+           (octet_length(encode(text)) % 48) + 1 AS h
+    FROM documents
+)
+SELECT media_id,
+       GREATEST(1, CAST(FLOOR(w * LEAST(1.0, 32.0 / GREATEST(w, h))) AS INT)) AS width,
+       GREATEST(1, CAST(FLOOR(h * LEAST(1.0, 32.0 / GREATEST(w, h))) AS INT)) AS height
+FROM dims
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize plumbing: aspect-preserving target dims from
+    the (fake-decoded) source dims; payload re-emitted executor-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_column(docs, "text", "doc_id")
+    return resize_images(media, max_dim=32).select("media_id", "width", "height")
+
+
+@register(
+    "q_frame_sample",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(off / 1024 AS INT) AS frame_no,
+       CAST(off AS BIGINT) AS "offset"
+FROM (
+    SELECT doc_id, unnest(range(0, octet_length(encode(text)), 1024)) AS off
+    FROM documents
+)
+""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many mapInPandas frame sampling (one row per sampled
+    offset) — the video-frame extraction shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_column(docs, "text", "doc_id")
+    return frame_sample(media, every_n_bytes=1024)
 
 
 # ---------------------------------------------------------------------------
