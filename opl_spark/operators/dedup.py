@@ -78,15 +78,22 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle, count co-occurrences (= intersection size), then
     ``|A∩B| / (|A| + |B| - |A∩B|)``.  The join key is the shingle, so
-    common-shingle skew is the scale hazard — callers at 100 TB should
-    drop ultra-frequent shingles first (stop-shingle filtering), or use
-    :func:`minhash_lsh_candidates` instead.
+    common-shingle skew is the scale hazard: a shingle in d docs emits
+    d² join rows.  ``max_doc_freq`` is the stop-shingle mitigation —
+    shingles appearing in more docs are dropped from the INDEX side
+    (they carry little similarity signal but dominate the join), which
+    bounds per-key fan-out at max_doc_freq²; set it at 100 TB, leave
+    ``None`` for the exact semantics, or use
+    :func:`minhash_lsh_candidates` instead.  NOTE: with the filter on,
+    intersection counts (and so Jaccard) are computed over the
+    surviving shingles only — a documented approximation.
 
     Jaccard is emitted rounded(6) from exact integer counts —
     cross-engine stable.
@@ -98,6 +105,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(shingles_col(F.col(text_col), n)).alias("s"),
     ).select("doc", F.xxhash64("s").alias("sh"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_doc_freq).select("sh")
+        sh = sh.join(F.broadcast(keep), "sh")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

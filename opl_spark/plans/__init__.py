@@ -1,0 +1,8 @@
+"""Plan inspection utilities (see ``plans.inspect``)."""
+
+from opl_spark.plans.inspect import (  # noqa: F401
+    formatted_plan,
+    partition_filters,
+    pushed_filters,
+    read_schemas,
+)

@@ -66,9 +66,7 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     want = ivf_topk(emb, "embedding", "vec_id", query, centroids=cents)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
 
-    got.createOrReplaceTempView("_ivf_probe")
-    plan = "\n".join(
-        r[0] for r in spark.sql("EXPLAIN FORMATTED SELECT * FROM _ivf_probe").collect()
-    )
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and "cell" in pf[0], plan
+    from opl_spark.plans import partition_filters
+
+    pf = partition_filters(got)
+    assert pf and "cell" in pf[0], pf
