@@ -1,15 +1,21 @@
 """The golden workload: OPL's documented fact tables re-expressed over
 the driver's synthetic star schema (FIXTURES.md §3 mapping).
 
-Two facts cover every documented cube instance (SURVEY.md §2.8):
+All five documented cube instances (SURVEY.md §2.8) are built here:
 
-- ``loans2``        — dated transactions with an organization hierarchy
-  (consortia → library) and a date hierarchy (year → month → day);
-  built from ``orders ⋈ customer ⋈ nation ⋈ region``.  Stand-in for the
-  reference's loans2/accessions/patrimonio facts (Codice.gs:239-254).
-- ``enabled_users`` — the reference's documented active-users fact
+- ``loans2``          — dated transactions with an organization
+  hierarchy (consortia → library) and a date hierarchy (year → month →
+  day); ``orders ⋈ customer ⋈ nation ⋈ region`` (Codice.gs:239-243).
+- ``enabled_users``   — the reference's documented active-users fact
   query (library_olap/README.md:39-49): age-bucket CASE + 12-month
   activity window + group-count, over ``customer``/``orders``.
+- ``accessions``      — docType × organization × (year→month) with the
+  two documented measures (api-library-olap/README.md:96-161);
+  ``lineitem ⋈ supplier ⋈ nation ⋈ region ⋈ part``.
+- ``general_indexes`` — opening-hours indexes by library class/type
+  (Codice.gs:246-253), derived deterministically from the order stream.
+- ``patrimonio``      — holdings by consortia × publication year
+  (Codice.gs:248-250).
 
 Every builder has a SQL twin (ANSI, runs verbatim on DuckDB) used by
 the correctness oracle — the dual encoding is the unit test
@@ -172,8 +178,231 @@ ENABLED_USERS_META = FactMeta(
 )
 
 
+# ---------------------------------------------------------------------------
+# accessions — docType × organization × (year→month) (api-library-olap/
+# README.md:96-161, the fully-documented metadata example)
+# ---------------------------------------------------------------------------
+
+#: ANSI-SQL twin — DuckDB-ready CTE body. ``target`` is the documented
+#: second measure (a deterministic per-item acquisition target).
+ACCESSIONS_FACT_SQL = """
+SELECT
+    CAST(r.r_regionkey AS BIGINT)                     AS consortia_id,
+    r.r_name                                          AS consortia_label,
+    CAST(s.s_nationkey AS BIGINT)                     AS library_id,
+    p.p_brand                                         AS doc_type,
+    CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT)   AS year,
+    CAST(EXTRACT(MONTH FROM l.l_shipdate) AS BIGINT)  AS month,
+    CAST(l.l_quantity AS DECIMAL(18,2))               AS accessions,
+    CAST(25 + (l.l_partkey % 50) AS DECIMAL(18,2))    AS target
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+"""
+
+
+def build_accessions_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of :data:`ACCESSIONS_FACT_SQL`: lineitem is the
+    fact spine; supplier→nation→region resolves the organization
+    hierarchy (broadcast — dims are tiny), part resolves docType.
+    The lineitem⋈part join is the one real shuffle; both sides
+    hash-partition on partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("r_regionkey").cast("long").alias("consortia_id"),
+            F.col("r_name").alias("consortia_label"),
+            F.col("s_nationkey").cast("long").alias("library_id"),
+            F.col("p_brand").alias("doc_type"),
+            F.year("l_shipdate").cast("long").alias("year"),
+            F.month("l_shipdate").cast("long").alias("month"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("accessions"),
+            (F.lit(25) + F.col("l_partkey") % 50)
+            .cast("decimal(18,2)")
+            .alias("target"),
+        )
+    )
+
+
+ACCESSIONS_META = FactMeta(
+    name="accessions",
+    label="Accessions (synthetic)",
+    dimensions=(
+        Dimension(name="doc_type"),
+        Dimension(
+            name="organization_level",
+            levels=(
+                Level("consortia_id", attributes=("consortia_label",)),
+                Level("library_id"),
+            ),
+            hierarchies=(Hierarchy("organization", ("consortia_id", "library_id")),),
+        ),
+        Dimension(
+            name="date",
+            levels=(Level("year"), Level("month")),
+            hierarchies=(Hierarchy("calendar", ("year", "month")),),
+        ),
+    ),
+    measures=(
+        Measure("accessions", column="accessions", aggregates=("sum", "avg")),
+        Measure("target", column="target", aggregates=("sum",)),
+    ),
+    mappings={"accessions": "accessions.accessions", "target": "accessions.target"},
+)
+
+
+# ---------------------------------------------------------------------------
+# general_indexes — opening-hours indexes per library (Codice.gs:246-253)
+# ---------------------------------------------------------------------------
+
+#: Morning/afternoon opening indexes derived deterministically from the
+#: order stream (orderkey parity splits the "shift"); fact grain = one
+#: row per order, the cube sums/averages.
+GENERAL_INDEXES_FACT_SQL = """
+SELECT
+    CAST(r.r_regionkey AS BIGINT)  AS consortia_id,
+    r.r_name                       AS consortia_label,
+    CAST(n.n_nationkey AS BIGINT)  AS library_id,
+    CASE CAST(n.n_nationkey % 3 AS INT)
+        WHEN 0 THEN 'A' WHEN 1 THEN 'B' ELSE 'C' END   AS library_class,
+    CASE CAST(n.n_regionkey % 2 AS INT)
+        WHEN 0 THEN 'public' ELSE 'academic' END       AS library_type,
+    CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)   AS year,
+    CAST(CASE WHEN o.o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        AS apertura_mattutina,
+    CAST(CASE WHEN o.o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+        AS apertura_pomeridiana
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def build_general_indexes_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of :data:`GENERAL_INDEXES_FACT_SQL`."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_regionkey").cast("long").alias("consortia_id"),
+            F.col("r_name").alias("consortia_label"),
+            F.col("n_nationkey").cast("long").alias("library_id"),
+            F.when(F.col("n_nationkey") % 3 == 0, "A")
+            .when(F.col("n_nationkey") % 3 == 1, "B")
+            .otherwise("C")
+            .alias("library_class"),
+            F.when(F.col("n_regionkey") % 2 == 0, "public")
+            .otherwise("academic")
+            .alias("library_type"),
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.when(F.col("o_orderkey") % 2 == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("apertura_mattutina"),
+            F.when(F.col("o_orderkey") % 2 == 1, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("apertura_pomeridiana"),
+        )
+    )
+
+
+GENERAL_INDEXES_META = FactMeta(
+    name="general_indexes",
+    label="General indexes (synthetic)",
+    dimensions=(
+        Dimension(name="library_class"),
+        Dimension(name="library_type"),
+        Dimension(name="library_id"),
+        Dimension(
+            name="organization_level",
+            levels=(
+                Level("consortia_id", attributes=("consortia_label",)),
+                Level("library_id"),
+            ),
+            hierarchies=(Hierarchy("organization", ("consortia_id", "library_id")),),
+        ),
+        Dimension(name="date", levels=(Level("year"),)),
+    ),
+    measures=(
+        Measure("apertura_mattutina", column="apertura_mattutina", aggregates=("sum", "avg")),
+        Measure("apertura_pomeridiana", column="apertura_pomeridiana", aggregates=("sum", "avg")),
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# patrimonio — holdings per consortia × publication year (Codice.gs:248-250)
+# ---------------------------------------------------------------------------
+
+PATRIMONIO_FACT_SQL = """
+SELECT
+    CAST(r.r_regionkey AS BIGINT)                 AS consortia_id,
+    CAST(1975 + (p.p_partkey % 40) AS BIGINT)     AS data_pubblicazione,
+    CAST(l.l_quantity AS DECIMAL(18,2))           AS value
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+"""
+
+
+def build_patrimonio_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of :data:`PATRIMONIO_FACT_SQL` — holdings with a
+    deterministic publication year derived from the part key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("r_regionkey").cast("long").alias("consortia_id"),
+            (F.lit(1975) + F.col("p_partkey") % 40)
+            .cast("long")
+            .alias("data_pubblicazione"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("value"),
+        )
+    )
+
+
+PATRIMONIO_META = FactMeta(
+    name="patrimonio",
+    label="Holdings (synthetic)",
+    dimensions=(
+        Dimension(name="consortia_id"),
+        Dimension(name="data_pubblicazione"),
+    ),
+    measures=(Measure("value", column="value", aggregates=("sum", "avg")),),
+)
+
+
 def default_catalog() -> Catalog:
     cat = Catalog()
     cat.add(LOANS_META)
     cat.add(ENABLED_USERS_META)
+    cat.add(ACCESSIONS_META)
+    cat.add(GENERAL_INDEXES_META)
+    cat.add(PATRIMONIO_META)
     return cat

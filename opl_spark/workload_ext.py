@@ -13,7 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from opl_spark.facts import default_catalog
+from opl_spark.cube import CubeEngine
+from opl_spark.facts import (
+    ACCESSIONS_FACT_SQL,
+    GENERAL_INDEXES_FACT_SQL,
+    PATRIMONIO_FACT_SQL,
+    build_accessions_fact,
+    build_general_indexes_fact,
+    build_patrimonio_fact,
+    default_catalog,
+)
 from opl_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
@@ -535,6 +544,99 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("s.end")).alias("session_end_us"),
             "n_events",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# golden workload §2.8 — the remaining documented facts as cube queries
+# ---------------------------------------------------------------------------
+
+
+def _cube_over(spark, sf_dir, fact, builder, **kw):
+    eng = CubeEngine(default_catalog())
+    eng.register_fact(fact, builder(spark, sf_dir))
+    return eng.aggregate(fact, **kw)
+
+
+@register(
+    "q_fact_accessions",
+    oracle="WITH fact AS ("
+    + ACCESSIONS_FACT_SQL
+    + """)
+SELECT consortia_id, consortia_label,
+       SUM(accessions) AS accessions, SUM(target) AS target
+FROM fact
+WHERE doc_type = 'Brand#4' AND year = 1996
+GROUP BY 1, 2
+""",
+)
+def q_fact_accessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """accessions fact (api-library-olap/README.md:96-161): docType
+    slice + year cut, multi-measure drilldown to the consortia level
+    (with its label attribute co-grouped)."""
+    return _cube_over(
+        spark,
+        sf_dir,
+        "accessions",
+        build_accessions_fact,
+        cut="doc_type:Brand#4|date:1996",
+        drilldown="organization_level",
+        measure="accessions|target",
+    )
+
+
+@register(
+    "q_fact_general_indexes",
+    oracle="WITH fact AS ("
+    + GENERAL_INDEXES_FACT_SQL
+    + """)
+SELECT library_class, year,
+       ROUND(CAST(SUM(apertura_mattutina) AS DOUBLE) / COUNT(apertura_mattutina), 6)
+           AS apertura_mattutina,
+       ROUND(CAST(SUM(apertura_pomeridiana) AS DOUBLE) / COUNT(apertura_pomeridiana), 6)
+           AS apertura_pomeridiana
+FROM fact
+WHERE library_type = 'public'
+GROUP BY 1, 2
+""",
+)
+def q_fact_general_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """general_indexes fact (Codice.gs:246-253): avg opening-hours
+    indexes by library class × year for public libraries."""
+    return _cube_over(
+        spark,
+        sf_dir,
+        "general_indexes",
+        build_general_indexes_fact,
+        cut="library_type:public",
+        drilldown="library_class|date",
+        measure="apertura_mattutina|apertura_pomeridiana",
+        aggregate="avg",
+    )
+
+
+@register(
+    "q_fact_patrimonio",
+    oracle="WITH fact AS ("
+    + PATRIMONIO_FACT_SQL
+    + """)
+SELECT consortia_id, SUM(value) AS value
+FROM fact
+WHERE data_pubblicazione BETWEEN 1990 AND 1999
+GROUP BY 1
+""",
+)
+def q_fact_patrimonio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """patrimonio fact (Codice.gs:248-250): holdings by consortia for a
+    publication-decade range cut."""
+    return _cube_over(
+        spark,
+        sf_dir,
+        "patrimonio",
+        build_patrimonio_fact,
+        cut="data_pubblicazione:1990-1999",
+        drilldown="consortia_id",
+        measure="value",
     )
 
 
