@@ -1,0 +1,48 @@
+"""Bucketed table layout — co-located joins without a shuffle.
+
+The engine's fact queries join the order/customer spine on
+``custkey``-family keys every nightly run.  Writing both sides
+bucketed on the join key (``DataFrameWriter.bucketBy`` → catalog
+table) makes every subsequent equi-join on that key shuffle-FREE: the
+bucket files are already hash-partitioned identically, so the join
+compiles to per-bucket sort-merge with no Exchange on either side.
+
+At 100 TB this converts the dominant recurring shuffle (re-hashing the
+fact spine every run) into a one-time write-side cost.  The trade-offs
+are the standard ones: bucket count is fixed at write time (pick ~2×
+target parallelism), and writers must avoid producing many small files
+per bucket (repartition by the bucket key first — done below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Save as a bucketed (and optionally sorted) catalog table.
+
+    Pre-repartitioning on the bucket column keeps it to one file per
+    bucket per write instead of one per task."""
+    writer = (
+        df.repartition(num_buckets, bucket_col)
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> DataFrame:
+    """Join two co-bucketed catalog tables on their bucket key — with
+    matching bucket counts Catalyst plans this without any Exchange."""
+    return spark.table(left_table).join(spark.table(right_table), on)
