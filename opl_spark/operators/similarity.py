@@ -221,6 +221,74 @@ def ivf_topk(
     return cosine_topk(pool, vec_col, id_col, query, k)
 
 
+def knn_join(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 3,
+) -> DataFrame:
+    """Batch kNN: top-k corpus neighbors for EVERY query vector.
+
+    Scale shape: the query matrix rides in the UDF closure (broadcast
+    with the task binary — queries ≪ corpus is the regime this is
+    for), each Arrow batch scores corpus×queries with one gemm and
+    emits only its per-query top-(k+8) — so shuffle volume is
+    O(batches·queries·k) id/sim rows, never corpus×queries.  The final
+    exact (rounded-sim desc, id) ranking happens engine-side per
+    query; the +8 margin makes batch truncation safe against rounding
+    ties at the k boundary."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    qs = sorted(queries)
+    qids = np.asarray([q for q, _ in qs], dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in qs])
+    qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    id_type = df.schema[id_col].dataType
+    mid_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("id", id_type),
+            StructField("raw_sim", DoubleType()),
+        ]
+    )
+    keep = k + 8
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
+            ids = pdf["__id"].to_numpy()
+            an = np.sqrt(np.einsum("ij,ij->i", a, a))
+            sims = (a @ qmat.T) / np.outer(an, qnorm)  # n_batch × n_queries
+            rows_q, rows_i, rows_s = [], [], []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                top = np.argsort(-col, kind="stable")[:keep]
+                rows_q.extend([qids[j]] * len(top))
+                rows_i.extend(ids[top])
+                rows_s.extend(col[top])
+            yield _pd.DataFrame({"qid": rows_q, "id": rows_i, "raw_sim": rows_s})
+
+    scored = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(batches, mid_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "id")
+    return (
+        scored.select("qid", "id", F.round("raw_sim", 6).alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def build_ivf_index(
     df: DataFrame,
     vec_col: str,

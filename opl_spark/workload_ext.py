@@ -40,6 +40,7 @@ from opl_spark.operators.similarity import (
     cosine_topk,
     embedding_dup_pairs,
     ivf_topk,
+    knn_join,
 )
 from opl_spark.operators.text import (
     TOKEN_RE,
@@ -238,6 +239,40 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=10, ncells=8, nprobe=2
     )
+
+
+@register(
+    "q_knn_batch",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+pool AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+    SELECT q.qid, p.id,
+           ROUND(
+             list_dot_product(p.v, q.qv) /
+             (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+             6) AS sim
+    FROM pool p CROSS JOIN q
+)
+SELECT qid, id, sim, rank FROM (
+    SELECT qid, id, sim,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT)
+               AS rank
+    FROM scored
+) WHERE rank <= 3
+""",
+)
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: top-3 neighbors for each of the 5 lowest-id query
+    vectors — per-batch gemm scoring with per-batch truncation, final
+    exact per-query ranking engine-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    return knn_join(emb, "embedding", "vec_id", queries, k=3)
 
 
 # ---------------------------------------------------------------------------
