@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "q_measure_multi",
     "q_idempotent_antijoin",
     "q_time_scope",
+    "q_rollup",
+    "q_fact_accessions",
     # dedup family
     "q_dedup_exact",
     "q_dedup_ngram",
@@ -40,6 +42,7 @@ BENCH_QUERIES = [
     # similarity search
     "q_similarity_topk",
     "q_similarity_ivf",
+    "q_knn_batch",
     # text analysis
     "q_lang_id",
     "q_quality_score",

@@ -17,6 +17,7 @@ from opl_spark.cube import CubeEngine
 from opl_spark.facts import (
     ACCESSIONS_FACT_SQL,
     GENERAL_INDEXES_FACT_SQL,
+    LOANS_FACT_SQL,
     PATRIMONIO_FACT_SQL,
     build_accessions_fact,
     build_general_indexes_fact,
@@ -578,6 +579,57 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("s.start")).alias("session_start_us"),
             F.unix_micros(F.col("s.end")).alias("session_end_us"),
             "n_events",
+        )
+    )
+
+
+@register(
+    "q_length_quantiles",
+    oracle="""
+SELECT source,
+       ROUND(quantile_cont(length(text), 0.5), 6)  AS p50,
+       ROUND(quantile_cont(length(text), 0.95), 6) AS p95
+FROM documents
+GROUP BY source
+""",
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source document-length quantiles (the corpus quality
+    profile every filtering pipeline starts from).  Spark ``percentile``
+    and DuckDB ``quantile_cont`` share linear-interpolation semantics,
+    so this is fully oracle-checkable; at 100 TB swap in
+    ``percentile_approx`` (t-digest, map-side combinable) and accept
+    the rank error."""
+    docs = load_table(spark, sf_dir, "documents")
+    pcts = F.expr("percentile(length(text), array(0.5, 0.95))")
+    return docs.groupBy("source").agg(
+        F.round(pcts[0], 6).alias("p50"), F.round(pcts[1], 6).alias("p95")
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="WITH fact AS ("
+    + LOANS_FACT_SQL
+    + """)
+SELECT consortia_id, year, SUM(value) AS value, COUNT(*) AS n
+FROM fact
+GROUP BY ROLLUP (consortia_id, year)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over (consortia → year): the multi-level
+    drill-down the reference's API approximates with repeated calls,
+    computed in one pass (Spark expands to grouping sets; partial
+    aggregation still applies per set)."""
+    from opl_spark.facts import build_loans_fact
+
+    fact = build_loans_fact(spark, sf_dir)
+    return (
+        fact.rollup("consortia_id", "year")
+        .agg(
+            F.sum("value").alias("value"),
+            F.count(F.lit(1)).alias("n"),
         )
     )
 
