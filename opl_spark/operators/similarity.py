@@ -1,15 +1,19 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two tiers, per the standard ANN playbook:
+Three tiers, per the standard ANN playbook:
 
 - **brute-force cosine top-k** — the exactness baseline: one map pass
   computing cosine per row + a ``row_number`` top-k.  At 100 TB this
   is a full scan but embarrassingly parallel; still the right tool for
   one-off queries and for verifying the approximate path.
+- **batch kNN** (:func:`knn_join`) — top-k for a whole query SET in
+  one corpus sweep: per-Arrow-batch gemm against the closure-broadcast
+  query matrix with per-batch truncation.
 - **IVF (inverted-file) top-k** — the scale path: every vector is
-  assigned to its nearest centroid (one broadcast join at write time,
-  stored as a partition column), queries probe only the ``nprobe``
-  nearest cells — scanning ``nprobe/ncells`` of the data.
+  assigned to its nearest centroid and the assignment is materialized
+  as a partition column (:func:`build_ivf_index`); queries probe only
+  the ``nprobe`` nearest cells — file-level pruning scans
+  ``nprobe/ncells`` of the store.
 
 The hot loops (pair dots, query dots, centroid assignment) run as
 Arrow-batched numpy kernels (Pandas UDFs); the pure-expression

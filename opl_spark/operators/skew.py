@@ -1,0 +1,58 @@
+"""Skew mitigation: salted two-phase aggregation.
+
+A groupBy on a skewed key (one event type = 40% of a 100 TB stream)
+sends the hot key's entire volume to one reducer.  Salting splits each
+key into ``salt_buckets`` sub-groups for a partial aggregate, then
+re-aggregates the partials — the hot key's work spreads across
+``salt_buckets`` tasks and the second shuffle moves only
+keys×buckets rows.  Semantically transparent for any reassociative
+aggregate (sum/count/min/max), so results stay oracle-identical.
+
+Note Spark's hash aggregation already does map-side partial
+aggregation, which handles *moderate* skew; explicit salting matters
+when per-key state is too big for the map side (huge distinct sets,
+collect_list) or when AQE's skew handling can't apply (it only splits
+sort-merge-join partitions, not aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    salt_buckets: int = 32,
+    salt_from: Column | None = None,
+) -> DataFrame:
+    """Two-phase salted sum: partial sums per (key, salt), then final
+    per key.  ``salt_from`` derives the salt deterministically (any
+    high-cardinality column); default is the partition-local row id,
+    which is non-deterministic across runs but always valid — sums are
+    reassociative either way."""
+    salt = (
+        F.pmod(F.xxhash64(salt_from), F.lit(salt_buckets))
+        if salt_from is not None
+        else F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.sum(value_col).alias("__partial"))
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("__partial").alias(f"sum_{value_col}"))
+
+
+def salted_distinct_count(
+    df: DataFrame, key_cols: list[str], distinct_col: str
+) -> DataFrame:
+    """Exact COUNT(DISTINCT) without hot-key distinct-set state: stage
+    1 dedups on (key, value) — the value spreads the hot key across
+    reducers naturally — stage 2 counts per key."""
+    deduped = df.select(*key_cols, distinct_col).distinct()
+    return deduped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias(f"n_distinct_{distinct_col}")
+    )

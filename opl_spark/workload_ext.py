@@ -584,6 +584,44 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_salted_agg",
+    oracle="""
+SELECT event_type, SUM(CAST(value AS DECIMAL(18,6))) AS sum_v
+FROM events
+GROUP BY event_type
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase sum over the skewed event_type key — salting
+    is semantically transparent for reassociative aggregates, so the
+    oracle is the plain GROUP BY."""
+    from opl_spark.operators.skew import salted_sum
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_sum(ev, ["event_type"], "v", salt_buckets=16, salt_from=F.col("event_id"))
+    return out.select("event_type", F.col("sum_v").alias("sum_v"))
+
+
+@register(
+    "q_distinct_users",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+FROM events
+GROUP BY event_type
+""",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct users via the two-stage dedup shape (no
+    hot-key distinct-set state)."""
+    from opl_spark.operators.skew import salted_distinct_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_distinct_count(ev, ["event_type"], "user_id")
+
+
+@register(
     "q_length_quantiles",
     oracle="""
 SELECT source,
