@@ -139,6 +139,40 @@ class SnapshotEngine:
             .parquet(self._path(fact_table))
         )
 
+    def compact(self, fact_table: str, target_files_per_partition: int = 1) -> None:
+        """Rewrite a fact table's files to bound file count.
+
+        Daily idempotent appends accumulate one file batch per run per
+        partition; over years that is the classic small-files problem
+        (footer-read dominated scans, driver-side listing cost).
+        Compaction reads with schema merge, re-partitions inside each
+        (year, month) directory, and atomically swaps via
+        write-to-temp + rename.  Run it off-peak like the snapshots
+        themselves; readers see either the old or new layout, never a
+        partial one (single-directory rename)."""
+        import shutil
+
+        path = self._path(fact_table)
+        tmp = path + "__compacting"
+        df = self.fact_frame(fact_table)
+        # every (year, month [, salt]) group hashes to one task, so each
+        # partition directory is written by exactly target_files tasks
+        keys = [F.col("year"), F.col("month")]
+        if target_files_per_partition > 1:
+            keys.append(
+                F.pmod(
+                    F.monotonically_increasing_id(),
+                    F.lit(target_files_per_partition),
+                )
+            )
+        df.repartition(*keys).write.mode("overwrite").partitionBy(
+            "year", "month"
+        ).parquet(tmp)
+        old = path + "__old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+
     def run(
         self,
         pivot_date: _dt.date | str,

@@ -54,6 +54,27 @@ def test_append_with_type_change_is_rejected(registered, tmp_path):
         eng.fact_frame("f_conflict").collect()
 
 
+def test_compact_bounds_files_and_preserves_rows(registered, tmp_path):
+    """Repeated snapshot runs accumulate files; compaction must reduce
+    to one file per (year, month) directory with identical data."""
+    import glob
+
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    q = "SELECT r_regionkey AS k, r_name AS name FROM region"
+    for d in ("1998-06-01", "1998-06-02", "1998-06-03"):
+        eng.run(d, [FactQuery(1, "f_compact", q)])
+    path = str(tmp_path / "f_compact")
+    before = glob.glob(f"{path}/year=*/month=*/*.parquet")
+    rows_before = sorted(map(tuple, eng.fact_frame("f_compact").collect()))
+    assert len(before) >= 3  # one file batch per run
+
+    eng.compact("f_compact")
+    after = glob.glob(f"{path}/year=*/month=*/*.parquet")
+    assert len(after) == 1  # single (1998, 6) partition, single file
+    assert sorted(map(tuple, eng.fact_frame("f_compact").collect())) == rows_before
+
+
 def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     """The materialized IVF probe must (a) return exactly what the
     on-the-fly IVF returns and (b) show the cell filter as a partition
