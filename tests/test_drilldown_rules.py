@@ -1,0 +1,101 @@
+"""Drilldown level-resolution rules (D1-D5, api-library-olap/
+README.md:54-79) checked against a direct Python model, plus the cut
+grammar's mixed set/range corner cases (SURVEY.md §7.2 stage-5 risk)."""
+
+import pytest
+
+from opl_spark.catalog import Catalog, Dimension, FactMeta, Hierarchy, Level, Measure
+from opl_spark.cube import CubeEngine
+
+META = FactMeta(
+    name="f",
+    dimensions=(
+        Dimension(
+            name="date",
+            levels=(Level("year"), Level("month"), Level("day")),
+            hierarchies=(Hierarchy("cal", ("year", "month", "day")),),
+        ),
+        Dimension(name="lib"),
+    ),
+    measures=(Measure("value", column="lib"),),
+)
+
+ROWS = [
+    (y, m, d, lib)
+    for y in (2016, 2017)
+    for m in (1, 2)
+    for d in (1, 2)
+    for lib in (1, 2)
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    df = spark.createDataFrame(ROWS, "year long, month long, day long, lib long")
+    eng = CubeEngine(Catalog({"f": META}))
+    eng.register_fact("f", df)
+    return eng
+
+
+def _group_cols(engine, cut, drilldown):
+    df = engine.aggregate("f", cut=cut, drilldown=drilldown, measure="value")
+    return [c for c in df.columns if c != "value"]
+
+
+# (cut, drilldown) → expected group columns per the documented rules
+CASES = [
+    # D3 — un-cut dimension drills to the TOP hierarchy level
+    (None, "date", ["year"]),
+    # D1 — cut at year → default drilldown is one level below (month)
+    ("date:2016", "date", ["month"]),
+    # D1 at depth 2 → day
+    ("date:2016,1", "date", ["day"]),
+    # D1 clamps at the leaf
+    ("date:2016,1,2", "date", ["day"]),
+    # D2 — named level below the cut: below-cut down to target inclusive
+    ("date:2016", "date:day", ["month", "day"]),
+    # D2 with no cut: top down to target
+    (None, "date:day", ["year", "month", "day"]),
+    # D5 — level at/above the cut selects exactly that level
+    ("date:2016,1-2017,2", "date:year|date:month", ["year", "month"]),
+    # D4 — multi-dimension drilldown concatenates
+    ("date:2016", "date|lib", ["month", "lib"]),
+]
+
+
+@pytest.mark.parametrize("cut,drilldown,expected", CASES)
+def test_drilldown_resolution(engine, cut, drilldown, expected):
+    assert _group_cols(engine, cut, drilldown) == expected
+
+
+def test_cut_set_of_ranges(engine):
+    """`lib:1-1;2` — a discrete set whose members are themselves
+    ranges/equalities must union the member predicates."""
+    df = engine.aggregate("f", cut="lib:1-1;2", drilldown="lib", measure="value")
+    assert sorted(r["lib"] for r in df.collect()) == [1, 2]
+
+
+def test_cut_set_with_hierarchy_paths(engine):
+    """`date:2016,1;2017,2` — set members may be hierarchy paths; the
+    set's depth is the deepest member's."""
+    df = engine.aggregate(
+        "f", cut="date:2016,1;2017,2", drilldown="date", measure="value"
+    )
+    # depth 2 ⇒ default drilldown = day (one below the cut)
+    assert [c for c in df.columns if c != "value"] == ["day"]
+    # both set members contribute to each day group: per day the libs
+    # {1, 2} appear once per (y,m) member → sum(lib) = (1+2) × 2 = 6
+    rows = {r["day"]: r["value"] for r in df.collect()}
+    assert rows == {1: 6, 2: 6}
+
+
+def test_malformed_cut_raises(engine):
+    with pytest.raises(ValueError):
+        engine.aggregate("f", cut="date", drilldown="date", measure="value")
+    with pytest.raises(ValueError):
+        engine.aggregate("f", cut="lib:1;;2", drilldown="lib", measure="value")
+
+
+def test_unknown_level_raises(engine):
+    with pytest.raises(KeyError):
+        engine.aggregate("f", drilldown="date:decade", measure="value")
