@@ -84,6 +84,18 @@ def quality_columns(text: Column) -> dict[str, Column]:
     }
 
 
+def clean_text_col(text: Column, lowercase: bool = False) -> Column:
+    """Corpus cleaning: strip HTML-ish tags, drop control characters,
+    collapse whitespace runs, trim — the normalize-before-dedup stage.
+    Pure ``regexp_replace`` chain (whole-stage codegen; the patterns
+    use only constructs shared by Java regex and RE2, so the DuckDB
+    oracle is byte-identical)."""
+    out = F.regexp_replace(text, r"<[^>]*>", " ")
+    out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.lower(out) if lowercase else out
+
+
 def fingerprint_col(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct whitespace tokens — the classic "fingerprint clustering"

@@ -45,6 +45,7 @@ from opl_spark.operators.similarity import (
 )
 from opl_spark.operators.text import (
     TOKEN_RE,
+    clean_text_col,
     fingerprint_col,
     lang_id_col,
     quality_columns,
@@ -384,6 +385,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering key)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "q_text_clean",
+    oracle=r"""
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+           '\s+', ' ', 'g')) AS cleaned
+FROM documents
+""",
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning pass: tag strip + control-char drop + whitespace
+    collapse (the normalize-before-dedup stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text_col(F.col("text")).alias("cleaned"))
 
 
 @register(
