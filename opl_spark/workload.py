@@ -29,7 +29,7 @@ from opl_spark.facts import (
     build_loans_fact,
     default_catalog,
 )
-from opl_spark.sources import load_table, register_sources
+from opl_spark.sources import load_table
 from opl_spark.snapshot import attach_audit, bind_date
 from opl_spark.timescope import make_scope, scope_columns
 
