@@ -693,6 +693,60 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# composed corpus-filtering pipeline (the operators working together)
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_oracle() -> str:
+    clean = (
+        r"trim(regexp_replace(regexp_replace(regexp_replace(text,"
+        r" '<[^>]*>', ' ', 'g'), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),"
+        r" '\s+', ' ', 'g'))"
+    )
+    scores = ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS_DESC)
+    return f"""
+WITH cleaned AS (SELECT doc_id, {clean} AS text FROM documents),
+scored AS (
+    SELECT doc_id, text,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           {scores}
+    FROM cleaned
+)
+SELECT doc_id, n_words,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+FROM scored
+WHERE {_LANG_CASE} = 'en'
+  AND n_words >= 20
+  AND ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) <= 0.3
+"""
+
+
+@register("q_pipeline_filter", oracle=_pipeline_oracle())
+def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data filter: clean → language-ID →
+    quality thresholds → token stats, as ONE declarative plan (single
+    map stage — Catalyst fuses the whole operator chain; nothing
+    materializes between steps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select("doc_id", clean_text_col(F.col("text")).alias("text"))
+    qc = quality_columns(F.col("text"))
+    staged = cleaned.select(
+        "doc_id",
+        lang_id_col(F.col("text")).alias("lang"),
+        qc["n_words"].alias("n_words"),
+        qc["punct_ratio"].alias("punct_ratio"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    return staged.filter(
+        (F.col("lang") == "en")
+        & (F.col("n_words") >= 20)
+        & (F.col("punct_ratio") <= 0.3)
+    ).select("doc_id", "n_words", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
 # golden workload §2.8 — the remaining documented facts as cube queries
 # ---------------------------------------------------------------------------
 
