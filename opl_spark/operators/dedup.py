@@ -109,7 +109,16 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         keep = freq.filter(F.col("df_") <= max_doc_freq).select("sh")
         sh = sh.join(F.broadcast(keep), "sh")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        # sizes must reflect the surviving shingles (documented
+        # approximation) — derive from the filtered index
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        # map-only: |shingle set| = array_size of the distinct-shingle
+        # array — no explode, no shuffle for the size side
+        sizes = df.select(
+            F.col(id_col).alias("doc"),
+            F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
+        )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
