@@ -237,6 +237,50 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup pairs into clusters: every document maps to its
+    connected component's minimum id (the canonical keeper) —
+    ``(doc, keeper)``, one row per document that appears in any pair.
+
+    Min-label propagation: each iteration every node takes the min of
+    its own label and its neighbors' labels, so labels converge in
+    O(component diameter) rounds — near-dup components are tiny
+    (pairs/triangles), so this terminates in a handful of distributed
+    joins even at corpus scale.  ``localCheckpoint`` truncates the
+    lineage per round (iterative self-join plans otherwise grow
+    exponentially); the driver only ever sees a per-round change
+    COUNT, never data."""
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("new_label") != F.col("old_label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("keeper"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

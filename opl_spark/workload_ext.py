@@ -25,6 +25,7 @@ from opl_spark.facts import (
     default_catalog,
 )
 from opl_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -117,6 +118,39 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     path that LSH approximates)."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+@register(
+    "q_dedup_clusters",
+    # the reach() CTE is recursive — RECURSIVE qualifies the whole WITH
+    oracle=_SHINGLE_CTE.replace("WITH docs", "WITH RECURSIVE docs", 1)
+    + """,
+p2 AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM p2
+    UNION ALL SELECT id_b, id_a FROM p2
+),
+reach(node, r) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS doc, MIN(r) AS keeper FROM reach GROUP BY node
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to connected components with a
+    deterministic min-id keeper per cluster (the keep/drop list a
+    dedup pipeline actually consumes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return dedup_clusters(pairs)
 
 
 @register("q_dedup_minhash")  # xxhash64 signatures — not DuckDB-expressible
