@@ -235,13 +235,17 @@ class CubeEngine:
     # the engine-native AVG: over decimal inputs the sum is exact and
     # order-independent, so the result is bit-identical across engines
     # and across shuffle orders — a plain AVG over doubles is neither.
+    # ``sum`` over fractional inputs is likewise canonicalized to
+    # round(double(exact_sum), 2): the sum itself stays an exact
+    # decimal reduction; only the emitted value is re-typed, so the
+    # wire format carries no trailing-zero ambiguity across engines.
     _AGG_FNS = {
         "sum": F.sum,
         "avg": lambda c: F.round(F.sum(c).cast("double") / F.count(c), 6),
         "count": F.count,
     }
 
-    def _agg_exprs(self, q: CubeQuery) -> list[Column]:
+    def _agg_exprs(self, df: DataFrame, q: CubeQuery) -> list[Column]:
         names = q.measure.split("|") if q.measure else [q.fact.default_measure.name]
         exprs = []
         for name in names:
@@ -249,7 +253,26 @@ class CubeEngine:
             agg = q.aggregate or m.default_aggregate
             if agg not in self._AGG_FNS:
                 raise ValueError(f"unsupported aggregate {agg!r} (sum/avg/count)")
-            exprs.append(self._AGG_FNS[agg](F.col(m.physical)).alias(m.name))
+            # M5 — per-measure allowed-aggregate contract: the metadata
+            # declares which aggregates each measure admits (reference:
+            # api-library-olap/README.md:131-149); anything else is a
+            # client error, not a silent fallback.
+            if agg not in m.aggregates:
+                raise ValueError(
+                    f"measure {m.name!r} does not allow aggregate {agg!r} "
+                    f"(allowed: {', '.join(m.aggregates)})"
+                )
+            col = F.col(m.physical)
+            # DecimalType subclasses FractionalType — this covers
+            # decimal, double, and float measures; integral sums stay
+            # bigint (already canonical on both engines).
+            if agg == "sum" and isinstance(
+                df.schema[m.physical].dataType, T.FractionalType
+            ):
+                expr = F.round(F.sum(col).cast("double"), 2)
+            else:
+                expr = self._AGG_FNS[agg](col)
+            exprs.append(expr.alias(m.name))
         return exprs
 
     # -- the entry point ----------------------------------------------------
@@ -279,7 +302,7 @@ class CubeEngine:
             df = df.filter(t.condition)
 
         group_cols = self._resolve_drilldown(df, q)
-        aggs = self._agg_exprs(q)
+        aggs = self._agg_exprs(df, q)
         if group_cols:
             out = df.groupBy(*group_cols).agg(*aggs)
             # deterministic ordering — required by output=table consumers

@@ -87,7 +87,9 @@ def windowed_counts(
             F.col("w.start").cast("string").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            # exact decimal sum internally; canonical round(double,6) on
+            # the wire (trailing-zero decimals hash unstably cross-engine)
+            F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
         )
     )
 

@@ -80,9 +80,9 @@ def _cube(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
     "q_source_scan",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-       COUNT(*)                                    AS n_rows
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)      AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+       COUNT(*)                                                              AS n_rows
 FROM lineitem
 WHERE l_shipdate <= DATE '2000-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -96,8 +96,10 @@ def q_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            # exact decimal reduction, canonical double on the wire —
+            # trailing-zero decimal reprs hash differently across engines
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_price"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -172,7 +174,7 @@ def q_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_output_table",
     oracle=ORACLE_CTE
     + """
-SELECT year, month, SUM(value) AS value
+SELECT year, month, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value
 FROM fact GROUP BY year, month
 """,
 )
@@ -191,7 +193,7 @@ def q_output_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_projection",
     oracle="""
 SELECT p_partkey AS part_id, p_name AS part_name,
-       CAST(p_retailprice AS DECIMAL(18,2)) AS price
+       ROUND(CAST(p_retailprice AS DOUBLE), 2) AS price
 FROM part
 """,
 )
@@ -200,7 +202,7 @@ def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("part_id"),
         F.col("p_name").alias("part_name"),
-        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+        F.round(F.col("p_retailprice").cast("double"), 2).alias("price"),
     )
 
 
@@ -310,12 +312,12 @@ def q_time_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=ORACLE_CTE
     + """
 , agg AS (
-    SELECT consortia_id, consortia_label, SUM(value) AS value
+    SELECT consortia_id, consortia_label, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value
     FROM fact WHERE library_id = 999 GROUP BY 1, 2
 )
 SELECT * FROM agg
 UNION ALL
-SELECT CAST(NULL AS BIGINT), 'null', CAST(0 AS DECIMAL(28,2))
+SELECT CAST(NULL AS BIGINT), 'null', CAST(0 AS DOUBLE)
 WHERE NOT EXISTS (SELECT 1 FROM agg)
 """,
 )
@@ -374,7 +376,7 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_sum",
     oracle=ORACLE_CTE
-    + "SELECT consortia_id, consortia_label, SUM(value) AS value FROM fact GROUP BY 1, 2",
+    + "SELECT consortia_id, consortia_label, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value FROM fact GROUP BY 1, 2",
 )
 def q_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — declared sum aggregate over the organization hierarchy."""
@@ -404,7 +406,7 @@ def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cube(spark, sf_dir, drilldown="segment", measure="loans")
 
 
-@register("q_aggregate_all", oracle=ORACLE_CTE + "SELECT SUM(value) AS value FROM fact")
+@register("q_aggregate_all", oracle=ORACLE_CTE + "SELECT ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value FROM fact")
 def q_aggregate_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — /aggregate with no drilldown = whole-fact aggregate
     (api-library-olap/README.md:18-19)."""
@@ -414,7 +416,7 @@ def q_aggregate_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_measure_multi",
     oracle=ORACLE_CTE
-    + "SELECT loan_type, SUM(value) AS value, COUNT(library_id) AS loans FROM fact GROUP BY 1",
+    + "SELECT loan_type, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value, COUNT(library_id) AS loans FROM fact GROUP BY 1",
 )
 def q_measure_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — measure=a|b multi-measure call (api-library-olap/README.md:21-23)."""
@@ -429,7 +431,7 @@ def q_measure_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cut_eq",
     oracle=ORACLE_CTE
-    + "SELECT library_id, SUM(value) AS value FROM fact WHERE loan_type = 'F' GROUP BY 1",
+    + "SELECT library_id, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value FROM fact WHERE loan_type = 'F' GROUP BY 1",
 )
 def q_cut_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 — equality slice (cut=loan_type:loan_local analog)."""
@@ -459,7 +461,7 @@ def q_cut_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cut_range",
     oracle=ORACLE_CTE
     + """
-SELECT loan_type, SUM(value) AS value
+SELECT loan_type, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value
 FROM fact WHERE library_id BETWEEN 5 AND 15 GROUP BY 1
 """,
 )
@@ -471,7 +473,7 @@ def q_cut_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cut_open_range",
     oracle=ORACLE_CTE
-    + "SELECT segment, SUM(value) AS value FROM fact WHERE library_id >= 13 GROUP BY 1",
+    + "SELECT segment, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value FROM fact WHERE library_id >= 13 GROUP BY 1",
 )
 def q_cut_open_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 — open range cut (cut=library_id:23- analog)."""
@@ -495,7 +497,7 @@ def q_cut_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cut_hierarchy",
     oracle=ORACLE_CTE
     + """
-SELECT day, SUM(value) AS value
+SELECT day, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value
 FROM fact WHERE year = 1997 AND month = 10 GROUP BY 1
 """,
 )
@@ -508,7 +510,7 @@ def q_cut_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cut_hierarchy_range",
     oracle=ORACLE_CTE
     + """
-SELECT year, month, SUM(value) AS value
+SELECT year, month, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value
 FROM fact
 WHERE year * 100 + month BETWEEN 199610 AND 199702
 GROUP BY 1, 2
@@ -534,7 +536,7 @@ def q_cut_hierarchy_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_drilldown_default",
     oracle=ORACLE_CTE
-    + "SELECT month, SUM(value) AS value FROM fact WHERE year = 1997 GROUP BY 1",
+    + "SELECT month, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value FROM fact WHERE year = 1997 GROUP BY 1",
 )
 def q_drilldown_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 — cut dim drilldown defaults to one level below the cut
@@ -558,7 +560,7 @@ def q_drilldown_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_drilldown_top",
-    oracle=ORACLE_CTE + "SELECT year, SUM(value) AS value FROM fact GROUP BY 1",
+    oracle=ORACLE_CTE + "SELECT year, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value FROM fact GROUP BY 1",
 )
 def q_drilldown_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 — drilldown on an un-cut dimension → its top hierarchy level
@@ -570,7 +572,7 @@ def q_drilldown_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_drilldown_multi",
     oracle=ORACLE_CTE
     + """
-SELECT year, consortia_id, consortia_label, SUM(value) AS value
+SELECT year, consortia_id, consortia_label, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value
 FROM fact GROUP BY 1, 2, 3
 """,
 )

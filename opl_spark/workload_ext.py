@@ -583,7 +583,7 @@ SELECT CAST(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -640,7 +640,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_salted_agg",
     oracle="""
-SELECT event_type, SUM(CAST(value AS DECIMAL(18,6))) AS sum_v
+SELECT event_type, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_v
 FROM events
 GROUP BY event_type
 """,
@@ -655,7 +655,9 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.col("value").cast("decimal(18,6)")
     )
     out = salted_sum(ev, ["event_type"], "v", salt_buckets=16, salt_from=F.col("event_id"))
-    return out.select("event_type", F.col("sum_v").alias("sum_v"))
+    return out.select(
+        "event_type", F.round(F.col("sum_v").cast("double"), 6).alias("sum_v")
+    )
 
 
 @register(
@@ -704,7 +706,8 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH fact AS ("
     + LOANS_FACT_SQL
     + """)
-SELECT consortia_id, year, SUM(value) AS value, COUNT(*) AS n
+SELECT consortia_id, year,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value, COUNT(*) AS n
 FROM fact
 GROUP BY ROLLUP (consortia_id, year)
 """,
@@ -720,7 +723,8 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fact.rollup("consortia_id", "year")
         .agg(
-            F.sum("value").alias("value"),
+            # exact decimal sum; canonical round(double,2) on the wire
+            F.round(F.sum("value").cast("double"), 2).alias("value"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -797,7 +801,8 @@ def _cube_over(spark, sf_dir, fact, builder, **kw):
     + ACCESSIONS_FACT_SQL
     + """)
 SELECT consortia_id, consortia_label,
-       SUM(accessions) AS accessions, SUM(target) AS target
+       ROUND(CAST(SUM(accessions) AS DOUBLE), 2) AS accessions,
+       ROUND(CAST(SUM(target) AS DOUBLE), 2)     AS target
 FROM fact
 WHERE doc_type = 'Brand#4' AND year = 1996
 GROUP BY 1, 2
@@ -853,7 +858,7 @@ def q_fact_general_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH fact AS ("
     + PATRIMONIO_FACT_SQL
     + """)
-SELECT consortia_id, SUM(value) AS value
+SELECT consortia_id, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value
 FROM fact
 WHERE data_pubblicazione BETWEEN 1990 AND 1999
 GROUP BY 1

@@ -30,7 +30,7 @@ META = FactMeta(
         Dimension(name="lib"),
         Dimension(name="kind"),
     ),
-    measures=(Measure("value", column="lib"),),
+    measures=(Measure("value", column="lib", aggregates=("sum", "count")),),
 )
 
 

@@ -99,3 +99,27 @@ def test_malformed_cut_raises(engine):
 def test_unknown_level_raises(engine):
     with pytest.raises(KeyError):
         engine.aggregate("f", drilldown="date:decade", measure="value")
+
+
+def test_disallowed_aggregate_raises(spark):
+    """M5 — per-measure allowed-aggregate contract (api-library-olap/
+    README.md:131-149): requesting an aggregate the measure does not
+    declare is a client error, never a silent fallback."""
+    from opl_spark.facts import LOANS_META
+
+    eng = CubeEngine(Catalog({"loans2": LOANS_META}))
+    eng.register_fact(
+        "loans2",
+        spark.createDataFrame(
+            [(1, "a", 1, 2016, 1, 1, "F", "1-URGENT", "AUTO", 10.0)],
+            "consortia_id long, consortia_label string, library_id long, "
+            "year long, month long, day long, loan_type string, "
+            "priority string, segment string, value double",
+        ),
+    )
+    # the 'loans' measure declares count only — avg must be rejected
+    with pytest.raises(ValueError, match="does not allow aggregate"):
+        eng.aggregate("loans2", drilldown="loan_type", measure="loans", aggregate="avg")
+    # and 'value' declares sum/avg — count must be rejected
+    with pytest.raises(ValueError, match="does not allow aggregate"):
+        eng.aggregate("loans2", drilldown="loan_type", measure="value", aggregate="count")
