@@ -3,9 +3,10 @@
 Three tiers, per the standard ANN playbook:
 
 - **brute-force cosine top-k** — the exactness baseline: one map pass
-  computing cosine per row + a ``row_number`` top-k.  At 100 TB this
-  is a full scan but embarrassingly parallel; still the right tool for
-  one-off queries and for verifying the approximate path.
+  computing cosine per row + a ``TakeOrderedAndProject`` top-k
+  (per-partition k-heaps, driver merges k·partitions rows).  At 100 TB
+  this is a full scan but embarrassingly parallel; still the right
+  tool for one-off queries and for verifying the approximate path.
 - **batch kNN** (:func:`knn_join`) — top-k for a whole query SET in
   one corpus sweep: per-Arrow-batch gemm against the closure-broadcast
   query matrix with per-batch truncation.
@@ -148,18 +149,42 @@ def sqdist_col(a: Column, b: Column) -> Column:
     )
 
 
+def topk_scored(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """The lazy scoring+selection half of brute-force top-k:
+    ``orderBy(sim desc, id).limit(k)``, which Spark plans as
+    ``TakeOrderedAndProject`` — every partition keeps a local k-heap and
+    the driver merges k·partitions candidate rows.  No global sort, no
+    single-partition Window: the whole corpus never converges on one
+    executor, so this shape survives a 100× corpus."""
+    sim = cosine_lit_udf(query)(F.col(vec_col))
+    scored = df.select(F.col(id_col).alias("id"), F.round(sim, 6).alias("sim"))
+    return scored.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
+
+
 def cosine_topk(
     df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
 ) -> DataFrame:
-    """Brute-force cosine top-k: ``(id, round(sim,6))`` for the k most
-    similar vectors.  Deterministic tiebreak: (-sim, id)."""
-    sim = cosine_lit_udf(query)(F.col(vec_col))
-    scored = df.select(F.col(id_col).alias("id"), F.round(sim, 6).alias("sim"))
-    w = Window.orderBy(F.col("sim").desc(), F.col("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("id", "sim", F.col("rank").cast("long").alias("rank"))
+    """Brute-force cosine top-k: ``(id, round(sim,6), rank)`` for the k
+    most similar vectors.  Deterministic tiebreak: (-sim, id).
+
+    Rank is derived from the collected k rows (metadata-sized by
+    construction — k ≪ corpus, like the IVF centroid table): the
+    alternative, ``row_number`` over an unpartitioned Window, moves the
+    entire scored corpus to a single partition before ranking."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    rows = topk_scored(df, vec_col, id_col, query, k).collect()  # k rows, in order
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("sim", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [(r["id"], r["sim"], i + 1) for i, r in enumerate(rows)], schema
     )
 
 

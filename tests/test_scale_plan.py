@@ -53,6 +53,22 @@ def test_aggregate_prunes_columns(warehouse_engine):
         assert unused not in schemas[0], schemas[0]
 
 
+def test_topk_plans_take_ordered_not_global_window(spark, sf_dir):
+    """The brute-force top-k selection must plan as TakeOrderedAndProject
+    (per-partition heaps, driver merges k·partitions rows) — never an
+    unpartitioned Window, which funnels the whole scored corpus through
+    one partition."""
+    from opl_spark.operators.similarity import topk_scored
+    from opl_spark.plans import formatted_plan
+    from opl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    plan = formatted_plan(topk_scored(emb, "embedding", "vec_id", q, k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_tuple_range_cut_prunes_on_leading_level(warehouse_engine):
     df = warehouse_engine.aggregate(
         "loans2",
