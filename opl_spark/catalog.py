@@ -61,6 +61,17 @@ class Dimension:
                 return lv
         raise KeyError(f"dimension {self.name!r} has no level {name!r}")
 
+    def level_of_attribute(self, attribute: str) -> Level | None:
+        """The level that carries ``attribute`` as a co-grouped column,
+        if any.  The Data Studio connector addresses levels by their
+        attribute names (Codice.gs:289-297 ``verifyAttributes`` returns
+        the matched attribute, which then lands in the drilldown string
+        as ``dim:attribute``), so the grammar must resolve them."""
+        for lv in self.levels:
+            if attribute in lv.attributes:
+                return lv
+        return None
+
     def hierarchy_order(self, hierarchy: str | None = None) -> tuple[str, ...]:
         """Resolve the level order to walk for cuts/drilldowns.
 

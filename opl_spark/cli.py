@@ -37,13 +37,22 @@ def load_settings(path: str) -> list[FactQuery]:
     out: list[FactQuery] = []
     for fact in spec.get("fact_tables", []):
         for q in fact.get("fact_queries", []):
+            # the reference's form is {"query": {"type": "sql"|"script",
+            # "value": ...}} (OLAP.php:334-348); a bare string is
+            # accepted as sql shorthand
+            query = q["query"]
+            if isinstance(query, dict):
+                qtype, qvalue = query.get("type", "sql"), query["value"]
+            else:
+                qtype, qvalue = "sql", query
             out.append(
                 FactQuery(
                     query_id=int(q["id"]),
                     fact_table=fact["name"],
-                    sql=q["query"],
+                    sql=qvalue,
                     cron=q.get("cron", "daily"),
                     enable=bool(int(q.get("enable", 1))),
+                    query_type=qtype,
                 )
             )
     return out

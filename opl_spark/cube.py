@@ -146,7 +146,13 @@ class CubeEngine:
                 # Catalyst; prunes on the leading level's min/max stats).
                 lo = [_atom(v, True) for v in lo_s.split(",")] if lo_s else []
                 hi = [_atom(v, True) for v in hi_s.split(",")] if hi_s else []
-                depth = max(len(lo), len(hi))
+                # bounds deeper than the hierarchy are truncated to its
+                # depth (prefix semantics widen each bound to the level
+                # it can express) — the Data Studio connector always
+                # sends Y,M,D ranges (Codice.gs:336-341) even against
+                # facts whose date hierarchy stops at month
+                lo, hi = lo[: len(cols)], hi[: len(cols)]
+                depth = max(len(lo), len(hi), 1)
 
                 def _bound(vals: list) -> Column:
                     # literals cast to the column types so the struct
@@ -204,7 +210,13 @@ class CubeEngine:
             k = cut_depth.get(dname, 0)
             if lname:
                 if lname not in order:
-                    raise KeyError(f"dimension {dname!r} has no level {lname!r}")
+                    # connector form: the level addressed by one of its
+                    # attribute names (Codice.gs:289-297 emits the
+                    # matched attribute as the drilldown child node)
+                    owner = dim.level_of_attribute(lname)
+                    if owner is None or owner.name not in order:
+                        raise KeyError(f"dimension {dname!r} has no level {lname!r}")
+                    lname = owner.name
                 idx = order.index(lname)
                 if idx >= k:
                     # D2 — below-cut down to the named level, inclusive

@@ -278,6 +278,8 @@ SELECT
     CASE CAST(n.n_regionkey % 2 AS INT)
         WHEN 0 THEN 'public' ELSE 'academic' END       AS library_type,
     CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)   AS year,
+    CAST(EXTRACT(MONTH FROM o.o_orderdate) AS BIGINT)  AS month,
+    CAST(EXTRACT(DAY FROM o.o_orderdate) AS BIGINT)    AS day,
     CAST(CASE WHEN o.o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
         AS apertura_mattutina,
     CAST(CASE WHEN o.o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
@@ -311,6 +313,8 @@ def build_general_indexes_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("academic")
             .alias("library_type"),
             F.year("o_orderdate").cast("long").alias("year"),
+            F.month("o_orderdate").cast("long").alias("month"),
+            F.dayofmonth("o_orderdate").cast("long").alias("day"),
             F.when(F.col("o_orderkey") % 2 == 0, 1)
             .otherwise(0)
             .cast("long")
@@ -338,7 +342,11 @@ GENERAL_INDEXES_META = FactMeta(
             ),
             hierarchies=(Hierarchy("organization", ("consortia_id", "library_id")),),
         ),
-        Dimension(name="date", levels=(Level("year"),)),
+        Dimension(
+            name="date",
+            levels=(Level("year"), Level("month"), Level("day")),
+            hierarchies=(Hierarchy("calendar", ("year", "month", "day")),),
+        ),
     ),
     measures=(
         Measure("apertura_mattutina", column="apertura_mattutina", aggregates=("sum", "avg")),
@@ -355,6 +363,9 @@ PATRIMONIO_FACT_SQL = """
 SELECT
     CAST(r.r_regionkey AS BIGINT)                 AS consortia_id,
     CAST(1975 + (p.p_partkey % 40) AS BIGINT)     AS data_pubblicazione,
+    CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT)  AS year,
+    CAST(EXTRACT(MONTH FROM l.l_shipdate) AS BIGINT) AS month,
+    CAST(EXTRACT(DAY FROM l.l_shipdate) AS BIGINT)   AS day,
     CAST(l.l_quantity AS DECIMAL(18,2))           AS value
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -382,6 +393,9 @@ def build_patrimonio_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1975) + F.col("p_partkey") % 40)
             .cast("long")
             .alias("data_pubblicazione"),
+            F.year("l_shipdate").cast("long").alias("year"),
+            F.month("l_shipdate").cast("long").alias("month"),
+            F.dayofmonth("l_shipdate").cast("long").alias("day"),
             F.col("l_quantity").cast("decimal(18,2)").alias("value"),
         )
     )
@@ -393,6 +407,11 @@ PATRIMONIO_META = FactMeta(
     dimensions=(
         Dimension(name="consortia_id"),
         Dimension(name="data_pubblicazione"),
+        Dimension(
+            name="date",
+            levels=(Level("year"), Level("month"), Level("day")),
+            hierarchies=(Hierarchy("calendar", ("year", "month", "day")),),
+        ),
     ),
     measures=(Measure("value", column="value", aggregates=("sum", "avg")),),
 )

@@ -340,6 +340,20 @@ def build_ivf_index(
     return cents
 
 
+def ivf_probe_pool(
+    spark: SparkSession,
+    index_path: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+) -> DataFrame:
+    """The lazy probe pool over a materialized index: the ``cell IN
+    (...)`` filter lands in ``PartitionFilters``, so non-probed cells'
+    files are never opened (``nprobe/ncells`` of the store)."""
+    cells = probe_cells(centroids, query, nprobe)
+    return spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+
+
 def ivf_topk_indexed(
     spark: SparkSession,
     index_path: str,
@@ -353,8 +367,7 @@ def ivf_topk_indexed(
     """Probe a materialized IVF index: scan only the ``nprobe`` nearest
     cells' partitions — ``nprobe/ncells`` of the store regardless of
     corpus size."""
-    cells = probe_cells(centroids, query, nprobe)
-    pool = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    pool = ivf_probe_pool(spark, index_path, query, centroids, nprobe)
     return cosine_topk(pool, vec_col, id_col, query, k)
 
 

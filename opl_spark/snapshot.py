@@ -45,13 +45,20 @@ AUDIT_COLUMNS = ("queryId", "year", "month", "week", "day", "executionDate")
 @dataclass(frozen=True)
 class FactQuery:
     """One configured fact query (olapSettings.json entry — reference:
-    library_olap/README.md:26-36)."""
+    library_olap/README.md:26-36).
+
+    ``query_type`` mirrors the reference's ``query.type`` discriminator
+    (OLAP.php:334-348): ``sql`` runs ``sql`` through ``spark.sql`` with
+    ``@date`` bound; ``script`` treats ``sql`` as an external command,
+    executed with the pivot date appended as the last argument, whose
+    stdout is a JSON row array."""
 
     query_id: int
     fact_table: str
-    sql: str  # may contain the ``@date`` placeholder (README.md:36)
+    sql: str  # SQL text (may contain ``@date``, README.md:36) or script command
     cron: str = "daily"
     enable: bool = True  # OLAP.php:332 enable==1 gate
+    query_type: str = "sql"  # "sql" | "script" (OLAP.php:334-348)
 
 
 def bind_date(sql: str, pivot: _dt.date | str) -> str:
@@ -194,7 +201,17 @@ class SnapshotEngine:
                 continue  # E2 — not a period-boundary day (OLAP.php:328-330)
             if self.already_executed(fq.fact_table, fq.query_id, scope):
                 continue  # E4 — scope already snapshotted (OLAP.php:355)
-            df = self.spark.sql(bind_date(fq.sql, pivot_date))
+            if fq.query_type == "script":
+                # S2 literal form — exec + stdout-JSON ingestion
+                # (OLAP.php:344-346 appends the pivot date as the last arg)
+                from opl_spark.sources.registry import run_script_source
+
+                d = pivot_date if isinstance(pivot_date, str) else pivot_date.isoformat()
+                df = run_script_source(self.spark, fq.sql, d)
+            elif fq.query_type == "sql":
+                df = self.spark.sql(bind_date(fq.sql, pivot_date))
+            else:
+                raise ValueError(f"invalid query type {fq.query_type!r}")  # OLAP.php:348
             df = attach_audit(df, fq.query_id, scope, execution_ts)
             # row count observed as a side effect of the write itself —
             # a separate .count() would re-execute the fact query

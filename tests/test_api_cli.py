@@ -109,3 +109,73 @@ def test_cli_add_then_aggregate(spark, sf_dir, tmp_path, capsys):
     resp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     groups = {r["age_group"] for r in resp["data"]}
     assert groups and groups <= {"0-14", "15-25", "26-40", "41-60", "61+", "n/a"}
+
+
+def test_script_source_end_to_end(spark, tmp_path):
+    """S2 literal form (OLAP.php:73-79, 344-346): an olapSettings entry
+    of type "script" executes the configured command with the pivot
+    date appended, ingests its stdout JSON rows with the reference's
+    first-row type inference (OLAP.php:251-285: int → LONG, date-string
+    → DATETIME, everything else → STRING), and snapshots them."""
+    import datetime
+    import sys
+    import textwrap
+
+    from opl_spark.cli import load_settings
+    from opl_spark.snapshot import SnapshotEngine
+
+    script = tmp_path / "gen_rows.py"
+    script.write_text(
+        textwrap.dedent(
+            """
+            import json, sys
+            pivot = sys.argv[1]  # the runner appends the pivot date
+            rows = [
+                {"library_id": 3, "label": "Main",   "snap_date": pivot, "ratio": 1.5},
+                {"library_id": 7, "label": "Branch", "snap_date": pivot, "ratio": 2.25},
+            ]
+            print(json.dumps(rows))
+            """
+        )
+    )
+    settings = tmp_path / "olapSettings.json"
+    settings.write_text(
+        json.dumps(
+            {
+                "fact_tables": [
+                    {
+                        "name": "script_fact",
+                        "fact_queries": [
+                            {
+                                "id": 9,
+                                "query": {
+                                    "type": "script",
+                                    "value": f"{sys.executable} {script}",
+                                },
+                                "cron": "daily",
+                                "enable": 1,
+                            }
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    facts = load_settings(str(settings))
+    assert facts[0].query_type == "script"
+    eng = SnapshotEngine(spark, str(tmp_path / "wh"))
+    written = eng.run("1998-06-01", facts)
+    assert written == {"script_fact": 2}
+
+    df = eng.fact_frame("script_fact")
+    types = dict(df.dtypes)
+    assert types["library_id"] == "bigint"  # integer → LONG
+    assert types["snap_date"] == "timestamp"  # date-string → DATETIME
+    assert types["ratio"] == "string"  # the reference's default arm
+    rows = {r["library_id"]: r for r in df.collect()}
+    assert rows[3]["label"] == "Main"
+    assert rows[3]["snap_date"] == datetime.datetime(1998, 6, 1)
+    assert rows[7]["ratio"] == "2.25"
+    assert rows[3]["queryId"] == 9 and rows[3]["year"] == 1998  # audit attached
+    # idempotent re-run: same scope appends nothing (E4)
+    assert eng.run("1998-06-01", facts) == {}

@@ -78,7 +78,11 @@ def test_compact_bounds_files_and_preserves_rows(registered, tmp_path):
 def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     """The materialized IVF probe must (a) return exactly what the
     on-the-fly IVF returns and (b) show the cell filter as a partition
-    filter — file-level pruning, the point of writing the index."""
+    filter on the lazy probe pool — file-level pruning, the point of
+    writing the index (the ranked top-k itself is a collected local
+    relation, so the scan evidence lives in the pool's plan)."""
+    from opl_spark.operators.similarity import ivf_probe_pool, topk_scored
+
     emb = load_table(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     index = str(tmp_path / "ivf")
@@ -89,5 +93,6 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
 
     from opl_spark.plans import partition_filters
 
-    pf = partition_filters(got)
+    pool = ivf_probe_pool(spark, index, query, cents)
+    pf = partition_filters(topk_scored(pool, "embedding", "vec_id", query, 10))
     assert pf and "cell" in pf[0], pf
