@@ -29,14 +29,16 @@ def salted_sum(
     salt_from: Column | None = None,
 ) -> DataFrame:
     """Two-phase salted sum: partial sums per (key, salt), then final
-    per key.  ``salt_from`` derives the salt deterministically (any
-    high-cardinality column); default is the partition-local row id,
-    which is non-deterministic across runs but always valid — sums are
-    reassociative either way."""
-    salt = (
-        F.pmod(F.xxhash64(salt_from), F.lit(salt_buckets))
-        if salt_from is not None
-        else F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    per key.  ``salt_from`` picks the column(s) the salt hashes —
+    ideally something high-cardinality; the default hashes the value
+    column itself, which is always present and keeps the salt a pure
+    function of the row (deterministic under task retry and across
+    runs, unlike ``monotonically_increasing_id``).  Sums are
+    reassociative, so any salt distribution is correct — determinism
+    just makes retries and run-to-run plans reproducible."""
+    salt = F.pmod(
+        F.xxhash64(salt_from if salt_from is not None else F.col(value_col)),
+        F.lit(salt_buckets),
     )
     partial = (
         df.withColumn("__salt", salt)

@@ -54,9 +54,16 @@ def get_spark(
     )
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_GRAFT_LOCAL" in os.environ or True:
-        # default local master for tests/bench; harmless under spark-submit
-        builder = builder.master(f"local[{cpus}]")
+    else:
+        # Only default to a local master when the caller forces it or
+        # no master is configured at all (bare `python` invocation).
+        # A code-set master overrides spark-submit's --master, so
+        # unconditionally setting one here would silently run cluster
+        # deployments in local mode on the driver.
+        from pyspark import SparkConf
+
+        if "SPARK_GRAFT_LOCAL" in os.environ or not SparkConf().contains("spark.master"):
+            builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

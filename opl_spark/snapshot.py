@@ -81,6 +81,16 @@ def attach_audit(
     are reproducible and cross-engine hashes stable.
     """
     ts = execution_ts or _dt.datetime(1970, 1, 1)
+    clash = sorted(set(df.columns) & set(AUDIT_COLUMNS))
+    if clash:
+        # a fact query emitting its own year/month/... would bind
+        # ambiguously against the audit scope columns (and break the
+        # (year, month) partitioned write); fail loudly — the fix is to
+        # alias the query's columns (e.g. year -> order_year)
+        raise ValueError(
+            f"fact query output collides with audit columns {clash}; "
+            "rename those columns in the fact SQL"
+        )
     audit = [
         F.lit(query_id).cast("long").alias("queryId"),
         F.lit(scope.year).cast("long").alias("year"),
@@ -153,10 +163,21 @@ class SnapshotEngine:
         partition; over years that is the classic small-files problem
         (footer-read dominated scans, driver-side listing cost).
         Compaction reads with schema merge, re-partitions inside each
-        (year, month) directory, and atomically swaps via
-        write-to-temp + rename.  Run it off-peak like the snapshots
-        themselves; readers see either the old or new layout, never a
-        partial one (single-directory rename)."""
+        (year, month) directory, and swaps write-to-temp + rename.
+
+        Operational contract (stated, not implied): this is a
+        SINGLE-WRITER, OFFLINE maintenance operation — run it in the
+        same off-peak window as the snapshots.  The swap is two renames
+        (path → __old, tmp → path): a crash between them strands the
+        data under ``__old`` (recoverable by renaming back — nothing is
+        deleted until the new layout is in place), and a reader that
+        opens the table inside that window fails and must retry.  True
+        atomic swap needs a table format with a metadata pointer
+        (Delta/Iceberg) — intentionally out of scope here.  The
+        os/shutil path operations also bind this helper (and
+        ``exists``) to local/NFS warehouses; a cloud deployment routes
+        them through the Hadoop FileSystem API or, better, uses the
+        table-format path."""
         import shutil
 
         path = self._path(fact_table)
@@ -166,11 +187,11 @@ class SnapshotEngine:
         # partition directory is written by exactly target_files tasks
         keys = [F.col("year"), F.col("month")]
         if target_files_per_partition > 1:
+            # salt from a hash of the data columns — deterministic under
+            # task retry, unlike monotonically_increasing_id, so a retried
+            # write attempt produces identical files
             keys.append(
-                F.pmod(
-                    F.monotonically_increasing_id(),
-                    F.lit(target_files_per_partition),
-                )
+                F.pmod(F.xxhash64(*df.columns), F.lit(target_files_per_partition))
             )
         df.repartition(*keys).write.mode("overwrite").partitionBy(
             "year", "month"

@@ -19,6 +19,7 @@ Scale/correctness notes:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -48,9 +49,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     file is staged into a scratch directory via symlink first."""
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isfile(src):
-        stage = os.path.join(
-            tempfile.gettempdir(), f"opl_events_stage_{abs(hash(sf_dir))}"
-        )
+        # stable digest — Python's hash() is per-process randomized
+        # (PYTHONHASHSEED), which would mint a fresh staging dir per run
+        digest = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+        stage = os.path.join(tempfile.gettempdir(), f"opl_events_stage_{digest}")
         os.makedirs(stage, exist_ok=True)
         link = os.path.join(stage, "events-000.parquet")
         if not os.path.exists(link):
@@ -126,15 +128,27 @@ def stream_to_fact(
     """Streaming fact maintenance: continuously append a streaming
     aggregate into a parquet fact table the OLAP layer reads.
 
-    ``foreachBatch`` + the streaming checkpoint give exactly-once
-    appends across restarts (a replayed microbatch re-runs with the
-    same batch id and the sink commit log skips it); ``update`` output
-    mode emits only windows the batch changed, so steady-state append
-    volume tracks the open-window count, not history.  Drains with
-    ``availableNow`` so the same entry point serves replay/testing and
-    a live trigger."""
+    foreachBatch alone is at-least-once: a crash between the parquet
+    append and the checkpoint commit replays the microbatch on restart.
+    The ``__batch_id`` guard below makes the append idempotent — a
+    replayed batch id that already reached the sink is skipped (a
+    column-pruned, footer-stats-bounded probe, not a data scan) — which
+    together with the checkpoint yields effective exactly-once.
+
+    ``update`` output mode emits a window again whenever a later batch
+    changes it, so the raw sink rows are NOT directly summable; read
+    the table through :func:`read_stream_fact`, which keeps the latest
+    emission per window.  Drains with ``availableNow`` so the same
+    entry point serves replay/testing and a live trigger."""
 
     def append_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        try:
+            sink = spark.read.parquet(fact_path)
+            if sink.filter(F.col("__batch_id") == batch_id).limit(1).count() > 0:
+                return  # replayed batch — already committed to the sink
+        except Exception:
+            pass  # first batch: sink does not exist yet
         df.withColumn("__batch_id", F.lit(batch_id)).write.mode("append").parquet(
             fact_path
         )
@@ -147,6 +161,25 @@ def stream_to_fact(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def read_stream_fact(
+    spark: SparkSession, fact_path: str, keys: tuple[str, ...] = ("window_start", "event_type")
+) -> DataFrame:
+    """Read a :func:`stream_to_fact` sink with update-mode semantics
+    applied: of a window's several emissions, only the LAST (highest
+    ``__batch_id``) is the final value — earlier ones are superseded
+    partials and must not be summed.  This is the reader every OLAP
+    consumer of a streamed fact should go through."""
+    from pyspark.sql.window import Window
+
+    raw = spark.read.parquet(fact_path)
+    w = Window.partitionBy(*keys).orderBy(F.col("__batch_id").desc())
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__batch_id")
+    )
 
 
 def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120):

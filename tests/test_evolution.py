@@ -96,3 +96,15 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     pool = ivf_probe_pool(spark, index, query, cents)
     pf = partition_filters(topk_scored(pool, "embedding", "vec_id", query, 10))
     assert pf and "cell" in pf[0], pf
+
+
+def test_attach_audit_rejects_colliding_columns(spark):
+    """A fact query that emits its own year/month/... columns would bind
+    ambiguously against the audit scope columns — the engine must fail
+    loudly, not write an ambiguous table."""
+    from opl_spark.snapshot import attach_audit
+    from opl_spark.timescope import make_scope
+
+    df = spark.range(1).selectExpr("id", "2020 AS year")
+    with pytest.raises(ValueError, match="audit columns"):
+        attach_audit(df, 1, make_scope("2020-01-01"))

@@ -36,36 +36,46 @@ def test_sessionize_stream_equals_batch(spark, sf_dir):
 
 def test_stream_to_fact_appends_and_restart_is_noop(spark, sf_dir, tmp_path):
     """The streamed windowed aggregate must land in the parquet fact
-    (final per-window values matching batch), and a restart against the
-    same checkpoint must append nothing — the exactly-once contract."""
-    from pyspark.sql.window import Window
+    with the engine's reader (latest-emission-per-window) matching the
+    batch result, and a restart against the same checkpoint must append
+    nothing — the exactly-once contract."""
+    from opl_spark.streaming.events import read_stream_fact
 
     fact = str(tmp_path / "fact")
     ckpt = str(tmp_path / "ckpt")
     stream_to_fact(
         windowed_counts(read_events_stream(spark, sf_dir)), fact, ckpt
     )
-    written = spark.read.parquet(fact)
     # update mode can emit a window several times across microbatches;
-    # the LAST emission per window is the final value
-    w = F.row_number().over(
-        Window.partitionBy("window_start", "event_type").orderBy(
-            F.col("__batch_id").desc()
-        )
-    )
-    final = (
-        written.withColumn("rn", w)
-        .filter(F.col("rn") == 1)
-        .select("window_start", "event_type", "n_events", "total_value")
-    )
+    # read_stream_fact applies the last-emission-per-window rule
+    final = read_stream_fact(spark, fact)
     batch = windowed_counts(load_table(spark, sf_dir, "events"))
+    assert sorted(final.columns) == sorted(batch.columns)
+    final = final.select(*batch.columns)
     assert _sorted_rows(final) == _sorted_rows(batch)
 
-    n_rows_before = written.count()
+    n_rows_before = spark.read.parquet(fact).count()
     stream_to_fact(
         windowed_counts(read_events_stream(spark, sf_dir)), fact, ckpt
     )
     assert spark.read.parquet(fact).count() == n_rows_before
+
+
+def test_stream_staging_dir_is_stable(spark, sf_dir):
+    """The file-stream staging dir must be derived from a stable digest
+    of the source path — not per-process-randomized hash() — so every
+    process (and every run) reuses one /tmp location instead of
+    accumulating stale staging dirs."""
+    import hashlib
+    import os
+    import tempfile
+
+    read_events_stream(spark, sf_dir)
+    digest = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+    expected = os.path.join(tempfile.gettempdir(), f"opl_events_stage_{digest}")
+    # the digest has no process-dependent input, so this path is the
+    # same in every interpreter — and the module must actually use it
+    assert os.path.isdir(expected)
 
 
 def test_first_seen_emits_exactly_once_per_key(spark, sf_dir):
