@@ -138,6 +138,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing at
+    least one word ``n``-gram with a benchmark/eval set — the
+    decontamination pass run before any training corpus ships (the
+    standard 'n-gram overlap with test sets' check).
+
+    Per contaminated document: ``n_overlap`` (distinct shared
+    shingles), ``n_bench_docs`` (distinct benchmark documents hit), and
+    ``overlap_frac`` (shared / document's shingle count).
+
+    Scale shape: the benchmark side is orders of magnitude smaller
+    than the corpus, so its exploded shingle set is broadcast — the
+    probe is a map-side hash join against the corpus shingle stream
+    (8-byte hashes, not strings), followed by one doc-keyed
+    aggregation; the corpus is touched in a single pass."""
+    c_sh = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    ).select("doc", F.xxhash64("s").alias("sh"))
+    b_sh = bench.select(
+        F.col(id_col).alias("bdoc"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    ).select("bdoc", F.xxhash64("s").alias("sh"))
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy("doc")
+        .agg(
+            F.count_distinct("sh").alias("n_overlap"),
+            F.count_distinct("bdoc").alias("n_bench_docs"),
+        )
+    )
+    sizes = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
+    )
+    return hits.join(sizes, "doc").select(
+        "doc",
+        "n_overlap",
+        "n_bench_docs",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_sh"), 6).alias(
+            "overlap_frac"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------

@@ -160,6 +160,63 @@ def winnow_fingerprints(
     return hs_df.select("doc", F.explode(mins).alias("fp"))
 
 
+def pii_scrub_col(text: Column) -> Column:
+    """PII scrubbing: redact email addresses and phone-shaped number
+    runs — the privacy pass every training-data pipeline runs before
+    packing.  Pure ``regexp_replace`` chain (single map stage, no
+    shuffle, whole-stage codegen); the patterns use only constructs
+    shared by Java regex and RE2 so the DuckDB oracle is
+    byte-identical.  Real deployments extend the pattern set (names,
+    addresses need NER via a Pandas UDF); the regex tier is the
+    cheap first filter that handles the structured identifiers."""
+    out = F.regexp_replace(
+        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    out = F.regexp_replace(out, r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}", "<PHONE>")
+    return F.regexp_replace(out, r"\d{3}[-. ]\d{4}", "<PHONE>")
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document repetition profile over positional word n-grams
+    (the Gopher-style repetition quality signals): total n-grams,
+    distinct n-grams, the most frequent n-gram's count, and the
+    ``top_fraction`` / ``distinct_ratio`` filters derived from them.
+
+    Shape: explode positional n-grams (hashed to 8-byte longs so the
+    shuffle moves longs, not text), count per (doc, gram), then fold to
+    per-doc stats — two map-side-combinable aggregations keyed by doc,
+    so per-key state is O(1) and the op scales with corpus size."""
+    from opl_spark.operators.dedup import shingle_seq_col
+
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_seq_col(F.col(text_col), n)).alias("g"),
+    ).select("doc", F.xxhash64("g").alias("gh"))
+    per_gram = grams.groupBy("doc", "gh").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_fraction"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def split_col(id_col: Column, train_pct: int = 90, buckets: int = 100) -> Column:
+    """Deterministic train/holdout assignment from the document id —
+    the reproducible corpus split (same id ⇒ same split, every run,
+    every engine; no sampling state, no shuffle).  Production pipelines
+    hash a stable natural key instead of a dense id; the modulus shape
+    is identical."""
+    return F.when(F.pmod(id_col, F.lit(buckets)) < train_pct, "train").otherwise(
+        F.lit("val")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str, id_col: str, k: int = 20
 ) -> DataFrame:

@@ -25,6 +25,7 @@ from opl_spark.facts import (
     default_catalog,
 )
 from opl_spark.operators.dedup import (
+    contamination,
     dedup_clusters,
     exact_dedup,
     minhash_dedup_pairs,
@@ -49,7 +50,10 @@ from opl_spark.operators.text import (
     clean_text_col,
     fingerprint_col,
     lang_id_col,
+    pii_scrub_col,
     quality_columns,
+    repetition_profile,
+    split_col,
     tfidf_top_terms,
     token_count_col,
     whitespace_token_count_col,
@@ -493,6 +497,137 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast corpus count)."""
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "text", "doc_id", k=20)
+
+
+@register(
+    "q_pii_scrub",
+    oracle=r"""
+WITH spiked AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or call 555-0199' AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}', '<PHONE>', 'g'),
+           '\d{3}[-. ]\d{4}', '<PHONE>', 'g') AS scrubbed
+FROM spiked
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails + phone-shaped runs redacted).  The
+    synthetic corpus carries no PII, so deterministic identifiers are
+    spiked into each document first — the scrub provably fires on
+    every row and the oracle checks the redacted bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-0199"),
+        ).alias("text"),
+    )
+    return spiked.select("doc_id", pii_scrub_col(F.col("text")).alias("scrubbed"))
+
+
+@register(
+    "q_repetition",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id AS doc, unnest(list_transform(
+        range(1, greatest(len(w) - 1, 1) + 1),
+        i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+    FROM docs
+),
+cnt AS (SELECT doc, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc,
+       SUM(c) AS n_grams,
+       COUNT(*) AS n_distinct,
+       MAX(c) AS top_count,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_fraction,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ratio
+FROM cnt GROUP BY doc
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile: per-doc 2-gram totals, the top
+    2-gram's share, and the distinct-gram ratio — the repetition
+    filters a pre-training quality pipeline thresholds on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_profile(docs, "text", "doc_id", n=2)
+
+
+@register(
+    "q_split_sample",
+    oracle=r"""
+SELECT CASE WHEN doc_id % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+       source,
+       COUNT(*) AS n_docs,
+       SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def q_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split (id-hash bucketing, 90/10) with
+    per-(split, source) doc and token counts — the reproducible-split
+    bookkeeping every corpus build records."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            split_col(F.col("doc_id")).alias("split"),
+            "source",
+            whitespace_token_count_col(F.col("text")).alias("t"),
+        )
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tokens"))
+    )
+
+
+@register(
+    "q_contamination",
+    oracle=r"""
+WITH docs_w AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 4, 1) + 1),
+        i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS s
+    FROM docs_w
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+bench AS (SELECT doc AS bdoc, s FROM sh WHERE doc < 5),
+hits AS (
+    SELECT c.doc,
+           COUNT(DISTINCT c.s) AS n_overlap,
+           COUNT(DISTINCT b.bdoc) AS n_bench_docs
+    FROM sh c JOIN bench b ON c.s = b.s
+    WHERE c.doc >= 5
+    GROUP BY 1
+)
+SELECT h.doc, h.n_overlap, h.n_bench_docs,
+       ROUND(CAST(h.n_overlap AS DOUBLE) / z.n_sh, 6) AS overlap_frac
+FROM hits h JOIN sizes z ON z.doc = h.doc
+""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 word 5-gram
+    with the benchmark set (here: the 5 lowest-id documents standing in
+    for an eval set) — broadcast bench shingles, one corpus pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    return contamination(corpus, bench, "text", "doc_id", n=5)
 
 
 # ---------------------------------------------------------------------------
