@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "q_fingerprint",
     "q_winnow",
     "q_tfidf",
+    "q_repetition",
+    "q_contamination",
     # events / streaming-equivalent
     "q_events_window",
     "q_sessionize",
