@@ -182,13 +182,20 @@ def read_stream_fact(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120):
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
+):
     """Drain a streaming DataFrame into an in-memory table and stop
-    (availableNow trigger) — returns the query's result as a batch DF."""
+    (availableNow trigger) — returns the query's result as a batch DF.
+    ``output_mode`` defaults to complete (aggregations); stream-stream
+    joins only support append."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -865,6 +865,77 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENTS_US_CTE = """
+WITH e AS (
+    SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events
+),
+p AS (
+    SELECT event_id AS purchase_id, user_id, us AS purchase_us
+    FROM e WHERE event_type = 'purchase'
+),
+s AS (
+    SELECT event_id AS signup_id, user_id, us AS signup_us
+    FROM e WHERE event_type = 'signup'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, us AS click_us
+    FROM e WHERE event_type = 'click'
+)
+"""
+
+
+def _typed_events(spark: SparkSession, sf_dir: str, etype: str, prefix: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == etype).select(
+        F.col("event_id").alias(f"{prefix}_id"),
+        "user_id",
+        F.unix_micros("ts").alias(f"{prefix}_us"),
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle=_EVENTS_US_CTE
+    + """
+SELECT p.purchase_id, p.user_id, p.purchase_us, s.signup_id, s.signup_us
+FROM p ASOF JOIN s
+  ON p.user_id = s.user_id AND s.signup_us <= p.purchase_us
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest signup
+    at-or-before it — union + per-key running-last window (one key
+    shuffle, O(1) window state); oracle is DuckDB's native ASOF JOIN."""
+    from opl_spark.operators.temporal import asof_join
+
+    p = _typed_events(spark, sf_dir, "purchase", "purchase")
+    s = _typed_events(spark, sf_dir, "signup", "signup")
+    return asof_join(p, s, ["user_id"], "purchase_us", "signup_us")
+
+
+@register(
+    "q_interval_join",
+    oracle=_EVENTS_US_CTE
+    + """
+SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_id, c.click_us
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.click_us > p.purchase_us - 3600000000
+ AND c.click_us <= p.purchase_us
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within the hour before each purchase, per
+    user — the attribution/feature-window shape; the same condition
+    over watermarked streams is Spark's stream-stream interval join."""
+    from opl_spark.operators.temporal import interval_join
+
+    p = _typed_events(spark, sf_dir, "purchase", "purchase")
+    c = _typed_events(spark, sf_dir, "click", "click")
+    return interval_join(p, c, ["user_id"], "purchase_us", "click_us", 3_600_000_000)
+
+
 # ---------------------------------------------------------------------------
 # composed corpus-filtering pipeline (the operators working together)
 # ---------------------------------------------------------------------------

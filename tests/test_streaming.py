@@ -78,6 +78,35 @@ def test_stream_staging_dir_is_stable(spark, sf_dir):
     assert os.path.isdir(expected)
 
 
+def test_interval_join_stream_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (clicks within the hour before each
+    purchase) must equal the identical batch-expressed join — the same
+    interval_join condition serves both, with watermarks bounding the
+    streaming join state."""
+    from opl_spark.operators.temporal import interval_join
+
+    def typed(df, etype, prefix):
+        return df.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            "user_id",
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+
+    batch_ev = load_table(spark, sf_dir, "events")
+    batch = interval_join(
+        typed(batch_ev, "purchase", "purchase"),
+        typed(batch_ev, "click", "click"),
+        ["user_id"], "purchase_ts", "click_ts", "1 HOUR",
+    )
+    s_ev = read_events_stream(spark, sf_dir)
+    sp = typed(s_ev, "purchase", "purchase").withWatermark("purchase_ts", "1 hour")
+    sc = typed(s_ev, "click", "click").withWatermark("click_ts", "1 hour")
+    stream = interval_join(sp, sc, ["user_id"], "purchase_ts", "click_ts", "1 HOUR")
+    assert stream.isStreaming
+    got = run_to_memory(stream, "t_interval_join", output_mode="append")
+    assert _sorted_rows(got) == _sorted_rows(batch)
+
+
 def test_first_seen_emits_exactly_once_per_key(spark, sf_dir):
     events = read_events_stream(spark, sf_dir)
     dedup = first_seen_stream(events, ["user_id", "event_type"])
