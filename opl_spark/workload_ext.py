@@ -796,6 +796,119 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embedding_centroid",
+    oracle="""
+SELECT label,
+       CAST(pos - 1 AS INT) AS pos,
+       ROUND(AVG(CAST(x AS DOUBLE)), 6) AS centroid
+FROM (
+    SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+) t
+GROUP BY 1, 2
+""",
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the k-means E-step / class-prototype
+    builder), emitted as (label, dim, value) rows: posexplode + one
+    map-side-combinable (label, pos)-keyed average — state per key is
+    one running sum, and the shuffle carries labels×dims rows, not
+    vectors.  round(6) absorbs float summation-order noise (the module
+    convention for float-derived surfaces)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid")
+    )
+
+
+@register(
+    "q_running_total",
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+)
+SELECT event_id, user_id, us,
+       ROUND(CAST(SUM(v) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_value
+FROM e
+""",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value total — the canonical PARTITIONED window
+    (running frame = O(1) state per row; each user's history stays on
+    one partition, so no global sort).  Exact decimal accumulation,
+    canonical round(double, 6) on the wire."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .withColumn("running_value", F.round(F.sum("v").over(w).cast("double"), 6))
+        .drop("v")
+    )
+
+
+@register(
+    "q_top_per_group",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, event_id,
+           ROUND(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE), 6) AS v,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rank
+    FROM events
+)
+SELECT user_id, event_id, v, rank FROM ranked WHERE rank <= 2
+""",
+)
+def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 events by value per user — partitioned row_number (every
+    group ranks inside its own partition; contrast with the global
+    top-k, which deliberately avoids any unpartitioned window)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value").cast("decimal(18,6)").cast("double"), 6).alias("v"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 2)
+    )
+
+
+@register("q_approx_distinct")  # HLL sketch — engine-specific, rows-only
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HyperLogLog++
+    (``approx_count_distinct``) — the sketch tier: mergeable fixed-size
+    state instead of exact distinct sets, the 100 TB swap-in for
+    count-distinct dashboards.  Sketch values are engine-specific, so
+    the driver check is rows-only; ``tests/test_operators.py`` bounds
+    the relative error against the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@register(
     "q_distinct_users",
     oracle="""
 SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id

@@ -134,3 +134,25 @@ def test_multimodal_real_codec_is_explicit_stub(docs):
     media = with_media_column(docs.limit(1), "text", "doc_id")
     with pytest.raises(NotImplementedError):
         decode_images(media, codec="real")
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """The HLL sketch tier must land within its documented relative
+    standard deviation of the exact distinct count (default rsd 0.05;
+    assert a generous 3-sigma-ish bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, n in exact.items():
+        assert abs(approx[etype] - n) <= max(2, 0.15 * n), (etype, approx[etype], n)
