@@ -55,6 +55,7 @@ class OlapApi:
             drilldown=params.get("drilldown"),
             measure=params.get("measure"),
             aggregate=params.get("aggregate"),
+            hierarchy=params.get("hierarchy"),
         )
         if params.get("output") == "table":
             # S11 — first row = column names, then value rows

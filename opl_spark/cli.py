@@ -78,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drilldown")
     p.add_argument("--measure")
     p.add_argument("--aggregate", dest="agg")
+    p.add_argument("--hierarchy", help="dim:hierarchyName[|dim2:name2]")
     p.add_argument("--output", choices=["json", "table"], default="json")
     args = p.parse_args(argv)
 
@@ -115,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
             "drilldown": args.drilldown,
             "measure": args.measure,
             "aggregate": args.agg,
+            "hierarchy": args.hierarchy,
             "output": "table" if args.output == "table" else None,
         }.items()
         if v

@@ -70,14 +70,22 @@ class _CutTerm:
 
 @dataclass
 class CubeQuery:
-    """One parsed ``/aggregate`` request against a fact."""
+    """One parsed ``/aggregate`` request against a fact.
+
+    ``hierarchy`` selects which declared hierarchy orders the walk per
+    dimension (``dim:hierarchyName[|dim2:name2]``) — the reference's
+    metadata declares multiple hierarchies per dimension and lets the
+    API receive the one to use (api-library-olap/README.md:112-117);
+    unlisted dimensions use their first declared hierarchy."""
 
     fact: FactMeta
     cut: str | None = None
     drilldown: str | None = None
     measure: str | None = None
     aggregate: str | None = None
+    hierarchy: str | None = None
     cut_terms: list[_CutTerm] = field(default_factory=list)
+    hierarchy_by_dim: dict[str, str] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.cut:
@@ -86,6 +94,14 @@ class CubeQuery:
                 if not spec:
                     raise ValueError(f"malformed cut term {term!r} (need dim:member)")
                 self.cut_terms.append(_CutTerm(dimension=dim.strip(), spec=spec.strip()))
+        if self.hierarchy:
+            for term in self.hierarchy.split("|"):
+                dim, _, hname = term.partition(":")
+                if not hname:
+                    raise ValueError(
+                        f"malformed hierarchy term {term!r} (need dim:hierarchyName)"
+                    )
+                self.hierarchy_by_dim[dim.strip()] = hname.strip()
 
 
 # ---------------------------------------------------------------------------
@@ -110,12 +126,16 @@ class CubeEngine:
 
     # -- grammar compilation ------------------------------------------------
 
-    def _level_cols(self, df: DataFrame, dim: Dimension) -> list[str]:
-        return [dim.level(lv).physical for lv in dim.hierarchy_order()]
+    def _level_cols(
+        self, df: DataFrame, dim: Dimension, hierarchy: str | None = None
+    ) -> list[str]:
+        return [dim.level(lv).physical for lv in dim.hierarchy_order(hierarchy)]
 
-    def _compile_cut(self, df: DataFrame, dim: Dimension, spec: str) -> tuple[Column, int]:
+    def _compile_cut(
+        self, df: DataFrame, dim: Dimension, spec: str, hierarchy: str | None = None
+    ) -> tuple[Column, int]:
         """One cut term → (filter condition, cut depth in hierarchy levels)."""
-        cols = self._level_cols(df, dim)
+        cols = self._level_cols(df, dim, hierarchy)
         dtypes = dict(df.dtypes)
         first = F.col(cols[0])
         first_numeric = _is_numeric(df.schema[cols[0]].dataType)
@@ -128,7 +148,7 @@ class CubeEngine:
                     raise ValueError(
                         f"empty member in cut set {spec!r} on dimension {dim.name!r}"
                     )
-                c, d = self._compile_cut(df, dim, member)
+                c, d = self._compile_cut(df, dim, member, hierarchy)
                 conds.append(c)
                 depth = max(depth, d)
             out = conds[0]
@@ -206,7 +226,7 @@ class CubeEngine:
         for term in q.drilldown.split("|"):
             dname, _, lname = term.strip().partition(":")
             dim = q.fact.dimension(dname)
-            order = dim.hierarchy_order()
+            order = dim.hierarchy_order(q.hierarchy_by_dim.get(dname))
             k = cut_depth.get(dname, 0)
             if lname:
                 if lname not in order:
@@ -296,6 +316,7 @@ class CubeEngine:
         drilldown: str | None = None,
         measure: str | None = None,
         aggregate: str | None = None,
+        hierarchy: str | None = None,
     ) -> DataFrame:
         """``GET /olap/<fact>/aggregate`` → DataFrame.
 
@@ -305,11 +326,20 @@ class CubeEngine:
         """
         meta = self.catalog.fact(fact)
         df = self.frame(fact)
-        q = CubeQuery(fact=meta, cut=cut, drilldown=drilldown, measure=measure, aggregate=aggregate)
+        q = CubeQuery(
+            fact=meta,
+            cut=cut,
+            drilldown=drilldown,
+            measure=measure,
+            aggregate=aggregate,
+            hierarchy=hierarchy,
+        )
 
         for t in q.cut_terms:
             dim = meta.dimension(t.dimension)
-            t.condition, t.depth = self._compile_cut(df, dim, t.spec)
+            t.condition, t.depth = self._compile_cut(
+                df, dim, t.spec, q.hierarchy_by_dim.get(t.dimension)
+            )
         for t in q.cut_terms:
             df = df.filter(t.condition)
 

@@ -123,3 +123,44 @@ def test_disallowed_aggregate_raises(spark):
     # and 'value' declares sum/avg — count must be rejected
     with pytest.raises(ValueError, match="does not allow aggregate"):
         eng.aggregate("loans2", drilldown="loan_type", measure="value", aggregate="count")
+
+
+def test_hierarchy_parameter_selects_order(spark):
+    """A dimension may declare several hierarchies; the API receives
+    which one to walk (api-library-olap/README.md:112-117) — the chosen
+    order changes both cut depth accounting and drilldown resolution."""
+    meta = FactMeta(
+        name="g",
+        dimensions=(
+            Dimension(
+                name="geo",
+                levels=(Level("country"), Level("region_"), Level("city")),
+                hierarchies=(
+                    Hierarchy("admin", ("country", "region_", "city")),
+                    Hierarchy("direct", ("country", "city")),
+                ),
+            ),
+        ),
+        measures=(Measure("v", column="pop", aggregates=("sum",)),),
+    )
+    rows = [("IT", "LOM", "BS", 1), ("IT", "LOM", "MI", 2), ("FR", "IDF", "PA", 3)]
+    eng = CubeEngine(Catalog({"g": meta}))
+    eng.register_fact(
+        "g",
+        spark.createDataFrame(
+            rows, "country string, region_ string, city string, pop long"
+        ),
+    )
+    # default (first declared) hierarchy: one level below country = region_
+    d1 = eng.aggregate("g", cut="geo:IT", drilldown="geo")
+    assert [c for c in d1.columns if c != "v"] == ["region_"]
+    # the 'direct' hierarchy skips region_: one below country = city
+    d2 = eng.aggregate("g", cut="geo:IT", drilldown="geo", hierarchy="geo:direct")
+    assert [c for c in d2.columns if c != "v"] == ["city"]
+    assert sorted(r["city"] for r in d2.collect()) == ["BS", "MI"]
+    # unknown hierarchy name is a client error
+    with pytest.raises(KeyError):
+        eng.aggregate("g", drilldown="geo", hierarchy="geo:nope")
+    # malformed hierarchy term is a client error
+    with pytest.raises(ValueError):
+        eng.aggregate("g", drilldown="geo", hierarchy="geo")
