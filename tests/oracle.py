@@ -69,6 +69,16 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
 
 
 def assert_parity(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    from pyspark.sql import types as T
+
+    # decimal output columns are forbidden across the whole workload:
+    # trailing-zero decimal reprs canonicalize differently between the
+    # driver's two hash sides (the round-1 hash-red class). Fractional
+    # results must surface as round(cast(double), n).
+    decs = [
+        f.name for f in spark_df.schema.fields if isinstance(f.dataType, T.DecimalType)
+    ]
+    assert not decs, f"decimal-typed output columns {decs} — emit round(double, n) instead"
     r = compare(spark_df, oracle_sql, sf_dir)
     assert r["rows_match"], f"row count mismatch: {r['spark']['rows']} vs {r['oracle']['rows']}"
     assert r["schema_match"], f"schema mismatch: {r['spark']['cols']} vs {r['oracle']['cols']}"
