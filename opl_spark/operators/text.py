@@ -217,6 +217,54 @@ def split_col(id_col: Column, train_pct: int = 90, buckets: int = 100) -> Column
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Deterministic document → training-sequence assignment: within
+    each group (source shard), documents in id order are packed into
+    consecutive sequences of ~``budget`` tokens — ``seq_id`` is where
+    the document STARTS (contiguous chunking, the deterministic cousin
+    of greedy bin-packing; the actual token concat happens at tokenizer
+    time downstream).
+
+    One partitioned running-sum window per group — O(1) state per row,
+    each shard packs independently, so the op scales with shard count.
+    Reproducibility is the point: same corpus ⇒ same sequence layout,
+    on any cluster, any run."""
+    from pyspark.sql.window import Window
+
+    t = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(group_col).alias("grp"),
+        whitespace_token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.withColumn(
+        "seq_id",
+        F.floor(start_offset.cast("double") / F.lit(budget)).cast("long"),
+    )
+
+
+def export_jsonl(df: DataFrame, path: str, shards: int | None = None) -> None:
+    """Corpus export as sharded JSON-lines — the interchange format
+    training pipelines consume.  ``df.write.json`` writes one shard per
+    partition in parallel (no driver involvement); ``shards`` controls
+    the output file count via repartition when the natural partitioning
+    is wrong (too many small files after heavy filtering, or too few
+    for downstream read parallelism)."""
+    out = df.repartition(shards) if shards else df
+    out.write.mode("overwrite").json(path)
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str, id_col: str, k: int = 20
 ) -> DataFrame:

@@ -894,6 +894,36 @@ def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_pack_sequences",
+    oracle=r"""
+WITH t AS (
+    SELECT doc_id AS doc, source AS grp,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc, grp, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY grp ORDER BY doc
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+    FROM t
+)
+SELECT doc, grp, n_tokens,
+       CAST(FLOOR(CAST(start_offset AS DOUBLE) / 512) AS BIGINT) AS seq_id
+FROM c
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: per-source running token offsets
+    assign each document to the ~512-token training sequence where it
+    starts — same corpus ⇒ same layout, any run, any cluster."""
+    from opl_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "text", "doc_id", "source", budget=512)
+
+
 @register("q_approx_distinct")  # HLL sketch — engine-specific, rows-only
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via HyperLogLog++

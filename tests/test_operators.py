@@ -156,3 +156,19 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for etype, n in exact.items():
         assert abs(approx[etype] - n) <= max(2, 0.15 * n), (etype, approx[etype], n)
+
+
+def test_export_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """Sharded JSON-lines corpus export must round-trip (rows and
+    values) and honor the requested shard count."""
+    import glob
+
+    from opl_spark.operators.text import export_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    path = str(tmp_path / "corpus_jsonl")
+    export_jsonl(docs, path, shards=4)
+    files = glob.glob(f"{path}/part-*")
+    assert len(files) == 4
+    back = spark.read.json(path).select("doc_id", "text", "source")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
