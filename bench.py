@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     # events / streaming-equivalent
     "q_events_window",
     "q_sessionize",
+    # temporal joins + packing
+    "q_asof_join",
+    "q_interval_join",
+    "q_pack_sequences",
 ]
 
 
