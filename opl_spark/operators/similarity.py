@@ -203,6 +203,45 @@ def seed_centroids(
     return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means over the embedding column — the production
+    centroid builder :func:`seed_centroids` stands in for.
+
+    Each iteration: one vectorized assignment pass (Arrow-batched
+    argmin against the closure-broadcast centroid matrix — no join,
+    no shuffle) + one per-(cell, dim) mean (posexplode → map-side-
+    combinable aggregate whose shuffle carries k×d scalars).  The
+    driver only ever touches k×d centroid values per iteration —
+    metadata-sized, like the catalog.  Empty cells keep their previous
+    centroid.  Deterministic: seeding is the k lowest-id vectors and
+    every step is a pure function of the data."""
+    cents = seed_centroids(df, vec_col, id_col, k)
+    for _ in range(iters):
+        assigned = ivf_assign(df, vec_col, cents)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()  # k×d rows — metadata-sized by construction
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            (cid, [by_cell[cid][i] for i in range(len(by_cell[cid]))])
+            if cid in by_cell
+            else (cid, vec)
+            for cid, vec in cents
+        ]
+    return cents
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str,

@@ -157,6 +157,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+@register(
+    "q_dedup_ngram_capped",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id AS doc, unnest(list_distinct(
+        list_transform(
+            range(1, greatest(len(w) - 2, 1) + 1),
+            i -> array_to_string(list_slice(w, i, i + 2), ' ')
+        ))) AS s
+    FROM docs
+),
+freq AS (SELECT s, COUNT(*) AS df_ FROM sh GROUP BY 1),
+kept AS (SELECT sh.doc, sh.s FROM sh JOIN freq ON freq.s = sh.s WHERE df_ <= 5),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM kept GROUP BY doc),
+inter AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS i
+    FROM kept a JOIN kept b ON a.s = b.s AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
+""",
+)
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-shingle SCALE path of exact n-gram dedup: shingles in
+    more than ``max_doc_freq`` documents are dropped from the inverted
+    index, bounding per-key join fan-out at max_doc_freq² (the
+    documented approximation — Jaccard over surviving shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=5)
+
+
 @register("q_dedup_minhash")  # xxhash64 signatures — not DuckDB-expressible
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard (the 100 TB
@@ -278,6 +318,22 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=10, ncells=8, nprobe=2
+    )
+
+
+@register("q_similarity_ivf_kmeans")  # iterative Lloyd — not SQL-expressible
+def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 probing k-means centroids (3 Lloyd iterations) —
+    the production centroid builder in place of deterministic seeding;
+    rows-only check (iterative), recall bounded vs brute force in
+    tests/test_operators.py."""
+    from opl_spark.operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, "embedding", "vec_id", k=8, iters=3)
+    return ivf_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir),
+        k=10, nprobe=2, centroids=cents,
     )
 
 

@@ -172,3 +172,28 @@ def test_export_jsonl_roundtrip(spark, sf_dir, tmp_path):
     assert len(files) == 4
     back = spark.read.json(path).select("doc_id", "text", "source")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_kmeans_ivf_recall(spark, sf_dir):
+    """IVF probing k-means centroids must recall most of the true
+    brute-force top-10 with nprobe=2 of 8 cells, and the centroids must
+    be deterministic across runs (pure function of the data)."""
+    from opl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb_df = load_table(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb_df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents1 = kmeans_centroids(emb_df, "embedding", "vec_id", k=8, iters=3)
+    cents2 = kmeans_centroids(emb_df, "embedding", "vec_id", k=8, iters=3)
+    assert cents1 == cents2  # deterministic
+    truth = {r["id"] for r in cosine_topk(emb_df, "embedding", "vec_id", query, 10).collect()}
+    approx = {
+        r["id"]
+        for r in ivf_topk(
+            emb_df, "embedding", "vec_id", query, k=10, nprobe=2, centroids=cents1
+        ).collect()
+    }
+    assert len(truth & approx) / len(truth) >= 0.5, (truth, approx)
