@@ -98,3 +98,22 @@ def test_json_loaded_fact_drives_the_cube(spark, sf_dir, tmp_path):
     got = eng_json.aggregate("loans2", **kw).collect()
     want = eng_native.aggregate("loans2", **kw).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(got) > 0
+
+
+def test_shipped_metadata_files_load_to_native_catalog():
+    """examples/metadata/<factName>.json — the artifact set an operator
+    migrating off the reference carries — must round-trip to exactly
+    the natively-declared catalog."""
+    import os
+
+    from opl_spark.facts import default_catalog
+
+    here = os.path.join(os.path.dirname(__file__), "..", "examples", "metadata")
+    loaded = Catalog.from_dir(here)
+    native = default_catalog()
+    assert [f["name"] for f in loaded.fact_tables()] == sorted(
+        f["name"] for f in native.fact_tables()
+    )
+    for fact in (f["name"] for f in native.fact_tables()):
+        assert loaded.dimensions(fact) == native.dimensions(fact), fact
+        assert loaded.measures(fact) == native.measures(fact), fact
