@@ -1135,6 +1135,62 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(p, c, ["user_id"], "purchase_us", "click_us", 3_600_000_000)
 
 
+@register(
+    "q_pivot",
+    oracle="WITH fact AS ("
+    + LOANS_FACT_SQL
+    + """)
+SELECT year,
+       ROUND(CAST(SUM(CASE WHEN loan_type = 'F' THEN value END) AS DOUBLE), 2) AS F,
+       ROUND(CAST(SUM(CASE WHEN loan_type = 'O' THEN value END) AS DOUBLE), 2) AS O,
+       ROUND(CAST(SUM(CASE WHEN loan_type = 'P' THEN value END) AS DOUBLE), 2) AS P
+FROM fact
+WHERE year BETWEEN 1996 AND 1997
+GROUP BY year
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab pivot (year × loan_type value matrix) — the BI-tool
+    presentation shape.  The pivot values are declared explicitly, so
+    Spark skips the extra distinct-values job and the whole thing is
+    one map-side-combinable aggregation (internally conditional sums,
+    exactly the oracle's CASE form)."""
+    from opl_spark.facts import build_loans_fact
+
+    fact = build_loans_fact(spark, sf_dir)
+    return (
+        fact.filter(F.col("year").between(1996, 1997))
+        .groupBy("year")
+        .pivot("loan_type", ["F", "O", "P"])
+        .agg(F.round(F.sum("value").cast("double"), 2))
+    )
+
+
+@register(
+    "q_cube_sets",
+    oracle="WITH fact AS ("
+    + LOANS_FACT_SQL
+    + """)
+SELECT consortia_id, loan_type,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value, COUNT(*) AS n
+FROM fact
+GROUP BY CUBE (consortia_id, loan_type)
+""",
+)
+def q_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (consortia, loan_type): every subtotal
+    combination in ONE pass (Spark expands to grouping sets with
+    partial aggregation per set — 4 passes of the reference's repeated
+    aggregate calls collapse into one shuffle)."""
+    from opl_spark.facts import build_loans_fact
+
+    fact = build_loans_fact(spark, sf_dir)
+    return fact.cube("consortia_id", "loan_type").agg(
+        F.round(F.sum("value").cast("double"), 2).alias("value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # composed corpus-filtering pipeline (the operators working together)
 # ---------------------------------------------------------------------------

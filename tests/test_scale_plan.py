@@ -69,6 +69,24 @@ def test_topk_plans_take_ordered_not_global_window(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_contamination_broadcasts_bench_side(spark, sf_dir):
+    """The benchmark shingle set must reach the corpus probe as a
+    broadcast hash join — a shuffled join here would move the corpus
+    shingle stream for a metadata-sized right side."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.dedup import contamination
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = contamination(
+        docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5),
+        "text", "doc_id", 5,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_tuple_range_cut_prunes_on_leading_level(warehouse_engine):
     df = warehouse_engine.aggregate(
         "loans2",
