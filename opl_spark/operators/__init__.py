@@ -9,6 +9,8 @@ Python appears only at clearly-marked Pandas-UDF boundaries
 """
 
 from opl_spark.operators.dedup import (  # noqa: F401
+    contamination,
+    dedup_clusters,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
@@ -21,10 +23,21 @@ from opl_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     ivf_assign,
     ivf_topk,
+    kmeans_centroids,
+    knn_join,
+)
+from opl_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    interval_join,
 )
 from opl_spark.operators.text import (  # noqa: F401
+    export_jsonl,
     fingerprint_col,
     lang_id_col,
+    pack_sequences,
+    pii_scrub_col,
     quality_columns,
+    repetition_profile,
+    split_col,
     token_count_col,
 )
