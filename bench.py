@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "q_asof_join",
     "q_interval_join",
     "q_pack_sequences",
+    # corpus composition / layout / quantization
+    "q_mix_sources",
+    "q_contamination_bloom",
+    "q_zorder",
+    "q_quantize",
 ]
 
 

@@ -9,6 +9,9 @@ Python appears only at clearly-marked Pandas-UDF boundaries
 """
 
 from opl_spark.operators.dedup import (  # noqa: F401
+    bloom_contamination,
+    build_bloom,
+    bloom_might_contain,
     contamination,
     dedup_clusters,
     exact_dedup,
@@ -18,6 +21,15 @@ from opl_spark.operators.dedup import (  # noqa: F401
     simhash,
     shingles_col,
 )
+from opl_spark.operators.layout import (  # noqa: F401
+    zorder_key,
+    zorder_layout,
+    zorder_sql,
+)
+from opl_spark.operators.sampling import (  # noqa: F401
+    copies_col,
+    mix_sources,
+)
 from opl_spark.operators.similarity import (  # noqa: F401
     cosine_sim_col,
     cosine_topk,
@@ -25,6 +37,7 @@ from opl_spark.operators.similarity import (  # noqa: F401
     ivf_topk,
     kmeans_centroids,
     knn_join,
+    quantize_embeddings,
 )
 from opl_spark.operators.temporal import (  # noqa: F401
     asof_join,

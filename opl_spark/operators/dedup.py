@@ -402,3 +402,124 @@ def simhash_candidates(sim: DataFrame, chunks: int = 4) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (the unbroadcastable-bench scale path)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_probe_positions(sh: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions a shingle hash probes/sets in an m-bit Bloom
+    filter — xxhash64 re-hashed with the probe index as extra input."""
+    return [
+        F.pmod(F.xxhash64(sh, F.lit(j)), F.lit(m_bits)) for j in range(k)
+    ]
+
+
+def build_bloom(
+    hashes: DataFrame, col: str, m_bits: int = 1 << 16, k: int = 5
+) -> list[int]:
+    """Aggregate an m-bit Bloom filter over a hash column, returned as
+    a dense little-endian list of ``m_bits/64`` int64 words.
+
+    The build is one map + one 64-partition-max shuffle (`bit_or` per
+    word index); the driver collects only ``m_bits/64`` rows (8 KiB at
+    the default 2^16 bits) — metadata-sized regardless of how many
+    billions of shingles went in.  That bound is the point: a bench
+    set too large to broadcast as raw hashes still compresses to a
+    constant-size filter.
+    """
+    pos = F.explode(
+        F.array(*_bloom_probe_positions(F.col(col), m_bits, k))
+    ).alias("pos")
+    words = (
+        hashes.select(pos)
+        .select(
+            F.shiftrightunsigned("pos", 6).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod("pos", F.lit(64)).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for row in words:
+        dense[row["w"]] = row["bits"]
+    return dense
+
+
+def bloom_might_contain(
+    sh: Column, bloom: list[int], m_bits: int, k: int
+) -> Column:
+    """Membership probe against a literal Bloom filter: AND over the k
+    probe bits, entirely codegen'd JVM expressions (no UDF)."""
+    arr = F.array(*[F.lit(w) for w in bloom])
+    cond = None
+    for pos in _bloom_probe_positions(sh, m_bits, k):
+        word = F.element_at(arr, F.shiftrightunsigned(pos, 6).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+        )
+        bit = word.bitwiseAND(mask) != 0
+        cond = bit if cond is None else (cond & bit)
+    return cond
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """`contamination` for a benchmark set too large to broadcast as
+    raw shingles: the corpus shingle stream is pre-filtered through a
+    constant-size Bloom filter of the bench shingles, and only the
+    survivors (true overlaps + the filter's ~1e-5 false-positive tail)
+    reach the exact join.  The join then discards false positives, so
+    the OUTPUT IS EXACT — identical to `contamination` — while the
+    shuffle carries only the overlap stream instead of the full
+    corpus.
+
+    At 100 TB: the filter is ~8 KiB broadcast to every task; the
+    exact join's input shrinks from O(corpus shingles) to O(overlaps),
+    which is what makes a shuffle join against a huge bench set
+    feasible.  No broadcast hint on the join on purpose — the premise
+    is that the bench side exceeds broadcast limits; AQE picks the
+    strategy at real sizes.
+    """
+    c_sh = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    ).select("doc", F.xxhash64("s").alias("sh"))
+    b_sh = bench.select(
+        F.col(id_col).alias("bdoc"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    ).select("bdoc", F.xxhash64("s").alias("sh"))
+    bloom = build_bloom(b_sh.select("sh"), "sh", m_bits, k)
+    survivors = c_sh.filter(bloom_might_contain(F.col("sh"), bloom, m_bits, k))
+    hits = (
+        survivors.join(b_sh, "sh")
+        .groupBy("doc")
+        .agg(
+            F.count_distinct("sh").alias("n_overlap"),
+            F.count_distinct("bdoc").alias("n_bench_docs"),
+        )
+    )
+    sizes = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
+    )
+    return hits.join(sizes, "doc").select(
+        "doc",
+        "n_overlap",
+        "n_bench_docs",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_sh"), 6).alias(
+            "overlap_frac"
+        ),
+    )

@@ -1,0 +1,69 @@
+"""Corpus-composition operators: weighted domain mixing with
+deterministic up/down-sampling.
+
+The mixing step of a pre-training data pipeline assigns each source
+(domain) a weight and materializes the mixed corpus: weight 2.5 means
+every document appears twice and half the documents appear a third
+time; weight 0.4 means a deterministic 40% of documents appear once.
+
+Scale shape: one map-only pass — the weight lookup is a literal
+CASE chain (no join), the copy count is arithmetic on the id, and the
+fan-out is ``explode(sequence(...))``.  No shuffle at all; at 100 TB
+the mixed corpus streams straight into the next stage (or a
+partitioned write).  Determinism matters as much as scale here: the
+epoch membership is gated on ``id mod resolution``, not ``rand()``,
+so re-runs, retried tasks, and different cluster layouts all emit the
+same mix (the same property `split_col` relies on for train/val
+splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def copies_col(
+    id_col: Column, weight: Column, resolution: int = 100
+) -> Column:
+    """Number of copies of a row under ``weight``: ``floor(w)`` whole
+    epochs plus one more for the deterministic ``frac(w)`` share of
+    ids (chosen by ``id mod resolution``)."""
+    whole = F.floor(weight).cast("long")
+    frac_gate = F.pmod(id_col, F.lit(resolution)) < F.round(
+        (weight - F.floor(weight)) * resolution
+    ).cast("long")
+    return whole + F.when(frac_gate, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    resolution: int = 100,
+) -> DataFrame:
+    """Materialize a weighted domain mix: each input row appears
+    ``copies_col(id, weight(source))`` times, tagged with a 1-based
+    ``epoch`` column.
+
+    Rows whose copy count is 0 are filtered BEFORE the sequence is
+    built (Spark's ``sequence(1, 0)`` infers step -1 and would yield
+    ``[1, 0]``, not an empty array).
+    """
+    weight = F.lit(float(default_weight))
+    for src, w in sorted(weights.items()):
+        weight = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(
+            weight
+        )
+    copies = copies_col(F.col(id_col), weight, resolution)
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies"))),
+        )
+        .drop("__copies")
+    )

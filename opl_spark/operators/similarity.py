@@ -470,3 +470,51 @@ def embedding_dup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round("raw_cos", 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Symmetric absmax int8 quantization of an embedding column —
+    the storage/memory scale path for ANN: a 64-dim float32 vector
+    (256 B) becomes 64 int8 codes + one float scale (~68 B), and the
+    int8 dot product is SIMD-friendly on any probe hardware.
+
+    Per vector: ``scale = max(|v_i|)`` and ``q_i = floor(v_i / scale
+    * 127 + 0.5)`` (round-half-up via floor, which is portable across
+    engines, unlike round-half-even/away variants).  Emits bookkeeping
+    the pipeline records per shard: dims, scale, integer L1/sum of the
+    codes (exact, no float-order sensitivity), and the max absolute
+    reconstruction error.
+
+    Scale shape: map-only, all built-in higher-order functions — no
+    shuffle, no Python.  Zero vectors (scale 0) are dropped, matching
+    the oracle's guard.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df.select(F.col(id_col), v.alias("__v")).select(
+        F.col(id_col),
+        F.col("__v"),
+        F.array_max(F.transform("__v", F.abs)).alias("__s"),
+    )
+    q = F.transform(
+        "__v", lambda x: F.floor(x / F.col("__s") * 127 + F.lit(0.5)).cast("long")
+    )
+    out = out.filter(F.col("__s") > 0).select(
+        F.col(id_col), "__v", "__s", q.alias("__q")
+    )
+    recon = F.array_max(
+        F.zip_with(
+            "__v", "__q", lambda a, b: F.abs(a - b * F.col("__s") / 127)
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_size("__v").alias("dims"),
+        F.round("__s", 6).alias("scale"),
+        F.aggregate(
+            F.transform("__q", F.abs), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_l1"),
+        F.aggregate(
+            "__q", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.round(recon, 6).alias("max_err"),
+    )

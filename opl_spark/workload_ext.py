@@ -25,6 +25,7 @@ from opl_spark.facts import (
     default_catalog,
 )
 from opl_spark.operators.dedup import (
+    bloom_contamination,
     contamination,
     dedup_clusters,
     exact_dedup,
@@ -32,6 +33,8 @@ from opl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from opl_spark.operators.layout import zorder_key, zorder_sql
+from opl_spark.operators.sampling import mix_sources
 from opl_spark.operators.multimodal import (
     decode_images,
     frame_sample,
@@ -44,6 +47,7 @@ from opl_spark.operators.similarity import (
     embedding_dup_pairs,
     ivf_topk,
     knn_join,
+    quantize_embeddings,
 )
 from opl_spark.operators.text import (
     TOKEN_RE,
@@ -648,9 +652,7 @@ def q_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_contamination",
-    oracle=r"""
+_CONTAMINATION_ORACLE = r"""
 WITH docs_w AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
     FROM documents
@@ -674,8 +676,10 @@ hits AS (
 SELECT h.doc, h.n_overlap, h.n_bench_docs,
        ROUND(CAST(h.n_overlap AS DOUBLE) / z.n_sh, 6) AS overlap_frac
 FROM hits h JOIN sizes z ON z.doc = h.doc
-""",
-)
+"""
+
+
+@register("q_contamination", oracle=_CONTAMINATION_ORACLE)
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥1 word 5-gram
     with the benchmark set (here: the 5 lowest-id documents standing in
@@ -1402,3 +1406,139 @@ def q_meta_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "fact string, measure string, phys_column string, aggregates string"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus composition / layout / quantization (round-2 scale operators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mix_sources",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                       WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source,
+           CAST(FLOOR(wt) AS BIGINT)
+           + CASE WHEN (doc_id % 100) < CAST(ROUND((wt - FLOOR(wt)) * 100) AS BIGINT)
+                  THEN 1 ELSE 0 END AS copies
+    FROM w
+)
+SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+FROM (SELECT doc_id, source, unnest(range(1, copies + 1)) AS e
+      FROM c WHERE copies >= 1)
+""",
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing: src0 upsampled 2.5x, src1 kept at a
+    deterministic 40%, src2 dropped, everything else 1x — the corpus
+    composition step, materialized as (doc, epoch) rows with zero
+    shuffles (CASE weight lookup + sequence explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_sources(
+        docs.select("doc_id", "source"),
+        "source",
+        "doc_id",
+        {"src0": 2.5, "src1": 0.4, "src2": 0.0},
+    )
+
+
+@register("q_contamination_bloom", oracle=_CONTAMINATION_ORACLE)
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_contamination` recomputed through the Bloom-prefilter scale
+    path (bench set too big to broadcast): constant-size filter prunes
+    the corpus shingle stream before the exact join, output identical
+    by construction — checked against the SAME oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    return bloom_contamination(corpus, bench, "text", "doc_id", n=5)
+
+
+_ZORDER_SQL = zorder_sql(["x", "y"], bits=8)
+
+
+@register(
+    "q_zorder",
+    oracle=f"""
+WITH d AS (
+    SELECT o_orderkey,
+           o_custkey % 256 AS x,
+           datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+    FROM orders
+),
+keyed AS (SELECT o_orderkey, x, y, ({_ZORDER_SQL}) AS zkey FROM d)
+SELECT CAST(zkey // 64 AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM keyed GROUP BY 1
+""",
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over two cut dimensions of orders,
+    summarized as per-64-key-bucket min/max rectangles — exactly the
+    parquet footer stats a cut on EITHER dimension would prune with.
+    The key is pure literal-shift bit math (one codegen'd expression);
+    the oracle runs the byte-identical SQL from `zorder_sql`."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        F.pmod("o_custkey", F.lit(256)).alias("x"),
+        F.pmod(
+            F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))),
+            F.lit(256),
+        ).cast("long").alias("y"),
+    )
+    keyed = d.withColumn("zkey", zorder_key([F.col("x"), F.col("y")], bits=8))
+    return (
+        keyed.groupBy(
+            F.shiftrightunsigned("zkey", 6).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+@register(
+    "q_quantize",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e
+),
+q AS (
+    SELECT vec_id, v, sc,
+           list_transform(v, x -> CAST(FLOOR(x / sc * 127 + 0.5) AS BIGINT)) AS qv
+    FROM s WHERE sc > 0
+)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS dims,
+       ROUND(sc, 6) AS scale,
+       CAST(list_sum(list_transform(qv, y -> abs(y))) AS BIGINT) AS q_l1,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       ROUND(list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - qv[i] * sc / 127))), 6) AS max_err
+FROM q
+""",
+)
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric absmax int8 quantization of the embedding column with
+    per-vector bookkeeping (scale, integer code sums, max
+    reconstruction error) — map-only higher-order functions, no
+    shuffle, no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "embedding", "vec_id")

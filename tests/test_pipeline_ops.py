@@ -1,0 +1,145 @@
+"""Edge-semantics tests for the round-2 pipeline operators: weighted
+mixing (sampling), Bloom-prefiltered decontamination, Z-order layout,
+and int8 embedding quantization.
+
+The oracle parity suite (test_workload_parity) already checks these
+end-to-end vs DuckDB; this file pins the semantics the hash compare
+can't see — determinism across runs, exactness of the Bloom path vs
+the broadcast path, and the Morton-key bit placement.
+"""
+
+from pyspark.sql import functions as F
+
+from opl_spark.operators.dedup import (
+    bloom_contamination,
+    bloom_might_contain,
+    build_bloom,
+    contamination,
+)
+from opl_spark.operators.layout import zorder_key, zorder_layout, zorder_sql
+from opl_spark.operators.sampling import mix_sources
+from opl_spark.operators.similarity import quantize_embeddings
+from opl_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark):
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mix_weights_exact_epoch_counts(spark):
+    df = _docs(spark)
+    out = mix_sources(df, "source", "doc_id", {"src0": 2.5, "src1": 0.4, "src2": 0.0})
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # src0: 100 docs x 2 whole epochs + deterministic half => 250
+    assert per["src0"] == 250
+    # src1: deterministic 40% of 100 docs appear once
+    assert per["src1"] == 40
+    # src2: weight 0 drops every doc (and never hits sequence(1, 0))
+    assert "src2" not in per
+
+
+def test_mix_is_deterministic_and_epochs_are_1_based(spark):
+    df = _docs(spark)
+    w = {"src0": 1.7}
+    a = sorted(map(tuple, mix_sources(df, "source", "doc_id", w).collect()))
+    b = sorted(map(tuple, mix_sources(df, "source", "doc_id", w).collect()))
+    assert a == b
+    epochs = {r[-1] for r in a}
+    assert min(epochs) == 1
+
+
+# ---------------------------------------------------------------------------
+# Bloom decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark):
+    hashes = spark.range(0, 500).select(F.xxhash64("id").alias("sh"))
+    bloom = build_bloom(hashes, "sh", m_bits=1 << 12, k=5)
+    misses = (
+        spark.range(0, 500)
+        .select(F.xxhash64("id").alias("sh"))
+        .filter(~bloom_might_contain(F.col("sh"), bloom, 1 << 12, 5))
+        .count()
+    )
+    assert misses == 0
+
+
+def test_bloom_contamination_matches_broadcast_path(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    exact = sorted(map(tuple, contamination(corpus, bench, "text", "doc_id", n=5).collect()))
+    bloomed = sorted(
+        map(tuple, bloom_contamination(corpus, bench, "text", "doc_id", n=5).collect())
+    )
+    assert exact == bloomed
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_bit_placement(spark):
+    # x=0b11, y=0b01 at 2 bits/dim: bits interleave as y1 x1 y0 x0 = 0b0111
+    df = spark.createDataFrame([(3, 1)], "x long, y long")
+    key = df.select(zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")).first()["z"]
+    assert key == 0b0111
+
+
+def test_zorder_sql_matches_column_expr(spark):
+    df = spark.createDataFrame([(i, (i * 7) % 256) for i in range(64)], "x long, y long")
+    via_col = df.select(zorder_key([F.col("x"), F.col("y")], bits=8).alias("z"))
+    via_sql = df.select(F.expr(zorder_sql(["x", "y"], bits=8)).alias("z"))
+    assert sorted(r["z"] for r in via_col.collect()) == sorted(
+        r["z"] for r in via_sql.collect()
+    )
+
+
+def test_zorder_layout_sorts_within_partitions(spark):
+    df = spark.createDataFrame(
+        [(i % 50, (i * 13) % 50) for i in range(400)], "x long, y long"
+    )
+    out = zorder_layout(df, [F.col("x"), F.col("y")], bits=6)
+    ordered = out.withColumn("pid", F.spark_partition_id())
+    rows = ordered.select("pid", "zkey").collect()
+    by_pid: dict[int, list[int]] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["zkey"])
+    for keys in by_pid.values():
+        assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_codes_bounded_and_error_small(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", "vec_id")
+    row = q.agg(
+        F.max("max_err").alias("worst"),
+        F.min("scale").alias("smin"),
+        F.max(F.col("q_l1")).alias("l1max"),
+    ).first()
+    assert row["smin"] > 0
+    # one int8 step of the largest |scale| bounds the reconstruction error
+    assert row["worst"] <= q.agg(F.max("scale")).first()[0] / 127 * 0.5 + 1e-9
+    # abs codes sum over <=64 dims of |code|<=127
+    assert row["l1max"] <= 127 * 64
+
+
+def test_quantize_drops_zero_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])], "vec_id long, embedding array<float>"
+    )
+    out = quantize_embeddings(df, "embedding", "vec_id")
+    assert [r["vec_id"] for r in out.collect()] == [2]
