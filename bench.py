@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "q_contamination_bloom",
     "q_zorder",
     "q_quantize",
+    "q_stratified_sample",
+    "q_incremental_dedup",
+    "q_quantized_topk",
 ]
 
 

@@ -15,6 +15,7 @@ from opl_spark.operators.dedup import (  # noqa: F401
     contamination,
     dedup_clusters,
     exact_dedup,
+    incremental_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -28,7 +29,9 @@ from opl_spark.operators.layout import (  # noqa: F401
 )
 from opl_spark.operators.sampling import (  # noqa: F401
     copies_col,
+    hash_gate,
     mix_sources,
+    stratified_sample,
 )
 from opl_spark.operators.similarity import (  # noqa: F401
     cosine_sim_col,
@@ -38,6 +41,7 @@ from opl_spark.operators.similarity import (  # noqa: F401
     kmeans_centroids,
     knn_join,
     quantize_embeddings,
+    quantized_topk,
 )
 from opl_spark.operators.temporal import (  # noqa: F401
     asof_join,

@@ -523,3 +523,30 @@ def bloom_contamination(
             "overlap_frac"
         ),
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame, seen: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Cross-run exact dedup for incremental ingestion: the new batch
+    keeps one doc per content hash (min id within the batch) minus
+    anything whose hash already exists in the ingested corpus.
+
+    Emits ``(doc, batch_copies)`` for the survivors.  At 100 TB the
+    ``seen`` side is the warehouse's STORED content-hash column (write
+    ``xxhash64(text)`` at ingest; re-hashing all of history every run
+    would defeat the point) — here it is recomputed from text only
+    because the synthetic table carries no hash column.
+
+    Scale shape: map-side-combinable min/count per hash on the batch,
+    one distinct on the seen hashes, then a LEFT ANTI hash join on the
+    8-byte key — AQE broadcasts the batch side when it is small.
+    """
+    nb = new_batch.select(
+        F.col(id_col).alias("doc"), F.xxhash64(F.col(text_col)).alias("h")
+    )
+    firsts = nb.groupBy("h").agg(
+        F.min("doc").alias("doc"), F.count(F.lit(1)).alias("batch_copies")
+    )
+    seen_h = seen.select(F.xxhash64(F.col(text_col)).alias("h")).distinct()
+    return firsts.join(seen_h, "h", "left_anti").select("doc", "batch_copies")

@@ -67,3 +67,47 @@ def mix_sources(
         )
         .drop("__copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash-gated sampling
+# ---------------------------------------------------------------------------
+
+#: Knuth's multiplicative constant (2654435761 = floor(2^32 / phi)):
+#: multiplies the id into a well-mixed 32-bit bucket so correlated /
+#: dense ids don't bias the sample the way a plain modulus would.
+_KNUTH = 2654435761
+_M32 = 1 << 32
+
+
+def hash_gate(id_col: Column, rate: float, salt: int = 0) -> Column:
+    """True for a deterministic ``rate`` fraction of ids — pure int64
+    arithmetic (multiply + modulus), identical on any engine, so the
+    sample is stable across runs, retries, and cluster layouts.
+
+    The id must stay below ~2^31 for the multiply to fit int64; ids
+    wider than that should be pre-folded with a modulus."""
+    bucket = F.pmod(id_col * F.lit(_KNUTH) + F.lit(salt), F.lit(_M32))
+    return bucket < int(rate * _M32)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-group deterministic sampling: each group keeps its own
+    hash-gated fraction of rows (e.g. downsample boilerplate-heavy
+    domains, keep the long tail whole).  One map-only filter pass —
+    the rate lookup is a literal CASE chain, no join, no shuffle, no
+    sampling state."""
+    # thresholds become Python ints up front (truncation, not engine
+    # float->int casts, whose rounding rules differ across engines)
+    thr = F.lit(int(default_rate * _M32))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(int(r * _M32))).otherwise(thr)
+    bucket = F.pmod(F.col(id_col) * F.lit(_KNUTH) + F.lit(salt), F.lit(_M32))
+    return df.filter(bucket < thr)

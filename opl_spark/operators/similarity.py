@@ -518,3 +518,63 @@ def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         ).alias("q_sum"),
         F.round(recon, 6).alias("max_err"),
     )
+
+
+def quantized_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized codes — the cheap scan
+    path `quantize_embeddings` exists for: the scan touches ~68 B per
+    vector instead of 256+ B, and the inner product is int64-exact.
+
+    The absmax scales cancel in the cosine ratio, so the score is
+    ``int_dot / (sqrt(int_norm_a) * sqrt(int_norm_q))`` — integer
+    arithmetic up to one final double division, hence bit-identical on
+    any engine (no float summation-order sensitivity at all).
+
+    Same selection shape as `cosine_topk`: TakeOrdered (per-partition
+    k-heaps), rank derived from the k collected rows.
+    """
+    import math
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    qs = max(abs(float(x)) for x in query)
+    qq = [math.floor(float(x) / qs * 127 + 0.5) for x in query]
+    nq = sum(c * c for c in qq)
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), v.alias("__v")).select(
+        "id", "__v", F.array_max(F.transform("__v", F.abs)).alias("__s")
+    )
+    codes = F.transform(
+        "__v", lambda x: F.floor(x / F.col("__s") * 127 + F.lit(0.5)).cast("long")
+    )
+    base = base.filter(F.col("__s") > 0).select("id", codes.alias("__q"))
+    qlit = F.array(*[F.lit(int(c)) for c in qq])
+    dot = F.aggregate(
+        F.zip_with("__q", qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = F.aggregate(
+        F.transform("__q", lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qsim = F.round(
+        dot.cast("double") / (F.sqrt(n2.cast("double")) * F.lit(math.sqrt(float(nq)))),
+        6,
+    )
+    scored = base.select("id", qsim.alias("qsim"))
+    rows = scored.orderBy(F.col("qsim").desc(), F.col("id")).limit(k).collect()
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("qsim", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [(r["id"], r["qsim"], i + 1) for i, r in enumerate(rows)], schema
+    )

@@ -27,6 +27,7 @@ from opl_spark.facts import (
 from opl_spark.operators.dedup import (
     bloom_contamination,
     contamination,
+    incremental_dedup,
     dedup_clusters,
     exact_dedup,
     minhash_dedup_pairs,
@@ -34,7 +35,7 @@ from opl_spark.operators.dedup import (
     simhash,
 )
 from opl_spark.operators.layout import zorder_key, zorder_sql
-from opl_spark.operators.sampling import mix_sources
+from opl_spark.operators.sampling import mix_sources, stratified_sample
 from opl_spark.operators.multimodal import (
     decode_images,
     frame_sample,
@@ -48,6 +49,7 @@ from opl_spark.operators.similarity import (
     ivf_topk,
     knn_join,
     quantize_embeddings,
+    quantized_topk,
 )
 from opl_spark.operators.text import (
     TOKEN_RE,
@@ -1542,3 +1544,99 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no Python."""
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb, "embedding", "vec_id")
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 2654435761 + 0) % 4294967296 <
+      CASE source WHEN 'src0' THEN 1073741824
+                  WHEN 'src1' THEN 2147483648
+                  ELSE 4294967296 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain deterministic downsampling (src0 kept at 25%, src1
+    at 50%, everything else whole) via a multiplicative hash gate —
+    map-only, no sampling state, same sample every run / engine /
+    cluster layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "source"),
+        "source",
+        "doc_id",
+        {"src0": 0.25, "src1": 0.5},
+    )
+
+
+@register(
+    "q_incremental_dedup",
+    oracle="""
+WITH nb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100),
+firsts AS (
+    SELECT MIN(doc_id) AS doc, COUNT(*) AS batch_copies, text
+    FROM nb GROUP BY text
+)
+SELECT doc, batch_copies FROM firsts
+WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 100)
+""",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run exact dedup: docs arriving as a new batch (id >= 100
+    stands in for today's crawl) deduped within the batch AND against
+    the already-ingested corpus (id < 100) by content hash — the
+    incremental-ingestion shape, one anti-join on an 8-byte key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") >= 100),
+        docs.filter(F.col("doc_id") < 100),
+        "text",
+        "doc_id",
+    )
+
+
+@register(
+    "q_quantized_topk",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+qs AS (
+    SELECT v, list_max(list_transform(v, x -> abs(x))) AS sc
+    FROM e WHERE vec_id = 0
+),
+qq AS (
+    SELECT list_transform(v, x -> CAST(FLOOR(x / sc * 127 + 0.5) AS BIGINT)) AS q
+    FROM qs
+),
+ps AS (
+    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e
+),
+pq AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(FLOOR(x / sc * 127 + 0.5) AS BIGINT)) AS q
+    FROM ps WHERE sc > 0
+),
+scored AS (
+    SELECT p.vec_id AS id,
+           ROUND(
+             CAST(list_sum(list_transform(range(1, 65), i -> p.q[i] * qq.q[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(p.q, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(qq.q, x -> x * x)) AS DOUBLE))),
+             6) AS qsim
+    FROM pq p CROSS JOIN qq
+)
+SELECT id, qsim, CAST(row_number() OVER (ORDER BY qsim DESC, id) AS BIGINT) AS rank
+FROM scored ORDER BY qsim DESC, id LIMIT 10
+""",
+)
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine for the vec_id-0 probe computed entirely over
+    int8-quantized codes (absmax scales cancel in the ratio, so the
+    score is int64-exact up to one final division) — the reduced-
+    bandwidth scan path whose recall is judged against
+    q_similarity_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=10)

@@ -143,3 +143,54 @@ def test_quantize_drops_zero_vectors(spark):
     )
     out = quantize_embeddings(df, "embedding", "vec_id")
     assert [r["vec_id"] for r in out.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling / incremental dedup / quantized search
+# ---------------------------------------------------------------------------
+
+
+def test_hash_gate_rate_and_determinism(spark):
+    from opl_spark.operators.sampling import hash_gate
+
+    df = spark.range(0, 10_000)
+    kept = df.filter(hash_gate(F.col("id"), 0.3)).count()
+    # well-mixed gate: close to the nominal rate
+    assert abs(kept / 10_000 - 0.3) < 0.03
+    assert df.filter(hash_gate(F.col("id"), 0.3)).count() == kept
+
+
+def test_stratified_sample_respects_zero_and_full_rates(spark):
+    from opl_spark.operators.sampling import stratified_sample
+
+    df = _docs(spark)  # 300 docs over src0/src1/src2
+    out = stratified_sample(df, "source", "doc_id", {"src0": 0.0, "src1": 1.0})
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "src0" not in per
+    assert per["src1"] == 100
+    assert per["src2"] == 100
+
+
+def test_incremental_dedup_batch_and_history(spark):
+    from opl_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame([(0, "aa"), (1, "bb")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "aa"), (11, "cc"), (12, "cc"), (13, "dd")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc"]: r["batch_copies"] for r in
+            incremental_dedup(batch, seen, "text", "doc_id").collect()}
+    # "aa" already ingested -> dropped; "cc" deduped to min id with copies=2
+    assert rows == {11: 2, 13: 1}
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    from opl_spark.operators.similarity import cosine_topk, quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["id"] for r in cosine_topk(emb, "embedding", "vec_id", probe, k=10).collect()}
+    quant = {r["id"] for r in quantized_topk(emb, "embedding", "vec_id", probe, k=10).collect()}
+    # int8 codes keep >= 8/10 of the exact top-10 on this corpus
+    assert len(exact & quant) >= 8
