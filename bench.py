@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q_stratified_sample",
     "q_incremental_dedup",
     "q_quantized_topk",
+    "q_semantic_dedup",
+    "q_unigram_logprob",
 ]
 
 

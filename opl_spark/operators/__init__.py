@@ -42,6 +42,8 @@ from opl_spark.operators.similarity import (  # noqa: F401
     knn_join,
     quantize_embeddings,
     quantized_topk,
+    seed_centroids,
+    semantic_dedup,
 )
 from opl_spark.operators.temporal import (  # noqa: F401
     asof_join,
@@ -57,4 +59,5 @@ from opl_spark.operators.text import (  # noqa: F401
     repetition_profile,
     split_col,
     token_count_col,
+    unigram_logprob,
 )

@@ -578,3 +578,30 @@ def quantized_topk(
     return df.sparkSession.createDataFrame(
         [(r["id"], r["qsim"], i + 1) for i, r in enumerate(rows)], schema
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare cosines
+    only WITHIN each cluster, and drop every document that has a
+    lower-id near-duplicate (cosine >= threshold) in its cluster — the
+    lowest id of each near-dup group survives as the representative.
+
+    Emits ``(dropped, cell)``.  Scale shape: the assignment is one
+    vectorized map pass against the closure-broadcast centroid matrix;
+    the pair search is `embedding_dup_pairs` (one shuffle on the cell
+    key, per-cell BLAS gram matrix, upper triangle only); the final
+    cell lookup joins a dropped-id set that is tiny by construction
+    (it is bounded by the duplicate count, not the corpus).
+    """
+    assigned = ivf_assign(df, vec_col, centroids)
+    pairs = embedding_dup_pairs(assigned, vec_col, id_col, "cell", threshold)
+    dropped = pairs.select(F.col("id_b").alias("dropped")).distinct()
+    cells = assigned.select(F.col(id_col).alias("dropped"), "cell")
+    return dropped.join(cells, "dropped")

@@ -298,3 +298,31 @@ def tfidf_top_terms(
         .orderBy(F.col("tfidf").desc(), "term")
         .limit(k)
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unigram language-model quality score: average negative log
+    probability of each document's tokens under the corpus's own
+    unigram distribution — the cheap statistical stand-in for the
+    perplexity filters used to rank pre-training text (high avg_nll =
+    rare/garbled tokens, low = repetitive boilerplate).
+
+    Emits ``(doc, n_tokens, avg_nll)``.  Two map-side-combinable
+    aggregations (vocab counts, per-doc average) around one shuffle
+    join of the token stream against the vocabulary on the token key.
+    The corpus token total crosses the driver as a single scalar
+    (metadata-sized, like the IVF centroid table).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = int(vocab.agg(F.sum("c")).first()[0])
+    scored = toks.join(vocab, "tok")
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(-F.log(F.col("c").cast("double") / F.lit(float(total)))), 6).alias(
+            "avg_nll"
+        ),
+    )

@@ -50,6 +50,8 @@ from opl_spark.operators.similarity import (
     knn_join,
     quantize_embeddings,
     quantized_topk,
+    seed_centroids,
+    semantic_dedup,
 )
 from opl_spark.operators.text import (
     TOKEN_RE,
@@ -62,6 +64,7 @@ from opl_spark.operators.text import (
     split_col,
     tfidf_top_terms,
     token_count_col,
+    unigram_logprob,
     whitespace_token_count_col,
     winnow_fingerprints,
 )
@@ -1640,3 +1643,64 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_similarity_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "q_semantic_dedup",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+dists AS (
+    SELECT e.vec_id, e.v, c.cell,
+           list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+    FROM e CROSS JOIN c
+),
+assign AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT b.vec_id AS id_b, b.cell,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT id_b AS dropped, cell FROM pairs WHERE cosine >= 0.3
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding table: assign to 8 seeded cells,
+    drop every vector with a lower-id cosine>=0.3 neighbor in its
+    cell.  Cluster-then-compare keeps the pair space per-cell instead
+    of corpus-quadratic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, "embedding", "vec_id", ncells=8)
+    return semantic_dedup(emb, "embedding", "vec_id", cents, threshold=0.3)
+
+
+@register(
+    "q_unigram_logprob",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS doc,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM vocab)
+SELECT t.doc, COUNT(*) AS n_tokens,
+       ROUND(AVG(-ln(CAST(v.c AS DOUBLE) / (SELECT total FROM tot))), 6) AS avg_nll
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram LM score per document (avg negative log
+    token probability) — the cheap perplexity-filter stand-in for
+    quality ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id")

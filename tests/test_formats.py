@@ -1,0 +1,61 @@
+"""Round-trip tests for the generic format connectors: every native
+format must write-then-read value-identically, explicit schemas must
+skip inference, and partitioned writes must land in PartitionFilters
+on read-back."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opl_spark.plans import partition_filters
+from opl_spark.sources import load_any, load_table, save_any
+from opl_spark.sources.formats import infer_format
+
+
+def _nations(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_value_identical(spark, sf_dir, tmp_path, fmt):
+    src = _nations(spark, sf_dir)
+    path = str(tmp_path / f"nation_rt.{fmt}")
+    save_any(src, path, mode="overwrite")
+    back = load_any(
+        spark, path, schema="n_nationkey long, n_name string, n_regionkey long"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_csv_infers_types_without_schema(spark, sf_dir, tmp_path):
+    src = _nations(spark, sf_dir)
+    path = str(tmp_path / "nation_inf.csv")
+    save_any(src, path, mode="overwrite")
+    back = load_any(spark, path)
+    # inferSchema promotes the key columns back to integers
+    assert dict(back.dtypes)["n_nationkey"] in ("int", "bigint")
+    assert back.count() == src.count()
+
+
+def test_tsv_uses_tab_delimiter(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a,b"), (2, "c")], "k long, v string")
+    path = str(tmp_path / "vals.tsv")
+    save_any(df, path, mode="overwrite")
+    back = load_any(spark, path, schema="k long, v string")
+    # commas survive inside fields because the delimiter is \t
+    assert sorted(map(tuple, back.collect())) == [(1, "a,b"), (2, "c")]
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    src = _nations(spark, sf_dir)
+    path = str(tmp_path / "nation_part.parquet")
+    save_any(src, path, mode="overwrite", partition_by=["n_regionkey"])
+    back = load_any(spark, path).filter(F.col("n_regionkey") == 2)
+    pf = partition_filters(back)
+    assert pf and "n_regionkey" in pf[0], pf
+
+
+def test_infer_format_rejects_unknown():
+    with pytest.raises(ValueError, match="cannot infer format"):
+        infer_format("/data/table.xyz")

@@ -194,3 +194,30 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     quant = {r["id"] for r in quantized_topk(emb, "embedding", "vec_id", probe, k=10).collect()}
     # int8 codes keep >= 8/10 of the exact top-10 on this corpus
     assert len(exact & quant) >= 8
+
+
+def test_semantic_dedup_keeps_cluster_representative(spark):
+    from opl_spark.operators.similarity import semantic_dedup
+
+    # two obvious clusters; ids 1/2 near-dup in cluster A, 10 alone in B
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = semantic_dedup(df, "embedding", "vec_id", cents, threshold=0.95)
+    got = [(r["dropped"], r["cell"]) for r in out.collect()]
+    # the lower id (1) survives as representative; 2 is dropped from cell 0
+    assert got == [(2, 0)]
+
+
+def test_unigram_logprob_ranks_rare_tokens_higher(spark):
+    from opl_spark.operators.text import unigram_logprob
+
+    rows = [(1, "the the the the"), (2, "zyxgly qwfpbju")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r["avg_nll"] for r in unigram_logprob(df, "text", "doc_id").collect()}
+    # doc of common tokens scores lower (more probable) than rare-token doc
+    assert out[1] < out[2]
