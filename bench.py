@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q_quantized_topk",
     "q_semantic_dedup",
     "q_unigram_logprob",
+    "q_percentile_filter",
+    "q_heavy_hitters",
 ]
 
 

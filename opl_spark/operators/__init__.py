@@ -52,7 +52,9 @@ from opl_spark.operators.temporal import (  # noqa: F401
 from opl_spark.operators.text import (  # noqa: F401
     export_jsonl,
     fingerprint_col,
+    heavy_hitters,
     lang_id_col,
+    percentile_filter,
     pack_sequences,
     pii_scrub_col,
     quality_columns,

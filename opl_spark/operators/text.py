@@ -326,3 +326,60 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "avg_nll"
         ),
     )
+
+
+def percentile_filter(
+    df: DataFrame,
+    score_col: Column,
+    group_col: str,
+    id_col: str,
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each group by score — the
+    per-domain quality gate (a global threshold over-prunes weak
+    domains and under-prunes strong ones; ranking WITHIN the domain
+    keeps the corpus balanced).
+
+    Selection is by ``cume_dist`` over a window PARTITIONED by the
+    group (each domain's ranking stays on its own executors — no
+    global sort), descending score with id tiebreak, so exactly the
+    deterministic top fraction survives ties included.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col.desc(), F.col(id_col))
+    return (
+        df.withColumn("__cd", F.cume_dist().over(w))
+        .filter(F.col("__cd") <= keep_frac)
+        .drop("__cd")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str, id_col: str, min_doc_frac: float = 0.3
+) -> DataFrame:
+    """Corpus-wide heavy hitters: tokens whose DOCUMENT frequency
+    exceeds ``min_doc_frac`` of the corpus — the data-driven stopword /
+    boilerplate-marker miner (the exact companion to the count-min
+    sketch approach; at 100 TB the same shape runs on a sampled
+    partition set first, then exactly on the survivors).
+
+    One map-side-combinable (token → distinct-doc) aggregation; the
+    doc total crosses the driver as a single scalar.  Emits
+    ``(tok, n_docs, round(doc_frac, 6))``.
+    """
+    n_docs = df.select(id_col).distinct().count()
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    return counts.select(
+        "tok",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.lit(float(n_docs)), 6).alias(
+            "doc_frac"
+        ),
+    ).filter(F.col("doc_frac") >= min_doc_frac)

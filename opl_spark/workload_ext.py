@@ -60,6 +60,8 @@ from opl_spark.operators.text import (
     lang_id_col,
     pii_scrub_col,
     quality_columns,
+    heavy_hitters,
+    percentile_filter,
     repetition_profile,
     split_col,
     tfidf_top_terms,
@@ -1704,3 +1706,56 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality ranking."""
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs, "text", "doc_id")
+
+
+@register(
+    "q_percentile_filter",
+    oracle=r"""
+WITH scored AS (
+    SELECT doc_id, source,
+           ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, punct_ratio,
+           cume_dist() OVER (
+               PARTITION BY source ORDER BY punct_ratio DESC, doc_id) AS cd
+    FROM scored
+)
+SELECT doc_id, source, punct_ratio FROM ranked WHERE cd <= 0.5
+""",
+)
+def q_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality gate: keep each source's top half by punct
+    ratio (stand-in quality score) — cume_dist over a PARTITIONED
+    window, so every domain ranks on its own executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_columns(F.col("text"))["punct_ratio"].alias("punct_ratio")
+    )
+    return percentile_filter(scored, F.col("punct_ratio"), "source", "doc_id", 0.5)
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS doc,
+           unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+    FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS n_docs FROM toks GROUP BY 1),
+tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents)
+SELECT tok, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / (SELECT n FROM tot), 6) AS doc_frac
+FROM counts
+WHERE ROUND(CAST(n_docs AS DOUBLE) / (SELECT n FROM tot), 6) >= 0.3
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven stopword mining: tokens present in >=30% of
+    documents (document frequency, not raw counts) — one
+    map-side-combinable aggregation over distinct per-doc tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "text", "doc_id", min_doc_frac=0.3)

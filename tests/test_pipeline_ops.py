@@ -221,3 +221,28 @@ def test_unigram_logprob_ranks_rare_tokens_higher(spark):
     out = {r["doc"]: r["avg_nll"] for r in unigram_logprob(df, "text", "doc_id").collect()}
     # doc of common tokens scores lower (more probable) than rare-token doc
     assert out[1] < out[2]
+
+
+def test_percentile_filter_keeps_top_fraction_per_group(spark):
+    from opl_spark.operators.text import percentile_filter
+
+    rows = [(i, "a" if i < 10 else "b", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = percentile_filter(df, F.col("score"), "source", "doc_id", keep_frac=0.3)
+    got = sorted(r["doc_id"] for r in out.collect())
+    # top 30% of 10 docs per group = the 3 highest scores of each
+    assert got == [7, 8, 9, 17, 18, 19]
+
+
+def test_heavy_hitters_uses_doc_frequency_not_raw_counts(spark):
+    from opl_spark.operators.text import heavy_hitters
+
+    rows = [(1, "spam spam spam spam unique1"), (2, "other words here"),
+            (3, "more other stuff")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["tok"]: r["n_docs"] for r in
+           heavy_hitters(df, "text", "doc_id", min_doc_frac=0.6).collect()}
+    # "spam" appears 4 times but in only 1/3 docs -> excluded;
+    # "other" is in 2/3 docs -> included
+    assert "spam" not in got
+    assert got["other"] == 2
