@@ -27,18 +27,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Explicit schema — readStream cannot infer, and the parquet ships
-#: TIMESTAMP(NANOS) (read as long, normalized below like the batch path).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos (legacy nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_nanos: bool) -> T.StructType:
+    """Explicit schema — readStream cannot infer.  ``ts`` arrives as an
+    epoch-nanos long when the file ships TIMESTAMP(NANOS) (JVM reader
+    has no native nanos; ``legacy.parquet.nanosAsLong``), or as a real
+    timestamp for micros/millis files."""
+    ts_type: T.DataType = T.LongType() if ts_nanos else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _ts_is_nanos(parquet_file: str) -> bool:
+    """True iff the file's ``ts`` column is TIMESTAMP(NANOS).
+
+    One footer read on the driver — the streaming analog of the schema
+    sniff every fixed-schema ``readStream`` deployment does once at
+    query-authoring time.  Generated testdata has shipped both units
+    across driver versions, so detect rather than assume."""
+    try:
+        import pyarrow.parquet as pq
+
+        field = [f for f in pq.ParquetFile(parquet_file).schema if f.name == "ts"]
+        return bool(field) and "nanoseconds" in str(field[0].logical_type)
+    except Exception:
+        return False
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +68,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape — while the testdata ships one flat file, so the
     file is staged into a scratch directory via symlink first."""
     src = os.path.join(sf_dir, "events.parquet")
+    ts_nanos = _ts_is_nanos(src) if os.path.isfile(src) else False
     if os.path.isfile(src):
         # stable digest — Python's hash() is per-process randomized
         # (PYTHONHASHSEED), which would mint a fresh staging dir per run
@@ -59,11 +80,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(src, link)
         src = stage
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_nanos))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_counts(
