@@ -550,3 +550,38 @@ def incremental_dedup(
     )
     seen_h = seen.select(F.xxhash64(F.col(text_col)).alias("h")).distinct()
     return firsts.join(seen_h, "h", "left_anti").select("doc", "batch_copies")
+
+
+def keep_best_dedup(
+    pairs: DataFrame, quality: DataFrame, id_col: str, score_col: str
+) -> DataFrame:
+    """Quality-aware keep rule over near-dup clusters: instead of the
+    arbitrary min-id keeper, each connected component keeps its
+    highest-quality member (max score, min-id tiebreak) — the keep rule
+    real pre-training dedup uses (drop the OCR-garbled copy, keep the
+    clean one).
+
+    ``pairs`` is any near-dup pair stream (``id_a``/``id_b``);
+    ``quality`` maps ``id_col`` → ``score_col``.  Components come from
+    :func:`dedup_clusters` (min-label propagation); the argmax is one
+    map-side-combinable ``max_by``-shaped aggregation per cluster — a
+    struct-max of ``(score, -id)``, so ties break to the smallest id
+    deterministically.  Emits ``(doc, keeper)`` for every clustered
+    document.
+    """
+    clusters = dedup_clusters(pairs)  # (doc, keeper=min-id label)
+    scored = clusters.join(
+        quality.select(F.col(id_col).alias("doc"), F.col(score_col).alias("__q")),
+        "doc",
+    )
+    best = (
+        scored.groupBy(F.col("keeper").alias("cluster"))
+        .agg(
+            F.max(F.struct(F.col("__q"), (-F.col("doc")).alias("negid"))).alias("m")
+        )
+        .select("cluster", (-F.col("m.negid")).alias("best"))
+    )
+    return (
+        clusters.join(best, clusters.keeper == best.cluster)
+        .select("doc", F.col("best").alias("keeper"))
+    )

@@ -383,3 +383,102 @@ def heavy_hitters(
             "doc_frac"
         ),
     ).filter(F.col("doc_frac") >= min_doc_frac)
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, id_col: str, top_n: int = 100
+) -> DataFrame:
+    """Corpus vocabulary builder: the tokenizer-training precursor
+    (count every token's corpus frequency and document frequency, keep
+    the top ``top_n`` by frequency with a deterministic lexicographic
+    tiebreak).
+
+    Two map-side-combinable aggregations — (token, doc) partial counts,
+    then token totals — so the shuffle carries one row per distinct
+    (token, doc), never the raw token stream; the final top-N is a
+    ``TakeOrderedAndProject`` (per-partition heaps, driver merges
+    n·partitions rows), not a global sort.  Emits
+    ``(term, corpus_freq, doc_freq)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    per_doc = toks.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("c"))
+    vocab = per_doc.groupBy("term").agg(
+        F.sum("c").alias("corpus_freq"), F.count(F.lit(1)).alias("doc_freq")
+    )
+    return vocab.orderBy(F.col("corpus_freq").desc(), F.col("term")).limit(top_n)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / context-window prep
+    stage): windows of ``size`` tokens starting every ``size - overlap``
+    tokens; the final window may be shorter.
+
+    Map-only — the token array, the start offsets
+    (``sequence(0, n_words-1, step)``) and each ``slice`` are all
+    higher-order-function expressions over the row itself, so chunking
+    adds zero shuffles and scales embarrassingly.  Every O(words)
+    expression is materialized as a named column first (no re-splitting
+    per chunk — the HOF-capture pitfall measured in BENCH_NOTES.md).
+    Emits ``(doc, chunk_id, chunk, n_tokens)``.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    ).withColumn("n", F.size("w"))
+    starts = words.select(
+        "doc",
+        "w",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(step))
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc",
+        (F.col("s") / step).cast("bigint").alias("chunk_id"),
+        F.array_join(F.slice("w", F.col("s") + 1, size), " ").alias("chunk"),
+        F.least(F.lit(size), F.col("n") - F.col("s")).alias("n_tokens"),
+    )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: Column,
+    group_col: str,
+    id_col: str,
+    buckets: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-group quality bucketing: rank every row within
+    its group by score (ascending — low perplexity first) and cut the
+    ranking into ``len(buckets)`` equal-count bands (head = best).
+
+    Integer arithmetic only (``rank * n_buckets <= bucket_ix * n``), so
+    band edges are exact and engine-independent — no float quantile
+    estimates to drift.  The window is PARTITIONED by the group: each
+    language/domain ranks on its own executors, no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    nb = len(buckets)
+    w = Window.partitionBy(group_col).orderBy(score_col.asc(), F.col(id_col))
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    bucket = F.when(F.col("__rn") * nb <= F.col("__n"), F.lit(buckets[0]))
+    for i in range(1, nb):
+        bucket = bucket.when(
+            F.col("__rn") * nb <= F.col("__n") * (i + 1), F.lit(buckets[i])
+        )
+    return ranked.withColumn("bucket", bucket).drop("__rn", "__n")

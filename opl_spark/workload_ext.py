@@ -33,6 +33,7 @@ from opl_spark.operators.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash,
+    keep_best_dedup,
 )
 from opl_spark.operators.layout import zorder_key, zorder_sql
 from opl_spark.operators.sampling import mix_sources, stratified_sample
@@ -69,6 +70,9 @@ from opl_spark.operators.text import (
     unigram_logprob,
     whitespace_token_count_col,
     winnow_fingerprints,
+    build_vocab,
+    chunk_documents,
+    quantile_buckets,
 )
 from opl_spark.sources import load_table
 from opl_spark.streaming.events import windowed_counts
@@ -1759,3 +1763,146 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregation over distinct per-doc tokens."""
     docs = load_table(spark, sf_dir, "documents")
     return heavy_hitters(docs, "text", "doc_id", min_doc_frac=0.3)
+
+
+# shared DuckDB connected-components CTE (recursive reach over the
+# >=0.2-Jaccard 3-gram near-dup graph; mirrors dedup_clusters)
+_COMPONENTS_CTE = (
+    _SHINGLE_CTE.replace("WITH docs", "WITH RECURSIVE docs", 1)
+    + """,
+kp2 AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
+),
+kedges AS (
+    SELECT id_a AS a, id_b AS b FROM kp2
+    UNION ALL SELECT id_b, id_a FROM kp2
+),
+kreach(node, r) AS (
+    SELECT DISTINCT a, a FROM kedges
+    UNION
+    SELECT kreach.node, e.b FROM kreach JOIN kedges e ON e.a = kreach.r
+),
+comp AS (SELECT node AS doc, MIN(r) AS keeper FROM kreach GROUP BY node)
+"""
+)
+
+
+@register(
+    "q_vocab_build",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS doc,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+    FROM documents
+),
+pd AS (SELECT term, doc, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+SELECT term, SUM(c) AS corpus_freq, COUNT(*) AS doc_freq
+FROM pd GROUP BY term
+ORDER BY corpus_freq DESC, term
+LIMIT 100
+""",
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary: top-100 tokens by corpus
+    frequency (lexicographic tiebreak) with document frequencies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", "doc_id", top_n=100)
+
+
+@register(
+    "q_chunk_docs",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id AS doc, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+starts AS (
+    SELECT doc, w, len(w) AS n, unnest(range(0, len(w), 40)) AS s
+    FROM docs
+)
+SELECT doc, s // 40 AS chunk_id,
+       array_to_string(list_slice(w, s + 1, s + 50), ' ') AS chunk,
+       least(50, n - s) AS n_tokens
+FROM starts
+""",
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 50-token windows every 40 tokens
+    (10-token overlap) — map-only, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", size=50, overlap=10)
+
+
+@register(
+    "q_keep_best",
+    oracle=_COMPONENTS_CTE
+    + """,
+kscored AS (
+    SELECT comp.doc, comp.keeper, d.n_chars
+    FROM comp JOIN documents d ON d.doc_id = comp.doc
+),
+kbest AS (
+    SELECT keeper AS cluster,
+           (list(doc ORDER BY n_chars DESC, doc))[1] AS best
+    FROM kscored GROUP BY keeper
+)
+SELECT s.doc, b.best AS keeper
+FROM kscored s JOIN kbest b ON b.cluster = s.keeper
+""",
+)
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keep rule: each near-dup cluster keeps its
+    longest member (n_chars score, min-id tiebreak) instead of the
+    arbitrary min-id — the keep-the-clean-copy rule real pipelines
+    use."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return keep_best_dedup(pairs, docs, "doc_id", "n_chars")
+
+
+@register(
+    "q_ccnet_bucket",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS doc,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM vocab),
+scored AS (
+    SELECT t.doc, COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(CAST(v.c AS DOUBLE) / (SELECT total FROM tot))), 6) AS avg_nll
+    FROM toks t JOIN vocab v USING (tok)
+    GROUP BY t.doc
+),
+with_lang AS (
+    SELECT s.doc, d.lang, s.n_tokens, s.avg_nll
+    FROM scored s JOIN documents d ON d.doc_id = s.doc
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM with_lang
+)
+SELECT doc, lang, n_tokens, avg_nll,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+""",
+)
+def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: per-language head/middle/tail
+    thirds by unigram-LM score (low avg_nll = head).  Exact integer
+    band edges; the ranking window is partitioned per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "text", "doc_id")
+    with_lang = scored.join(
+        docs.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    ).select("doc", "lang", "n_tokens", "avg_nll")
+    return quantile_buckets(with_lang, F.col("avg_nll"), "lang", "doc")

@@ -246,3 +246,68 @@ def test_heavy_hitters_uses_doc_frequency_not_raw_counts(spark):
     # "other" is in 2/3 docs -> included
     assert "spam" not in got
     assert got["other"] == 2
+
+
+# ---------------------------------------------------------------------------
+# vocab / chunking / keep-best / ccnet buckets
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_build_orders_and_counts(spark):
+    rows = [(1, "a a b c"), (2, "a b b"), (3, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from opl_spark.operators.text import build_vocab
+
+    out = {r["term"]: (r["corpus_freq"], r["doc_freq"]) for r in build_vocab(df, "text", "doc_id", 10).collect()}
+    assert out == {"a": (3, 2), "b": (3, 2), "c": (2, 2)}
+    # deterministic order: freq desc then term asc
+    top = [r["term"] for r in build_vocab(df, "text", "doc_id", 2).collect()]
+    assert top == ["a", "b"]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from opl_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        map(tuple, chunk_documents(df, "text", "doc_id", size=5, overlap=2).collect())
+    )
+    # step 3: starts 0,3,6,9 — last window is the 3-token tail
+    assert [r[1] for r in rows] == [0, 1, 2, 3]
+    assert rows[0][2] == "w0 w1 w2 w3 w4"
+    assert rows[3][2] == "w9 w10 w11"
+    assert [r[3] for r in rows] == [5, 5, 5, 3]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from opl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", size=5, overlap=5)
+
+
+def test_keep_best_prefers_quality_then_min_id(spark):
+    from opl_spark.operators.dedup import keep_best_dedup
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)], "doc_id long, score long"
+    )
+    out = {r["doc"]: r["keeper"] for r in keep_best_dedup(pairs, quality, "doc_id", "score").collect()}
+    # cluster {1,2,3}: max score 9 tied between 2 and 3 -> min id 2
+    assert out == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10}
+
+
+def test_quantile_buckets_exact_thirds(spark):
+    from opl_spark.operators.text import quantile_buckets
+
+    rows = [(i, "en", float(i)) for i in range(9)] + [(100, "it", 1.0)]
+    df = spark.createDataFrame(rows, "doc long, lang string, score double")
+    out = {r["doc"]: r["bucket"] for r in quantile_buckets(df, F.col("score"), "lang", "doc").collect()}
+    assert [out[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # a 1-row group: rn*3=3 > 2*n=2, so the single row lands in tail
+    assert out[100] == "tail"
