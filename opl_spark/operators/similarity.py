@@ -605,3 +605,151 @@ def semantic_dedup(
     dropped = pairs.select(F.col("id_b").alias("dropped")).distinct()
     cells = assigned.select(F.col(id_col).alias("dropped"), "cell")
     return dropped.join(cells, "dropped")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook: split the d dims into
+    ``m`` subspaces and run Lloyd k-means (``k`` centroids) per
+    subspace over a deterministic sample — the IVF-PQ compression
+    stage (Jégou et al., TPAMI 2011): a d-dim float32 vector becomes
+    ``m`` byte codes (64-dim/256 B → 4 B at m=4).
+
+    Only the SAMPLE crosses the driver (``orderBy(id).limit(sample)``
+    — a TakeOrdered, deterministic and metadata-sized, same pattern as
+    the IVF centroid seed); training is numpy on ≤ sample×d floats.
+    Init = first ``k`` distinct subvectors in id order; argmin ties
+    break to the lowest centroid index; empty clusters keep their
+    previous centroid — every step deterministic.
+
+    Returns ``codebook[m][k][d/m]`` (plain lists — closure-friendly).
+    """
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dims ({d}) not divisible by m ({m})")
+    sub = d // m
+    book = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        seen: dict[bytes, np.ndarray] = {}
+        for row in xs:
+            key = row.tobytes()
+            if key not in seen:
+                seen[key] = row
+            if len(seen) == k:
+                break
+        cents = np.array(list(seen.values()), dtype=np.float64)
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        book.append(cents.tolist())
+    return book
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str, codebook: list[list[list[float]]]
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the
+    nearest codebook centroid.  Map-only — the codebook travels in the
+    UDF closure (kilobytes), each Arrow batch does m small gemm-shaped
+    distance computations, and only ``(id, m codes)`` survive.
+    """
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    sub = cb[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        a = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        codes = np.empty((len(a), len(cb)), dtype=np.int32)
+        for j, cents in enumerate(cb):
+            xs = a[:, j * sub : (j + 1) * sub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (xs @ cents.T)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col).alias("id"), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact;
+    each corpus vector is scored against its reconstruction through
+    per-subspace LOOKUP TABLES (m table probes + one division per row
+    — no d-dim math on the scan side).
+
+    Scale story: the scan touches m bytes of codes per vector; the
+    lookup tables (m×k doubles) are computed once from the query and
+    travel in the closure.  Selection is the same TakeOrdered shape as
+    `cosine_topk`.  Emits ``(id, psim, rank)``; psim is cosine(query,
+    reconstruction), rounded(6).
+    """
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    sub = cb[0].shape[1]
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    # per-subspace tables: dot(query_sub, centroid) and ||centroid||²
+    dots = [cb[j] @ q[j * sub : (j + 1) * sub] for j in range(len(cb))]
+    n2s = [(cb[j] ** 2).sum(axis=1) for j in range(len(cb))]
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        c = np.stack(codes.to_numpy()).astype(np.int64, copy=False)
+        num = np.zeros(len(c))
+        rn2 = np.zeros(len(c))
+        for j in range(c.shape[1]):
+            num += dots[j][c[:, j]]
+            rn2 += n2s[j][c[:, j]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / (np.sqrt(rn2) * qn)
+        return pd.Series(np.where(rn2 > 0, out, -np.inf))
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    scored = pq_encode(df, vec_col, id_col, [c.tolist() for c in cb]).select(
+        "id", F.round(adc(F.col("codes")), 6).alias("psim")
+    )
+    rows = scored.orderBy(F.col("psim").desc(), F.col("id")).limit(k).collect()
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("psim", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [(r["id"], r["psim"], i + 1) for i, r in enumerate(rows)], schema
+    )

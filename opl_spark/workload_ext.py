@@ -1906,3 +1906,17 @@ def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("doc"), "lang"), "doc"
     ).select("doc", "lang", "n_tokens", "avg_nll")
     return quantile_buckets(with_lang, F.col("avg_nll"), "lang", "doc")
+
+
+@register("q_pq_topk")  # Lloyd-trained codebook — not SQL-expressible
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10: m=4 subspaces × 16 centroids,
+    codes are 4 bytes/vector (vs 256 B raw) and scoring is m table
+    lookups per row.  Rows-only check (iterative k-means training);
+    encode determinism and lossless-data recall pinned in
+    tests/test_pipeline_ops.py."""
+    from opl_spark.operators.similarity import pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_train(emb, "embedding", "vec_id", m=4, k=16)
+    return pq_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), book, k=10)

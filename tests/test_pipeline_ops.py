@@ -311,3 +311,53 @@ def test_quantile_buckets_exact_thirds(spark):
     assert [out[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
     # a 1-row group: rn*3=3 > 2*n=2, so the single row lands in tail
     assert out[100] == "tail"
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_lossless_df(spark):
+    # vectors built from 2 distinct patterns per 2-dim subspace: the
+    # codebook can represent every vector exactly, so PQ is lossless
+    pats = [[0.0, 1.0], [1.0, 0.0]]
+    rows = []
+    for i in range(32):
+        v = pats[i % 2] + pats[(i // 2) % 2] + pats[(i // 4) % 2] + pats[(i // 8) % 2]
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_encode_deterministic_and_bounded(spark):
+    from opl_spark.operators.similarity import pq_encode, pq_train
+
+    df = _pq_lossless_df(spark)
+    book = pq_train(df, "embedding", "vec_id", m=4, k=2, sample=32)
+    a = {r["id"]: tuple(r["codes"]) for r in pq_encode(df, "embedding", "vec_id", book).collect()}
+    b = {r["id"]: tuple(r["codes"]) for r in pq_encode(df, "embedding", "vec_id", book).collect()}
+    assert a == b
+    assert all(0 <= c < 2 for codes in a.values() for c in codes)
+    assert all(len(codes) == 4 for codes in a.values())
+
+
+def test_pq_topk_exact_on_lossless_data(spark):
+    from opl_spark.operators.similarity import cosine_topk, pq_topk, pq_train
+
+    df = _pq_lossless_df(spark)
+    book = pq_train(df, "embedding", "vec_id", m=4, k=2, sample=32)
+    q = [0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0, 0.0]
+    exact = [(r["id"], r["sim"]) for r in cosine_topk(df, "embedding", "vec_id", q, k=5).collect()]
+    pq = [(r["id"], r["psim"]) for r in pq_topk(df, "embedding", "vec_id", q, book, k=5).collect()]
+    # codebook represents the data exactly -> ADC score == true cosine
+    assert pq == exact
+
+
+def test_pq_train_rejects_indivisible_dims(spark):
+    import pytest as _pytest
+
+    from opl_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        pq_train(df, "embedding", "vec_id", m=2, k=2)
