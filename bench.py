@@ -71,6 +71,15 @@ BENCH_QUERIES = [
     "q_unigram_logprob",
     "q_percentile_filter",
     "q_heavy_hitters",
+    # vocab / chunking / keep-best / ccnet / PQ
+    "q_vocab_build",
+    "q_chunk_docs",
+    "q_keep_best",
+    "q_ccnet_bucket",
+    "q_pq_topk",
+    "q_budget_sample",
+    "q_bigram_logprob",
+    "q_token_entropy",
 ]
 
 

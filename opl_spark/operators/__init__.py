@@ -14,6 +14,7 @@ from opl_spark.operators.dedup import (  # noqa: F401
     bloom_might_contain,
     contamination,
     dedup_clusters,
+    keep_best_dedup,
     exact_dedup,
     incremental_dedup,
     minhash_signatures,
@@ -29,6 +30,7 @@ from opl_spark.operators.layout import (  # noqa: F401
 )
 from opl_spark.operators.sampling import (  # noqa: F401
     copies_col,
+    budget_sample,
     hash_gate,
     mix_sources,
     stratified_sample,
@@ -40,6 +42,9 @@ from opl_spark.operators.similarity import (  # noqa: F401
     ivf_topk,
     kmeans_centroids,
     knn_join,
+    pq_encode,
+    pq_topk,
+    pq_train,
     quantize_embeddings,
     quantized_topk,
     seed_centroids,
@@ -61,5 +66,10 @@ from opl_spark.operators.text import (  # noqa: F401
     repetition_profile,
     split_col,
     token_count_col,
+    token_entropy,
+    bigram_logprob,
+    build_vocab,
+    chunk_documents,
+    quantile_buckets,
     unigram_logprob,
 )

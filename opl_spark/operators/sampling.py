@@ -111,3 +111,28 @@ def stratified_sample(
         thr = F.when(F.col(group_col) == g, F.lit(int(r * _M32))).otherwise(thr)
     bucket = F.pmod(F.col(id_col) * F.lit(_KNUTH) + F.lit(salt), F.lit(_M32))
     return df.filter(bucket < thr)
+
+
+def budget_sample(
+    df: DataFrame, group_col: str, id_col: str, budget: int
+) -> DataFrame:
+    """Fixed-budget per-group sampling: keep exactly
+    ``min(budget, group_size)`` rows per group — the "N docs per
+    domain" cap a corpus-composition step enforces (rate-based
+    sampling can't hit an exact per-group count).
+
+    Selection order is a deterministic shuffle: rows rank by
+    ``(md5(id), id)`` within the group, so the pick is uniform-ish yet
+    identical on any engine and across runs (md5 is portable where
+    xxhash64 is Spark-only).  The ranking window is PARTITIONED by the
+    group — each group ranks on its own executors, no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= budget)
+        .drop("__rn")
+    )

@@ -482,3 +482,70 @@ def quantile_buckets(
             F.col("__rn") * nb <= F.col("__n") * (i + 1), F.lit(buckets[i])
         )
     return ranked.withColumn("bucket", bucket).drop("__rn", "__n")
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Bigram language-model quality score: average negative log
+    conditional probability ``p(w_i | w_{i-1})`` under the corpus's own
+    bigram MLE — one tier sharper than :func:`unigram_logprob` at
+    spotting shuffled/garbled text (which keeps plausible unigrams but
+    improbable transitions).
+
+    Emits ``(doc, n_bigrams, avg_nll2)`` for documents with ≥ 2
+    tokens.  Shape: the bigram stream is a map-only HOF over a
+    MATERIALIZED token-array column (no re-split per bigram — the
+    HOF-capture pitfall in BENCH_NOTES.md); then two
+    map-side-combinable count aggregations (bigram, preceding-token)
+    and two hash joins back onto the stream, all partitioned by the
+    bigram/prefix key.  No driver-side state at all — unlike the
+    unigram score there is no corpus-total scalar.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    ).filter(F.size("w") >= 2)
+    bg = words.select(
+        "doc",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("b"),
+    )
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    cp = cb.groupBy(F.split(F.col("b"), " ")[0].alias("p")).agg(
+        F.sum("c").alias("cp")
+    )
+    scored = bg.join(cb, "b").join(cp, F.split(bg.b, " ")[0] == cp.p)
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(-F.log(F.col("c").cast("double") / F.col("cp").cast("double"))), 6
+        ).alias("avg_nll2"),
+    )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document token Shannon entropy (nats) — the repetitiveness
+    signal: boilerplate and keyword-stuffed pages score near 0, diverse
+    prose scores near ln(n_tokens).
+
+    Uses the identity ``H = ln(N) - (Σ c·ln c)/N`` over per-token
+    counts, so only integer counts feed the logs (stable across
+    engines; rounded(6) on the wire).  Shape: one map-side-combinable
+    (doc, token) count, then a doc-keyed reduce — both partial-agg
+    shuffles, no window, no driver state.  Emits
+    ``(doc, n_tokens, entropy)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy"),
+    )

@@ -1920,3 +1920,83 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     book = pq_train(emb, "embedding", "vec_id", m=4, k=16)
     return pq_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), book, k=10)
+
+
+@register(
+    "q_budget_sample",
+    oracle=r"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 50
+""",
+)
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed per-domain budget: exactly min(50, |domain|) docs per
+    source, picked by deterministic md5 shuffle order."""
+    from opl_spark.operators.sampling import budget_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return budget_sample(docs, "source", "doc_id", budget=50)
+
+
+@register(
+    "q_bigram_logprob",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id AS doc, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+bg AS (
+    SELECT doc, unnest(list_transform(
+        range(2, len(w) + 1), i -> w[i-1] || ' ' || w[i])) AS b
+    FROM docs WHERE len(w) >= 2
+),
+cb AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY 1),
+cp AS (SELECT split_part(b, ' ', 1) AS p, SUM(c) AS cp FROM cb GROUP BY 1)
+SELECT doc, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-ln(CAST(cb.c AS DOUBLE) / CAST(cp.cp AS DOUBLE))), 6) AS avg_nll2
+FROM bg
+JOIN cb USING (b)
+JOIN cp ON cp.p = split_part(bg.b, ' ', 1)
+GROUP BY doc
+""",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score per document (avg negative log
+    conditional transition probability) — the shuffled-text detector
+    the unigram score can't be."""
+    from opl_spark.operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "text", "doc_id")
+
+
+@register(
+    "q_token_entropy",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS doc,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+counts AS (SELECT doc, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+SELECT doc, SUM(c) AS n_tokens,
+       ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+FROM counts
+GROUP BY doc
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-entropy repetitiveness signal per document (H = ln N -
+    sum(c ln c)/N over integer counts)."""
+    from opl_spark.operators.text import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs, "text", "doc_id")

@@ -361,3 +361,49 @@ def test_pq_train_rejects_indivisible_dims(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         pq_train(df, "embedding", "vec_id", m=2, k=2)
+
+
+def test_budget_sample_exact_counts_and_determinism(spark):
+    from opl_spark.operators.sampling import budget_sample
+
+    df = _docs(spark)  # 100 docs per src0/src1/src2
+    out = budget_sample(df, "source", "doc_id", budget=30)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"src0": 30, "src1": 30, "src2": 30}
+    # budget over group size keeps the whole group
+    assert budget_sample(df, "source", "doc_id", budget=500).count() == 300
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in budget_sample(df, "source", "doc_id", 30).collect())
+    assert a == b
+
+
+def test_bigram_logprob_flags_improbable_transitions(spark):
+    import math
+
+    from opl_spark.operators.text import bigram_logprob
+
+    rows = [(1, "a b a b"), (2, "a c"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: (r["n_bigrams"], r["avg_nll2"]) for r in bigram_logprob(df, "text", "doc_id").collect()}
+    # 1-token doc has no bigrams and is absent
+    assert set(out) == {1, 2}
+    # corpus bigrams: "a b"x2, "b a"x1, "a c"x1 -> p(b|a)=2/3, p(a|b)=1,
+    # p(c|a)=1/3; the rare transition scores strictly worse
+    exp_1 = round((2 * -math.log(2 / 3) + 1 * -math.log(1.0)) / 3, 6)
+    exp_2 = round(-math.log(1 / 3), 6)
+    assert out[1] == (3, exp_1)
+    assert out[2] == (1, exp_2)
+    assert out[2][1] > out[1][1]
+
+
+def test_token_entropy_extremes(spark):
+    import math
+
+    from opl_spark.operators.text import token_entropy
+
+    rows = [(1, "a a a a"), (2, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: (r["n_tokens"], r["entropy"]) for r in token_entropy(df, "text", "doc_id").collect()}
+    # all-same tokens -> 0 nats; all-distinct -> ln(4)
+    assert out[1] == (4, 0.0)
+    assert out[2] == (4, round(math.log(4), 6))

@@ -147,3 +147,37 @@ def test_incremental_dedup_no_global_exchange_beyond_keys(spark, sf_dir):
 
     plan = formatted_plan(workload.queries()["q_incremental_dedup"](spark, sf_dir))
     assert "SinglePartition" not in plan
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """Sliding-window chunking claims zero shuffles — the token array,
+    start offsets, and slices are all row-local HOF expressions."""
+    from opl_spark.operators.text import chunk_documents
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert _exchanges(chunk_documents(docs, "text", "doc_id")) == 0
+
+
+def test_vocab_build_plans_take_ordered(spark, sf_dir):
+    """The vocabulary top-N must be TakeOrderedAndProject (per-partition
+    heaps), never a global sort of the whole vocabulary."""
+    from opl_spark.operators.text import build_vocab
+    from opl_spark.plans import formatted_plan
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(build_vocab(docs, "text", "doc_id", 100))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_pq_encode_is_map_only(spark, sf_dir):
+    """PQ encoding is one Arrow-batched map pass — no shuffle; only
+    (id, m codes) survive the scan."""
+    from opl_spark.operators.similarity import pq_encode, pq_train
+    from opl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_train(emb, "embedding", "vec_id", m=4, k=8, sample=256, iters=2)
+    assert _exchanges(pq_encode(emb, "embedding", "vec_id", book)) == 0
