@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q_budget_sample",
     "q_bigram_logprob",
     "q_token_entropy",
+    "q_ivfpq_topk",
 ]
 
 

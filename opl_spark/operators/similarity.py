@@ -753,3 +753,30 @@ def pq_topk(
     return df.sparkSession.createDataFrame(
         [(r["id"], r["psim"], i + 1) for i, r in enumerate(rows)], schema
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ: the full billion-scale ANN composition (coarse inverted
+    file + product-quantized residual scan, Jégou et al.) — probe the
+    ``nprobe`` nearest cells, then ADC-score only the probed pool's
+    PQ codes.
+
+    At 100 TB the two stages multiply: the cell filter prunes the scan
+    to ``nprobe/ncells`` of the store (partition pruning when the index
+    is materialized via :func:`build_ivf_index`) and PQ shrinks what IS
+    scanned to m bytes/vector.  Here the pool filter and the ADC pass
+    compose lazily on the same plan — no intermediate materialization.
+    """
+    assigned = ivf_assign(df, vec_col, centroids)
+    cells = probe_cells(centroids, query, nprobe)
+    pool = assigned.filter(F.col("cell").isin(cells)).drop("cell")
+    return pq_topk(pool, vec_col, id_col, query, codebook, k)

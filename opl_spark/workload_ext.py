@@ -2000,3 +2000,19 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_entropy(docs, "text", "doc_id")
+
+
+@register("q_ivfpq_topk")  # k-means + Lloyd codebooks — not SQL-expressible
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10: coarse 8-cell inverted file (probe 4) over 4x16
+    PQ codes — the composed billion-scale ANN path; rows-only check,
+    recall pinned vs brute force in tests."""
+    from opl_spark.operators.similarity import ivfpq_topk, pq_train, seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, "embedding", "vec_id", ncells=8)
+    book = pq_train(emb, "embedding", "vec_id", m=4, k=16)
+    return ivfpq_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir), cents, book,
+        k=10, nprobe=4,
+    )

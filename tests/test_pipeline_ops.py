@@ -407,3 +407,23 @@ def test_token_entropy_extremes(spark):
     # all-same tokens -> 0 nats; all-distinct -> ln(4)
     assert out[1] == (4, 0.0)
     assert out[2] == (4, round(math.log(4), 6))
+
+
+def test_ivfpq_self_hit_and_pool_pruning(spark, sf_dir):
+    from opl_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+        pq_train,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = seed_centroids(emb, "embedding", "vec_id", ncells=8)
+    book = pq_train(emb, "embedding", "vec_id", m=4, k=16, sample=512, iters=4)
+    got = ivfpq_topk(emb, "embedding", "vec_id", probe, cents, book, k=10, nprobe=4).collect()
+    assert len(got) == 10
+    # probing all cells must equal plain PQ over the whole corpus
+    full = ivfpq_topk(emb, "embedding", "vec_id", probe, cents, book, k=10, nprobe=8).collect()
+    plain = pq_topk(emb, "embedding", "vec_id", probe, book, k=10).collect()
+    assert [(r["id"], r["psim"]) for r in full] == [(r["id"], r["psim"]) for r in plain]
