@@ -1,0 +1,88 @@
+"""Property tests for the corpus-pipeline operators: for randomized
+inputs, structural invariants that the oracle hash-compare can't
+express (losslessness, exact budgets, entropy bounds, packing order).
+
+One Spark job per hypothesis example is the cost model — examples are
+capped low and the data tiny; these are semantics probes, not load
+tests.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from opl_spark.operators.sampling import budget_sample
+from opl_spark.operators.text import chunk_documents, token_entropy
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "y2"]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(words=_words, size=st.integers(2, 12), overlap=st.integers(0, 6))
+def test_chunks_reassemble_to_original(spark, words, size, overlap):
+    if overlap >= size:
+        overlap = size - 1
+    step = size - overlap
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk"], r["n_tokens"])
+        for r in chunk_documents(df, "text", "doc_id", size, overlap).collect()
+    )
+    # chunk ids are contiguous from 0; every chunk fits the window
+    assert [r[0] for r in rows] == list(range(len(rows)))
+    assert all(r[2] <= size for r in rows)
+    # the first `step` tokens of every chunk, plus the final chunk's
+    # tail, reassemble the document exactly (losslessness)
+    rebuilt = []
+    for cid, chunk, _n in rows:
+        toks = chunk.split(" ")
+        rebuilt.extend(toks[:step] if cid < len(rows) - 1 else toks)
+    assert rebuilt == words
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(0, 12), min_size=1, max_size=4),
+    budget=st.integers(1, 8),
+)
+def test_budget_sample_is_exact(spark, sizes, budget):
+    rows = [
+        (g * 100 + i, f"g{g}") for g, n in enumerate(sizes) for i in range(n)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    per = {
+        r["source"]: r["n"]
+        for r in budget_sample(df, "source", "doc_id", budget)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for g, n in enumerate(sizes):
+        assert per.get(f"g{g}", 0) == min(n, budget)
+
+
+@settings(**_SETTINGS)
+@given(words=_words)
+def test_token_entropy_bounds(spark, words):
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    row = token_entropy(df, "text", "doc_id").first()
+    n = len(words)
+    assert row["n_tokens"] == n
+    assert -1e-9 <= row["entropy"] <= math.log(n) + 1e-9
+    # entropy is 0 iff all tokens identical
+    if len(set(words)) == 1:
+        assert row["entropy"] == 0.0
