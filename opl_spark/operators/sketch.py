@@ -1,0 +1,74 @@
+"""Mergeable sketches: count-min (approximate frequency with a hard
+overcount-only guarantee).
+
+The HLL++ distinct sketch is Spark-native (``approx_count_distinct``,
+registered as ``q_approx_distinct``); count-min is the companion for
+FREQUENCY: a (depth × width) grid of counters whose update is a
+map-side-combinable ``groupBy(row, bucket).sum`` — the sketch is the
+aggregation state itself, so it merges across partitions, batches, and
+streams for free, and its size is fixed (depth·width counters) no
+matter how many distinct keys the 100 TB corpus holds.
+
+Guarantee: ``estimate >= true`` always (counters only ever overcount
+on hash collisions); with width w and depth d, the overcount is
+≤ 2N/w with probability 1 - (1/2)^d — the standard Cormode-Muthukrishnan
+bound.  Hash rows derive from ``xxhash64(token, row-salt)``, all
+JVM-side codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cms_cells(col: Column, width: int, depth: int) -> Column:
+    """array<struct<row,bucket>> — the depth cells a value updates."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def count_min_build(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Build the sketch: one explode of the depth cells per value, then
+    one map-side-combinable count per (row, bucket).  The shuffle
+    carries at most depth·width rows TOTAL regardless of input size —
+    the sketch, not the data."""
+    cells = df.select(F.explode(_cms_cells(F.col(col), width, depth)).alias("cell"))
+    return cells.groupBy(
+        F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (width, depth): cellwise sum
+    — the property that makes count-min a streaming/cross-shard
+    structure."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+
+
+def count_min_estimate(
+    sketch: DataFrame, terms: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Estimate frequencies for the ``terms`` rows: probe the depth
+    cells per term and take the MIN counter (absent cell = 0).  Join
+    fans out to depth rows per term — terms are query-sized, the
+    sketch is fixed-size, so AQE broadcasts whichever side is smaller.
+    Emits ``(term, est)`` with ``est >= true`` guaranteed."""
+    probes = terms.select(
+        F.col(col).alias("term"),
+        F.explode(_cms_cells(F.col(col), width, depth)).alias("cell"),
+    ).select("term", F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+    joined = probes.join(sketch, ["row", "bucket"], "left").na.fill({"c": 0})
+    return joined.groupBy("term").agg(F.min("c").alias("est"))

@@ -2016,3 +2016,24 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir), cents, book,
         k=10, nprobe=4,
     )
+
+
+@register("q_cms_counts")  # xxhash64 rows — not DuckDB-expressible
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch demo: estimated vs exact corpus frequency for
+    the top-20 vocabulary terms.  The sketch is depth*width counters
+    TOTAL (mergeable across shards/streams); rows-only check —
+    est >= true is asserted in tests/test_pipeline_ops.py."""
+    from opl_spark.operators.sketch import count_min_build, count_min_estimate
+    from opl_spark.operators.text import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    sketch = count_min_build(toks, "tok", width=2048, depth=4)
+    top = build_vocab(docs, "text", "doc_id", top_n=20).select(
+        F.col("term"), F.col("corpus_freq")
+    )
+    est = count_min_estimate(sketch, top.select("term"), "term", width=2048, depth=4)
+    return top.join(est, "term").select("term", "corpus_freq", "est")

@@ -427,3 +427,34 @@ def test_ivfpq_self_hit_and_pool_pruning(spark, sf_dir):
     full = ivfpq_topk(emb, "embedding", "vec_id", probe, cents, book, k=10, nprobe=8).collect()
     plain = pq_topk(emb, "embedding", "vec_id", probe, book, k=10).collect()
     assert [(r["id"], r["psim"]) for r in full] == [(r["id"], r["psim"]) for r in plain]
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from opl_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    rows = [(f"t{i % 17}",) for i in range(600)] + [("hot",)] * 200
+    df = spark.createDataFrame(rows, "tok string")
+    sketch = count_min_build(df, "tok", width=64, depth=4)
+    # fixed size: at most depth*width cells exist
+    assert sketch.count() <= 64 * 4
+    terms = df.distinct()
+    truth = {r["tok"]: r["n"] for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {r["term"]: r["est"] for r in count_min_estimate(sketch, terms, "tok", 64, 4).collect()}
+    assert set(est) == set(truth)
+    for t, n in truth.items():
+        assert est[t] >= n  # overcount-only guarantee
+    # merging two disjoint half-sketches equals sketching the whole stream
+    h1 = count_min_build(df.filter(F.col("tok") != "hot"), "tok", 64, 4)
+    h2 = count_min_build(df.filter(F.col("tok") == "hot"), "tok", 64, 4)
+    merged = count_min_merge(h1, h2)
+    est2 = {r["term"]: r["est"] for r in count_min_estimate(merged, terms, "tok", 64, 4).collect()}
+    assert est2 == est
