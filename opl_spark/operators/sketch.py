@@ -72,3 +72,54 @@ def count_min_estimate(
     ).select("term", F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
     joined = probes.join(sketch, ["row", "bucket"], "left").na.fill({"c": 0})
     return joined.groupBy("term").agg(F.min("c").alias("est"))
+
+
+def count_min_stream_to_table(
+    stream_df: DataFrame,
+    col: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    width: int = 1024,
+    depth: int = 4,
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain a count-min sketch over a STREAM: per microbatch, build
+    the batch's sketch and cellwise-merge it into a parquet sketch
+    table — the mergeability that makes count-min the right frequency
+    state for unbounded streams (state size stays depth·width counters
+    forever; a per-key exact counter would grow with the keyspace).
+
+    Idempotence: the sink keeps ``__batch_id``; a replayed microbatch
+    (foreachBatch is at-least-once) is detected and skipped, so the
+    merged counts are exact — the drained sketch equals the batch-built
+    sketch over the same data (asserted in tests/test_streaming.py).
+    Overwrite-with-union keeps the table tiny (≤ depth·width rows), so
+    the rewrite is metadata-sized, not data-sized.
+    """
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        batch_sketch = count_min_build(df, col, width, depth).withColumn(
+            "__batch_id", F.lit(batch_id)
+        )
+        try:
+            old = spark.read.parquet(sketch_path)
+            if old.filter(F.col("__batch_id") >= batch_id).limit(1).count() > 0:
+                return  # replayed batch — already merged
+            merged = (
+                old.unionByName(batch_sketch)
+                .groupBy("row", "bucket")
+                .agg(F.sum("c").alias("c"), F.max("__batch_id").alias("__batch_id"))
+            )
+        except Exception:
+            merged = batch_sketch
+        # tiny table: stage then swap via overwrite — depth*width rows
+        merged.localCheckpoint().write.mode("overwrite").parquet(sketch_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

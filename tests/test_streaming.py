@@ -132,3 +132,46 @@ def test_first_seen_emits_exactly_once_per_key(spark, sf_dir):
         load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
     )
     assert joined.filter(F.col("first_id") == F.col("event_id")).count() == got.count()
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Draining the events stream through the incremental count-min
+    maintenance must produce EXACTLY the sketch a single batch build
+    yields — cellwise-sum merge is lossless."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+        count_min_stream_to_table,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select("event_type")
+    count_min_stream_to_table(
+        stream,
+        "event_type",
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+        width=64,
+        depth=4,
+    )
+    streamed = spark.read.parquet(str(tmp_path / "sketch")).select("row", "bucket", "c")
+    batch = count_min_build(
+        load_table(spark, sf_dir, "events").select("event_type"), "event_type", 64, 4
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+    # and the estimates respect the overcount-only guarantee
+    types = load_table(spark, sf_dir, "events").select("event_type").distinct()
+    truth = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    est = {
+        r["term"]: r["est"]
+        for r in count_min_estimate(streamed, types, "event_type", 64, 4).collect()
+    }
+    for t, n in truth.items():
+        assert est[t] >= n
