@@ -181,3 +181,36 @@ def test_pq_encode_is_map_only(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     book = pq_train(emb, "embedding", "vec_id", m=4, k=8, sample=256, iters=2)
     assert _exchanges(pq_encode(emb, "embedding", "vec_id", book)) == 0
+
+
+def test_no_scale_killers_in_any_registered_query(spark):
+    """Repo-wide physical-plan audit: no registered query may plan a
+    cartesian product, a nested-loop join (except a broadcast against
+    a provably single-row side), or an unpartitioned ranking window —
+    the three shapes that silently stop scaling at 100x.
+
+    Plans are inspected at sf0.001 (plan SHAPE is scale-invariant;
+    AQE only narrows it at runtime)."""
+    import re
+
+    from opl_spark import workload
+    from opl_spark.plans import formatted_plan
+
+    # broadcast cross-join against a single-row aggregate (corpus count
+    # guards / zero-fill defaults) is 1-row x N — legitimate
+    single_row_broadcast_ok = {"q_tfidf", "q_zero_fill"}
+    sf = "/root/testdata/sf0.001"
+    flagged = {}
+    for name, fn in workload.queries().items():
+        plan = formatted_plan(fn(spark, sf))
+        hits = []
+        if "CartesianProduct" in plan:
+            hits.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in single_row_broadcast_ok:
+            hits.append("nested-loop join")
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            if re.match(r"^[^,]+ (ASC|DESC)", m.group(1)):
+                hits.append("global window")
+        if hits:
+            flagged[name] = hits
+    assert not flagged, flagged
