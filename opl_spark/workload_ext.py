@@ -2037,3 +2037,17 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = count_min_estimate(sketch, top.select("term"), "term", width=2048, depth=4)
     return top.join(est, "term").select("term", "corpus_freq", "est")
+
+
+@register("q_pq_rerank")  # Lloyd codebooks — not SQL-expressible
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-10 with exact reranking of an ADC shortlist (x16) — the
+    production recall remedy over raw ADC ordering; rows-only check,
+    full-shortlist==exact equality pinned in tests."""
+    from opl_spark.operators.similarity import pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_train(emb, "embedding", "vec_id", m=4, k=16)
+    return pq_topk(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir), book, k=10, rerank=16
+    )

@@ -458,3 +458,18 @@ def test_cms_never_undercounts_and_merges(spark):
     merged = count_min_merge(h1, h2)
     est2 = {r["term"]: r["est"] for r in count_min_estimate(merged, terms, "tok", 64, 4).collect()}
     assert est2 == est
+
+
+def test_pq_rerank_full_shortlist_equals_exact(spark, sf_dir):
+    from opl_spark.operators.similarity import cosine_topk, pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    book = pq_train(emb, "embedding", "vec_id", m=4, k=16, sample=256, iters=3)
+    n = emb.count()
+    # shortlist covering the whole corpus -> rerank IS exact top-k
+    full = pq_topk(emb, "embedding", "vec_id", probe, book, k=10, rerank=(n // 10) + 1)
+    exact = cosine_topk(emb, "embedding", "vec_id", probe, k=10)
+    assert [(r["id"], r["psim"], r["rank"]) for r in full.collect()] == [
+        (r["id"], r["sim"], r["rank"]) for r in exact.collect()
+    ]
