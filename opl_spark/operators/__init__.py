@@ -35,6 +35,11 @@ from opl_spark.operators.sampling import (  # noqa: F401
     mix_sources,
     stratified_sample,
 )
+from opl_spark.operators.sketch import (  # noqa: F401
+    count_min_build,
+    count_min_estimate,
+    count_min_merge,
+)
 from opl_spark.operators.similarity import (  # noqa: F401
     cosine_sim_col,
     cosine_topk,
@@ -42,6 +47,7 @@ from opl_spark.operators.similarity import (  # noqa: F401
     ivf_topk,
     kmeans_centroids,
     knn_join,
+    ivfpq_topk,
     pq_encode,
     pq_topk,
     pq_train,
