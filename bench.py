@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "q_bigram_logprob",
     "q_token_entropy",
     "q_ivfpq_topk",
+    "q_cms_counts",
+    "q_pq_rerank",
 ]
 
 

@@ -579,23 +579,29 @@ def keep_best_dedup(
 
     ``pairs`` is any near-dup pair stream (``id_a``/``id_b``);
     ``quality`` maps ``id_col`` → ``score_col``.  Components come from
-    :func:`dedup_clusters` (min-label propagation); the argmax is one
-    map-side-combinable ``max_by``-shaped aggregation per cluster — a
-    struct-max of ``(score, -id)``, so ties break to the smallest id
-    deterministically.  Emits ``(doc, keeper)`` for every clustered
-    document.
+    :func:`dedup_clusters` (min-label propagation); the argmax is two
+    map-side-combinable aggregations per cluster — max score, then min
+    id among the members holding it — which stays correct for ANY
+    orderable id type (a negate-the-id struct-max trick would
+    null out string/UUID ids).  Emits ``(doc, keeper)`` for every
+    clustered document.
     """
     clusters = dedup_clusters(pairs)  # (doc, keeper=min-id label)
     scored = clusters.join(
         quality.select(F.col(id_col).alias("doc"), F.col(score_col).alias("__q")),
         "doc",
     )
+    best_q = scored.groupBy(F.col("keeper").alias("cluster")).agg(
+        F.max("__q").alias("__best_q")
+    )
     best = (
-        scored.groupBy(F.col("keeper").alias("cluster"))
-        .agg(
-            F.max(F.struct(F.col("__q"), (-F.col("doc")).alias("negid"))).alias("m")
+        scored.join(
+            best_q,
+            (scored["keeper"] == best_q["cluster"])
+            & (scored["__q"] == best_q["__best_q"]),
         )
-        .select("cluster", (-F.col("m.negid")).alias("best"))
+        .groupBy("cluster")
+        .agg(F.min("doc").alias("best"))
     )
     return (
         clusters.join(best, clusters.keeper == best.cluster)

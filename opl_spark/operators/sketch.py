@@ -59,13 +59,19 @@ def count_min_merge(*sketches: DataFrame) -> DataFrame:
 
 
 def count_min_estimate(
-    sketch: DataFrame, terms: DataFrame, col: str, width: int = 1024, depth: int = 4
+    sketch: DataFrame, terms: DataFrame, col: str, width: int, depth: int
 ) -> DataFrame:
     """Estimate frequencies for the ``terms`` rows: probe the depth
     cells per term and take the MIN counter (absent cell = 0).  Join
     fans out to depth rows per term — terms are query-sized, the
     sketch is fixed-size, so AQE broadcasts whichever side is smaller.
-    Emits ``(term, est)`` with ``est >= true`` guaranteed."""
+    Emits ``(term, est)`` with ``est >= true`` guaranteed.
+
+    ``width``/``depth`` are REQUIRED and must equal the values the
+    sketch was built with — probing with a different geometry hashes
+    into the wrong cells and can UNDERcount, the one failure mode
+    count-min promises cannot happen (the sketch rows carry no
+    geometry metadata to validate against)."""
     probes = terms.select(
         F.col(col).alias("term"),
         F.explode(_cms_cells(F.col(col), width, depth)).alias("cell"),
@@ -97,12 +103,21 @@ def count_min_stream_to_table(
     the rewrite is metadata-sized, not data-sized.
     """
     def merge_batch(df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = df.sparkSession
         batch_sketch = count_min_build(df, col, width, depth).withColumn(
             "__batch_id", F.lit(batch_id)
         )
         try:
             old = spark.read.parquet(sketch_path)
+        except AnalysisException:
+            # first batch: the sink does not exist yet.  ONLY this —
+            # any other failure must surface, because falling back to
+            # batch_sketch here would silently overwrite all previously
+            # merged counts with one batch's worth.
+            merged = batch_sketch
+        else:
             if old.filter(F.col("__batch_id") >= batch_id).limit(1).count() > 0:
                 return  # replayed batch — already merged
             merged = (
@@ -110,8 +125,6 @@ def count_min_stream_to_table(
                 .groupBy("row", "bucket")
                 .agg(F.sum("c").alias("c"), F.max("__batch_id").alias("__batch_id"))
             )
-        except Exception:
-            merged = batch_sketch
         # tiny table: stage then swap via overwrite — depth*width rows
         merged.localCheckpoint().write.mode("overwrite").parquet(sketch_path)
 

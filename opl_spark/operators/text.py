@@ -430,19 +430,27 @@ def chunk_documents(
     per chunk — the HOF-capture pitfall measured in BENCH_NOTES.md).
     Emits ``(doc, chunk_id, chunk, n_tokens)``.
     """
-    if overlap >= size:
-        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    if not 0 <= overlap < size:
+        raise ValueError(f"overlap ({overlap}) must be in [0, size={size})")
     step = size - overlap
     words = df.select(
         F.col(id_col).alias("doc"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
     ).withColumn("n", F.size("w"))
+    # last start: the largest grid point s with s + overlap < n, so
+    # every window past the first contributes at least one NEW token —
+    # a start inside the previous window's tail would re-emit a fully
+    # contained duplicate window
     starts = words.select(
         "doc",
         "w",
         "n",
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(step))
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n") - 1 - overlap, F.lit(0)),
+                F.lit(step),
+            )
         ).alias("s"),
     )
     return starts.select(

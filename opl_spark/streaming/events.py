@@ -45,17 +45,27 @@ def _events_schema(ts_nanos: bool) -> T.StructType:
     )
 
 
-def _ts_is_nanos(parquet_file: str) -> bool:
-    """True iff the file's ``ts`` column is TIMESTAMP(NANOS).
+def _ts_is_nanos(parquet_path: str) -> bool:
+    """True iff the source's ``ts`` column is TIMESTAMP(NANOS).
 
     One footer read on the driver — the streaming analog of the schema
     sniff every fixed-schema ``readStream`` deployment does once at
     query-authoring time.  Generated testdata has shipped both units
-    across driver versions, so detect rather than assume."""
+    across driver versions, so detect rather than assume.  A DIRECTORY
+    source (the production shape) is sniffed via its first parquet
+    file — files within one stream share a schema."""
     try:
+        import glob
+
         import pyarrow.parquet as pq
 
-        field = [f for f in pq.ParquetFile(parquet_file).schema if f.name == "ts"]
+        target = parquet_path
+        if os.path.isdir(parquet_path):
+            inside = sorted(glob.glob(os.path.join(parquet_path, "*.parquet")))
+            if not inside:
+                return False
+            target = inside[0]
+        field = [f for f in pq.ParquetFile(target).schema if f.name == "ts"]
         return bool(field) and "nanoseconds" in str(field[0].logical_type)
     except Exception:
         return False
@@ -68,7 +78,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape — while the testdata ships one flat file, so the
     file is staged into a scratch directory via symlink first."""
     src = os.path.join(sf_dir, "events.parquet")
-    ts_nanos = _ts_is_nanos(src) if os.path.isfile(src) else False
+    ts_nanos = _ts_is_nanos(src)
     if os.path.isfile(src):
         # stable digest — Python's hash() is per-process randomized
         # (PYTHONHASHSEED), which would mint a fresh staging dir per run

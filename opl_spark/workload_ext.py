@@ -119,6 +119,31 @@ inter AS (
 )
 """
 
+# shared DuckDB connected-components CTE (recursive reach over the
+# >=0.2-Jaccard 3-gram near-dup graph; mirrors dedup_clusters)
+_COMPONENTS_CTE = (
+    _SHINGLE_CTE.replace("WITH docs", "WITH RECURSIVE docs", 1)
+    + """,
+kp2 AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
+),
+kedges AS (
+    SELECT id_a AS a, id_b AS b FROM kp2
+    UNION ALL SELECT id_b, id_a FROM kp2
+),
+kreach(node, r) AS (
+    SELECT DISTINCT a, a FROM kedges
+    UNION
+    SELECT kreach.node, e.b FROM kreach JOIN kedges e ON e.a = kreach.r
+),
+comp AS (SELECT node AS doc, MIN(r) AS keeper FROM kreach GROUP BY node)
+"""
+)
+
 
 @register(
     "q_dedup_ngram",
@@ -141,27 +166,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_clusters",
-    # the reach() CTE is recursive — RECURSIVE qualifies the whole WITH
-    oracle=_SHINGLE_CTE.replace("WITH docs", "WITH RECURSIVE docs", 1)
-    + """,
-p2 AS (
-    SELECT id_a, id_b
-    FROM inter
-    JOIN sizes sa ON sa.doc = id_a
-    JOIN sizes sb ON sb.doc = id_b
-    WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
-),
-edges AS (
-    SELECT id_a AS a, id_b AS b FROM p2
-    UNION ALL SELECT id_b, id_a FROM p2
-),
-reach(node, r) AS (
-    SELECT DISTINCT a, a FROM edges
-    UNION
-    SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
-)
-SELECT node AS doc, MIN(r) AS keeper FROM reach GROUP BY node
-""",
+    oracle=_COMPONENTS_CTE + "SELECT doc, keeper FROM comp",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs resolved to connected components with a
@@ -1765,30 +1770,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(docs, "text", "doc_id", min_doc_frac=0.3)
 
 
-# shared DuckDB connected-components CTE (recursive reach over the
-# >=0.2-Jaccard 3-gram near-dup graph; mirrors dedup_clusters)
-_COMPONENTS_CTE = (
-    _SHINGLE_CTE.replace("WITH docs", "WITH RECURSIVE docs", 1)
-    + """,
-kp2 AS (
-    SELECT id_a, id_b
-    FROM inter
-    JOIN sizes sa ON sa.doc = id_a
-    JOIN sizes sb ON sb.doc = id_b
-    WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
-),
-kedges AS (
-    SELECT id_a AS a, id_b AS b FROM kp2
-    UNION ALL SELECT id_b, id_a FROM kp2
-),
-kreach(node, r) AS (
-    SELECT DISTINCT a, a FROM kedges
-    UNION
-    SELECT kreach.node, e.b FROM kreach JOIN kedges e ON e.a = kreach.r
-),
-comp AS (SELECT node AS doc, MIN(r) AS keeper FROM kreach GROUP BY node)
-"""
-)
+# (the shared connected-components CTE `_COMPONENTS_CTE` is defined
+# next to `_SHINGLE_CTE` above — both cluster oracles build on it)
 
 
 @register(
@@ -1821,7 +1804,8 @@ WITH docs AS (
     FROM documents
 ),
 starts AS (
-    SELECT doc, w, len(w) AS n, unnest(range(0, len(w), 40)) AS s
+    -- starts run while s + overlap(10) < n: no fully-contained tail window
+    SELECT doc, w, len(w) AS n, unnest(range(0, greatest(len(w) - 10, 1), 40)) AS s
     FROM docs
 )
 SELECT doc, s // 40 AS chunk_id,

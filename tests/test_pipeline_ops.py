@@ -473,3 +473,40 @@ def test_pq_rerank_full_shortlist_equals_exact(spark, sf_dir):
     assert [(r["id"], r["psim"], r["rank"]) for r in full.collect()] == [
         (r["id"], r["sim"], r["rank"]) for r in exact.collect()
     ]
+
+
+def test_chunk_documents_no_fully_contained_tail(spark):
+    from opl_spark.operators.text import chunk_documents
+
+    # n=10, size=5, overlap=2 (step 3): a start at 9 would re-emit a
+    # window fully inside the chunk at 6 — it must not be generated
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk"]) for r in
+        chunk_documents(df, "text", "doc_id", size=5, overlap=2).collect()
+    )
+    assert [r[0] for r in rows] == [0, 1, 2]
+    assert rows[-1][1] == "w6 w7 w8 w9"
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    import pytest as _pytest
+
+    from opl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", size=5, overlap=-3)
+
+
+def test_keep_best_supports_string_ids(spark):
+    from opl_spark.operators.dedup import keep_best_dedup
+
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+    quality = spark.createDataFrame(
+        [("a", 1), ("b", 9), ("c", 9)], "doc_id string, score long"
+    )
+    out = {r["doc"]: r["keeper"] for r in keep_best_dedup(pairs, quality, "doc_id", "score").collect()}
+    # max score tie between b and c -> lexicographically smallest id b
+    assert out == {"a": "b", "b": "b", "c": "b"}
