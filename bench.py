@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "q_ivfpq_topk",
     "q_cms_counts",
     "q_pq_rerank",
+    "q_corpus_stats",
 ]
 
 

@@ -2035,3 +2035,51 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir), book, k=10, rerank=16
     )
+
+
+@register(
+    "q_corpus_stats",
+    oracle=r"""
+WITH per_doc AS (
+    SELECT doc_id, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+           md5(text) AS h
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       SUM(n_chars) AS total_chars,
+       SUM(n_words) AS total_words,
+       COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+FROM per_doc
+GROUP BY lang
+""",
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus report card per language: volume, source
+    spread, exact-dup count, average length — the summary a pipeline
+    run logs before/after each stage.  Single groupBy; the distinct
+    counts are exact (per-lang cardinalities are report-sized; swap in
+    approx_count_distinct at 100 TB if they are not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_words"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_words").alias("total_words"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_exact_dups"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_chars"
+        ),
+    )
