@@ -271,10 +271,16 @@ class CubeEngine:
     # round(double(exact_sum), 2): the sum itself stays an exact
     # decimal reduction; only the emitted value is re-typed, so the
     # wire format carries no trailing-zero ambiguity across engines.
+    # ``median`` is an EXTENSION aggregate (the reference's API admits
+    # only sum/avg/count, api-library-olap/README.md:131-137): exact
+    # interpolated percentile, which DuckDB's quantile_cont matches
+    # bit-for-bit after round(6).  At 100 TB swap percentile for
+    # approx_percentile per-measure — the grammar is unchanged.
     _AGG_FNS = {
         "sum": F.sum,
         "avg": lambda c: F.round(F.sum(c).cast("double") / F.count(c), 6),
         "count": F.count,
+        "median": lambda c: F.round(F.percentile(c, 0.5).cast("double"), 6),
     }
 
     def _agg_exprs(self, df: DataFrame, q: CubeQuery) -> list[Column]:
@@ -284,7 +290,9 @@ class CubeEngine:
             m: Measure = q.fact.measure(name.strip())
             agg = q.aggregate or m.default_aggregate
             if agg not in self._AGG_FNS:
-                raise ValueError(f"unsupported aggregate {agg!r} (sum/avg/count)")
+                raise ValueError(
+                    f"unsupported aggregate {agg!r} (sum/avg/count/median)"
+                )
             # M5 — per-measure allowed-aggregate contract: the metadata
             # declares which aggregates each measure admits (reference:
             # api-library-olap/README.md:131-149); anything else is a

@@ -685,3 +685,19 @@ def q_idempotent_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     return incoming.join(existing, on=["year", "month"], how="left_anti")
+
+
+@register(
+    "q_agg_median",
+    oracle=ORACLE_CTE
+    + """
+SELECT loan_type,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS value
+FROM fact GROUP BY 1
+""",
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension aggregate beyond the reference's sum/avg/count: exact
+    interpolated median per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` after round(6))."""
+    return _cube(spark, sf_dir, drilldown="loan_type", measure="value", aggregate="median")

@@ -164,3 +164,31 @@ def test_hierarchy_parameter_selects_order(spark):
     # malformed hierarchy term is a client error
     with pytest.raises(ValueError):
         eng.aggregate("g", drilldown="geo", hierarchy="geo")
+
+
+def test_median_extension_aggregate(spark):
+    """``median`` (extension beyond the reference's sum/avg/count) is
+    exact interpolated percentile and respects the per-measure
+    allowed-aggregate contract."""
+    from opl_spark.facts import LOANS_META
+
+    eng = CubeEngine(Catalog({"loans2": LOANS_META}))
+    rows = [
+        (1, "a", 1, 2016, 1, 1, "F", "1-URGENT", "AUTO", float(v))
+        for v in (10, 20, 40, 100)
+    ]
+    eng.register_fact(
+        "loans2",
+        spark.createDataFrame(
+            rows,
+            "consortia_id long, consortia_label string, library_id long, "
+            "year long, month long, day long, loan_type string, "
+            "priority string, segment string, value double",
+        ),
+    )
+    out = eng.aggregate("loans2", drilldown="loan_type", measure="value", aggregate="median")
+    # interpolated median of (10,20,40,100) = 30
+    assert [(r["loan_type"], r["value"]) for r in out.collect()] == [("F", 30.0)]
+    # 'loans' declares count only — median must be rejected
+    with pytest.raises(ValueError, match="does not allow aggregate"):
+        eng.aggregate("loans2", drilldown="loan_type", measure="loans", aggregate="median")
