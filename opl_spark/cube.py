@@ -281,6 +281,8 @@ class CubeEngine:
         "avg": lambda c: F.round(F.sum(c).cast("double") / F.count(c), 6),
         "count": F.count,
         "median": lambda c: F.round(F.percentile(c, 0.5).cast("double"), 6),
+        "min": F.min,
+        "max": F.max,
     }
 
     def _agg_exprs(self, df: DataFrame, q: CubeQuery) -> list[Column]:
@@ -291,7 +293,7 @@ class CubeEngine:
             agg = q.aggregate or m.default_aggregate
             if agg not in self._AGG_FNS:
                 raise ValueError(
-                    f"unsupported aggregate {agg!r} (sum/avg/count/median)"
+                    f"unsupported aggregate {agg!r} (sum/avg/count/median/min/max)"
                 )
             # M5 — per-measure allowed-aggregate contract: the metadata
             # declares which aggregates each measure admits (reference:
@@ -306,10 +308,14 @@ class CubeEngine:
             # DecimalType subclasses FractionalType — this covers
             # decimal, double, and float measures; integral sums stay
             # bigint (already canonical on both engines).
-            if agg == "sum" and isinstance(
+            if agg in ("sum", "min", "max") and isinstance(
                 df.schema[m.physical].dataType, T.FractionalType
             ):
-                expr = F.round(F.sum(col).cast("double"), 2)
+                # decimal in, canonical round(double, 2) out — the
+                # reduction itself stays exact; only the emitted value
+                # is re-typed (trailing-zero decimals hash unstably
+                # across engines)
+                expr = F.round(self._AGG_FNS[agg](col).cast("double"), 2)
             else:
                 expr = self._AGG_FNS[agg](col)
             exprs.append(expr.alias(m.name))

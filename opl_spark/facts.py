@@ -123,6 +123,8 @@ LOANS_META = FactMeta(
         Measure("value", column="value", aggregates=("sum", "avg", "median")),
         Measure("loans", column="library_id", aggregates=("count",)),
         Measure("avg_value", column="value", aggregates=("avg",)),
+        Measure("min_value", column="value", aggregates=("min",)),
+        Measure("max_value", column="value", aggregates=("max",)),
     ),
 )
 

@@ -701,3 +701,19 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated median per group (Spark ``percentile`` ==
     DuckDB ``quantile_cont`` after round(6))."""
     return _cube(spark, sf_dir, drilldown="loan_type", measure="value", aggregate="median")
+
+
+@register(
+    "q_agg_extrema",
+    oracle=ORACLE_CTE
+    + """
+SELECT loan_type,
+       ROUND(CAST(MIN(value) AS DOUBLE), 2) AS min_value,
+       ROUND(CAST(MAX(value) AS DOUBLE), 2) AS max_value
+FROM fact GROUP BY 1
+""",
+)
+def q_agg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension aggregates min/max: multi-measure request where each
+    measure's default (its only allowed) aggregate applies."""
+    return _cube(spark, sf_dir, drilldown="loan_type", measure="min_value|max_value")

@@ -175,3 +175,40 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
     }
     for t, n in truth.items():
         assert est[t] >= n
+
+
+def test_interval_join_stream_stream(spark, sf_dir, tmp_path):
+    """interval_join's condition IS a Spark stream-stream interval
+    join when both sides are watermarked — run it with two streaming
+    readers of the events table (clicks joined to views in the
+    preceding 10 minutes per user) and assert the drained result
+    equals the batch join over the same data."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.temporal import interval_join
+
+    def sides(df):
+        click = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        )
+        view = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+        )
+        return click, view
+
+    s_click, s_view = sides(read_events_stream(spark, sf_dir))
+    s_click = s_click.withWatermark("click_ts", "1 hour")
+    s_view = s_view.withWatermark("view_ts", "1 hour")
+    joined = interval_join(
+        s_click, s_view, ["user_id"], "click_ts", "view_ts", "10 MINUTES"
+    )
+    assert joined.isStreaming
+    got = run_to_memory(joined, "t_ssjoin", output_mode="append")
+
+    b_click, b_view = sides(load_table(spark, sf_dir, "events"))
+    expect = interval_join(
+        b_click, b_view, ["user_id"], "click_ts", "view_ts", "10 MINUTES"
+    )
+    key = lambda r: (r["user_id"], str(r["click_ts"]), r["click_id"], r["view_id"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, expect.collect()))
+    assert expect.count() > 0
