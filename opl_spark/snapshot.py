@@ -113,16 +113,29 @@ class SnapshotEngine:
     def _path(self, fact_table: str) -> str:
         return os.path.join(self.warehouse_dir, fact_table)
 
+    def _fs(self, path: str):
+        """Hadoop FileSystem for ``path`` + the path object — resolves
+        to LocalFileSystem, HDFS, or an object-store connector from the
+        path's scheme, so warehouse maintenance is not local-FS-bound
+        (the 100 TB deployments this engine targets keep fact tables on
+        cloud storage)."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        return hpath.getFileSystem(self.spark._jsc.hadoopConfiguration()), hpath
+
     def fact_frame(self, fact_table: str) -> DataFrame:
         """Read a fact table with schema merge across evolved appends."""
         return self.spark.read.option("mergeSchema", "true").parquet(self._path(fact_table))
 
     def exists(self, fact_table: str) -> bool:
-        path = self._path(fact_table)
-        return os.path.isdir(path) and any(
-            n.endswith(".parquet") or n.startswith("year=") or n.startswith("_")
-            for n in os.listdir(path)
-        )
+        fs, hpath = self._fs(self._path(fact_table))
+        if not (fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory()):
+            return False
+        for status in fs.listStatus(hpath):
+            n = status.getPath().getName()
+            if n.endswith(".parquet") or n.startswith("year=") or n.startswith("_"):
+                return True
+        return False
 
     def already_executed(self, fact_table: str, query_id: int, scope: Scope) -> bool:
         """Idempotent re-run guard (E4; intent of OLAP.php:166-175).
@@ -173,13 +186,12 @@ class SnapshotEngine:
         deleted until the new layout is in place), and a reader that
         opens the table inside that window fails and must retry.  True
         atomic swap needs a table format with a metadata pointer
-        (Delta/Iceberg) — intentionally out of scope here.  The
-        os/shutil path operations also bind this helper (and
-        ``exists``) to local/NFS warehouses; a cloud deployment routes
-        them through the Hadoop FileSystem API or, better, uses the
-        table-format path."""
-        import shutil
-
+        (Delta/Iceberg) — intentionally out of scope here.  Path
+        operations go through the Hadoop FileSystem API (like
+        ``exists``), so any warehouse scheme Spark can write is
+        maintainable — with the usual object-store caveat that a
+        "rename" there is a copy, making the table-format path the
+        better swap on S3-likes."""
         path = self._path(fact_table)
         tmp = path + "__compacting"
         df = self.fact_frame(fact_table)
@@ -197,9 +209,16 @@ class SnapshotEngine:
             "year", "month"
         ).parquet(tmp)
         old = path + "__old"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        fs, hpath = self._fs(path)
+        _, htmp = self._fs(tmp)
+        _, hold = self._fs(old)
+        if not fs.rename(hpath, hold):
+            raise IOError(f"compact: rename {path} -> {old} failed")
+        if not fs.rename(htmp, hpath):
+            # put the original back before failing — nothing is lost
+            fs.rename(hold, hpath)
+            raise IOError(f"compact: rename {tmp} -> {path} failed")
+        fs.delete(hold, True)
 
     def run(
         self,
