@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q_cms_counts",
     "q_pq_rerank",
     "q_corpus_stats",
+    "q_minhash_keep_best",
 ]
 
 

@@ -2083,3 +2083,18 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars"
         ),
     )
+
+
+@register("q_minhash_keep_best")  # xxhash64 LSH candidates — not SQL-expressible
+def q_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB dedup composition in one plan: MinHash-LSH
+    candidate generation (never all-pairs) → exact Jaccard verify →
+    connected components → quality-aware keep rule.  Rows-only check:
+    the same composition over exact n-gram pairs is the hash-checked
+    `q_keep_best`; here only candidate GENERATION differs (banded LSH
+    instead of the quadratic inverted index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.2)
+    return keep_best_dedup(
+        pairs.select("id_a", "id_b"), docs, "doc_id", "n_chars"
+    )

@@ -510,3 +510,17 @@ def test_keep_best_supports_string_ids(spark):
     out = {r["doc"]: r["keeper"] for r in keep_best_dedup(pairs, quality, "doc_id", "score").collect()}
     # max score tie between b and c -> lexicographically smallest id b
     assert out == {"a": "b", "b": "b", "c": "b"}
+
+
+def test_minhash_keep_best_subsets_exact_composition(spark, sf_dir):
+    """The LSH-candidate composition must emit a SUBSET of the exact
+    inverted-index composition (banded LSH can miss low-similarity
+    pairs near the threshold, never invent them), and catch the
+    high-similarity mass."""
+    from opl_spark import workload
+
+    exact = {(r["doc"], r["keeper"]) for r in workload.queries()["q_keep_best"](spark, sf_dir).collect()}
+    lsh = {(r["doc"], r["keeper"]) for r in workload.queries()["q_minhash_keep_best"](spark, sf_dir).collect()}
+    assert lsh  # nonempty at sf0.001
+    assert lsh <= exact
+    assert len(lsh) >= len(exact) * 0.8
