@@ -805,3 +805,25 @@ def ivfpq_topk(
     cells = probe_cells(centroids, query, nprobe)
     pool = assigned.filter(F.col("cell").isin(cells)).drop("cell")
     return pq_topk(pool, vec_col, id_col, query, codebook, k)
+
+
+def ivf_index_append(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_path: str,
+    centroids: list[tuple[int, list[float]]],
+) -> None:
+    """Incremental IVF maintenance: assign a NEW batch of vectors to
+    the existing centroid table and append cell-partitioned — the index
+    grows without rewriting history (each append lands new files inside
+    the touched cells' directories only).
+
+    The centroid table must be the one the index was built with:
+    probes prune by cell id, so re-seeding would orphan old cells.
+    Centroid drift under sustained growth is handled the way IVF
+    systems do — periodic rebuild (``build_ivf_index``) in a
+    maintenance window, not per-append retraining."""
+    ivf_assign(df, vec_col, centroids).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(index_path)

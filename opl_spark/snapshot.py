@@ -259,3 +259,32 @@ class SnapshotEngine:
             self.write(df.observe(obs, F.count(F.lit(1)).alias("rows")), fq.fact_table)
             written[fq.fact_table] = written.get(fq.fact_table, 0) + obs.get["rows"]
         return written
+
+
+def backfill(
+    engine: SnapshotEngine,
+    start: _dt.date | str,
+    end: _dt.date | str,
+    facts: list[FactQuery],
+) -> dict[str, int]:
+    """Run the snapshot for every pivot date in ``[start, end]`` — the
+    catch-up / bootstrap path for a warehouse that missed cron runs
+    (the reference has no equivalent; an operator re-runs ``-c add``
+    by hand per day).
+
+    Idempotence makes this safe to overlap with past runs: each
+    (fact, scope) that already landed is skipped by the E4 guard, so a
+    backfill over an interval containing existing data appends only
+    the missing scopes.  Cron gating applies per day — weekly facts
+    fire only on the interval's ISO-week boundary days, and so on.
+    Returns total appended rows per fact table."""
+    d = _dt.date.fromisoformat(start) if isinstance(start, str) else start
+    stop = _dt.date.fromisoformat(end) if isinstance(end, str) else end
+    if d > stop:
+        raise ValueError(f"backfill start {d} after end {stop}")
+    totals: dict[str, int] = {}
+    while d <= stop:
+        for fact_table, n in engine.run(d, facts).items():
+            totals[fact_table] = totals.get(fact_table, 0) + n
+        d += _dt.timedelta(days=1)
+    return totals

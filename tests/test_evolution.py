@@ -108,3 +108,29 @@ def test_attach_audit_rejects_colliding_columns(spark):
     df = spark.range(1).selectExpr("id", "2020 AS year")
     with pytest.raises(ValueError, match="audit columns"):
         attach_audit(df, 1, make_scope("2020-01-01"))
+
+
+def test_backfill_runs_range_and_is_idempotent(registered, tmp_path):
+    from opl_spark.facts import ACTIVE_USERS_SQL
+    from opl_spark.snapshot import FactQuery, SnapshotEngine, backfill
+
+    eng = SnapshotEngine(registered, str(tmp_path))
+    facts = [FactQuery(1, "f_bf", ACTIVE_USERS_SQL, cron="daily")]
+    first = backfill(eng, "1998-06-01", "1998-06-03", facts)
+    assert first["f_bf"] > 0
+    n = eng.fact_frame("f_bf").count()
+    assert eng.fact_frame("f_bf").select("day").distinct().count() == 3
+    # overlapping backfill appends nothing new
+    again = backfill(eng, "1998-06-02", "1998-06-04", facts)
+    assert eng.fact_frame("f_bf").count() == n + again.get("f_bf", 0)
+    assert eng.fact_frame("f_bf").select("day").distinct().count() == 4
+
+
+def test_backfill_rejects_inverted_range(registered, tmp_path):
+    import pytest as _pytest
+
+    from opl_spark.snapshot import SnapshotEngine, backfill
+
+    eng = SnapshotEngine(registered, str(tmp_path))
+    with _pytest.raises(ValueError):
+        backfill(eng, "1998-06-05", "1998-06-01", [])

@@ -524,3 +524,26 @@ def test_minhash_keep_best_subsets_exact_composition(spark, sf_dir):
     assert lsh  # nonempty at sf0.001
     assert lsh <= exact
     assert len(lsh) >= len(exact) * 0.8
+
+
+def test_ivf_index_append_grows_cells_without_rewrite(spark, sf_dir, tmp_path):
+    from opl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 150)
+    newer = emb.filter(F.col("vec_id") >= 150)
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(base, "embedding", "vec_id", path, ncells=4)
+    n_base = spark.read.parquet(path).count()
+    ivf_index_append(newer, "embedding", "vec_id", path, cents)
+    assert spark.read.parquet(path).count() == n_base + newer.count()
+    # a probe against the grown index can surface an appended vector:
+    # query WITH one of the new vectors -> it is its own top hit
+    probe_id = newer.agg(F.min("vec_id")).first()[0]
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == probe_id).first()["embedding"]]
+    top = ivf_topk_indexed(spark, path, "embedding", "vec_id", probe, cents, k=1, nprobe=4)
+    assert top.first()["id"] == probe_id
