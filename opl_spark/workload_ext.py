@@ -1892,6 +1892,14 @@ def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_buckets(with_lang, F.col("avg_nll"), "lang", "doc")
 
 
+def _pq_m(emb) -> int:
+    """Largest subspace count in (8, 4, 2, 1) dividing the embedding
+    dim — keeps the PQ queries running if the generated testdata ever
+    changes dimensionality (pq_train requires d % m == 0)."""
+    d = len(emb.select("embedding").first()["embedding"])
+    return next(m for m in (8, 4, 2, 1) if d % m == 0)
+
+
 @register("q_pq_topk")  # Lloyd-trained codebook — not SQL-expressible
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10: m=4 subspaces × 16 centroids,
@@ -1902,7 +1910,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opl_spark.operators.similarity import pq_topk, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    book = pq_train(emb, "embedding", "vec_id", m=4, k=16)
+    book = pq_train(emb, "embedding", "vec_id", m=_pq_m(emb), k=16)
     return pq_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), book, k=10)
 
 
@@ -1995,7 +2003,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = seed_centroids(emb, "embedding", "vec_id", ncells=8)
-    book = pq_train(emb, "embedding", "vec_id", m=4, k=16)
+    book = pq_train(emb, "embedding", "vec_id", m=_pq_m(emb), k=16)
     return ivfpq_topk(
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir), cents, book,
         k=10, nprobe=4,
@@ -2031,7 +2039,7 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opl_spark.operators.similarity import pq_topk, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    book = pq_train(emb, "embedding", "vec_id", m=4, k=16)
+    book = pq_train(emb, "embedding", "vec_id", m=_pq_m(emb), k=16)
     return pq_topk(
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir), book, k=10, rerank=16
     )
