@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q_pq_rerank",
     "q_corpus_stats",
     "q_minhash_keep_best",
+    "q_bpe_merges",
 ]
 
 

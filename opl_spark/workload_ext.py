@@ -2106,3 +2106,18 @@ def q_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_dedup(
         pairs.select("id_a", "id_b"), docs, "doc_id", "n_chars"
     )
+
+
+@register("q_bpe_merges")  # iterative merge loop — not SQL-expressible
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the first 10 learned merges
+    (rank, left, right, weighted count) over the corpus.  Rows-only
+    check (iterative); hand-computed merges pinned in
+    tests/test_pipeline_ops.py."""
+    from opl_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", num_merges=10)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, count long"
+    )

@@ -547,3 +547,36 @@ def test_ivf_index_append_grows_cells_without_rewrite(spark, sf_dir, tmp_path):
     probe = [float(x) for x in emb.filter(F.col("vec_id") == probe_id).first()["embedding"]]
     top = ivf_topk_indexed(spark, path, "embedding", "vec_id", probe, cents, k=1, nprobe=4)
     assert top.first()["id"] == probe_id
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_learns_expected_merges(spark):
+    from opl_spark.operators.bpe import learn_bpe_merges
+
+    # "aaab" x3, "ab" x2: pair counts round 1: (a,a)=6, (a,b)=5 ->
+    # merge (a,a); round 2: (aa,a)=3, (aa,b)=0... recount: "aaab" ->
+    # [aa, a, b]: pairs (aa,a)=3, (a,b)=3+2=5 -> merge (a,b)
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab ab"), (3, "ab")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(df, "text", num_merges=3)
+    assert merges[0] == (0, "a", "a", 6)
+    assert merges[1] == (1, "a", "b", 5)
+
+
+def test_bpe_segment_compresses_with_merges(spark):
+    from opl_spark.operators.bpe import bpe_segment, learn_bpe_merges
+
+    df = spark.createDataFrame([(1, "banana banana bandana")], "doc_id long, text string")
+    merges = learn_bpe_merges(df, "text", num_merges=5)
+    seg = bpe_segment(df, "text", "doc_id", merges).first()
+    raw_chars = len("bananabananabandana")
+    # merges strictly reduce token count below character count
+    assert seg["n_tokens"] < raw_chars
+    # replaying zero merges yields exactly the character count
+    seg0 = bpe_segment(df, "text", "doc_id", []).first()
+    assert seg0["n_tokens"] == raw_chars
