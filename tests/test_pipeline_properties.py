@@ -87,3 +87,29 @@ def test_token_entropy_bounds(spark, words):
     # entropy is 0 iff all tokens identical
     if len(set(words)) == 1:
         assert row["entropy"] == 0.0
+
+
+@settings(**_SETTINGS)
+@given(
+    n_tok=st.lists(st.integers(1, 30), min_size=1, max_size=25),
+    budget=st.integers(8, 64),
+)
+def test_pack_sequences_contiguous_and_ordered(spark, n_tok, budget):
+    from opl_spark.operators.text import pack_sequences
+
+    rows = [(i, "g", " ".join("w" for _ in range(n))) for i, n in enumerate(n_tok)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sorted(
+        (r["doc"], r["seq_id"]) for r in
+        pack_sequences(df, "text", "doc_id", "source", budget).collect()
+    )
+    seqs = [s for _, s in out]
+    # sequence ids are monotone in doc order and start at 0
+    assert seqs[0] == 0
+    assert all(a <= b for a, b in zip(seqs, seqs[1:]))
+    # a doc's seq_id is exactly floor(preceding-token-count / budget):
+    # same-corpus reproducibility reduced to arithmetic
+    acc = 0
+    for (doc, seq), n in zip(out, n_tok):
+        assert seq == acc // budget
+        acc += n
