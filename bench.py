@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q_corpus_stats",
     "q_minhash_keep_best",
     "q_bpe_merges",
+    "q_dup_weights",
 ]
 
 

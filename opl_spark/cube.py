@@ -281,6 +281,12 @@ class CubeEngine:
         "avg": lambda c: F.round(F.sum(c).cast("double") / F.count(c), 6),
         "count": F.count,
         "median": lambda c: F.round(F.percentile(c, 0.5).cast("double"), 6),
+        # the 100 TB swap-in for median: t-digest-style sketch, one pass,
+        # mergeable — not oracle-checkable (approximation is
+        # engine-specific), bounded-error-tested instead
+        "approx_median": lambda c: F.round(
+            F.approx_percentile(c, 0.5, 10000).cast("double"), 6
+        ),
         "min": F.min,
         "max": F.max,
     }
@@ -293,7 +299,7 @@ class CubeEngine:
             agg = q.aggregate or m.default_aggregate
             if agg not in self._AGG_FNS:
                 raise ValueError(
-                    f"unsupported aggregate {agg!r} (sum/avg/count/median/min/max)"
+                    f"unsupported aggregate {agg!r} (sum/avg/count/median/approx_median/min/max)"
                 )
             # M5 — per-measure allowed-aggregate contract: the metadata
             # declares which aggregates each measure admits (reference:

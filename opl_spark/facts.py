@@ -120,7 +120,7 @@ LOANS_META = FactMeta(
         Dimension(name="library_id"),
     ),
     measures=(
-        Measure("value", column="value", aggregates=("sum", "avg", "median")),
+        Measure("value", column="value", aggregates=("sum", "avg", "median", "approx_median")),
         Measure("loans", column="library_id", aggregates=("count",)),
         Measure("avg_value", column="value", aggregates=("avg",)),
         Measure("min_value", column="value", aggregates=("min",)),

@@ -2121,3 +2121,30 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, count long"
     )
+
+
+@register(
+    "q_dup_weights",
+    oracle="""
+WITH g AS (SELECT md5(text) AS h, COUNT(*) AS copies FROM documents GROUP BY 1)
+SELECT d.doc_id, g.copies,
+       ROUND(1.0 / g.copies, 6) AS weight
+FROM documents d JOIN g ON md5(d.text) = g.h
+""",
+)
+def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: keep every copy but down-weight it to 1/copies (the
+    alternative to hard removal some pipelines prefer — total sampling
+    mass per distinct text stays 1).  One combinable count per content
+    hash + one join back on the 16-byte key."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("copies")
+    )
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(g, "h")
+        .select(
+            "doc_id", "copies", F.round(F.lit(1.0) / F.col("copies"), 6).alias("weight")
+        )
+    )

@@ -34,7 +34,7 @@ def test_dimensions_route(api):
 
 def test_measures_route(api):
     ms = {m["name"]: m for m in api.handle("/olap/loans2/measures")}
-    assert ms["value"]["aggregates"] == ["sum", "avg", "median"]
+    assert ms["value"]["aggregates"] == ["sum", "avg", "median", "approx_median"]
 
 
 def test_aggregate_route_matches_engine(api):

@@ -192,3 +192,31 @@ def test_median_extension_aggregate(spark):
     # 'loans' declares count only — median must be rejected
     with pytest.raises(ValueError, match="does not allow aggregate"):
         eng.aggregate("loans2", drilldown="loan_type", measure="loans", aggregate="median")
+
+
+def test_approx_median_tracks_exact(spark):
+    """The scale path for median: approx_percentile with accuracy 10k
+    must land within 1% of the exact interpolated median here."""
+    from opl_spark.facts import LOANS_META
+
+    eng = CubeEngine(Catalog({"loans2": LOANS_META}))
+    rows = [
+        (1, "a", 1, 2016, 1, 1, "F", "1-URGENT", "AUTO", float(v))
+        for v in range(1, 1001)
+    ]
+    eng.register_fact(
+        "loans2",
+        spark.createDataFrame(
+            rows,
+            "consortia_id long, consortia_label string, library_id long, "
+            "year long, month long, day long, loan_type string, "
+            "priority string, segment string, value double",
+        ),
+    )
+    exact = eng.aggregate(
+        "loans2", drilldown="loan_type", measure="value", aggregate="median"
+    ).first()["value"]
+    approx = eng.aggregate(
+        "loans2", drilldown="loan_type", measure="value", aggregate="approx_median"
+    ).first()["value"]
+    assert abs(approx - exact) <= max(1.0, 0.01 * exact)
