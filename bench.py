@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q_minhash_keep_best",
     "q_bpe_merges",
     "q_dup_weights",
+    "q_winnow_pairs",
 ]
 
 

@@ -2148,3 +2148,61 @@ def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "copies", F.round(F.lit(1.0) / F.col("copies"), 6).alias("weight")
         )
     )
+
+
+@register("q_bpe_segment")  # replays iteratively-learned merges — rows-only
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply side of BPE: token counts per document under the first 10
+    learned merges — the compression measurement a tokenizer-training
+    run reports.  One Arrow map pass; rows-only (merge table comes from
+    the iterative trainer)."""
+    from opl_spark.operators.bpe import bpe_segment, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", num_merges=10)
+    return bpe_segment(docs, "text", "doc_id", merges)
+
+
+@register(
+    "q_winnow_pairs",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, list_transform(
+        range(1, greatest(len(w) - 2, 1) + 1),
+        i -> md5(array_to_string(list_slice(w, i, i + 2), ' '))
+    ) AS hs
+    FROM docs
+),
+mins AS (
+    SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(hs) - 3, 1) + 1),
+        i -> list_min(list_slice(hs, i, i + 3))
+    )) AS fps
+    FROM sh
+),
+fp AS (SELECT doc_id AS doc, unnest(fps) AS fp FROM mins)
+SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc < b.doc
+GROUP BY 1, 2
+HAVING COUNT(*) >= 10
+""",
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap detection: document pairs sharing >= 10
+    winnowing fingerprints.  Same inverted-index shape as exact n-gram
+    dedup but over the SPARSE winnowed fingerprint set (~1/window of
+    the shingles), which is what makes the exact pair pass affordable
+    — the trade the winnowing paper is about."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, "text", "doc_id", n=3, window=4)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 10)
+    )
