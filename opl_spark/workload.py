@@ -49,14 +49,47 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Ids that already hold a driver CORRECTNESS row (rounds 1-2).  The
+# driver audits the first 50 ids in ``queries()`` order each round, so
+# never-yet-audited ids must come first or they never receive the hard
+# signal.  Within the unaudited block, oracled queries precede
+# rows-only ones (an oracle row is the stronger check).
+_DRIVER_AUDITED: tuple[str, ...] = (
+    "q_source_scan", "q_json_rows", "q_type_cast", "q_audit_columns",
+    "q_output_table", "q_projection", "q_case_bucket", "q_date_arith",
+    "q_filter_or", "q_time_scope", "q_zero_fill", "q_active_users",
+    "q_agg_sum", "q_agg_avg", "q_agg_count", "q_aggregate_all",
+    "q_measure_multi", "q_cut_eq", "q_cut_dice", "q_cut_range",
+    "q_cut_open_range", "q_cut_set", "q_cut_hierarchy",
+    "q_cut_hierarchy_range", "q_drilldown_default", "q_drilldown_level",
+    "q_drilldown_top", "q_drilldown_multi", "q_drilldown_cutlevel",
+    "q_cron_gate", "q_idempotent_antijoin", "q_agg_median",
+    "q_agg_extrema", "q_dedup_exact", "q_dedup_ngram",
+    "q_dedup_clusters", "q_dedup_ngram_capped", "q_dedup_minhash",
+    "q_simhash", "q_dedup_embedding", "q_similarity_topk",
+    "q_similarity_ivf", "q_similarity_ivf_kmeans", "q_knn_batch",
+    "q_lang_id", "q_quality_score", "q_token_count", "q_fingerprint",
+    "q_text_clean", "q_winnow",
+)
+
+
+def _audit_order(names) -> list[str]:
+    audited = set(_DRIVER_AUDITED)
+    fresh_oracled = [n for n in names if n not in audited and n in _ORACLES]
+    fresh_rowsonly = [n for n in names if n not in audited and n not in _ORACLES]
+    tail = [n for n in names if n in audited]
+    return fresh_oracled + fresh_rowsonly + tail
+
+
 def queries() -> dict[str, QueryFn]:
     _load_extensions()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _audit_order(_QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_extensions()
-    return dict(_ORACLES)
+    order = _audit_order(_QUERIES)
+    return {n: _ORACLES[n] for n in order if n in _ORACLES}
 
 
 def _load_extensions() -> None:
