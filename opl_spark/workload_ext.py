@@ -2108,12 +2108,14 @@ def q_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bpe_merges")  # iterative merge loop — not SQL-expressible
+@register("q_bpe_merges")  # learned merge table — not SQL-expressible
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training: the first 10 learned merges
-    (rank, left, right, weighted count) over the corpus.  Rows-only
-    check (iterative); hand-computed merges pinned in
-    tests/test_pipeline_ops.py."""
+    """BPE tokenizer training: the first 10 learned merges (rank, left,
+    right, weighted count).  ONE distributed distinct-word count; all
+    merges learned driver-side over the vocab-sized table with an
+    incremental pair heap (the corpus-scale recipe — no per-merge Spark
+    job).  Rows-only check; hand-computed merges and the one-job shape
+    pinned in tests/test_pipeline_ops.py."""
     from opl_spark.operators.bpe import learn_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2150,12 +2152,15 @@ def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bpe_segment")  # replays iteratively-learned merges — rows-only
+@register("q_bpe_segment")  # replays learned merges — rows-only
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply side of BPE: token counts per document under the first 10
     learned merges — the compression measurement a tokenizer-training
-    run reports.  One Arrow map pass; rows-only (merge table comes from
-    the iterative trainer)."""
+    run reports.  Per-TYPE encoding: each distinct word is encoded once
+    and token lengths hash-join back to documents, so Python-side work
+    is vocab-sized, not corpus-sized.  Rows-only (merge table comes
+    from the trainer); equality with the per-occurrence reference is
+    pinned in tests/test_pipeline_ops.py."""
     from opl_spark.operators.bpe import bpe_segment, learn_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")

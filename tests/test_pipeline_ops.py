@@ -580,3 +580,80 @@ def test_bpe_segment_compresses_with_merges(spark):
     # replaying zero merges yields exactly the character count
     seg0 = bpe_segment(df, "text", "doc_id", []).first()
     assert seg0["n_tokens"] == raw_chars
+
+
+def test_bpe_many_merges_one_distributed_pass(spark):
+    """Learning 200+ merges must run ONE Spark counting job plus a
+    constant number of bookkeeping jobs — never one job per merge
+    (30k-50k merges is a real tokenizer; 30k sequential Spark jobs is
+    the scale anti-pattern this pins against)."""
+    import random
+
+    from opl_spark.operators.bpe import learn_bpe_merges
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(10)) for _ in range(800)
+    ]
+    # every word twice so every pair count is >= 2
+    text = " ".join(words + words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-one-pass", "bpe merge learning job-count probe")
+    try:
+        merges = learn_bpe_merges(df, "text", num_merges=250)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-one-pass")
+    assert len(merges) >= 200
+    # one count job (+ possible AQE sub-jobs), far below one-per-merge
+    assert len(jobs) <= 6, f"per-merge Spark jobs detected: {len(jobs)}"
+    # merge table is well-formed and deterministic in shape
+    assert [m[0] for m in merges] == list(range(len(merges)))
+    assert all(m[3] >= 2 for m in merges)
+
+
+def test_bpe_segment_encodes_per_type_not_per_occurrence(spark):
+    """The encode pass runs over the DISTINCT-word table (per-type),
+    and the per-doc token totals equal a per-occurrence reference
+    replay."""
+    from opl_spark.operators.bpe import (
+        _encode_len,
+        bpe_segment,
+        encode_vocab,
+        learn_bpe_merges,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the cat cat"),
+        (3, "a banana and a bandana"),
+        (4, "   "),  # whitespace-only doc -> 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = learn_bpe_merges(df, "text", num_merges=6)
+
+    # per-type probe: encode_vocab emits exactly one row per distinct word
+    distinct_words = {
+        w for _, t in rows for w in t.strip().lower().split()
+    }
+    words_df = df.selectExpr(
+        "explode(split(lower(trim(text)), '\\\\s+')) AS w"
+    ).filter("w != ''").distinct()
+    enc = encode_vocab(words_df, merges)
+    assert enc.count() == len(distinct_words)
+
+    # equality with the per-occurrence reference
+    ordered = [(m[1], m[2]) for m in sorted(merges)]
+    expect = {
+        doc: sum(_encode_len(w, ordered) for w in t.strip().lower().split())
+        for doc, t in rows
+    }
+    got = {
+        r["doc"]: r["n_tokens"]
+        for r in bpe_segment(df, "text", "doc_id", merges).collect()
+    }
+    assert got == expect
+    assert got[4] == 0
