@@ -85,7 +85,7 @@ def main() -> None:
             "gated": gated.count(),
             "after_dedup": deduped.count(),
             "final": capped.count(),
-            "sequences": packed.select("grp", "seq_id").distinct().count(),
+            "sequences": packed.select("grp", "shard", "seq_id").distinct().count(),
             "out": out_dir,
         }
     )

@@ -221,12 +221,24 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of at least one band become
     candidate pairs.  The only shuffle is the groupable self-join on
     ``(band, band_key)`` — the signature matrix never leaves the
-    executors, and bucket sizes (not corpus size²) bound the join."""
+    executors, and bucket sizes (not corpus size²) bound the join.
+
+    ``max_bucket`` is the hot-bucket guard, the LSH mirror of
+    ``ngram_jaccard_pairs``'s ``max_doc_freq`` stop-shingles: a band
+    key shared by more than ``max_bucket`` docs (boilerplate-heavy
+    near-identical signatures) would contribute O(bucket²) pairs, so
+    over-wide buckets are dropped before the self-join.  True
+    near-dups that populate such a bucket agree on OTHER bands too
+    (16 chances at 4-row agreement), so recall degrades gracefully
+    while the worst-case join fan-out becomes max_bucket² per key."""
     band_structs = F.array(
         *[
             F.struct(
@@ -244,6 +256,15 @@ def minhash_lsh_candidates(
     buckets = sigs.select("doc", F.explode(band_structs).alias("bk")).select(
         "doc", "bk.band", "bk.band_key"
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        bw = Window.partitionBy("band", "band_key")
+        buckets = (
+            buckets.withColumn("bucket_n", F.count(F.lit(1)).over(bw))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -265,13 +286,14 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     n: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard on the shingle sets
     (candidate generation is approximate; the verify join makes the
     output exact-above-threshold)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    cand = minhash_lsh_candidates(sigs, bands, rows)
+    cand = minhash_lsh_candidates(sigs, bands, rows, max_bucket)
     sh = df.select(
         F.col(id_col).alias("doc"), shingles_col(F.col(text_col), n).alias("sh")
     )
@@ -585,11 +607,19 @@ def keep_best_dedup(
     orderable id type (a negate-the-id struct-max trick would
     null out string/UUID ids).  Emits ``(doc, keeper)`` for every
     clustered document.
+
+    Quality coverage may be partial: members with no quality row are
+    never chosen over scored members, and a cluster with NO scored
+    member falls back to the min-id keeper (its component label)
+    instead of silently vanishing — callers computing drops as
+    ``doc != keeper`` would otherwise fail open and keep every
+    duplicate in that cluster.
     """
     clusters = dedup_clusters(pairs)  # (doc, keeper=min-id label)
     scored = clusters.join(
         quality.select(F.col(id_col).alias("doc"), F.col(score_col).alias("__q")),
         "doc",
+        "left",
     )
     best_q = scored.groupBy(F.col("keeper").alias("cluster")).agg(
         F.max("__q").alias("__best_q")
@@ -598,12 +628,15 @@ def keep_best_dedup(
         scored.join(
             best_q,
             (scored["keeper"] == best_q["cluster"])
-            & (scored["__q"] == best_q["__best_q"]),
+            & (scored["__q"] == best_q["__best_q"]),  # null __q never matches
         )
         .groupBy("cluster")
         .agg(F.min("doc").alias("best"))
     )
     return (
-        clusters.join(best, clusters.keeper == best.cluster)
-        .select("doc", F.col("best").alias("keeper"))
+        clusters.join(best, clusters.keeper == best.cluster, "left")
+        .select(
+            "doc",
+            F.coalesce(F.col("best"), F.col("keeper")).alias("keeper"),
+        )
     )

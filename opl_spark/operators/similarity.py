@@ -732,6 +732,11 @@ def pq_topk(
     sub = cb[0].shape[1]
     q = np.asarray(query, dtype=np.float64)
     qn = float(np.sqrt(q @ q))
+    if qn == 0.0:
+        # cosine is undefined for the zero vector; every psim would be
+        # NaN, and NaN sorts ABOVE all doubles descending — the "top-k"
+        # would be arbitrary rows.  Fail loudly (mirrors the rn2 guard).
+        raise ValueError("pq_topk: query has zero norm — cosine undefined")
     # per-subspace tables: dot(query_sub, centroid) and ||centroid||²
     dots = [cb[j] @ q[j * sub : (j + 1) * sub] for j in range(len(cb))]
     n2s = [(cb[j] ** 2).sum(axis=1) for j in range(len(cb))]

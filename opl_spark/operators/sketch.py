@@ -95,20 +95,25 @@ def count_min_stream_to_table(
     state for unbounded streams (state size stays depth·width counters
     forever; a per-key exact counter would grow with the keyspace).
 
-    Idempotence: the sink keeps ``__batch_id``; a replayed microbatch
-    (foreachBatch is at-least-once) is detected and skipped, so the
-    merged counts are exact — the drained sketch equals the batch-built
-    sketch over the same data (asserted in tests/test_streaming.py).
-    Overwrite-with-union keeps the table tiny (≤ depth·width rows), so
-    the rewrite is metadata-sized, not data-sized.
+    Idempotence: the sink keeps ``(__stream_id, __batch_id)``; a
+    replayed microbatch (foreachBatch is at-least-once) is detected and
+    skipped, so the merged counts are exact — the drained sketch equals
+    the batch-built sketch over the same data (asserted in
+    tests/test_streaming.py).  The replay guard is scoped to the
+    CHECKPOINT identity: a restart with a fresh checkpoint resets batch
+    ids to 0, so comparing raw batch ids across incarnations would
+    silently skip every batch of the new stream — a different
+    ``__stream_id`` therefore always merges.  Overwrite-with-union
+    keeps the table tiny (≤ depth·width rows), so the rewrite is
+    metadata-sized, not data-sized.
     """
+    stream_id = checkpoint_path  # batch ids are only comparable per checkpoint
+
     def merge_batch(df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
         spark = df.sparkSession
-        batch_sketch = count_min_build(df, col, width, depth).withColumn(
-            "__batch_id", F.lit(batch_id)
-        )
+        batch_sketch = count_min_build(df, col, width, depth)
         try:
             old = spark.read.parquet(sketch_path)
         except AnalysisException:
@@ -118,13 +123,21 @@ def count_min_stream_to_table(
             # merged counts with one batch's worth.
             merged = batch_sketch
         else:
-            if old.filter(F.col("__batch_id") >= batch_id).limit(1).count() > 0:
-                return  # replayed batch — already merged
-            merged = (
-                old.unionByName(batch_sketch)
-                .groupBy("row", "bucket")
-                .agg(F.sum("c").alias("c"), F.max("__batch_id").alias("__batch_id"))
+            replayed = old.filter(
+                (F.col("__stream_id") == stream_id)
+                & (F.col("__batch_id") >= batch_id)
             )
+            if replayed.limit(1).count() > 0:
+                return  # replayed batch of THIS stream — already merged
+            merged = (
+                old.select("row", "bucket", "c")
+                .unionByName(batch_sketch)
+                .groupBy("row", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        merged = merged.withColumn("__stream_id", F.lit(stream_id)).withColumn(
+            "__batch_id", F.lit(batch_id)
+        )
         # tiny table: stage then swap via overwrite — depth*width rows
         merged.localCheckpoint().write.mode("overwrite").parquet(sketch_path)
 

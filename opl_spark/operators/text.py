@@ -223,27 +223,38 @@ def pack_sequences(
     id_col: str,
     group_col: str,
     budget: int = 2048,
+    shards: int = 16,
+    shard_expr: Column | None = None,
 ) -> DataFrame:
     """Deterministic document → training-sequence assignment: within
-    each group (source shard), documents in id order are packed into
+    each ``(group, shard)`` cell, documents in id order are packed into
     consecutive sequences of ~``budget`` tokens — ``seq_id`` is where
     the document STARTS (contiguous chunking, the deterministic cousin
     of greedy bin-packing; the actual token concat happens at tokenizer
-    time downstream).
+    time downstream).  Sequence identity is ``(grp, shard, seq_id)``.
 
-    One partitioned running-sum window per group — O(1) state per row,
-    each shard packs independently, so the op scales with shard count.
-    Reproducibility is the point: same corpus ⇒ same sequence layout,
-    on any cluster, any run."""
+    The running-sum window partitions by ``(grp, shard)``, not the
+    group alone: a corpus with a handful of sources would otherwise
+    serialize each source's entire token stream through ONE task —
+    fine at test scale, a wall at 100 TB.  ``shard =
+    pmod(xxhash64(doc), shards)`` keeps the layout deterministic
+    (same corpus ⇒ same shard ⇒ same packing, any cluster, any run)
+    while restoring ``groups × shards``-way parallelism.  Pass
+    ``shard_expr`` to override the shard function (e.g. a portable
+    ``pmod(id, n)`` when an external system must reproduce the
+    layout)."""
     from pyspark.sql.window import Window
 
+    if shard_expr is None:
+        shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
     t = df.select(
         F.col(id_col).alias("doc"),
         F.col(group_col).alias("grp"),
+        shard_expr.cast("long").alias("shard"),
         whitespace_token_count_col(F.col(text_col)).alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("grp")
+        Window.partitionBy("grp", "shard")
         .orderBy("doc")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

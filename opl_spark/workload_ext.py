@@ -975,29 +975,36 @@ def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH t AS (
     SELECT doc_id AS doc, source AS grp,
+           doc_id % 8 AS shard,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
     FROM documents
 ),
 c AS (
-    SELECT doc, grp, n_tokens,
+    SELECT doc, grp, shard, n_tokens,
            SUM(n_tokens) OVER (
-               PARTITION BY grp ORDER BY doc
+               PARTITION BY grp, shard ORDER BY doc
                ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
     FROM t
 )
-SELECT doc, grp, n_tokens,
+SELECT doc, grp, shard, n_tokens,
        CAST(FLOOR(CAST(start_offset AS DOUBLE) / 512) AS BIGINT) AS seq_id
 FROM c
 """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sequence packing: per-source running token offsets
-    assign each document to the ~512-token training sequence where it
-    starts — same corpus ⇒ same layout, any run, any cluster."""
+    """Deterministic sequence packing: per-(source, shard) running
+    token offsets assign each document to the ~512-token training
+    sequence where it starts — same corpus ⇒ same layout, any run, any
+    cluster.  Sharding the window restores parallelism when sources
+    are few; the portable ``doc % 8`` shard keeps the oracle
+    cross-engine (production default is ``pmod(xxhash64(doc), n)``)."""
     from opl_spark.operators.text import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
-    return pack_sequences(docs, "text", "doc_id", "source", budget=512)
+    return pack_sequences(
+        docs, "text", "doc_id", "source", budget=512,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
 
 
 @register("q_approx_distinct")  # HLL sketch — engine-specific, rows-only
@@ -1902,10 +1909,11 @@ def _pq_m(emb) -> int:
 
 @register("q_pq_topk")  # Lloyd-trained codebook — not SQL-expressible
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-10: m=4 subspaces × 16 centroids,
-    codes are 4 bytes/vector (vs 256 B raw) and scoring is m table
-    lookups per row.  Rows-only check (iterative k-means training);
-    encode determinism and lossless-data recall pinned in
+    """Product-quantization ADC top-10: m subspaces × 16 centroids
+    with m picked from the embedding dim by ``_pq_m`` (m=8 on the
+    64-dim testdata ⇒ 8-byte codes vs 256 B raw) and scoring is m
+    table lookups per row.  Rows-only check (iterative k-means
+    training); encode determinism and lossless-data recall pinned in
     tests/test_pipeline_ops.py."""
     from opl_spark.operators.similarity import pq_topk, pq_train
 
@@ -1996,9 +2004,10 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_ivfpq_topk")  # k-means + Lloyd codebooks — not SQL-expressible
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-10: coarse 8-cell inverted file (probe 4) over 4x16
-    PQ codes — the composed billion-scale ANN path; rows-only check,
-    recall pinned vs brute force in tests."""
+    """IVF-PQ top-10: coarse 8-cell inverted file (probe 4) over
+    ``_pq_m``×16 PQ codes (m=8 on the 64-dim testdata) — the composed
+    billion-scale ANN path; rows-only check, recall pinned vs brute
+    force in tests."""
     from opl_spark.operators.similarity import ivfpq_topk, pq_train, seed_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -75,7 +75,7 @@ def test_full_training_pipeline(spark, sf_dir, tmp_path):
     per = capped.groupBy("source").count().collect()
     assert all(r["count"] <= 40 for r in per)
     packed = pack_sequences(capped, "text", "doc_id", "source", budget=512)
-    seq_sizes = packed.groupBy("grp", "seq_id").agg(
+    seq_sizes = packed.groupBy("grp", "shard", "seq_id").agg(
         F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("docs")
     )
     # a sequence overflows its budget by at most one document

@@ -75,6 +75,40 @@ def test_minhash_finds_exact_jaccard_pairs(spark, docs):
             assert pair in lsh
 
 
+def test_lsh_bucket_cap_is_subset_with_full_recall(spark, docs):
+    """The hot-bucket guard (max_bucket) must only ever REMOVE candidate
+    pairs (capped ⊆ uncapped), and at a realistic cap the known
+    near-dup pairs of the test corpus all survive (recall 1.0) —
+    near-dups agree on many bands, boilerplate buckets on few."""
+    from opl_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+
+    sigs = minhash_signatures(docs, "text", "doc_id").localCheckpoint()
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(sigs, max_bucket=None).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(sigs, max_bucket=50).collect()
+    }
+    assert capped <= uncapped
+    # recall on the corpus's true near-dup pairs stays 1.0 at cap 50
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).collect()
+    }
+    assert truth, "test corpus lost its planted near-dup pairs"
+    verified = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.5, max_bucket=50
+        ).collect()
+    }
+    assert truth <= verified
+    # a degenerate cap (1) empties every bucket -> no candidates at all
+    assert minhash_lsh_candidates(sigs, max_bucket=1).count() == 0
+
+
 def test_simhash_deterministic_and_dup_invariant(spark):
     df = spark.createDataFrame(
         [(1, "spark window join filter"), (2, "spark window join filter"), (3, "zzz qqq")],

@@ -302,6 +302,25 @@ def test_keep_best_prefers_quality_then_min_id(spark):
     assert out == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10}
 
 
+def test_keep_best_partial_quality_coverage(spark):
+    """Clusters must never vanish when quality coverage is partial:
+    unscored members lose to scored ones, and a fully-unscored cluster
+    falls back to the min-id keeper instead of disappearing (callers
+    computing drops as doc != keeper would otherwise fail open)."""
+    from opl_spark.operators.dedup import keep_best_dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    # 3 unscored in cluster {1,2,3}; cluster {10,11} wholly unscored
+    quality = spark.createDataFrame([(1, 5), (2, 9)], "doc_id long, score long")
+    out = {
+        r["doc"]: r["keeper"]
+        for r in keep_best_dedup(pairs, quality, "doc_id", "score").collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10}
+
+
 def test_quantile_buckets_exact_thirds(spark):
     from opl_spark.operators.text import quantile_buckets
 
@@ -361,6 +380,20 @@ def test_pq_train_rejects_indivisible_dims(spark):
     df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         pq_train(df, "embedding", "vec_id", m=2, k=2)
+
+
+def test_pq_topk_rejects_zero_norm_query(spark):
+    """cosine(0, ·) is undefined; every psim would be NaN and NaN sorts
+    above all doubles descending — fail loudly instead of returning
+    arbitrary top-k rows."""
+    import pytest as _pytest
+
+    from opl_spark.operators.similarity import pq_topk, pq_train
+
+    df = _pq_lossless_df(spark)
+    book = pq_train(df, "embedding", "vec_id", m=4, k=2, sample=32)
+    with _pytest.raises(ValueError, match="zero norm"):
+        pq_topk(df, "embedding", "vec_id", [0.0] * 8, book, k=3)
 
 
 def test_budget_sample_exact_counts_and_determinism(spark):

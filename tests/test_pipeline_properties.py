@@ -95,21 +95,39 @@ def test_token_entropy_bounds(spark, words):
     budget=st.integers(8, 64),
 )
 def test_pack_sequences_contiguous_and_ordered(spark, n_tok, budget):
+    """Per-(grp, shard) exactness: within every shard, seq_id is
+    exactly floor(preceding-shard-token-count / budget) — same-corpus
+    reproducibility reduced to arithmetic, shard by shard."""
     from opl_spark.operators.text import pack_sequences
 
+    shards = 4
     rows = [(i, "g", " ".join("w" for _ in range(n))) for i, n in enumerate(n_tok)]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     out = sorted(
-        (r["doc"], r["seq_id"]) for r in
-        pack_sequences(df, "text", "doc_id", "source", budget).collect()
+        (r["doc"], r["shard"], r["seq_id"]) for r in
+        pack_sequences(
+            df, "text", "doc_id", "source", budget, shards=shards
+        ).collect()
     )
-    seqs = [s for _, s in out]
-    # sequence ids are monotone in doc order and start at 0
-    assert seqs[0] == 0
-    assert all(a <= b for a, b in zip(seqs, seqs[1:]))
-    # a doc's seq_id is exactly floor(preceding-token-count / budget):
-    # same-corpus reproducibility reduced to arithmetic
-    acc = 0
-    for (doc, seq), n in zip(out, n_tok):
-        assert seq == acc // budget
-        acc += n
+    import pyspark.sql.functions as F  # noqa: F401  (xxhash64 parity below)
+
+    # recompute the expected shard assignment with Spark's own xxhash64
+    shard_of = {
+        r["doc_id"]: r["s"]
+        for r in df.selectExpr(
+            f"doc_id", f"pmod(xxhash64(doc_id), {shards}) AS s"
+        ).collect()
+    }
+    # replay the packing per shard
+    acc = {s: 0 for s in range(shards)}
+    for (doc, shard, seq), n in zip(out, n_tok):
+        assert shard == shard_of[doc]
+        assert seq == acc[shard] // budget
+        acc[shard] += n
+    # within each shard, seq ids are monotone in doc order from 0
+    per_shard = {}
+    for doc, shard, seq in out:
+        per_shard.setdefault(shard, []).append(seq)
+    for seqs in per_shard.values():
+        assert seqs[0] == 0
+        assert all(a <= b for a, b in zip(seqs, seqs[1:]))

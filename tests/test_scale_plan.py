@@ -183,6 +183,31 @@ def test_pq_encode_is_map_only(spark, sf_dir):
     assert _exchanges(pq_encode(emb, "embedding", "vec_id", book)) == 0
 
 
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """The packing running-sum must window over (grp, shard) — two
+    partition keys — so a corpus with a handful of sources never
+    serializes one source's whole token stream through a single task."""
+    import re
+
+    from opl_spark.operators.text import pack_sequences
+    from opl_spark.plans import formatted_plan
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(pack_sequences(docs, "text", "doc_id", "source"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        # partition keys = leading args before the first ordered arg
+        args = spec.split(", ")
+        n_keys = 0
+        for a in args:
+            if " ASC" in a or " DESC" in a:
+                break
+            n_keys += 1
+        assert n_keys >= 2, spec
+
+
 def test_no_scale_killers_in_any_registered_query(spark):
     """Repo-wide physical-plan audit: no registered query may plan a
     cartesian product, a nested-loop join (except a broadcast against

@@ -177,6 +177,39 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
         assert est[t] >= n
 
 
+def test_streaming_cms_fresh_checkpoint_merges_not_skips(spark, sf_dir, tmp_path):
+    """A restart with a FRESH checkpoint resets batch ids to 0; the
+    replay guard is scoped to the checkpoint identity, so the new
+    stream's batches must MERGE into an existing sketch table, never be
+    skipped as replays of the old stream."""
+    from opl_spark.operators.sketch import count_min_build, count_min_stream_to_table
+
+    sketch = str(tmp_path / "sketch")
+    stream = read_events_stream(spark, sf_dir).select("event_type")
+    count_min_stream_to_table(
+        stream, "event_type", sketch, str(tmp_path / "ckpt1"), width=64, depth=4
+    )
+    # second incarnation: same sketch table, brand-new checkpoint
+    stream2 = read_events_stream(spark, sf_dir).select("event_type")
+    count_min_stream_to_table(
+        stream2, "event_type", sketch, str(tmp_path / "ckpt2"), width=64, depth=4
+    )
+    merged = spark.read.parquet(sketch).select("row", "bucket", "c")
+    once = count_min_build(
+        load_table(spark, sf_dir, "events").select("event_type"), "event_type", 64, 4
+    )
+    # every cell holds exactly TWICE the single-pass count
+    doubled = sorted((r, b, 2 * c) for r, b, c in map(tuple, once.collect()))
+    assert sorted(map(tuple, merged.collect())) == doubled
+    # and a genuine replay within ONE checkpoint still skips (unchanged)
+    count_min_stream_to_table(
+        stream2, "event_type", sketch, str(tmp_path / "ckpt2"), width=64, depth=4
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(sketch).select("row", "bucket", "c").collect())
+    ) == doubled
+
+
 def test_interval_join_stream_stream(spark, sf_dir, tmp_path):
     """interval_join's condition IS a Spark stream-stream interval
     join when both sides are watermarked — run it with two streaming
