@@ -68,7 +68,11 @@ def _validate_date(s: str) -> _dt.date:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="opl-spark")
-    p.add_argument("-c", "--command", required=True, choices=["add", "aggregate"])
+    p.add_argument(
+        "-c", "--command", required=True, choices=["add", "aggregate", "serve"]
+    )
+    p.add_argument("--host", default="127.0.0.1", help="bind address (serve)")
+    p.add_argument("--port", type=int, default=8080, help="bind port (serve)")
     p.add_argument("-d", "--date", help="pivot date YYYY-MM-DD (add)")
     p.add_argument("-f", "--fact", help="restrict to one fact table")
     p.add_argument("--settings", help="olapSettings.json path (add)")
@@ -96,6 +100,30 @@ def main(argv: list[str] | None = None) -> int:
         engine = SnapshotEngine(spark, args.warehouse)
         written = engine.run(_validate_date(args.date), facts, only_fact=args.fact)
         print(json.dumps({"written": written}))
+        return 0
+
+    if args.command == "serve":
+        # HTTP daemon over the warehouse — the reference's consumption
+        # boundary (api-library-olap/README.md:3-13)
+        from opl_spark.api import OlapApi
+        from opl_spark.cube import CubeEngine
+        from opl_spark.facts import default_catalog
+        from opl_spark.server import OlapHttpServer
+
+        engine = SnapshotEngine(spark, args.warehouse)
+        cube = CubeEngine(default_catalog())
+        served = []
+        for name in [f["name"] for f in cube.catalog.fact_tables()]:
+            if args.fact and name != args.fact:
+                continue
+            if engine.exists(name):
+                cube.register_fact(name, engine.fact_frame(name))
+                served.append(name)
+        if not served:
+            raise SystemExit("serve: no registered fact tables in warehouse")
+        server = OlapHttpServer(OlapApi(cube), host=args.host, port=args.port)
+        print(json.dumps({"serving": served, "port": server.port}))
+        server.serve_forever()
         return 0
 
     # aggregate: serve a cube query over the warehouse facts

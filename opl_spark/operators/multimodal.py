@@ -2,12 +2,14 @@
 metadata, processed through Arrow-batched ``mapInPandas`` pipelines.
 
 The Spark-side plumbing — schemas, batch iteration, partitioning — is
-real and tested.  The actual media decoding is STUBBED: the image and
-audio libraries are not available in this environment, so
-``decode_images(..., codec="real")`` raises ``NotImplementedError``
-and the default deterministic ``"fake"`` codec derives metadata purely
-from the bytes.  Swapping in Pillow/ffmpeg is a one-function change;
-nothing about the distributed plan moves.
+real and tested.  Decoding has two codecs: ``codec="real"`` decodes
+actual images through Pillow when it is installed (optional import —
+in environments without Pillow it raises ``NotImplementedError``
+loudly rather than faking success), and the default deterministic
+``"fake"`` codec derives metadata purely from the bytes so the
+distributed path stays exercised everywhere.  Both run the IDENTICAL
+mapInPandas plan; only the per-record decode function differs.
+Audio/video (ffmpeg) remain stub-only.
 
 Scale notes: media bytes never pass through the driver; each Arrow
 batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows, so
@@ -92,15 +94,20 @@ def decode_images(
 ) -> DataFrame:
     """Decode / feature-extract stage over Arrow batches.
 
-    ``codec="real"`` is the integration point for Pillow/torchvision —
-    unavailable here, so it raises.  ``codec="fake"`` exercises the
-    identical mapInPandas plumbing with the deterministic stub.
+    ``codec="real"`` decodes through Pillow (optional import; raises
+    ``NotImplementedError`` where Pillow is absent — never a silent
+    fake).  ``codec="fake"`` exercises the identical mapInPandas
+    plumbing with the deterministic stub.
     """
     if codec == "real":
-        raise NotImplementedError(
-            "real image decoding requires Pillow/ffmpeg, not present in this "
-            "environment; use codec='fake' for the plumbing path"
-        )
+        try:
+            import PIL.Image  # noqa: F401 — driver-side availability gate
+        except ImportError as exc:
+            raise NotImplementedError(
+                "codec='real' requires Pillow, which is not installed in "
+                "this environment; use codec='fake' for the plumbing path"
+            ) from exc
+        return _decode_images_real(df, media_col)
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
 
@@ -135,6 +142,50 @@ def decode_images(
                         "byte_len": len(by),
                         "width": w,
                         "height": h,
+                        "feature": feat,
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def _decode_images_real(df: DataFrame, media_col: str) -> DataFrame:
+    """Pillow decode over the same mapInPandas plan as the stub codec:
+    real (width, height) from the image header and an 8-dim feature —
+    per-channel mean + std of a 16×16 RGBA thumbnail (a deterministic,
+    library-stable stand-in for a learned embedding).  Executors import
+    Pillow inside the batch closure, so the cluster needs it installed
+    wherever tasks run — exactly like any Python dependency of a
+    Pandas UDF."""
+    cols = [f.name for f in DECODED_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as _np
+        import pandas as _pd
+        from PIL import Image
+
+        for pdf in it:
+            rows = []
+            for rec in pdf[media_col]:
+                by = bytes(rec["media_bytes"])
+                img = Image.open(io.BytesIO(by))
+                width, height = img.size
+                thumb = img.convert("RGBA").resize((16, 16))
+                a = _np.asarray(thumb, dtype=_np.float64) / 255.0
+                feat = [
+                    round(float(x), 6)
+                    for x in (*a.mean(axis=(0, 1)), *a.std(axis=(0, 1)))
+                ]
+                rows.append(
+                    {
+                        "media_id": rec["media_id"],
+                        "mime": rec["mime"],
+                        "byte_len": len(by),
+                        "width": width,
+                        "height": height,
                         "feature": feat,
                     }
                 )

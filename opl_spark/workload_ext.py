@@ -731,7 +731,8 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_multimodal_decode")  # Pandas-UDF stub decode — rows-only
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with the deterministic fake codec
-    (real codec is the stubbed integration point)."""
+    (codec="real" decodes via Pillow where installed — optional
+    import, same plan; tests/test_operators.py)."""
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_column(docs, "text", "doc_id")
     return decode_images(media, codec="fake").select(

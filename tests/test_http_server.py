@@ -1,0 +1,120 @@
+"""The HTTP layer serves exactly what ``OlapApi.handle`` computes:
+every route from the reference API spec (api-library-olap/
+README.md:3-13), replayed over a real socket, must be byte-identical
+to the direct library call — the five recorded Data Studio getData
+traces (DataStudio-connector/Codice.gs:239-254) included."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from opl_spark.api import OlapApi
+from opl_spark.connector import synthesize_request
+from opl_spark.cube import CubeEngine
+from opl_spark.facts import (
+    ACTIVE_USERS_SQL,
+    build_general_indexes_fact,
+    build_loans_fact,
+    build_patrimonio_fact,
+    default_catalog,
+)
+from opl_spark.server import OlapHttpServer, encode_response
+
+
+@pytest.fixture(scope="module")
+def api(spark, sf_dir, tmp_path_factory):
+    eng = CubeEngine(default_catalog())
+    eng.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    eng.register_fact("general_indexes", build_general_indexes_fact(spark, sf_dir))
+    eng.register_fact("patrimonio", build_patrimonio_fact(spark, sf_dir))
+    from opl_spark.snapshot import FactQuery, SnapshotEngine
+    from opl_spark.sources import register_sources
+
+    register_sources(spark, sf_dir)
+    snap = SnapshotEngine(spark, str(tmp_path_factory.mktemp("http_wh")))
+    snap.run(
+        "1998-06-01", [FactQuery(1, "enabled_users", ACTIVE_USERS_SQL, cron="daily")]
+    )
+    eng.register_fact("enabled_users", snap.fact_frame("enabled_users"))
+    return OlapApi(eng)
+
+
+@pytest.fixture(scope="module")
+def server(api):
+    with OlapHttpServer(api) as srv:  # port=0 → ephemeral
+        yield srv
+
+
+def _get(server, path, params=None):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    if params:
+        url += "?" + urllib.parse.urlencode(params)
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return resp.status, resp.read()
+
+
+# the five recorded getData traces, adapted exactly as
+# tests/test_connector_replay.py documents
+TRACES = [
+    ("loans2", ["consortia_label", "value", "month", "year"], "1996-04-25", "1996-05-22"),
+    ("loans2", ["consortia_label", "date", "library_id", "value"], "1996-04-26", "1996-05-23"),
+    ("enabled_users", ["library_id", "value"], "1998-06-01", "1998-06-01"),
+    ("general_indexes", ["apertura_mattutina", "date", "library_class"], "1996-05-10", "1996-06-06"),
+    ("patrimonio", ["consortia_id", "value"], "1996-05-20", "1996-06-16"),
+]
+
+
+@pytest.mark.parametrize("fact,fields,start,end", TRACES)
+def test_trace_over_http_byte_identical(api, server, fact, fields, start, end):
+    path, params = synthesize_request(api.catalog, fact, fields, start, end)
+    status, body = _get(server, path, params)
+    assert status == 200
+    assert body == encode_response(api.handle(path, params))
+    # and it is a real table payload: header row + data rows
+    table = json.loads(body)
+    assert isinstance(table, list) and len(table) >= 2
+
+
+def test_metadata_routes_byte_identical(api, server):
+    for path in (
+        "/olap/fact_tables",
+        "/olap/loans2/dimensions",
+        "/olap/loans2/measures",
+    ):
+        status, body = _get(server, path)
+        assert status == 200
+        assert body == encode_response(api.handle(path, {}))
+
+
+def test_aggregate_json_and_empty_marker(api, server):
+    params = {"cut": "loan_type:O", "drilldown": "date", "measure": "value"}
+    status, body = _get(server, "/olap/loans2/aggregate", params)
+    assert status == 200
+    assert body == encode_response(api.handle("/olap/loans2/aggregate", params))
+    assert json.loads(body)["data"]
+    # a cut matching nothing returns the connector's zero-fill marker
+    # (Codice.gs:361-373)
+    none = {"cut": "loan_type:ZZZ_NO_SUCH", "drilldown": "date"}
+    status, body = _get(server, "/olap/loans2/aggregate", none)
+    assert status == 200
+    assert json.loads(body) == {"message": "empty_dataset"}
+
+
+def test_unknown_routes_are_404(server):
+    for path in ("/olap/nope", "/not_olap", "/olap/loans2/nope"):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(server, path)
+        assert exc.value.code == 404
+        assert "error" in json.loads(exc.value.read())
+
+
+def test_engine_errors_are_reported_not_empty_200(server):
+    # unknown dimension -> KeyError -> 404; other engine errors -> 400.
+    # Either way the failure must surface, never an empty 200.
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(server, "/olap/loans2/aggregate", {"cut": "no_such_dim:1"})
+    assert exc.value.code in (400, 404)
+    assert "error" in json.loads(exc.value.read())

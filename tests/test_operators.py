@@ -164,10 +164,55 @@ def test_multimodal_plumbing(docs):
     assert all(r["count"] >= 1 for r in fr)
 
 
-def test_multimodal_real_codec_is_explicit_stub(docs):
+def test_multimodal_real_codec_gates_on_pillow(docs):
+    """Without Pillow the real codec must refuse loudly (no silent
+    fake); with Pillow installed the decode test below covers it."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — covered by the decode test")
+    except ImportError:
+        pass
     media = with_media_column(docs.limit(1), "text", "doc_id")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="Pillow"):
         decode_images(media, codec="real")
+
+
+def test_multimodal_real_codec_decodes_png(spark):
+    """codec='real' through the SAME mapInPandas plan: generated PNGs
+    round-trip with true header dimensions and a channel-stat feature.
+    Runs wherever Pillow is installed; skips (not fakes) elsewhere."""
+    import io
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    payloads = []
+    for i, (w, h, color) in enumerate(
+        [(7, 5, (255, 0, 0)), (16, 9, (0, 0, 255)), (3, 11, (0, 0, 0))]
+    ):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        payloads.append((i, buf.getvalue()))
+    df = spark.createDataFrame(payloads, "media_id long, media_bytes binary")
+    media = df.select(
+        F.struct(
+            F.col("media_bytes"),
+            F.lit("image/png").alias("mime"),
+            F.col("media_id"),
+        ).alias("media")
+    )
+    out = {r["media_id"]: r for r in decode_images(media, codec="real").collect()}
+    assert (out[0]["width"], out[0]["height"]) == (7, 5)
+    assert (out[1]["width"], out[1]["height"]) == (16, 9)
+    assert (out[2]["width"], out[2]["height"]) == (3, 11)
+    for r in out.values():
+        assert len(r["feature"]) == 8
+    # solid red: R mean 1, G/B mean 0, alpha 1, zero variance
+    assert out[0]["feature"][:4] == [1.0, 0.0, 0.0, 1.0]
+    assert out[0]["feature"][4:] == [0.0, 0.0, 0.0, 0.0]
+    # solid blue: B channel saturated instead
+    assert out[1]["feature"][:4] == [0.0, 0.0, 1.0, 1.0]
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
