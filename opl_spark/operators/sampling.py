@@ -136,3 +136,35 @@ def budget_sample(
         .filter(F.col("__rn") <= budget)
         .drop("__rn")
     )
+
+
+def soft_dedup_sample(
+    df: DataFrame, text_col: str, id_col: str, salt: int = 0
+) -> DataFrame:
+    """Soft dedup BY SAMPLING: keep each row with probability
+    ``1/copies`` of its exact-duplicate group, so the expected kept
+    mass per distinct text is exactly 1 — the materialized cousin of
+    ``q_dup_weights`` (which keeps everything and attaches the weight;
+    this draws the sample when downstream can't consume weights).
+
+    Deterministic: the coin is the same portable multiplicative
+    ``hash_gate`` arithmetic (int64 multiply + modulus, identical on
+    any engine), the threshold is the INTEGER floor ``2^32 // copies``
+    (no float -> int cast whose rounding could differ across engines),
+    so the kept set is stable across runs, retries, and partitionings.
+    One combinable copy-count per content hash + one join back on the
+    16-byte key + a map-only filter.
+    """
+    g = df.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
+        F.count(F.lit(1)).alias("copies")
+    )
+    bucket = F.pmod(
+        F.col(id_col) * F.lit(_KNUTH) + F.lit(salt), F.lit(_M32)
+    )
+    thr = (F.lit(_M32).cast("long") / F.col("copies")).cast("long")
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .join(g, "__h")
+        .filter(bucket < thr)
+        .select(F.col(id_col), F.col("copies"))
+    )

@@ -311,6 +311,63 @@ def tfidf_top_terms(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword search over the corpus: top-k documents for a bag
+    of query terms (Robertson/Sparck-Jones idf, the Okapi tf
+    saturation) — the retrieval baseline every RAG/data-curation
+    pipeline wants next to its ANN path.
+
+    Scale shape: the corpus pass reduces immediately to per-doc
+    lengths (combinable count) and per-(doc, matched-term) tfs — the
+    term filter hits BEFORE the tf aggregation, so only query-term
+    postings shuffle, not the corpus token stream.  Document frequency
+    and the (N, avgdl) scalars are query-term-sized / single-row
+    broadcasts.  Selection is TakeOrdered on (score desc, doc asc) —
+    a deterministic total order, never a global sort.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc")
+        .limit(k)
+    )
+
+
 def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Unigram language-model quality score: average negative log
     probability of each document's tokens under the corpus's own

@@ -2221,3 +2221,250 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= 10)
     )
+
+
+# ===========================================================================
+# round-3 extensions: event analytics, retrieval, soft-dedup sampling
+# ===========================================================================
+
+
+@register(
+    "q_funnel",
+    oracle="""
+WITH s0 AS (
+    SELECT user_id AS u, MIN(ts) AS t0 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+    SELECT e.user_id AS u, MIN(e.ts) AS t1 FROM events e
+    JOIN s0 ON e.user_id = s0.u
+    WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id AS u, MIN(e.ts) AS t2 FROM events e
+    JOIN s1 ON e.user_id = s1.u
+    WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+)
+SELECT 0 AS step, 'view' AS step_name, (SELECT COUNT(*) FROM s0) AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: users reaching each step
+    strictly after their previous step's first occurrence.  User-keyed
+    joins throughout (one hash partitioning serves every stage); the
+    per-step counts come from ONE pass over the joined per-user
+    step-time table."""
+    from opl_spark.operators.analytics import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@register(
+    "q_retention",
+    oracle="""
+WITH ev AS (
+    SELECT user_id AS u,
+           CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+    FROM events
+),
+f AS (SELECT u, MIN(w) AS cohort_week FROM ev GROUP BY 1)
+SELECT f.cohort_week,
+       CAST((ev.w - f.cohort_week) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT ev.u) AS n_users
+FROM ev JOIN f ON ev.u = f.u
+GROUP BY 1, 2
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: first-seen-week cohorts × week
+    offset → distinct active users.  User-sized first-seen aggregate +
+    one user-keyed join; the distinct is bounded by users × active
+    weeks, never events."""
+    from opl_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "q_zscore_outliers",
+    oracle="""
+WITH ev AS (
+    SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+st AS (
+    SELECT grp,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(v) AS HUGEINT) AS s,
+           SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2
+    FROM ev GROUP BY 1
+)
+SELECT ev.grp,
+       COUNT(*) AS n,
+       SUM(CASE WHEN (st.n * ev.v - st.s) * (st.n * ev.v - st.s)
+                     > 9 * (st.n * st.s2 - st.s * st.s)
+                THEN 1 ELSE 0 END) AS n_outliers,
+       ROUND(CAST(MAX(st.s) AS DOUBLE) / (CAST(MAX(st.n) AS DOUBLE) * 100), 6)
+           AS mean
+FROM ev JOIN st ON ev.grp = st.grp
+GROUP BY ev.grp
+""",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3σ outlier screen in EXACT arithmetic: the test
+    (v-μ)² > 9σ² is cleared of divisions to (n·V-S)² > 9(n·S2-S²) over
+    decimal sums of 2-decimal-scaled integers — no float mean/variance
+    on the comparison path, so borderline rows can't flip across
+    engines or reduce orders."""
+    from opl_spark.operators.analytics import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_outliers(ev, "event_type", "value", z=3, value_decimals=2)
+
+
+@register(
+    "q_bm25_search",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents
+),
+tok AS (SELECT doc, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc, COUNT(*) AS dl FROM tok GROUP BY 1),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+tf AS (
+    SELECT doc, term, COUNT(*) AS tf FROM tok
+    WHERE term IN ('hash', 'join', 'window') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1)
+SELECT tf.doc,
+       ROUND(SUM(
+           ln((corpus.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75
+              + 0.75 * dl.dl / (CAST(corpus.total_dl AS DOUBLE) / corpus.n_docs)))
+       ), 6) AS score
+FROM tf
+JOIN dfreq ON tf.term = dfreq.term
+JOIN dl ON tf.doc = dl.doc
+CROSS JOIN corpus
+GROUP BY tf.doc
+ORDER BY score DESC, tf.doc
+LIMIT 10
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query bag {hash, join, window} (k1=1.2,
+    b=0.75) — the lexical-retrieval baseline beside the ANN tier.
+    Only query-term postings shuffle; docfreq and the (N, avgdl)
+    scalars broadcast; selection is TakeOrdered on the deterministic
+    (score desc, doc) order."""
+    from opl_spark.operators.text import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, "text", "doc_id", ["hash", "join", "window"], k=10)
+
+
+@register(
+    "q_soft_dedup_sample",
+    oracle="""
+WITH g AS (
+    SELECT md5(text) AS h, COUNT(*) AS copies FROM documents GROUP BY 1
+)
+SELECT d.doc_id, g.copies
+FROM documents d JOIN g ON md5(d.text) = g.h
+WHERE (d.doc_id * 2654435761 + 7) % 4294967296 < 4294967296 // g.copies
+""",
+)
+def q_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup by sampling: keep each row with probability 1/copies
+    via the portable multiplicative hash gate and the INTEGER floor
+    threshold 2^32 // copies — expected kept mass per distinct text is
+    1, and the draw is deterministic on any engine.  The materialized
+    cousin of q_dup_weights."""
+    from opl_spark.operators.sampling import soft_dedup_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return soft_dedup_sample(docs, "text", "doc_id", salt=7)
+
+
+@register(
+    "q_embedding_norms",
+    oracle="""
+WITH norms AS (
+    SELECT label,
+           ROUND(sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')), 6) AS nrm
+    FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n,
+       ROUND(AVG(nrm), 6) AS avg_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM norms GROUP BY label
+""",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm report (the pre-normalization sanity check
+    every embedding pipeline runs): one JVM-side left-fold per vector
+    (F.aggregate — no Python), norms rounded(6) BEFORE the group stats
+    so cross-engine float drift can't leak into min/max."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "q_props_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(*), 6) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON props column: extract $.k with the
+    JVM JSON path expression (no Python), aggregate per event type —
+    integer sums exact, the average one division of exact ints."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_k"),
+        )
+    )

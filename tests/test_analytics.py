@@ -1,0 +1,121 @@
+"""Unit semantics for the event-analytics / retrieval operators —
+hand-sized cases where the expected output is computable by eye
+(the DuckDB oracle covers the corpus-scale equality)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, h), t) for u, d, h, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    from opl_spark.operators.analytics import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 1, "view"), (1, 1, 2, "click"), (1, 1, 3, "purchase"),
+        # user 2: clicked BEFORE first view -> stops at view
+        (2, 1, 2, "click"), (2, 1, 3, "view"),
+        # user 3: view+click, purchase before click -> stops at click
+        (3, 1, 1, "view"), (3, 1, 2, "purchase"), (3, 1, 3, "click"),
+        # user 4: never viewed
+        (4, 1, 1, "click"), (4, 1, 2, "purchase"),
+    ]
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_counts_are_monotone_on_real_events(spark, sf_dir):
+    from opl_spark import workload
+
+    rows = workload.queries()["q_funnel"](spark, sf_dir).collect()
+    ns = [r["n_users"] for r in sorted(rows, key=lambda r: r["step"])]
+    assert len(ns) == 3 and ns[0] >= ns[1] >= ns[2] > 0
+
+
+def test_retention_cohort_zero_offset_counts_every_user(spark):
+    from opl_spark.operators.analytics import retention_cohorts
+
+    rows = [
+        (1, 1, 1, "view"), (1, 9, 1, "view"),   # week 0 + week 1 (Jan 8+)
+        (2, 1, 1, "view"),                       # week 0 only
+        (3, 9, 1, "view"), (3, 16, 1, "view"),  # cohort Jan 8, back Jan 15
+    ]
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(_ev(spark, rows), "user_id", "ts").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+
+
+def test_zscore_outliers_exact_hand_case(spark):
+    from opl_spark.operators.analytics import zscore_outliers
+
+    # a single spike among n rows has z = sqrt(n-1) exactly: with n=10
+    # that is 3.0000... -> NOT an outlier under the strict > test, and
+    # the exact integer arithmetic must see it as exactly equal (a
+    # float variance would tip either way in the last ulp)
+    vals = [10.0] * 9 + [110.0]
+    df = spark.createDataFrame([("a", v) for v in vals], "grp string, value double")
+    row = zscore_outliers(df, "grp", "value", z=3).first()
+    assert (row["n"], row["n_outliers"], row["mean"]) == (10, 0, 20.0)
+    # n=20: the spike's z = sqrt(19) > 3 -> strictly an outlier
+    df2 = spark.createDataFrame(
+        [("a", v) for v in [10.0] * 19 + [110.0]], "grp string, value double"
+    )
+    r2 = zscore_outliers(df2, "grp", "value", z=3).first()
+    assert (r2["n"], r2["n_outliers"], r2["mean"]) == (20, 1, 15.0)
+
+
+def test_bm25_prefers_term_dense_short_docs(spark):
+    from opl_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash hash hash"),
+            (2, "hash filler filler filler filler filler filler filler"),
+            (3, "filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(df, "text", "doc_id", ["hash"], k=3).collect()
+    assert [r["doc"] for r in rows] == [1, 2]  # doc 3 never matches
+    assert rows[0]["score"] > rows[1]["score"] > 0
+
+
+def test_soft_dedup_sample_keeps_uniques_and_downsamples_dups(spark):
+    from opl_spark.operators.sampling import soft_dedup_sample
+
+    uniq = [(i, f"unique text {i}") for i in range(50)]
+    dups = [(100 + i, "same text") for i in range(40)]
+    df = spark.createDataFrame(uniq + dups, "doc_id long, text string")
+    kept = soft_dedup_sample(df, "text", "doc_id").collect()
+    by_copies = {}
+    for r in kept:
+        by_copies.setdefault(r["copies"], []).append(r["doc_id"])
+    # copies=1 rows pass the gate with certainty (threshold = 2^32)
+    assert sorted(by_copies[1]) == [i for i, _ in uniq]
+    # the 40-copy group keeps ~1 row (0 is possible but the expected
+    # mass is 1; allow a small band, exclude keeping most of them)
+    assert len(by_copies.get(40, [])) <= 6
+    # determinism: a second run picks the identical set
+    again = sorted(r["doc_id"] for r in soft_dedup_sample(df, "text", "doc_id").collect())
+    assert again == sorted(r["doc_id"] for r in kept)
