@@ -88,6 +88,16 @@ BENCH_QUERIES = [
     "q_bpe_merges",
     "q_dup_weights",
     "q_winnow_pairs",
+    "q_bpe_segment",
+    # round-3: event analytics / retrieval / soft-dedup sampling
+    "q_funnel",
+    "q_retention",
+    "q_zscore_outliers",
+    "q_bm25_search",
+    "q_soft_dedup_sample",
+    "q_embedding_norms",
+    "q_props_extract",
+    "q_source_overlap",
 ]
 
 

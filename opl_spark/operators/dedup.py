@@ -640,3 +640,65 @@ def keep_best_dedup(
             F.coalesce(F.col("best"), F.col("keeper")).alias("keeper"),
         )
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+    max_group_freq: int | None = None,
+) -> DataFrame:
+    """Cross-source contamination matrix: exact shingle-set Jaccard
+    between every pair of sources — the corpus-composition diagnostic
+    that tells you two "different" domains are mirrors of each other
+    before they double-weight the training mix.
+
+    Shape: distinct (source, shingle) postings (combinable distinct),
+    per-source set sizes, then a shingle-keyed self-join whose fan-out
+    is bounded by sources-per-shingle², NOT docs² — the output is the
+    source×source triangle.  ``max_group_freq`` drops shingles present
+    in more than that many sources (the stop-shingle guard for corpora
+    with thousands of sources, mirroring ``ngram_jaccard_pairs``'s
+    ``max_doc_freq``); a shingle in (nearly) every source contributes
+    ~uniformly to every cell anyway.
+    """
+    # postings shuffle as 8-byte shingle hashes, not strings (the
+    # ngram_jaccard_pairs convention; collision odds ~|S|²/2⁶⁴ ≈ 0)
+    sh = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+        )
+        .select("src", F.xxhash64("s").alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_group_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("gf"))
+        sh = sh.join(
+            freq.filter(F.col("gf") <= max_group_freq).select("sh"), "sh"
+        )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("src").alias("src_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("src").alias("src_b"), F.col("n_sh").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            union.alias("union_sh"),
+            F.round(F.col("inter").cast("double") / union, 6).alias("jaccard"),
+        )
+    )

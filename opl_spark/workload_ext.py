@@ -2468,3 +2468,46 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_k"),
         )
     )
+
+
+@register(
+    "q_source_overlap",
+    oracle=r"""
+WITH docs AS (
+    SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT source AS src, s FROM (
+        SELECT source, unnest(list_distinct(
+            list_transform(
+                range(1, greatest(len(w) - 2, 1) + 1),
+                i -> array_to_string(list_slice(w, i, i + 2), ' ')
+            ))) AS s
+        FROM docs
+    )
+),
+sizes AS (SELECT src, COUNT(*) AS n_sh FROM sh GROUP BY src),
+inter AS (
+    SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b, inter,
+       sa.n_sh + sb.n_sh - inter AS union_sh,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.src = src_a
+JOIN sizes sb ON sb.src = src_b
+""",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: exact 3-gram shingle-set
+    Jaccard for every source pair — the corpus-composition diagnostic
+    that catches mirror domains before they double-weight the training
+    mix.  Join fan-out is bounded by sources-per-shingle², never
+    docs²; output is the source×source triangle."""
+    from opl_spark.operators.dedup import source_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap(docs, "text", "source", n=3)

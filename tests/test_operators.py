@@ -109,6 +109,32 @@ def test_lsh_bucket_cap_is_subset_with_full_recall(spark, docs):
     assert minhash_lsh_candidates(sigs, max_bucket=1).count() == 0
 
 
+def test_source_overlap_triangle_and_cap(spark, docs):
+    """Identical sources have jaccard 1; the triangle holds one row per
+    unordered pair; the stop-shingle cap only removes intersection
+    mass (capped inter <= uncapped)."""
+    from opl_spark.operators.dedup import source_overlap
+
+    full = {(r.src_a, r.src_b): r for r in
+            source_overlap(docs, "text", "source").collect()}
+    srcs = {r["source"] for r in docs.select("source").distinct().collect()}
+    # one row max per unordered pair, a < b
+    assert all(a < b for a, b in full)
+    assert len(full) <= len(srcs) * (len(srcs) - 1) // 2
+    for r in full.values():
+        assert 0 < r.inter <= r.union_sh
+        assert 0 < r.jaccard <= 1
+    # a duplicated source is a perfect mirror of itself
+    two = docs.selectExpr("text", "'x' AS source").union(
+        docs.selectExpr("text", "'y' AS source")
+    )
+    row = source_overlap(two, "text", "source").first()
+    assert (row.src_a, row.src_b, row.jaccard) == ("x", "y", 1.0)
+    capped = {(r.src_a, r.src_b): r.inter for r in
+              source_overlap(docs, "text", "source", max_group_freq=3).collect()}
+    assert all(capped[p] <= full[p].inter for p in capped)
+
+
 def test_simhash_deterministic_and_dup_invariant(spark):
     df = spark.createDataFrame(
         [(1, "spark window join filter"), (2, "spark window join filter"), (3, "zzz qqq")],
