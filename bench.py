@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "q_embedding_norms",
     "q_props_extract",
     "q_source_overlap",
+    "q_cube_topk",
+    "q_date_spine",
+    "q_substring_dup",
 ]
 
 

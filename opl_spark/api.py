@@ -56,6 +56,8 @@ class OlapApi:
             measure=params.get("measure"),
             aggregate=params.get("aggregate"),
             hierarchy=params.get("hierarchy"),
+            top_n=int(params["top_n"]) if "top_n" in params else None,
+            top_within=params.get("top_within"),
         )
         if params.get("output") == "table":
             # S11 — first row = column names, then value rows

@@ -337,12 +337,23 @@ class CubeEngine:
         measure: str | None = None,
         aggregate: str | None = None,
         hierarchy: str | None = None,
+        top_n: int | None = None,
+        top_within: str | None = None,
     ) -> DataFrame:
         """``GET /olap/<fact>/aggregate`` → DataFrame.
 
         The emitted plan is a single filter→groupBy→agg→orderBy chain;
         cut conditions land on the fact's scope/partition columns so
         partition pruning fires (SURVEY.md §4).
+
+        ``top_n`` is an extension beyond the reference surface: keep
+        only the N highest rows by the (first) measure.  With
+        ``top_within`` (comma-separated output group columns) the rank
+        is PER GROUP — a partitioned row_number whose window is keyed
+        by the group, so each group ranks on its own executors.
+        Without it the cut is global and plans as TakeOrdered
+        (orderBy+limit), never an unpartitioned window.  Ties break by
+        the remaining group columns — fully deterministic output.
         """
         meta = self.catalog.fact(fact)
         df = self.frame(fact)
@@ -365,11 +376,43 @@ class CubeEngine:
 
         group_cols = self._resolve_drilldown(df, q)
         aggs = self._agg_exprs(df, q)
-        if group_cols:
-            out = df.groupBy(*group_cols).agg(*aggs)
-            # deterministic ordering — required by output=table consumers
-            return out.orderBy(*group_cols)
-        return df.agg(*aggs)
+        if not group_cols:
+            return df.agg(*aggs)
+        out = df.groupBy(*group_cols).agg(*aggs)
+        if top_n is not None:
+            out = self._apply_top(out, len(group_cols), int(top_n), top_within)
+        # deterministic ordering — required by output=table consumers
+        return out.orderBy(*out.columns[: len(group_cols)])
+
+    @staticmethod
+    def _apply_top(
+        out: DataFrame, n_group_cols: int, top_n: int, top_within: str | None
+    ) -> DataFrame:
+        """Rank rows of an aggregated cube result by the first measure
+        (desc; remaining group columns break ties) and keep the top N —
+        per ``top_within`` group when given, else globally."""
+        from pyspark.sql.window import Window
+
+        gnames = out.columns[:n_group_cols]
+        measure_col = out.columns[n_group_cols]
+        within = [c.strip() for c in (top_within or "").split(",") if c.strip()]
+        unknown = [c for c in within if c not in gnames]
+        if unknown:
+            raise KeyError(
+                f"top_within columns {unknown} not in drilldown output {gnames}"
+            )
+        rest = [c for c in gnames if c not in within]
+        order = [F.col(measure_col).desc(), *[F.col(c) for c in rest]]
+        if not within:
+            # global top-N: orderBy+limit plans as TakeOrdered — never
+            # an unpartitioned ranking window
+            return out.orderBy(*order).limit(top_n)
+        w = Window.partitionBy(*within).orderBy(*order)
+        return (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= top_n)
+            .drop("__rk")
+        )
 
 
 # ---------------------------------------------------------------------------

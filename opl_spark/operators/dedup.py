@@ -702,3 +702,40 @@ def source_overlap(
             F.round(F.col("inter").cast("double") / union, 6).alias("jaccard"),
         )
     )
+
+
+def span_duplication_profile(
+    df: DataFrame, text_col: str, id_col: str, n: int = 10
+) -> DataFrame:
+    """Exact substring-duplication profile (the corpus diagnostic
+    behind exact-substring dedup, Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    per document, how many of its positional word ``n``-gram spans
+    occur ≥2 times anywhere in the corpus (including self-repeats) —
+    ``(doc, n_spans, n_dup_spans, dup_frac)``.
+
+    The pipeline decision this feeds: trim or drop documents whose
+    duplicated-span fraction is high.  Scale shape: positional spans
+    shuffle as 8-byte hashes; corpus span frequency is one map-side
+    combinable count; the profile is one join back on the hash + a
+    doc-keyed aggregation.  No pair join anywhere — cost is linear in
+    corpus spans, which is what makes the substring formulation
+    tractable where document-pair Jaccard is not.
+    """
+    spans = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingle_seq_col(F.col(text_col), n)).alias("s"),
+    ).select("doc", F.xxhash64("s").alias("sh"))
+    freq = spans.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    dup = (F.col("f") >= 2).cast("long")
+    return (
+        spans.join(freq, "sh")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -2511,3 +2511,125 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_overlap(docs, "text", "source", n=3)
+
+
+@register(
+    "q_cube_topk",
+    oracle="WITH fact AS ("
+    + LOANS_FACT_SQL
+    + """),
+g AS (
+    SELECT consortia_id, consortia_label, library_id,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value
+    FROM fact GROUP BY 1, 2, 3
+)
+SELECT consortia_id, consortia_label, library_id, value
+FROM g
+QUALIFY row_number() OVER (
+    PARTITION BY consortia_id
+    ORDER BY value DESC, consortia_label, library_id
+) <= 3
+""",
+)
+def q_cube_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube extension beyond the reference surface: top-3 libraries
+    per consortium by loan value in one aggregate call (`top_n=3,
+    top_within=consortia_id`).  The rank is a PARTITIONED row_number
+    keyed by the group (each consortium ranks on its own executors);
+    the global variant plans as TakeOrdered.  Exposed through
+    OlapApi/HTTP as `top_n`/`top_within` params."""
+    from opl_spark.facts import build_loans_fact
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    return engine.aggregate(
+        "loans2",
+        drilldown="organization_level:library_id",
+        measure="value",
+        top_n=3,
+        top_within="consortia_id",
+    )
+
+
+@register(
+    "q_date_spine",
+    oracle="""
+WITH ev AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           CAST(value AS DECIMAL(18,6)) AS v
+    FROM events
+),
+b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM b
+),
+daily AS (
+    SELECT d, COUNT(*) AS n,
+           ROUND(CAST(SUM(v) AS DOUBLE), 6) AS total
+    FROM ev GROUP BY 1
+)
+SELECT spine.d, COALESCE(daily.n, 0) AS n,
+       COALESCE(daily.total, 0.0) AS total
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+""",
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily series: a generated date spine (sequence+explode
+    over the single-row min/max bounds) left-joined to the daily
+    totals, zeros filled — the resample/zero-fill pattern every
+    time-series report needs.  The spine is days-sized; the daily agg
+    is exact decimal; the join is a broadcast of the spine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    daily = ev.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v").cast("double"), 6).alias("total"),
+    )
+    spine = (
+        ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    return spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+
+
+@register(
+    "q_substring_dup",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sp AS (
+    SELECT doc_id AS doc, unnest(list_transform(
+        range(1, greatest(len(w) - 9, 1) + 1),
+        i -> array_to_string(list_slice(w, i, i + 9), ' ')
+    )) AS s
+    FROM docs
+),
+freq AS (SELECT s, COUNT(*) AS f FROM sp GROUP BY 1)
+SELECT doc,
+       COUNT(*) AS n_spans,
+       SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+       ROUND(CAST(SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+FROM sp JOIN freq ON sp.s = freq.s
+GROUP BY doc
+""",
+)
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication profile (Lee et al. 2021,
+    arXiv:2107.06499): per doc, the fraction of positional 10-gram
+    spans occurring >=2 times corpus-wide — the signal behind
+    exact-substring dedup/trimming.  Linear in corpus spans (8-byte
+    hash shuffle + combinable count), no pair join."""
+    from opl_spark.operators.dedup import span_duplication_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_duplication_profile(docs, "text", "doc_id", n=10)

@@ -220,3 +220,56 @@ def test_approx_median_tracks_exact(spark):
         "loans2", drilldown="loan_type", measure="value", aggregate="approx_median"
     ).first()["value"]
     assert abs(approx - exact) <= max(1.0, 0.01 * exact)
+
+
+def test_cube_top_n_per_group_and_global(engine):
+    """top_n/top_within: per-group keeps the N best rows of each group
+    by the measure (deterministic tiebreak); global top_n plans as
+    TakeOrdered, never an unpartitioned window."""
+    from opl_spark.plans import formatted_plan
+
+    per = engine.aggregate(
+        "f", drilldown="date:month", measure="value", top_n=1, top_within="year"
+    )
+    rows = per.collect()
+    # one winner per year, and it is that year's max month total
+    years = [r["year"] for r in rows]
+    assert sorted(years) == sorted(set(years))
+    full = engine.aggregate("f", drilldown="date:month", measure="value")
+    best = {}
+    for r in full.collect():
+        cur = best.get(r["year"])
+        if cur is None or (r["value"], ) > (cur["value"], ):
+            best[r["year"]] = r
+    for r in rows:
+        assert r["value"] == best[r["year"]]["value"]
+
+    glob = engine.aggregate("f", drilldown="date:month", measure="value", top_n=2)
+    plan = formatted_plan(glob)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert glob.count() == 2
+
+    with pytest.raises(KeyError):
+        engine.aggregate(
+            "f", drilldown="date:month", measure="value",
+            top_n=1, top_within="nope",
+        )
+
+
+def test_span_duplication_profile_hand_case(spark):
+    from opl_spark.operators.dedup import span_duplication_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # spans (n=2): ab bc cd de
+            (2, "a b c x y"),        # shares ab bc with doc 1
+            (3, "q r s t u"),        # all unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in
+           span_duplication_profile(df, "text", "doc_id", n=2).collect()}
+    assert out[1]["n_spans"] == 4 and out[1]["n_dup_spans"] == 2
+    assert out[2]["n_spans"] == 4 and out[2]["n_dup_spans"] == 2
+    assert out[3]["n_spans"] == 4 and out[3]["n_dup_spans"] == 0
+    assert out[1]["dup_frac"] == 0.5 and out[3]["dup_frac"] == 0.0

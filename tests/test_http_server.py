@@ -103,6 +103,23 @@ def test_aggregate_json_and_empty_marker(api, server):
     assert json.loads(body) == {"message": "empty_dataset"}
 
 
+def test_top_n_params_over_http(api, server):
+    params = {
+        "drilldown": "organization_level:library_id",
+        "measure": "value",
+        "top_n": "3",
+        "top_within": "consortia_id",
+    }
+    status, body = _get(server, "/olap/loans2/aggregate", params)
+    assert status == 200
+    assert body == encode_response(api.handle("/olap/loans2/aggregate", params))
+    data = json.loads(body)["data"]
+    per = {}
+    for row in data:
+        per[row["consortia_id"]] = per.get(row["consortia_id"], 0) + 1
+    assert per and all(v <= 3 for v in per.values())
+
+
 def test_unknown_routes_are_404(server):
     for path in ("/olap/nope", "/not_olap", "/olap/loans2/nope"):
         with pytest.raises(urllib.error.HTTPError) as exc:
