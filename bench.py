@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "q_cube_topk",
     "q_date_spine",
     "q_substring_dup",
+    "q_event_transitions",
+    "q_correlation",
 ]
 
 

@@ -2633,3 +2633,105 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_duplication_profile(docs, "text", "doc_id", n=10)
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+    FROM events
+),
+seq AS (
+    SELECT user_id, event_type AS next_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+           ) AS prev_type
+    FROM e
+)
+SELECT prev_type, next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (the Markov view of
+    user journeys funnels summarize): lag over a PER-USER window (each
+    user's history sorts on its own partition — no global sort), then
+    one combinable count per (prev, next) cell.  Output is
+    event-types²-sized."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_correlation",
+    oracle="""
+WITH ev AS (
+    SELECT event_type AS grp,
+           CAST(round(value * 100) AS BIGINT) AS x,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+    FROM events
+),
+st AS (
+    SELECT grp,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+    FROM ev GROUP BY 1
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+FROM st
+""",
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation between event value and the JSON
+    k property — in EXACT arithmetic: all five sums are decimal over
+    2-decimal-scaled integers (order-independent), and the only float
+    ops are the final division/sqrt over exact operands — bit-stable
+    on any engine, any partitioning (the q_zscore_outliers
+    discipline)."""
+    big = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").cast(big).alias("x"),
+        F.get_json_object("props", "$.k").cast("long").cast(big).alias("y"),
+    )
+    st = ev.groupBy("grp").agg(
+        F.count(F.lit(1)).cast(big).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return st.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 6).alias("corr"),
+    )

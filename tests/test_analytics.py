@@ -119,3 +119,59 @@ def test_soft_dedup_sample_keeps_uniques_and_downsamples_dups(spark):
     # determinism: a second run picks the identical set
     again = sorted(r["doc_id"] for r in soft_dedup_sample(df, "text", "doc_id").collect())
     assert again == sorted(r["doc_id"] for r in kept)
+
+
+def test_correlation_exact_hand_cases(spark, sf_dir):
+    """Perfectly linear data gives corr exactly ±1.0 under the exact
+    integer formula (a float pipeline would land at 0.999999x)."""
+    from opl_spark import workload
+
+    rows = [r for r in workload.queries()["q_correlation"](spark, sf_dir).collect()]
+    assert all(-1.0 <= r["corr"] <= 1.0 for r in rows)
+
+    # hand case through the same formula shape, built inline
+    from pyspark.sql import functions as F
+
+    big = "decimal(38,0)"
+    df = spark.createDataFrame(
+        [("a", float(i), 3 * i + 7) for i in range(10)]
+        + [("b", float(i), -2 * i + 50) for i in range(10)],
+        "grp string, value double, k long",
+    )
+    ev = df.select(
+        "grp",
+        F.round(F.col("value") * 100).cast("long").cast(big).alias("x"),
+        F.col("k").cast(big).alias("y"),
+    )
+    st = ev.groupBy("grp").agg(
+        F.count(F.lit(1)).cast(big).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    out = {r["grp"]: r["c"] for r in st.select("grp", F.round(num / den, 6).alias("c")).collect()}
+    assert out == {"a": 1.0, "b": -1.0}
+
+
+def test_event_transitions_counts_consecutive_pairs(spark):
+    from opl_spark import workload  # noqa: F401  (query covered by oracle)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = _ev(spark, [
+        (1, 1, 1, "view"), (1, 1, 2, "click"), (1, 1, 3, "view"),
+        (2, 1, 1, "view"), (2, 1, 2, "view"),
+    ])
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = df.select(
+        F.lag("event_type").over(w).alias("p"), F.col("event_type").alias("nx")
+    ).filter(F.col("p").isNotNull())
+    out = {(r["p"], r["nx"]): r["n"] for r in
+           seq.groupBy("p", "nx").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert out == {("view", "click"): 1, ("click", "view"): 1, ("view", "view"): 1}
