@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q_substring_dup",
     "q_event_transitions",
     "q_correlation",
+    "q_asof_forward",
 ]
 
 

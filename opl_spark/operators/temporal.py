@@ -37,19 +37,25 @@ def asof_join(
     keys: list[str],
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, the single right row
-    with the greatest ``right_ts <= left_ts`` sharing ``keys`` (the
-    DuckDB/pandas ``ASOF JOIN`` contract; inner semantics — left rows
-    with no prior right row are dropped).
+    """As-of join: for every left row, the single nearest right row
+    sharing ``keys`` — ``direction="backward"`` takes the greatest
+    ``right_ts <= left_ts`` (the DuckDB/pandas ``ASOF JOIN`` contract),
+    ``"forward"`` the smallest ``right_ts >= left_ts`` (conversion /
+    next-event attribution).  Inner semantics — left rows with no
+    match are dropped.  Both directions are the same union → per-key
+    running ``last(ignorenulls)`` window, just ordered in reverse for
+    forward: still ONE shuffle on the key and O(1) window state.
 
     Output columns: all of ``left``'s, then ``right``'s except the
     keys — the two inputs must not share other column names.
 
     At equal timestamps the right row sorts first (so it IS visible to
-    the left row, matching ``<=``); among equal-timestamp right rows
-    the greatest payload struct wins — deterministic, where engines
-    with an unspecified tie rule are not."""
+    the left row, matching the inclusive bound); among equal-timestamp
+    right rows the greatest payload struct wins backward (least wins
+    forward) — deterministic, where engines with an unspecified tie
+    rule are not."""
     overlap = (set(left.columns) & set(right.columns)) - set(keys)
     if overlap:
         raise ValueError(f"asof_join inputs share non-key columns {sorted(overlap)}")
@@ -71,9 +77,15 @@ def asof_join(
         F.lit(None).cast(l_type).alias("__l"),
         F.struct(*[F.col(c) for c in r_payload_cols]).alias("__r"),
     )
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__r").asc()]
+    elif direction == "forward":
+        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__r").desc()]
+    else:
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side", F.col("__r"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -2735,3 +2735,24 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(num / den, 6).alias("corr"),
     )
+
+
+@register(
+    "q_asof_forward",
+    oracle=_EVENTS_US_CTE
+    + """
+SELECT s.signup_id, s.user_id, s.signup_us, p.purchase_id, p.purchase_us
+FROM s ASOF JOIN p
+  ON s.user_id = p.user_id AND p.purchase_us >= s.signup_us
+""",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each signup matched to the user's FIRST
+    purchase at-or-after it (time-to-convert attribution) — the same
+    one-shuffle running-last window as the backward direction, ordered
+    in reverse; oracle is DuckDB's native forward ASOF."""
+    from opl_spark.operators.temporal import asof_join
+
+    s = _typed_events(spark, sf_dir, "signup", "signup")
+    p = _typed_events(spark, sf_dir, "purchase", "purchase")
+    return asof_join(s, p, ["user_id"], "signup_us", "purchase_us", direction="forward")

@@ -47,6 +47,27 @@ def test_asof_join_edges(frames):
     assert 102 not in out and 103 not in out
 
 
+def test_asof_join_forward_direction(frames):
+    left, right = frames
+    out = {
+        r["lid"]: (r["rid"], r["rts"])
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", direction="forward"
+        ).collect()
+    }
+    # equal timestamps match (right_ts >= left_ts)
+    assert out[100] == (201, 10)
+    # nearest FUTURE right row; among equal-ts rights the least payload
+    assert out[101] == (200, 5)
+    # key-2 left at 7 now matches the right row at 8
+    assert out[102] == (203, 8)
+    # still inner: keyless left dropped
+    assert 103 not in out
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], "lts", "rts", direction="sideways")
+
+
 def test_asof_join_rejects_column_overlap(frames):
     left, right = frames
     with pytest.raises(ValueError, match="share non-key columns"):
