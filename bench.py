@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "q_event_transitions",
     "q_correlation",
     "q_asof_forward",
+    "q_cube_having",
 ]
 
 

@@ -58,6 +58,7 @@ class OlapApi:
             hierarchy=params.get("hierarchy"),
             top_n=int(params["top_n"]) if "top_n" in params else None,
             top_within=params.get("top_within"),
+            having=params.get("having"),
         )
         if params.get("output") == "table":
             # S11 — first row = column names, then value rows

@@ -339,6 +339,7 @@ class CubeEngine:
         hierarchy: str | None = None,
         top_n: int | None = None,
         top_within: str | None = None,
+        having: str | None = None,
     ) -> DataFrame:
         """``GET /olap/<fact>/aggregate`` → DataFrame.
 
@@ -354,6 +355,11 @@ class CubeEngine:
         Without it the cut is global and plans as TakeOrdered
         (orderBy+limit), never an unpartitioned window.  Ties break by
         the remaining group columns — fully deterministic output.
+
+        ``having`` filters AFTER aggregation on a measure output
+        column — one strict ``col op number`` comparison (ops: >= <=
+        > < = !=), parsed, never eval'd, so the HTTP surface cannot
+        inject expressions.  Applied before ``top_n``.
         """
         meta = self.catalog.fact(fact)
         df = self.frame(fact)
@@ -379,10 +385,40 @@ class CubeEngine:
         if not group_cols:
             return df.agg(*aggs)
         out = df.groupBy(*group_cols).agg(*aggs)
+        if having:
+            out = out.filter(self._compile_having(out, len(group_cols), having))
         if top_n is not None:
             out = self._apply_top(out, len(group_cols), int(top_n), top_within)
         # deterministic ordering — required by output=table consumers
         return out.orderBy(*out.columns[: len(group_cols)])
+
+    @staticmethod
+    def _compile_having(out: DataFrame, n_group_cols: int, having: str) -> Column:
+        """Parse one ``<measure> <op> <number>`` comparison against a
+        measure OUTPUT column (group-column predicates belong in the
+        cut).  Strict grammar — no expression evaluation."""
+        import re
+
+        m = re.fullmatch(
+            r"\s*(\w+)\s*(>=|<=|!=|=|>|<)\s*(-?\d+(?:\.\d+)?)\s*", having
+        )
+        if not m:
+            raise ValueError(f"malformed having {having!r} (need 'col op number')")
+        col, op, num = m.group(1), m.group(2), float(m.group(3))
+        measure_cols = out.columns[n_group_cols:]
+        if col not in measure_cols:
+            raise KeyError(
+                f"having column {col!r} not a measure output {measure_cols}"
+            )
+        ops = {
+            ">=": F.col(col) >= num,
+            "<=": F.col(col) <= num,
+            ">": F.col(col) > num,
+            "<": F.col(col) < num,
+            "=": F.col(col) == num,
+            "!=": F.col(col) != num,
+        }
+        return ops[op]
 
     @staticmethod
     def _apply_top(

@@ -64,3 +64,62 @@ def first_seen_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def transition_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "us",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming event-type transitions: per user, emit one
+    ``(prev_type, next_type)`` row for every consecutive event pair —
+    the online feed of the batch transition matrix
+    (``q_event_transitions``); downstream aggregation of the appended
+    pairs gives identical counts.
+
+    State per user is the LAST event seen ``(us, id, type)`` — a few
+    bytes, sharded with the user-key shuffle — so pairs bridge
+    microbatch boundaries.  Within a microbatch the user's events sort
+    by ``(ts, id)``; across batches correctness relies on the source
+    delivering each user's events in time order (true for replayed
+    logs / availableNow over time-ordered files; out-of-order sources
+    need a watermark + sort stage first, which this operator leaves to
+    the caller exactly like the reference batch query leaves it to the
+    table's order columns).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("last_id", T.LongType()),
+            T.StructField("last_type", T.StringType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd  # self-contained: no engine-package imports
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values([ts_col, id_col])
+        types = batch[type_col].tolist()
+        prev0 = state.get[2] if state.exists else None
+        prevs = [prev0] + types[:-1]
+        state.update(
+            (int(batch[ts_col].iloc[-1]), int(batch[id_col].iloc[-1]), types[-1])
+        )
+        rows = [(p, n) for p, n in zip(prevs, types) if p is not None]
+        if rows:
+            yield pd.DataFrame(rows, columns=["prev_type", "next_type"])
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

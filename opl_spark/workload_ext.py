@@ -2756,3 +2756,33 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _typed_events(spark, sf_dir, "signup", "signup")
     p = _typed_events(spark, sf_dir, "purchase", "purchase")
     return asof_join(s, p, ["user_id"], "signup_us", "purchase_us", direction="forward")
+
+
+@register(
+    "q_cube_having",
+    oracle="WITH fact AS ("
+    + LOANS_FACT_SQL
+    + """)
+SELECT consortia_id, consortia_label,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value
+FROM fact
+GROUP BY 1, 2
+HAVING ROUND(CAST(SUM(value) AS DOUBLE), 2) >= 750000000
+""",
+)
+def q_cube_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube `having` extension: post-aggregation measure filter
+    (strict `col op number` grammar — parsed, never eval'd, so the
+    HTTP surface can expose it safely).  Catalyst keeps the filter
+    above the aggregate; the group-column predicates stay in the cut
+    where they prune partitions."""
+    from opl_spark.facts import build_loans_fact
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    return engine.aggregate(
+        "loans2",
+        drilldown="organization_level:consortia_label",
+        measure="value",
+        having="value>=750000000",
+    )

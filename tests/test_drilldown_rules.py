@@ -273,3 +273,23 @@ def test_span_duplication_profile_hand_case(spark):
     assert out[2]["n_spans"] == 4 and out[2]["n_dup_spans"] == 2
     assert out[3]["n_spans"] == 4 and out[3]["n_dup_spans"] == 0
     assert out[1]["dup_frac"] == 0.5 and out[3]["dup_frac"] == 0.0
+
+
+def test_cube_having_filters_and_rejects_injection(engine):
+    full = engine.aggregate("f", drilldown="date", measure="value")
+    vals = sorted(r["value"] for r in full.collect())
+    cut = vals[len(vals) // 2]
+    kept = engine.aggregate(
+        "f", drilldown="date", measure="value", having=f"value>={cut}"
+    )
+    assert {r["value"] for r in kept.collect()} == {v for v in vals if v >= cut}
+    # strict grammar: expressions and unknown/group columns refuse
+    with pytest.raises(ValueError, match="malformed having"):
+        engine.aggregate(
+            "f", drilldown="date", measure="value",
+            having="value >= 1 OR 1=1",
+        )
+    with pytest.raises(KeyError, match="not a measure output"):
+        engine.aggregate(
+            "f", drilldown="date", measure="value", having="year>=1"
+        )

@@ -245,3 +245,35 @@ def test_interval_join_stream_stream(spark, sf_dir, tmp_path):
     key = lambda r: (r["user_id"], str(r["click_ts"]), r["click_id"], r["view_id"])  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, expect.collect()))
     assert expect.count() > 0
+
+
+def test_streaming_transitions_equal_batch_matrix(spark, sf_dir):
+    """Draining the per-user stateful transition stream and counting
+    the emitted pairs must equal the batch lag-window transition
+    matrix (q_event_transitions) exactly."""
+    from opl_spark.streaming.stateful import transition_stream
+    from opl_spark import workload
+
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type", "event_id"
+    )
+    pairs = transition_stream(events)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("t_transitions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT prev_type, next_type, COUNT(*) AS n FROM t_transitions GROUP BY 1, 2"
+        ).collect()
+    }
+    batch = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in workload.queries()["q_event_transitions"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
