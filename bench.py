@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "q_correlation",
     "q_asof_forward",
     "q_cube_having",
+    "q_temperature_mix",
+    "q_histogram",
 ]
 
 

@@ -168,3 +168,42 @@ def soft_dedup_sample(
         .filter(bucket < thr)
         .select(F.col(id_col), F.col("copies"))
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    resolution: int = 100,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-LM
+    alpha-sampling recipe, arXiv:1901.07291 §3.1): each source's copy
+    factor is ``(n_max / n_g)^(1-alpha)`` — alpha=1 keeps natural
+    proportions, alpha→0 upsamples small sources toward parity with
+    the largest.  The factor is computed IN the plan (counts CTE +
+    single-row max, both broadcast), then materialized with the same
+    deterministic ``copies_col`` explode as ``mix_sources``.
+
+    Cross-engine determinism: the pow result rounds to 6 decimals
+    before the copy arithmetic, so a last-ulp libm difference between
+    engines can never flip a floor/gate."""
+    counts = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    top = counts.agg(F.max("__n").alias("__n_max"))
+    weight = F.round(
+        F.pow(F.col("__n_max").cast("double") / F.col("__n"), 1.0 - alpha), 6
+    )
+    copies = copies_col(F.col(id_col), weight, resolution)
+    return (
+        df.join(F.broadcast(counts), df[group_col] == counts["__g"])
+        .crossJoin(F.broadcast(top))
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") >= 1)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies"))),
+        )
+        .drop("__g", "__n", "__n_max", "__copies")
+    )

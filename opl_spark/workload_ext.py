@@ -2786,3 +2786,61 @@ def q_cube_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         measure="value",
         having="value>=750000000",
     )
+
+
+@register(
+    "q_temperature_mix",
+    oracle="""
+WITH counts AS (
+    SELECT lang AS g, COUNT(*) AS n FROM documents GROUP BY 1
+),
+top AS (SELECT MAX(n) AS n_max FROM counts),
+w AS (
+    SELECT g, n,
+           ROUND(pow(CAST(n_max AS DOUBLE) / n, 0.5), 6) AS weight
+    FROM counts CROSS JOIN top
+),
+c AS (
+    SELECT d.doc_id, d.lang,
+           CAST(FLOOR(w.weight) AS BIGINT)
+           + CASE WHEN d.doc_id % 100 <
+                       CAST(ROUND((w.weight - FLOOR(w.weight)) * 100) AS BIGINT)
+                  THEN 1 ELSE 0 END AS copies
+    FROM documents d JOIN w ON d.lang = w.g
+)
+SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch
+FROM c, unnest(generate_series(1, copies)) AS t(epoch)
+WHERE copies >= 1
+""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing at alpha=0.5 over the (skewed)
+    language axis: minority languages upsample toward parity via
+    (n_max/n)^0.5 copy factors, materialized with the deterministic
+    epoch explode — the multilingual-LM mixing recipe with fully
+    reproducible output."""
+    from opl_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(docs, "lang", "doc_id", alpha=0.5)
+
+
+@register(
+    "q_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(FLOOR(value / 5.0) AS BIGINT) * 5 AS bin_lo,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bin width 5) — one
+    combinable aggregate over a pure bin expression; output is
+    types × bins, never events."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.floor(F.col("value") / 5.0).cast("long") * 5).alias("bin_lo"),
+    ).agg(F.count(F.lit(1)).alias("n"))

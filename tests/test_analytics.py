@@ -175,3 +175,24 @@ def test_event_transitions_counts_consecutive_pairs(spark):
     out = {(r["p"], r["nx"]): r["n"] for r in
            seq.groupBy("p", "nx").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert out == {("view", "click"): 1, ("click", "view"): 1, ("view", "view"): 1}
+
+
+def test_temperature_mix_upsamples_small_groups(spark):
+    from opl_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "source", "doc_id", alpha=0.5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], {}).setdefault(r["doc_id"], 0)
+        per[r["source"]][r["doc_id"]] += 1
+    # big group: weight (40/40)^0.5 = 1 -> exactly one copy each
+    assert all(c == 1 for c in per["big"].values()) and len(per["big"]) == 40
+    # small group: weight (40/10)^0.5 = 2.0 -> exactly two copies each
+    assert all(c == 2 for c in per["small"].values()) and len(per["small"]) == 10
+    # epochs are 1-based consecutive
+    assert {r["epoch"] for r in out if r["source"] == "small"} == {1, 2}
+    # alpha=1 keeps natural proportions: everything exactly once
+    nat = temperature_mix(df, "source", "doc_id", alpha=1.0).collect()
+    assert len(nat) == 50 and all(r["epoch"] == 1 for r in nat)
