@@ -105,6 +105,133 @@ def retention_cohorts(
     )
 
 
+def rolling_active(
+    df: DataFrame, user_col: str, ts_col: str, window_days: int = 7
+) -> DataFrame:
+    """Rolling N-day distinct active users per observed day —
+    ``(day, n_users)`` for every day that has at least one event, where
+    ``n_users`` counts users active in ``[day-(N-1), day]``.
+
+    COUNT(DISTINCT) inside a sliding window isn't expressible as a
+    window function in either engine, and a day×events range self-join
+    scans the stream once per day.  Instead: dedupe to (user, day)
+    rows (map-side combinable), explode each into its N covered days
+    (bounded fan-out N — the 100 TB cost is N× the user-day table, not
+    the event stream), clip to observed days with a broadcast-sized
+    day semi-join, and dedupe again before counting.
+    """
+    ud = df.select(
+        F.col(user_col).alias("u"), F.col(ts_col).cast("date").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    covered = ud.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("day"),
+    ).distinct()
+    return (
+        covered.join(F.broadcast(days.withColumnRenamed("d", "day")), "day", "semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def new_vs_returning(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Per-day split of active users into first-ever-seen ("new") vs
+    returning — ``(day, n_new, n_returning)``.
+
+    First-seen is a user-sized groupBy-min; the (user, day) activity
+    table joins it on the user key (broadcast when the user dimension
+    fits) and reduces straight to day rows.  Both aggregations are
+    map-side combinable; nothing event-sized survives the first
+    dedupe.
+    """
+    ud = df.select(
+        F.col(user_col).alias("u"), F.col(ts_col).cast("date").alias("day")
+    ).distinct()
+    firsts = ud.groupBy("u").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(firsts, "u")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("n_new"),
+            F.sum((F.col("day") > F.col("first_day")).cast("long")).alias(
+                "n_returning"
+            ),
+        )
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: each (key, ts) record
+    becomes a validity interval ``[valid_from, valid_to)``, where
+    ``valid_to`` is the next record's timestamp for that key (NULL =
+    current row).  The warehouse pattern for turning an append-only
+    change log into point-in-time-joinable history.
+
+    One ``lead`` window partitioned BY KEY (parallelism = number of
+    keys; no global sort), ordered by (ts, tiebreak) so same-day
+    records produce a deterministic chain.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    cols = [key_col, tiebreak_col, *attr_cols]
+    return df.select(
+        *cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        (F.lead(F.col(ts_col)).over(w).isNull()).alias("is_current"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_col: str, compare_cols: list[str]
+) -> DataFrame:
+    """Keyed diff of two snapshot DataFrames: emits one row per key
+    present in either side, classified ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` by comparing ``compare_cols``
+    null-safely.  The CDC primitive for validating incremental loads
+    against full recomputes.
+
+    One full outer join on the key — co-partitioned single shuffle;
+    the comparison is a codegen'd eqNullSafe conjunction, and callers
+    filter ``kind != 'unchanged'`` before collecting anything.
+    """
+    o = old.select(
+        F.col(key_col).alias("k"), *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    )
+    n = new.select(
+        F.col(key_col).alias("k"), *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    )
+    o = o.withColumn("_in_old", F.lit(True))
+    n = n.withColumn("_in_new", F.lit(True))
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    joined = o.join(n, "k", "full_outer")
+    kind = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        kind.alias("kind"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     group_col: str,

@@ -191,14 +191,21 @@ def temperature_mix(
     counts = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    top = counts.agg(F.max("__n").alias("__n_max"))
+    # fold the corpus max onto the GROUP-SIZED counts table (an
+    # unordered single-partition window over #groups rows — metadata
+    # scale), so the corpus-side plan stays one pure
+    # BroadcastHashJoin with no nested-loop / cross join anywhere
+    from pyspark.sql import Window
+
+    counts = counts.withColumn(
+        "__n_max", F.max("__n").over(Window.partitionBy(F.lit(1)))
+    )
     weight = F.round(
         F.pow(F.col("__n_max").cast("double") / F.col("__n"), 1.0 - alpha), 6
     )
     copies = copies_col(F.col(id_col), weight, resolution)
     return (
         df.join(F.broadcast(counts), df[group_col] == counts["__g"])
-        .crossJoin(F.broadcast(top))
         .withColumn("__copies", copies)
         .filter(F.col("__copies") >= 1)
         .withColumn(

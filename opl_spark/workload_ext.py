@@ -2844,3 +2844,148 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor(F.col("value") / 5.0).cast("long") * 5).alias("bin_lo"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 second block: warehouse temporal analytics (rolling actives,
+# new-vs-returning, SCD2 history, snapshot CDC diff).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rolling_active",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id AS u,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+    FROM events
+),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT days.d AS day, COUNT(DISTINCT ud.u) AS n_users
+FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+GROUP BY 1
+""",
+)
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per observed day (the WAU
+    curve).  Sliding COUNT(DISTINCT) has no window-function form, so
+    the scale shape is dedupe-to-(user,day) -> bounded explode of the 7
+    covered days -> dedupe -> count: cost is 7x the user-day table,
+    never a per-day pass over the event stream."""
+    from opl_spark.operators.analytics import rolling_active
+
+    return rolling_active(load_table(spark, sf_dir, "events"), "user_id", "ts", 7)
+
+
+@register(
+    "q_new_returning",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id AS u,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+    FROM events
+),
+f AS (SELECT u, MIN(day) AS first_day FROM ud GROUP BY 1)
+SELECT ud.day,
+       SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS n_new,
+       SUM(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END) AS n_returning
+FROM ud JOIN f ON ud.u = f.u
+GROUP BY 1
+""",
+)
+def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day new-vs-returning user split: first-seen is a user-sized
+    groupBy-min joined back on the user key; both aggregations are
+    map-side combinable and nothing event-sized survives the first
+    dedupe."""
+    from opl_spark.operators.analytics import new_vs_returning
+
+    return new_vs_returning(load_table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "q_scd2",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderstatus,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals over the order log:
+    each customer's orders chain into [valid_from, valid_to) validity
+    ranges via one lead window PARTITIONED BY customer (parallelism =
+    keys, no global sort), ordered (date, orderkey) so same-day orders
+    chain deterministically."""
+    from opl_spark.operators.analytics import scd2_intervals
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_intervals(
+        orders, "o_custkey", "o_orderdate", ["o_orderstatus"], "o_orderkey"
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+WITH o1 AS (
+    SELECT o_custkey AS k, o_orderstatus, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+),
+s1 AS (SELECT k, o_orderstatus AS st, o_totalprice AS tp FROM o1 WHERE rn = 1),
+o2 AS (
+    SELECT o_custkey AS k, o_orderstatus, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+s2 AS (SELECT k, o_orderstatus AS st, o_totalprice AS tp FROM o2 WHERE rn = 1)
+SELECT COALESCE(s1.k, s2.k) AS o_custkey,
+       CASE WHEN s1.k IS NULL THEN 'added'
+            WHEN s2.k IS NULL THEN 'removed'
+            WHEN s1.st IS NOT DISTINCT FROM s2.st
+                 AND s1.tp IS NOT DISTINCT FROM s2.tp THEN 'unchanged'
+            ELSE 'changed' END AS kind,
+       s1.st AS old_o_orderstatus, s1.tp AS old_o_totalprice,
+       s2.st AS new_o_orderstatus, s2.tp AS new_o_totalprice
+FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC validation diff: each customer's latest order state as-of
+    1997-01-01 vs as-of 1998-01-01, classified added / changed /
+    unchanged.  Snapshots are key-partitioned row_number windows over
+    the date-filtered log (filter pushed to the scan); the diff is ONE
+    co-partitioned full outer join with a codegen'd null-safe
+    comparison — the incremental-load-vs-full-recompute check run
+    customer-sized, never order-sized."""
+    from pyspark.sql import Window
+
+    from opl_spark.operators.analytics import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snap(cutoff: str) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderstatus", "o_totalprice")
+        )
+
+    return snapshot_diff(
+        snap("1997-01-01"),
+        snap("1998-01-01"),
+        "o_custkey",
+        ["o_orderstatus", "o_totalprice"],
+    )
