@@ -625,3 +625,191 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+def positional_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Positional inverted index: one ``(doc, term, pos)`` row per
+    token occurrence (0-based positions over the whitespace
+    tokenization).  Persist this bucketed/partitioned BY TERM and
+    phrase/proximity queries touch only their query terms' postings —
+    the classic search-engine layout, here as a DataFrame transform.
+    """
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "term"
+        ),
+    )
+
+
+def phrase_search(
+    df: DataFrame, text_col: str, id_col: str, phrase: str
+) -> DataFrame:
+    """Exact phrase match via positional postings intersection: a doc
+    matches when term_i of the phrase occurs at position p+i for some
+    start p.  Emits ``(doc, n_hits)`` — docs containing the phrase,
+    with occurrence counts.
+
+    Scale shape: the postings stream is filtered to the phrase's k
+    terms BEFORE any shuffle (on a term-bucketed postings store this
+    is partition pruning — only k postings lists are read); per-doc
+    position sets for each term then group on the doc key (one
+    combinable aggregation, one shuffle), and the adjacency
+    intersection is an array HOF over the k position arrays — no
+    self-join per term pair, no O(words²) scan.
+    """
+    terms = phrase.lower().split()
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    post = positional_postings(df, text_col, id_col).filter(
+        F.col("term").isin(terms)
+    )
+    # per (doc, term) position arrays for ONLY the query terms
+    arrays = post.groupBy("doc").agg(
+        *[
+            F.collect_list(
+                F.when(F.col("term") == t, F.col("pos") - i)
+            ).alias(f"p{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    # a start position survives when every term's (pos - offset) set
+    # contains it; count distinct surviving starts = phrase hits
+    def _contains(col_name):
+        return lambda p: F.array_contains(F.col(col_name), p)
+
+    starts = F.col("p0")
+    for i in range(1, len(terms)):
+        starts = F.filter(starts, _contains(f"p{i}"))
+    return (
+        arrays.select("doc", F.array_size(F.array_distinct(starts)).alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame, text_col: str, id_col: str, min_count: int = 5, k: int = 30
+) -> DataFrame:
+    """Top-k adjacent word pairs by pointwise mutual information:
+    ``PMI(a,b) = ln(c_ab · N / (cl_a · cr_b))`` over bigram
+    occurrences, where cl/cr are left/right marginal counts and N the
+    total bigram count — the collocation detector (Church & Hanks
+    1990) every phrase-mining pipeline starts from.
+
+    All counts are exact integers from THREE map-side-combinable
+    aggregations over one exploded bigram stream (the marginals are
+    vocabulary-sized); two hash joins put marginals back on the bigram
+    table, the single-row N broadcasts, and the top-k is TakeOrdered
+    with a (rounded-PMI, pair) deterministic tie-break.
+    """
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    docs = df.select(F.col(id_col).alias("doc"), w.alias("w")).filter(
+        F.array_size("w") >= 2
+    )
+    bg = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.array_size("w") - 1),
+                F.slice(F.col("w"), 2, F.array_size("w") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    cl = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    cr = cab.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    n = cab.agg(F.sum("c_ab").alias("n_bigrams"))
+    return (
+        cab.filter(F.col("c_ab") >= min_count)
+        .join(cl, "a")
+        .join(cr, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_bigrams").cast("double")
+                    / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(k)
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    max_stop_frac: float = 0.5,
+    max_top_frac: float = 0.3,
+    stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to"),
+) -> DataFrame:
+    """Gopher-style repetition/shape quality rules (Rae et al. 2021
+    §A1.1, re-parameterized): per-doc word count bounds, mean word
+    length bounds, stopword-fraction cap, and a most-frequent-word
+    concentration cap — emitted as per-doc metrics plus the combined
+    ``passes`` verdict so downstream filters stay one codegen'd
+    predicate.
+
+    Everything except ``top_frac`` is a pure map-only expression over
+    the token array; ``top_frac`` needs a per-(doc, word) count — one
+    map-side-combinable explode-aggregate pair keyed on the doc, the
+    same single-shuffle shape as the repetition profile.
+    """
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        w.alias("w"),
+        F.array_size(w).cast("long").alias("n_words"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    metrics = base.select(
+        "doc",
+        "n_words",
+        F.round(
+            F.aggregate(
+                "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / F.col("n_words"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / F.col("n_words"),
+            6,
+        ).alias("stop_frac"),
+    )
+    top = (
+        base.select("doc", "n_words", F.explode("w").alias("tok"))
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("n_words").alias("n_words"))
+        .groupBy("doc")
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.max("n_words"), 6
+            ).alias("top_frac")
+        )
+    )
+    out = metrics.join(top, "doc")
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_len, max_mean_len)
+        & (F.col("stop_frac") <= max_stop_frac)
+        & (F.col("top_frac") <= max_top_frac)
+    )
+    return out.select(
+        "doc", "n_words", "mean_word_len", "stop_frac", "top_frac",
+        passes.alias("passes"),
+    )

@@ -2989,3 +2989,147 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         ["o_orderstatus", "o_totalprice"],
     )
+
+
+@register(
+    "q_phrase_search",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id AS doc,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+)
+SELECT doc,
+       len(list_filter(range(1, len(w)),
+                       i -> w[i] = 'value' AND w[i+1] = 'fast')) AS n_hits
+FROM docs
+WHERE len(list_filter(range(1, len(w)),
+                      i -> w[i] = 'value' AND w[i+1] = 'fast')) > 0
+""",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("value fast") via positional-postings
+    intersection: postings filter to the phrase's terms BEFORE any
+    shuffle (partition pruning on a term-bucketed postings store), one
+    doc-keyed aggregation builds per-term position arrays, and the
+    adjacency check is an array HOF — no per-term self-joins, no
+    O(words²) scans."""
+    from opl_spark.operators.text import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "text", "doc_id", "value fast")
+
+
+@register(
+    "q_pmi",
+    oracle=r"""
+WITH docs AS (
+    SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+bg AS (
+    SELECT unnest(list_transform(
+        range(2, len(w) + 1),
+        i -> struct_pack(a := w[i-1], b := w[i]))) AS p
+    FROM docs WHERE len(w) >= 2
+),
+cab AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+cl AS (SELECT a, SUM(c_ab) AS c_a FROM cab GROUP BY 1),
+cr AS (SELECT b, SUM(c_ab) AS c_b FROM cab GROUP BY 1),
+n AS (SELECT SUM(c_ab) AS nb FROM cab)
+SELECT cab.a, cab.b, cab.c_ab,
+       ROUND(ln(CAST(c_ab AS DOUBLE) * CAST(nb AS DOUBLE)
+                / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 6) AS pmi
+FROM cab
+JOIN cl ON cab.a = cl.a
+JOIN cr ON cab.b = cr.b
+CROSS JOIN n
+WHERE c_ab >= 5
+ORDER BY pmi DESC, cab.a, cab.b
+LIMIT 30
+""",
+)
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent-word collocations by pointwise mutual
+    information (exact integer counts; the one log rounds to 6).
+    Three combinable aggregations over one exploded bigram stream,
+    vocabulary-sized marginals hash-joined back, TakeOrdered top-k
+    with a deterministic (pmi, pair) tie-break."""
+    from opl_spark.operators.text import pmi_bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, "text", "doc_id", min_count=5, k=30)
+
+
+@register(
+    "q_gopher_rules",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id AS doc,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+m AS (
+    SELECT doc, len(w) AS n_words,
+           ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                 / len(w), 6) AS mean_word_len,
+           ROUND(CAST(len(list_filter(
+                     w, x -> list_contains(['the','a','and','of','to'], x)))
+                 AS DOUBLE) / len(w), 6) AS stop_frac
+    FROM docs
+),
+t AS (
+    SELECT doc, tok, COUNT(*) AS c
+    FROM (SELECT doc, unnest(w) AS tok FROM docs)
+    GROUP BY 1, 2
+),
+tf AS (
+    SELECT t.doc,
+           ROUND(CAST(MAX(c) AS DOUBLE) / MAX(m.n_words), 6) AS top_frac
+    FROM t JOIN m ON t.doc = m.doc GROUP BY 1
+)
+SELECT m.doc, m.n_words, m.mean_word_len, m.stop_frac, tf.top_frac,
+       (m.n_words BETWEEN 10 AND 1000
+        AND m.mean_word_len BETWEEN 2.0 AND 10.0
+        AND m.stop_frac <= 0.5
+        AND tf.top_frac <= 0.3) AS passes
+FROM m JOIN tf ON m.doc = tf.doc
+""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-shape quality rules: word-count bounds,
+    mean-word-length bounds, stopword-fraction cap, most-frequent-word
+    concentration cap, plus the combined pass verdict.  Everything but
+    the concentration is map-only HOFs; that one is a single doc-keyed
+    combinable aggregate."""
+    from opl_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs, "text", "doc_id")
+
+
+@register(
+    "q_quality_calibrate",
+    oracle="""
+SELECT doc_id, source,
+       ROUND(PERCENT_RANK() OVER (
+           PARTITION BY source ORDER BY length(text), doc_id), 6) AS pct
+FROM documents
+""",
+)
+def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: percent_rank of document
+    length WITHIN each source, so scores are comparable across sources
+    with different length regimes before a global percentile filter
+    mixes them.  One window partitioned by source (parallelism =
+    sources × AQE splits; no global sort), deterministic (score,
+    doc_id) ordering."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.length("text"), "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+    )
