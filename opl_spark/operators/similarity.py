@@ -832,3 +832,87 @@ def ivf_index_append(
     ivf_assign(df, vec_col, centroids).write.mode("append").partitionBy(
         "cell"
     ).parquet(index_path)
+
+
+def pca_components(
+    df: DataFrame, vec_col: str, k: int = 2
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Distributed PCA fit: returns ``(mean, components, variances)``
+    with ``components`` the top-k eigenvectors of the sample
+    covariance (rows, length d) and ``variances`` their eigenvalues.
+
+    Scale shape: ONE Arrow-batched pass emits a (n, Σx, ΣxxT) partial
+    PER BATCH (a single row of d + d² doubles — one BLAS gemm per
+    batch, no d²-wide explode of the data); the driver sums
+    batch-count many partials and eigendecomposes the d×d covariance
+    locally.  Driver state is partials × d² — metadata-sized, like
+    the k-means centroids.  Eigenvector signs canonicalize to
+    largest-|entry| positive so output is deterministic across
+    partitionings."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    if not parts:
+        raise ValueError("pca_components: empty input")
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for p in parts:
+        s += np.asarray(p["s"])
+        g += np.asarray(p["g"]).reshape(d, d)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for i in order:
+        v = vecs[:, i]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v.tolist())
+    return mu.tolist(), comps, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 2
+) -> DataFrame:
+    """Project every vector onto the corpus's top-k principal
+    components — ``(id, pc1..pck)``.  Fit is :func:`pca_components`
+    (one distributed pass); projection is a second map-only
+    Arrow-batched pass against the closure-broadcast (d×k) component
+    matrix.  The d→k reduction is what makes downstream per-cell ANN /
+    visualization / whitening cheap."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mu, comps, _ = pca_components(df, vec_col, k)
+    w = np.asarray(comps).T  # d×k
+    m = np.asarray(mu)
+
+    @pandas_udf("array<double>")
+    def project(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype("float64") - m
+        return pd.Series(list((x @ w).round(6)))
+
+    out = df.select(F.col(id_col), project(F.col(vec_col)).alias("__p"))
+    return out.select(
+        id_col, *[F.col("__p")[i].alias(f"pc{i+1}") for i in range(k)]
+    )

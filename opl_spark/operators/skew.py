@@ -58,3 +58,42 @@ def salted_distinct_count(
     return deduped.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias(f"n_distinct_{distinct_col}")
     )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_from: Column | None = None,
+) -> DataFrame:
+    """Hot-key equi-join without a hot partition: the (small) build
+    side is REPLICATED once per salt bucket and the probe side hashes
+    each row to one bucket, so a key holding 40% of the probe stream
+    spreads over ``salt_buckets`` reducers instead of one.
+
+    ``on`` is a list of (probe_col, build_col) pairs.  The salt is a
+    pure function of the probe row (``salt_from``, default the first
+    probe key) — deterministic under task retry.  Semantically
+    transparent for any join type that doesn't need the build side's
+    multiplicity changed (inner/left-semi style equi-joins): every
+    probe row still meets every matching build row exactly once,
+    because it lands in exactly one of the replicas.
+
+    When AQE's skew-join split applies (sort-merge joins) prefer it —
+    this operator is for the cases it can't touch: shuffled hash
+    joins, aggregate-state hot spots downstream, or a deliberately
+    pinned physical layout.  Replication cost = build_rows ×
+    salt_buckets, so keep the build side dimension-sized.
+    """
+    pkeys = [p for p, _ in on]
+    salt = F.pmod(
+        F.xxhash64(salt_from if salt_from is not None else F.col(pkeys[0])),
+        F.lit(salt_buckets),
+    )
+    p = probe.withColumn("__salt", salt)
+    b = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    cond = [p[pc] == b[bc] for pc, bc in on] + [p["__salt"] == b["__salt"]]
+    return p.join(b, cond).drop(b["__salt"]).drop("__salt")

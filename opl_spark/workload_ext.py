@@ -3133,3 +3133,52 @@ def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(F.percent_rank().over(w), 6).alias("pct"),
     )
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+SELECT s_nationkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join via salting: the supplier dimension replicates
+    over 8 salt buckets and each lineitem hashes to one, so a supplier
+    holding half the stream spreads across 8 reducers.  Salting is
+    transparent for inner equi-joins (each probe row meets each match
+    exactly once), so the oracle is the plain join — decimal-exact
+    revenue sums."""
+    from opl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li, supp, [("l_suppkey", "s_suppkey")], salt_buckets=8,
+        salt_from=F.col("l_orderkey"),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.round(F.sum("price").cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("q_pca_project")
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection of the embedding corpus: one Arrow-batched
+    Gram-partial pass fits the d×d covariance (driver state = batches
+    × d² — metadata-sized), eigh on the driver, then a map-only
+    projection pass.  Not SQL-expressible (eigendecomposition) —
+    rows-only here; tests/test_pipeline_ops.py pins variance ordering,
+    component orthogonality, and decorrelation of the projected
+    coordinates."""
+    from opl_spark.operators.similarity import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, "embedding", "vec_id", k=2)

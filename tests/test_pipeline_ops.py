@@ -690,3 +690,62 @@ def test_bpe_segment_encodes_per_type_not_per_occurrence(spark):
     }
     assert got == expect
     assert got[4] == 0
+
+
+# ---------------------------------------------------------------------------
+# PCA + salted join (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_components_variance_ordering_and_orthogonality(spark, sf_dir):
+    import numpy as np
+
+    from opl_spark.operators.similarity import pca_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, comps, vars_ = pca_components(emb, "embedding", k=3)
+    # eigenvalues come back sorted descending and non-negative
+    assert vars_[0] >= vars_[1] >= vars_[2] >= -1e-9
+    w = np.asarray(comps)
+    # components are unit-norm and mutually orthogonal
+    assert np.allclose(w @ w.T, np.eye(3), atol=1e-8)
+    # sign canonicalization: the largest-|entry| of each component is positive
+    for v in w:
+        assert v[np.argmax(np.abs(v))] > 0
+
+
+def test_pca_projection_is_decorrelated_with_matching_variance(spark, sf_dir):
+    import numpy as np
+
+    from opl_spark.operators.similarity import pca_components, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, vars_ = pca_components(emb, "embedding", k=2)
+    rows = pca_project(emb, "embedding", "vec_id", k=2).collect()
+    p = np.asarray([[r["pc1"], r["pc2"]] for r in rows])
+    # projected coordinates reproduce the eigenvalue variances...
+    got = p.var(axis=0)
+    assert abs(got[0] - vars_[0]) < 1e-3 * max(1.0, vars_[0])
+    assert abs(got[1] - vars_[1]) < 1e-3 * max(1.0, vars_[1])
+    # ...and are uncorrelated (covariance ~ 0 relative to the scales)
+    c = np.cov(p.T)[0, 1]
+    assert abs(c) < 1e-3 * (vars_[0] * vars_[1]) ** 0.5
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from opl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    salted = salted_join(
+        li, supp, [("l_suppkey", "s_suppkey")], salt_buckets=4,
+        salt_from=F.col("l_orderkey"),
+    )
+    plain = li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+    # same multiset of joined rows: every probe row meets each match once
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.groupBy("s_nationkey").count().collect()}
+    b = {tuple(r) for r in plain.groupBy("s_nationkey").count().collect()}
+    assert a == b
+    # no residual salt columns leak into the output schema
+    assert "__salt" not in salted.columns
