@@ -3182,3 +3182,161 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_project(emb, "embedding", "vec_id", k=2)
+
+
+@register(
+    "q_kfold",
+    oracle="""
+SELECT CAST(((doc_id * 2654435761 + 7) % 4294967296) % 5 AS BIGINT) AS fold,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS n_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment from the
+    Knuth multiplicative id hash (same id -> same fold on every run
+    and engine; zero sampling state), with per-fold doc/char
+    bookkeeping — one map-only expression + one combinable
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(7), F.lit(1 << 32)),
+        F.lit(5),
+    ).alias("fold")
+    return docs.groupBy(fold).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+SELECT doc_id, n_chars,
+       ROUND(ln((((doc_id * 2654435761 + 11) % 4294967296) + 0.5)
+                / 4294967296.0) / n_chars, 6) AS skey
+FROM documents
+ORDER BY skey DESC, doc_id
+LIMIT 50
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES: top-k by ln(u)/w with u a deterministic id-hash uniform) —
+    the one-pass reproducible alternative to sequential weighted
+    draws.  Map-only key expression + TakeOrdered top-k; no global
+    sort, no sampling state, rerunnable to the same sample
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(11), F.lit(1 << 32))
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    skey = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        docs.select("doc_id", "n_chars", skey.alias("skey"))
+        .orderBy(F.col("skey").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "q_regional_revenue",
+    oracle="""
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                             AS DECIMAL(18,0))) AS DOUBLE) / 100, 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: per-nation revenue for one region
+    with the local-supplier constraint, declared as plain DataFrame
+    joins so Catalyst broadcasts every dimension side (region, nation,
+    supplier, customer) and only the orders⋈lineitem join shuffles —
+    plan-asserted in tests/test_scale_plan.py.  Discounts scale to
+    exact integer hundredths so the decimal revenue sum is
+    order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc = (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    ).cast("decimal(18,0)")
+    joined = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    rev = F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * disc)
+    return joined.groupBy("n_name").agg(
+        F.round(rev.cast("double") / 100, 2).alias("revenue")
+    )
+
+
+@register(
+    "q_top_unshipped",
+    oracle="""
+SELECT l_orderkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                             AS DECIMAL(18,0))) AS DOUBLE) / 100, 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: top-10 unshipped
+    BUILDING-segment orders by outstanding revenue.  Both date filters
+    and the segment filter push to the parquet scans; the customer
+    side broadcasts; the top-10 is TakeOrdered with (revenue,
+    orderkey) tie-break — never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    disc = (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    ).cast("decimal(18,0)")
+    joined = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    rev = F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * disc)
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev.cast("double") / 100, 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

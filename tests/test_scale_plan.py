@@ -239,3 +239,31 @@ def test_no_scale_killers_in_any_registered_query(spark):
         if hits:
             flagged[name] = hits
     assert not flagged, flagged
+
+
+def test_star_join_broadcasts_all_dimensions(spark, sf_dir):
+    """The Q5-shaped star join must broadcast every dimension side
+    (region, nation, supplier, customer) so the only shuffle-bearing
+    join is fact⋈fact (orders⋈lineitem): at 100 TB the dims stay
+    megabyte-scale while the fact streams partition-local."""
+    from opl_spark import workload
+    from opl_spark.plans import formatted_plan
+
+    df = workload.queries()["q_regional_revenue"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # the top-10 query is TakeOrdered, never a global sort
+    plan3 = formatted_plan(workload.queries()["q_top_unshipped"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan3, plan3
+
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    """A-ES weighted sampling is a map-only key + top-k: the plan must
+    be TakeOrderedAndProject over the scan with no Exchange before the
+    limit (nothing corpus-sized crosses a shuffle)."""
+    from opl_spark import workload
+    from opl_spark.plans import formatted_plan
+
+    plan = formatted_plan(workload.queries()["q_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
