@@ -107,6 +107,21 @@ BENCH_QUERIES = [
     "q_cube_having",
     "q_temperature_mix",
     "q_histogram",
+    # round-3 second block: temporal warehouse + text + joins
+    "q_rolling_active",
+    "q_new_returning",
+    "q_scd2",
+    "q_snapshot_diff",
+    "q_phrase_search",
+    "q_pmi",
+    "q_gopher_rules",
+    "q_quality_calibrate",
+    "q_salted_join",
+    "q_pca_project",
+    "q_kfold",
+    "q_weighted_sample",
+    "q_regional_revenue",
+    "q_top_unshipped",
 ]
 
 

@@ -739,3 +739,48 @@ def span_duplication_profile(
             ).alias("dup_frac"),
         )
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame, str_col: str, max_dist: int = 1
+) -> DataFrame:
+    """All DISTINCT value pairs within Levenshtein distance 1, via
+    symmetric-delete blocking (the SymSpell candidate scheme): every
+    value emits itself plus each single-character deletion as a
+    blocking key; any two strings at edit distance ≤1 (insert, delete,
+    or substitute) provably share at least one key, so the candidate
+    space is bucket-bounded — never the quadratic all-pairs the naive
+    fuzzy join scans.
+
+    One distinct (vocabulary-sized) pass, a map-only HOF variant
+    explode (``len+1`` keys per value), a self-join ON THE KEY, and a
+    codegen'd ``levenshtein`` verify on the deduped candidates.
+    Emits ``(a, b)`` with ``a < b``.  Only ``max_dist=1`` is
+    supported — deeper neighborhoods need recursive deletes, which
+    grow the key set combinatorially (SymSpell's documented trade)."""
+    if max_dist != 1:
+        raise ValueError("fuzzy_pairs: only max_dist=1 is supported")
+    vals = df.select(F.col(str_col).alias("w")).distinct()
+    # deletion neighborhood: substr(w, 1, i-1) || substr(w, i+1) for
+    # each 1-based position i (substring with column args needs expr)
+    keyed = vals.select(
+        "w",
+        F.explode(
+            F.array_union(
+                F.array(F.col("w")),
+                F.expr(
+                    "transform(sequence(1, length(w)), i ->"
+                    " concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))"
+                ),
+            )
+        ).alias("k"),
+    )
+    a = keyed.select(F.col("w").alias("a"), "k")
+    b = keyed.select(F.col("w").alias("b"), "k")
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("a", "b") <= max_dist)

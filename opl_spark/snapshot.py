@@ -220,6 +220,54 @@ class SnapshotEngine:
             raise IOError(f"compact: rename {tmp} -> {path} failed")
         fs.delete(hold, True)
 
+    def upsert(
+        self, df: DataFrame, fact_table: str, key_cols: list[str]
+    ) -> dict[str, int]:
+        """SCD1 merge: rows matching on ``key_cols`` are REPLACED by
+        the incoming version, new keys append — the idempotent
+        restatement path for facts whose source corrects history
+        (vs. ``write``'s pure append + ``already_executed``'s skip).
+
+        Plan shape: one LEFT ANTI join of the current table against
+        the (distinct) incoming keys keeps the untouched rows — a
+        key-partitioned hash join, broadcast when the incoming batch
+        is small — then a unionByName (schema evolution: either side's
+        new columns null-fill) and the same write-to-temp + two-rename
+        swap ``compact`` uses, with the same single-writer/offline
+        operational contract.  Returns ``replaced`` (old rows
+        dropped), ``inserted`` (incoming rows written) and ``kept``
+        (untouched old rows) — keys may carry multiple rows on either
+        side; the incoming batch is taken as the FULL new version of
+        every key it mentions.
+        """
+        if not self.exists(fact_table):
+            self.write(df, fact_table)
+            return {"replaced": 0, "inserted": df.count(), "kept": 0}
+        cur = self.fact_frame(fact_table)
+        keys = df.select(*key_cols).distinct()
+        replaced = cur.join(keys, key_cols, "semi").count()
+        kept_df = cur.join(keys, key_cols, "left_anti")
+        merged = kept_df.unionByName(df, allowMissingColumns=True)
+        path = self._path(fact_table)
+        tmp = path + "__upserting"
+        merged.write.mode("overwrite").partitionBy("year", "month").parquet(tmp)
+        old = path + "__old"
+        fs, hpath = self._fs(path)
+        _, htmp = self._fs(tmp)
+        _, hold = self._fs(old)
+        if not fs.rename(hpath, hold):
+            raise IOError(f"upsert: rename {path} -> {old} failed")
+        if not fs.rename(htmp, hpath):
+            fs.rename(hold, hpath)
+            raise IOError(f"upsert: rename {tmp} -> {path} failed")
+        fs.delete(hold, True)
+        n_in = df.count()
+        return {
+            "replaced": replaced,
+            "inserted": n_in,
+            "kept": self.fact_frame(fact_table).count() - n_in,
+        }
+
     def run(
         self,
         pivot_date: _dt.date | str,

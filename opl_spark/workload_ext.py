@@ -3340,3 +3340,56 @@ def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q_fuzzy_pairs",
+    oracle="""
+WITH v AS (SELECT DISTINCT c_name AS w FROM customer)
+SELECT a.w AS a, b.w AS b
+FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+""",
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: all customer-name pairs within edit
+    distance 1, found via symmetric-delete blocking (each name emits
+    its single-char deletions as join keys; distance-1 pairs provably
+    collide) — candidate space is bucket-bounded instead of the
+    oracle's quadratic scan, which is the whole point at 100 TB."""
+    from opl_spark.operators.dedup import fuzzy_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs(cust, "c_name")
+
+
+@register(
+    "q_exact_n_sample",
+    oracle="""
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761 + 13) % 4294967296, doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 20
+""",
+)
+def q_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-group sample (20 docs per source), deterministic:
+    rank by the Knuth id hash inside each source partition and keep
+    the first 20.  The window partitions BY GROUP — parallelism =
+    sources, state = one counter per task — and reruns reproduce the
+    identical sample."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(13), F.lit(1 << 32))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source")
+    )

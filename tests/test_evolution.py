@@ -134,3 +134,53 @@ def test_backfill_rejects_inverted_range(registered, tmp_path):
     eng = SnapshotEngine(registered, str(tmp_path))
     with _pytest.raises(ValueError):
         backfill(eng, "1998-06-05", "1998-06-01", [])
+
+
+def test_upsert_replaces_matched_keys_and_appends_new(registered, tmp_path):
+    """SCD1 merge: incoming rows replace every row of the keys they
+    mention, untouched keys survive byte-identical, new keys append —
+    and re-running the same upsert is a no-op restatement."""
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, 1998, 6), (2, "b", 20.0, 1998, 6), (3, "c", 30.0, 1998, 7)],
+        "k long, name string, v double, year int, month int",
+    )
+    eng.write(base, "f_upsert")
+    patch = spark.createDataFrame(
+        [(2, "b2", 21.0, 1998, 6), (4, "d", 40.0, 1998, 7)],
+        "k long, name string, v double, year int, month int",
+    )
+    stats = eng.upsert(patch, "f_upsert", ["k"])
+    assert stats == {"replaced": 1, "inserted": 2, "kept": 2}
+    got = {r["k"]: (r["name"], r["v"]) for r in eng.fact_frame("f_upsert").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # idempotent restatement: same patch again changes nothing
+    stats2 = eng.upsert(patch, "f_upsert", ["k"])
+    assert stats2 == {"replaced": 2, "inserted": 2, "kept": 2}
+    got2 = {r["k"]: (r["name"], r["v"]) for r in eng.fact_frame("f_upsert").collect()}
+    assert got2 == got
+
+
+def test_upsert_evolves_schema_and_handles_multirow_keys(registered, tmp_path):
+    """A key may own several rows (fact grain below the merge key):
+    the incoming batch is the FULL new version of its keys — old rows
+    of a mentioned key all drop.  New columns in the patch null-fill
+    the kept side (same mergeSchema contract as append)."""
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, 10.0, 1998, 6), (1, 11.0, 1998, 6), (2, 20.0, 1998, 6)],
+        "k long, v double, year int, month int",
+    )
+    eng.write(base, "f_multi")
+    patch = spark.createDataFrame(
+        [(1, 12.0, "x", 1998, 6)],
+        "k long, v double, extra string, year int, month int",
+    )
+    stats = eng.upsert(patch, "f_multi", ["k"])
+    assert stats == {"replaced": 2, "inserted": 1, "kept": 1}
+    rows = sorted(
+        (r["k"], r["v"], r["extra"]) for r in eng.fact_frame("f_multi").collect()
+    )
+    assert rows == [(1, 12.0, "x"), (2, 20.0, None)]
