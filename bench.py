@@ -122,6 +122,10 @@ BENCH_QUERIES = [
     "q_weighted_sample",
     "q_regional_revenue",
     "q_top_unshipped",
+    "q_fuzzy_pairs",
+    "q_exact_n_sample",
+    "q_profile",
+    "q_mask_spans",
 ]
 
 

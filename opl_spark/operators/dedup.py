@@ -784,3 +784,67 @@ def fuzzy_pairs(
         .distinct()
     )
     return cand.filter(F.levenshtein("a", "b") <= max_dist)
+
+
+def mask_repeated_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 10
+) -> DataFrame:
+    """Exact-substring dedup, REMOVAL side (Lee et al. 2021,
+    arXiv:2107.06499): drop every word that lies inside a positional
+    ``n``-gram span occurring ≥2 times corpus-wide, and rebuild the
+    document from the surviving words — ``(doc, clean_text,
+    n_words, n_removed)``.
+
+    Scale shape mirrors :func:`span_duplication_profile`: spans cross
+    the shuffle as 8-byte hashes, corpus frequency is one combinable
+    count, and the duplicated START positions come back to each doc as
+    one collected array (bounded by the doc's own span count).  The
+    word-level mask is then a map-side array HOF — position ``i``
+    survives when no duplicated start ``s`` covers it (``s ≤ i <
+    s+n``) — so nothing word-sized ever joins or shuffles twice.
+    Documents with no duplicated span pass through via the left join's
+    empty-array fallback.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc"), words.alias("w"))
+    spans = base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.array_size("w") - n, F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n)),
+            )
+        ).alias("pos", "s"),
+    ).select("doc", "pos", F.xxhash64("s").alias("sh"))
+    freq = spans.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    starts = (
+        spans.join(freq.filter(F.col("f") >= 2), "sh", "semi")
+        .groupBy("doc")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    joined = base.join(starts, "doc", "left").withColumn(
+        "starts", F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    )
+
+    kept = F.filter(
+        F.zip_with(
+            F.col("w"),
+            F.sequence(F.lit(0), F.array_size("w") - 1),
+            lambda x, i: F.struct(x.alias("x"), i.alias("i")),
+        ),
+        lambda p: F.size(
+            F.filter(
+                F.col("starts"),
+                lambda s: (s <= p["i"]) & (p["i"] < s + F.lit(n)),
+            )
+        )
+        == 0,
+    )
+    return joined.select(
+        "doc",
+        F.concat_ws(" ", F.transform(kept, lambda p: p["x"])).alias("clean_text"),
+        F.array_size("w").cast("long").alias("n_words"),
+        (F.array_size("w") - F.size(kept)).cast("long").alias("n_removed"),
+    )

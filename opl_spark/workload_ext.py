@@ -3393,3 +3393,99 @@ def q_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "q_profile",
+    oracle="""
+SELECT 'l_quantity' AS col, COUNT(*) AS n, COUNT(*) - COUNT(l_quantity) AS n_null,
+       COUNT(DISTINCT l_quantity) AS n_distinct,
+       ROUND(MIN(CAST(l_quantity AS DOUBLE)), 6) AS min_v,
+       ROUND(MAX(CAST(l_quantity AS DOUBLE)), 6) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+       COUNT(DISTINCT l_extendedprice),
+       ROUND(MIN(CAST(l_extendedprice AS DOUBLE)), 6),
+       ROUND(MAX(CAST(l_extendedprice AS DOUBLE)), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+       COUNT(DISTINCT l_discount),
+       ROUND(MIN(CAST(l_discount AS DOUBLE)), 6),
+       ROUND(MAX(CAST(l_discount AS DOUBLE)), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+       COUNT(DISTINCT l_tax),
+       ROUND(MIN(CAST(l_tax AS DOUBLE)), 6),
+       ROUND(MAX(CAST(l_tax AS DOUBLE)), 6)
+FROM lineitem
+""",
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report card: per-column count / nulls / exact
+    distinct / min / max for the lineitem measures, in ONE pass.  The
+    columns unpivot to (col, value) rows first, so the exact distinct
+    is one aggregate per group — no multi-distinct Expand
+    multiplication — and the scan reads only the profiled columns
+    (column pruning).  At 100 TB swap exact distinct for HLL++
+    (approx_count_distinct) and keep the same melt shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    melted = li.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    ).unpivot([], cols, "col", "v")
+    return melted.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.count_distinct("v").alias("n_distinct"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
+@register(
+    "q_mask_spans",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id AS doc,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sp AS (
+    SELECT doc, t.s AS s, array_to_string(w[t.s:t.s+9], ' ') AS g
+    FROM docs, UNNEST(range(1, greatest(len(w) - 9, 1) + 1)) AS t(s)
+),
+f AS (SELECT g, COUNT(*) AS c FROM sp GROUP BY 1),
+st AS (
+    SELECT doc, list(s) AS starts
+    FROM sp JOIN f USING (g) WHERE c >= 2 GROUP BY 1
+)
+SELECT d.doc,
+       COALESCE(array_to_string(
+           list_transform(
+               list_filter(range(1, len(w) + 1),
+                   i -> len(list_filter(COALESCE(st.starts, []),
+                                        s -> s <= i AND i < s + 10)) = 0),
+               i -> w[i]),
+           ' '), '') AS clean_text,
+       len(w) AS n_words,
+       len(w) - len(list_filter(range(1, len(w) + 1),
+                    i -> len(list_filter(COALESCE(st.starts, []),
+                                         s -> s <= i AND i < s + 10)) = 0))
+           AS n_removed
+FROM docs d LEFT JOIN st ON d.doc = st.doc
+""",
+)
+def q_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, removal side (arXiv:2107.06499): words
+    inside any corpus-repeated positional 10-gram span drop, the doc
+    rebuilds from the survivors.  Spans shuffle as 8-byte hashes,
+    duplicated starts come back as ONE collected array per doc, and
+    the word mask is a map-side HOF — nothing word-sized shuffles
+    twice."""
+    from opl_spark.operators.dedup import mask_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mask_repeated_spans(docs, "text", "doc_id", n=10)

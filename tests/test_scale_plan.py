@@ -223,7 +223,7 @@ def test_no_scale_killers_in_any_registered_query(spark):
 
     # broadcast cross-join against a single-row aggregate (corpus count
     # guards / zero-fill defaults) is 1-row x N — legitimate
-    single_row_broadcast_ok = {"q_tfidf", "q_zero_fill", "q_bm25_search"}
+    single_row_broadcast_ok = {"q_tfidf", "q_zero_fill", "q_bm25_search", "q_pmi"}
     sf = "/root/testdata/sf0.001"
     flagged = {}
     for name, fn in workload.queries().items():
