@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q_exact_n_sample",
     "q_profile",
     "q_mask_spans",
+    "q_entity_resolution",
 ]
 
 

@@ -8,19 +8,32 @@ Python appears only at clearly-marked Pandas-UDF boundaries
 (multimodal decode) where Spark genuinely lacks the primitive.
 """
 
+from opl_spark.operators.analytics import (  # noqa: F401
+    funnel,
+    new_vs_returning,
+    retention_cohorts,
+    rolling_active,
+    scd2_intervals,
+    snapshot_diff,
+    zscore_outliers,
+)
 from opl_spark.operators.dedup import (  # noqa: F401
     bloom_contamination,
     build_bloom,
     bloom_might_contain,
     contamination,
     dedup_clusters,
+    dedup_clusters_star,
     keep_best_dedup,
     exact_dedup,
     incremental_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
+    fuzzy_pairs,
+    mask_repeated_spans,
     ngram_jaccard_pairs,
     simhash,
+    span_duplication_profile,
     shingles_col,
 )
 from opl_spark.operators.layout import (  # noqa: F401
@@ -53,8 +66,15 @@ from opl_spark.operators.similarity import (  # noqa: F401
     pq_train,
     quantize_embeddings,
     quantized_topk,
+    pca_components,
+    pca_project,
     seed_centroids,
     semantic_dedup,
+)
+from opl_spark.operators.skew import (  # noqa: F401
+    salted_distinct_count,
+    salted_join,
+    salted_sum,
 )
 from opl_spark.operators.temporal import (  # noqa: F401
     asof_join,
@@ -76,6 +96,10 @@ from opl_spark.operators.text import (  # noqa: F401
     bigram_logprob,
     build_vocab,
     chunk_documents,
+    gopher_rules,
+    phrase_search,
+    pmi_bigrams,
+    positional_postings,
     quantile_buckets,
     unigram_logprob,
 )

@@ -774,7 +774,9 @@ def fuzzy_pairs(
                 ),
             )
         ).alias("k"),
-    )
+    # the join key crosses the shuffle as an 8-byte hash, not the
+    # variable-width variant string (same trick as the shingle index)
+    ).select("w", F.xxhash64("k").alias("k"))
     a = keyed.select(F.col("w").alias("a"), "k")
     b = keyed.select(F.col("w").alias("b"), "k")
     cand = (
@@ -847,4 +849,109 @@ def mask_repeated_spans(
         F.concat_ws(" ", F.transform(kept, lambda p: p["x"])).alias("clean_text"),
         F.array_size("w").cast("long").alias("n_words"),
         (F.array_size("w") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — same ``(doc, keeper)`` contract as
+    :func:`dedup_clusters`, but convergence is O(log n) ROUNDS
+    REGARDLESS OF COMPONENT DIAMETER, where min-label propagation
+    needs O(diameter) rounds.  Use this for linkage graphs with long
+    chains (entity resolution over near-identical keys); min-label
+    stays the cheaper choice for the tiny pair/triangle components
+    near-dup text produces.
+
+    Each round is two combinable aggregations + one key-partitioned
+    join over the current edge set; edges ``localCheckpoint`` per
+    round (iterative-plan lineage truncation) and the driver only
+    compares a (count, hash-sum) convergence signature — never data.
+
+    large-star(u): every neighbor v > u re-links to m(u) = min(N(u) ∪ {u})
+    small-star(u): every neighbor v ≤ u (and u itself) links to m(u)
+    At the fixpoint every component is a star centered on its min.
+    """
+    undirected = (
+        pairs.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("lo"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    members = (
+        undirected.select(F.col("lo").alias("doc"))
+        .union(undirected.select("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def nbrs(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("lo").alias("u"), F.col("hi").alias("v")),
+                    F.struct(F.col("hi").alias("u"), F.col("lo").alias("v")),
+                )
+            ).alias("p")
+        ).select("p.u", "p.v")
+
+    def mins(nb: DataFrame) -> DataFrame:
+        return nb.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least(F.col("a"), F.col("b")).alias("lo"),
+                F.greatest(F.col("a"), F.col("b")).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = signature(undirected)
+    edges = undirected
+    for _ in range(max_iter):
+        nb = nbrs(edges)
+        m = mins(nb)
+        large = (
+            nb.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        # the large-star result feeds small-star WITHOUT a checkpoint
+        # of its own — lineage depth 2 per round is safe, and halving
+        # the checkpoint actions halves the per-round fixed cost
+        edges = canon(large)
+        nb = nbrs(edges)
+        m = mins(nb)
+        small = (
+            nb.join(m, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        edges = canon(small).localCheckpoint()
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # at the fixpoint each component is a star on its min: a member's
+    # keeper is its (unique) smaller endpoint, the center's is itself
+    keepers = nbrs(edges).groupBy(F.col("u").alias("doc")).agg(
+        F.least(F.min("v"), F.first("u")).alias("keeper")
+    )
+    return members.join(keepers, "doc", "left").select(
+        "doc", F.coalesce(F.col("keeper"), F.col("doc")).alias("keeper")
     )

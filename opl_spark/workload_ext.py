@@ -3489,3 +3489,40 @@ def q_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mask_repeated_spans(docs, "text", "doc_id", n=10)
+
+
+@register(
+    "q_entity_resolution",
+    oracle="""
+WITH RECURSIVE v AS (SELECT DISTINCT c_name AS w FROM customer),
+p AS (
+    SELECT a.w AS a, b.w AS b
+    FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+),
+e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+reach(node, r) AS (
+    SELECT DISTINCT a, a FROM e
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r
+)
+SELECT node AS name, MIN(r) AS canonical FROM reach GROUP BY node
+""",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: symmetric-delete fuzzy pairs over
+    customer names -> connected components -> lexicographic-min
+    canonical name.  The digit-substitution linkage graph is one giant
+    HIGH-DIAMETER component — exactly the case min-label propagation
+    (O(diameter) rounds) handles poorly — so components run as
+    alternating large-star/small-star rounds (Kiveris et al. 2014),
+    which converge in O(log n) rounds regardless of diameter."""
+    from opl_spark.operators.dedup import dedup_clusters_star, fuzzy_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(cust, "c_name").select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    comp = dedup_clusters_star(pairs)
+    return comp.select(
+        F.col("doc").alias("name"), F.col("keeper").alias("canonical")
+    )

@@ -749,3 +749,37 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert a == b
     # no residual salt columns leak into the output schema
     assert "__salt" not in salted.columns
+
+
+def test_star_components_equal_min_label_propagation(spark, sf_dir):
+    """Large-star/small-star components must produce EXACTLY the
+    min-label propagation labelling on the same pair set (both resolve
+    every member to its component minimum)."""
+    from opl_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    a = {(r["doc"], r["keeper"]) for r in dedup_clusters(pairs).collect()}
+    b = {(r["doc"], r["keeper"]) for r in dedup_clusters_star(pairs).collect()}
+    assert a == b
+
+
+def test_star_components_converge_on_long_chain(spark):
+    """A pure path graph (diameter = n-1) is min-label's worst case;
+    the star algorithm must still resolve it to one component in its
+    bounded round budget — and every node must map to the chain
+    head."""
+    from opl_spark.operators.dedup import dedup_clusters_star
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup_clusters_star(pairs, max_iter=12)
+    rows = {r["doc"]: r["keeper"] for r in out.collect()}
+    assert len(rows) == n
+    assert set(rows.values()) == {0}
