@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "q_profile",
     "q_mask_spans",
     "q_entity_resolution",
+    "q_peak_concurrency",
+    "q_audio_energy",
 ]
 
 

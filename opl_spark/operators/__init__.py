@@ -48,6 +48,13 @@ from opl_spark.operators.sampling import (  # noqa: F401
     mix_sources,
     stratified_sample,
 )
+from opl_spark.operators.multimodal import (  # noqa: F401
+    audio_frame_energy,
+    decode_images,
+    media_metadata,
+    resize_images,
+    with_media_column,
+)
 from opl_spark.operators.sketch import (  # noqa: F401
     count_min_build,
     count_min_estimate,

@@ -264,3 +264,62 @@ def frame_sample(
             yield _pd.DataFrame(rows, columns=["media_id", "frame_no", "offset"])
 
     return df.mapInPandas(batches, schema=schema)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    media_col: str = "media",
+    frame_bytes: int = 256,
+    hop_bytes: int = 128,
+) -> DataFrame:
+    """Audio feature extraction shape: framed short-time energy over
+    the payload — one output row per (media, frame) with the frame's
+    mean-square "energy" and a silence flag.  The codec is the
+    deterministic byte-level stand-in (samples = raw bytes centered at
+    128; a real pipeline decodes PCM first — same integration point as
+    ``decode_images(codec="real")``), but the Spark shape is the real
+    one: framing fan-out happens INSIDE the Arrow batch (numpy
+    stride tricks, no per-frame Python), output rows are
+    frame-granular, and downstream silence trimming / VAD filters are
+    plain DataFrame predicates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, frame int, energy double, is_silence boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames, energies = [], [], []
+            for mid, payload in zip(
+                pdf[media_col].apply(lambda m: m["media_id"]),
+                pdf[media_col].apply(lambda m: m["media_bytes"]),
+            ):
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0
+                if len(x) < frame_bytes:
+                    x = np.pad(x, (0, frame_bytes - len(x)))
+                n_frames = 1 + (len(x) - frame_bytes) // hop_bytes
+                idx = (
+                    np.arange(frame_bytes)[None, :]
+                    + hop_bytes * np.arange(n_frames)[:, None]
+                )
+                e = np.square(x[idx]).mean(axis=1).round(6)
+                ids.extend([mid] * n_frames)
+                frames.extend(range(n_frames))
+                energies.extend(e.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="float64"),
+                    "is_silence": pd.Series(
+                        [e < 1.0 for e in energies], dtype="bool"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)

@@ -3526,3 +3526,71 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("doc").alias("name"), F.col("keeper").alias("canonical")
     )
+
+
+@register("q_audio_energy")
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed short-time audio energy over the opaque media payload
+    (byte-level stand-in codec; real PCM decode is the documented
+    integration point).  Framing fan-out happens inside the Arrow
+    batch with numpy stride indexing — frame-granular rows out, zero
+    per-frame Python.  Not SQL-expressible (mapInPandas) — rows-only;
+    tests/test_operators.py pins the energies against a local numpy
+    reference."""
+    from opl_spark.operators.multimodal import audio_frame_energy, with_media_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_column(docs, "text", "doc_id")
+    return audio_frame_energy(media)
+
+
+@register(
+    "q_peak_concurrency",
+    oracle="""
+WITH s AS (
+    SELECT user_id AS u,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           MIN(ts) AS t0, MAX(ts) AS t1
+    FROM events
+    GROUP BY 1, 2
+),
+pts AS (
+    SELECT day, t0 AS t, 1 AS delta FROM s
+    UNION ALL
+    SELECT day, t1, -1 FROM s WHERE t1 > t0
+),
+run AS (
+    SELECT day,
+           SUM(delta) OVER (
+               PARTITION BY day ORDER BY t, delta DESC
+               ROWS UNBOUNDED PRECEDING) AS c
+    FROM pts
+)
+SELECT day, MAX(c) AS peak FROM run GROUP BY 1
+""",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per day (the Gantt-stacking
+    maximum): each user's daily activity span becomes +1/-1 boundary
+    events, a DAY-PARTITIONED running sum stacks them, and the peak is
+    one more combinable aggregate.  Zero-length spans contribute no
+    -1-at-same-instant cancellation ambiguity (+1 sorts before -1 at
+    ties), so the count is exact and engine-stable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        F.col("user_id").alias("u"), F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    pts = spans.select("day", F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
+        spans.filter(F.col("t1") > F.col("t0")).select(
+            "day", F.col("t1").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("delta").over(w).alias("c"))
+    return run.groupBy("day").agg(F.max("c").alias("peak"))

@@ -302,3 +302,31 @@ def test_kmeans_ivf_recall(spark, sf_dir):
         ).collect()
     }
     assert len(truth & approx) / len(truth) >= 0.5, (truth, approx)
+
+
+def test_audio_frame_energy_matches_numpy_reference(spark, sf_dir):
+    """The framed short-time energy must equal a direct numpy
+    computation over the same payload bytes (same framing, same
+    centering, same rounding) — pins the stride arithmetic inside the
+    Arrow batch."""
+    import numpy as np
+
+    from opl_spark.operators.multimodal import audio_frame_energy, with_media_column
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 20")
+    media = with_media_column(docs, "text", "doc_id")
+    got = {
+        (r["media_id"], r["frame"]): r["energy"]
+        for r in audio_frame_energy(media).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = {}
+    for mid, text in texts.items():
+        x = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.float64) - 128.0
+        if len(x) < 256:
+            x = np.pad(x, (0, 256 - len(x)))
+        n_frames = 1 + (len(x) - 256) // 128
+        for f in range(n_frames):
+            want[(mid, f)] = round(float(np.square(x[f * 128 : f * 128 + 256]).mean()), 6)
+    assert got == want
