@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "q_entity_resolution",
     "q_peak_concurrency",
     "q_audio_energy",
+    "q_cube_share",
 ]
 
 

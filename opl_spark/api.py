@@ -59,6 +59,8 @@ class OlapApi:
             top_n=int(params["top_n"]) if "top_n" in params else None,
             top_within=params.get("top_within"),
             having=params.get("having"),
+            share=params.get("share") in ("1", "true", "yes"),
+            share_within=params.get("share_within"),
         )
         if params.get("output") == "table":
             # S11 — first row = column names, then value rows

@@ -340,6 +340,8 @@ class CubeEngine:
         top_n: int | None = None,
         top_within: str | None = None,
         having: str | None = None,
+        share: bool = False,
+        share_within: str | None = None,
     ) -> DataFrame:
         """``GET /olap/<fact>/aggregate`` → DataFrame.
 
@@ -360,6 +362,18 @@ class CubeEngine:
         column — one strict ``col op number`` comparison (ops: >= <=
         > < = !=), parsed, never eval'd, so the HTTP surface cannot
         inject expressions.  Applied before ``top_n``.
+
+        ``share`` appends one ``<measure>_share`` column per measure:
+        the row's fraction of the total over all output rows (the
+        percent-of-total every BI layer recomputes client-side —
+        reference A8, `Codice.gs:134-137` — here server-side and
+        exact).  ``share_within`` (comma-separated group columns)
+        makes it percent-of-PARENT instead.  The total is an unordered
+        window over the aggregated result, which is report-sized by
+        construction (dims × levels) — never fact-sized, so the
+        single-partition global case is metadata-scale.  Shares round
+        to 6; applied before ``having``/``top_n`` so both can filter
+        on them.
         """
         meta = self.catalog.fact(fact)
         df = self.frame(fact)
@@ -385,12 +399,43 @@ class CubeEngine:
         if not group_cols:
             return df.agg(*aggs)
         out = df.groupBy(*group_cols).agg(*aggs)
+        if share or share_within:
+            out = self._apply_share(out, len(group_cols), share_within)
         if having:
             out = out.filter(self._compile_having(out, len(group_cols), having))
         if top_n is not None:
             out = self._apply_top(out, len(group_cols), int(top_n), top_within)
         # deterministic ordering — required by output=table consumers
         return out.orderBy(*out.columns[: len(group_cols)])
+
+    @staticmethod
+    def _apply_share(
+        out: DataFrame, n_group_cols: int, share_within: str | None
+    ) -> DataFrame:
+        """Append ``<measure>_share`` columns: each row's fraction of
+        the (grand or per-parent) measure total.  The window runs over
+        the AGGREGATED result — report-sized by construction — so the
+        unpartitioned grand-total case is metadata-scale, not a
+        fact-stream funnel."""
+        from pyspark.sql import Window
+
+        group_cols = out.columns[:n_group_cols]
+        if share_within:
+            keys = [c.strip() for c in share_within.split(",") if c.strip()]
+            for k in keys:
+                if k not in group_cols:
+                    raise KeyError(
+                        f"share_within column {k!r} not a group column {group_cols}"
+                    )
+            w = Window.partitionBy(*keys)
+        else:
+            w = Window.partitionBy(F.lit(1))
+        for m in out.columns[n_group_cols:]:
+            out = out.withColumn(
+                f"{m}_share",
+                F.round(F.col(m) / F.sum(m).over(w), 6),
+            )
+        return out
 
     @staticmethod
     def _compile_having(out: DataFrame, n_group_cols: int, having: str) -> Column:

@@ -3594,3 +3594,37 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = pts.select("day", F.sum("delta").over(w).alias("c"))
     return run.groupBy("day").agg(F.max("c").alias("peak"))
+
+
+@register(
+    "q_cube_share",
+    oracle="WITH fact AS ("
+    + LOANS_FACT_SQL
+    + """),
+g AS (
+    SELECT consortia_id, consortia_label,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value
+    FROM fact GROUP BY 1, 2
+)
+SELECT consortia_id, consortia_label, value,
+       ROUND(value / SUM(value) OVER (), 6) AS value_share
+FROM g
+""",
+)
+def q_cube_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube extension: percent-of-total measure (`share=true`) — the
+    re-aggregation the reference's Data Studio client performs
+    client-side (A8, Codice.gs:134-137), computed server-side from the
+    canonical rounded measures.  The total is a window over the
+    REPORT-SIZED aggregate, never the fact stream; `share_within`
+    gives percent-of-parent.  Exposed through OlapApi/HTTP."""
+    from opl_spark.facts import build_loans_fact
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    return engine.aggregate(
+        "loans2",
+        drilldown="organization_level",
+        measure="value",
+        share=True,
+    )

@@ -293,3 +293,46 @@ def test_cube_having_filters_and_rejects_injection(engine):
         engine.aggregate(
             "f", drilldown="date", measure="value", having="year>=1"
         )
+
+
+def test_share_within_sums_to_one_per_parent(spark, sf_dir):
+    """percent-of-parent: children's share columns must sum to 1
+    within every parent group (up to the 6-decimal rounding), and the
+    grand-total variant must sum to 1 overall."""
+    from opl_spark.cube import CubeEngine
+    from opl_spark.facts import build_loans_fact, default_catalog
+    from pyspark.sql import functions as F
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    out = engine.aggregate(
+        "loans2",
+        drilldown="organization_level:library_id",
+        measure="value",
+        share_within="consortia_id",
+    )
+    sums = (
+        out.groupBy("consortia_id")
+        .agg(F.sum("value_share").alias("s"))
+        .collect()
+    )
+    assert sums and all(abs(r["s"] - 1.0) < 1e-4 for r in sums)
+    total = engine.aggregate(
+        "loans2", drilldown="organization_level", measure="value", share=True
+    ).agg(F.sum("value_share")).first()[0]
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_share_within_rejects_non_group_column(spark, sf_dir):
+    import pytest
+
+    from opl_spark.cube import CubeEngine
+    from opl_spark.facts import build_loans_fact, default_catalog
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    with pytest.raises(KeyError):
+        engine.aggregate(
+            "loans2", drilldown="organization_level", measure="value",
+            share_within="nope",
+        ).collect()
