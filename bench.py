@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "q_peak_concurrency",
     "q_audio_energy",
     "q_cube_share",
+    "q_yoy_growth",
+    "q_hll_rollup",
 ]
 
 

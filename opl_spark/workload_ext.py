@@ -3628,3 +3628,74 @@ def q_cube_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         measure="value",
         share=True,
     )
+
+
+@register(
+    "q_yoy_growth",
+    oracle="""
+WITH g AS (
+    SELECT o_orderpriority AS prio,
+           CAST(EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+               AS year,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+    FROM orders GROUP BY 1, 2
+)
+SELECT prio, year, revenue,
+       ROUND(revenue - LAG(revenue) OVER w, 2) AS delta,
+       ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w, 6)
+           AS pct_change
+FROM g
+WINDOW w AS (PARTITION BY prio ORDER BY year)
+""",
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per order priority: exact decimal yearly
+    revenue, then delta / percent change via a lag window PARTITIONED
+    BY the group (report-sized input, parallelism = groups).  First
+    year emits NULL deltas — the BI trend-line contract."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("long").alias("year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue")
+    )
+    w = Window.partitionBy("prio").orderBy("year")
+    lagv = F.lag("revenue").over(w)
+    return g.select(
+        "prio",
+        "year",
+        "revenue",
+        F.round(F.col("revenue") - lagv, 2).alias("delta"),
+        F.round((F.col("revenue") - lagv) / lagv, 6).alias("pct_change"),
+    )
+
+
+@register("q_hll_rollup")
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark built-ins): per-day user sketches buildable once and UNIONED
+    upward to weekly distincts WITHOUT re-touching the event stream —
+    the warehouse rollup pattern exact COUNT(DISTINCT) can't do
+    (distinct isn't reassociative; sketches are).  Emits per-week
+    estimated vs recount-free distinct actives.  Rows-only (sketch
+    binaries aren't SQL-expressible); tests/test_operators.py bounds
+    the estimate against the exact distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy("week").agg(
+        F.hll_union_agg("sk").alias("sk"), F.count(F.lit(1)).alias("n_days")
+    )
+    return weekly.select(
+        "week",
+        "n_days",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+    )

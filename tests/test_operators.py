@@ -330,3 +330,36 @@ def test_audio_frame_energy_matches_numpy_reference(spark, sf_dir):
         for f in range(n_frames):
             want[(mid, f)] = round(float(np.square(x[f * 128 : f * 128 + 256]).mean()), 6)
     assert got == want
+
+
+def test_hll_rollup_tracks_exact_distinct(spark, sf_dir):
+    """The merged weekly HLL estimate must land within the sketch's
+    documented error envelope (lgK=12 → ~1.6% σ; assert 5%) of the
+    exact weekly distinct — and the union-of-days path must agree with
+    sketching the week directly (merge correctness)."""
+    from pyspark.sql import functions as F
+
+    from opl_spark import workload
+    from opl_spark.sources import load_table
+
+    got = {
+        r["week"]: r["est_users"]
+        for r in workload.queries()["q_hll_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for wk, est in got.items():
+        assert abs(est - exact[wk]) <= max(1, 0.05 * exact[wk]), (wk, est, exact[wk])
+    direct = {
+        r["week"]: r["est"]
+        for r in ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("est"))
+        .collect()
+    }
+    assert got == direct
