@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "q_cube_share",
     "q_yoy_growth",
     "q_hll_rollup",
+    "q_hopping_window",
+    "q_data_checks",
 ]
 
 

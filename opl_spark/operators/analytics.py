@@ -281,3 +281,43 @@ def zscore_outliers(
             ).alias("mean"),
         )
     )
+
+
+def validate_contract(
+    df: DataFrame,
+    checks: list[tuple[str, "F.Column"]],
+    fk: list[tuple[str, str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Data-contract validation (the dbt-test / Great-Expectations
+    tier): each check is ``(rule_name, violation_predicate)``; ``fk``
+    entries are ``(rule_name, local_col, parent_df, parent_col)``
+    orphan checks.  Emits ``(rule, n_rows, n_violations)`` — one row
+    per rule, never row-level data, so the report is rule-sized.
+
+    All column checks reduce in ONE pass (a single aggregate of
+    conditional sums — no per-rule jobs); each FK check is one
+    LEFT ANTI join against the (deduped, usually broadcast) parent key
+    set plus a count.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in checks:
+        aggs.append(F.sum(pred.cast("long")).alias(name))
+    row = df.agg(*aggs).first()
+    n = row["__n"]
+    out = [(name, n, int(row[name])) for name, _ in checks]
+    for name, col, parent, pcol in fk or []:
+        orphans = (
+            df.select(F.col(col))
+            .filter(F.col(col).isNotNull())
+            .join(
+                parent.select(F.col(pcol).alias(col)).distinct(),
+                col,
+                "left_anti",
+            )
+            .count()
+        )
+        out.append((name, n, int(orphans)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "rule string, n_rows long, n_violations long"
+    )

@@ -234,3 +234,33 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_sec)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def hopping_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Hopping (sliding) window counts + exact value sum per event
+    type: each event lands in ``window/slide`` overlapping windows —
+    Spark's ``window(ts, window, slide)`` generates the copies
+    map-side, so the fan-out is a bounded constant (2 here), never a
+    range self-join.  Batch-or-streaming polymorphic like
+    :func:`windowed_counts`."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
+        )
+    )

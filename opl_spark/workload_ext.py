@@ -3699,3 +3699,80 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
     )
+
+
+@register(
+    "q_hopping_window",
+    oracle="""
+WITH ev AS (
+    SELECT event_type, value,
+           time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b
+    FROM events
+),
+e2 AS (
+    SELECT event_type, value, b AS ws FROM ev
+    UNION ALL
+    SELECT event_type, value, b - INTERVAL '5 minutes' FROM ev
+)
+SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS total_value
+FROM e2 GROUP BY 1, 2
+""",
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window counts (10-minute windows sliding every 5):
+    each event lands in exactly window/slide = 2 overlapping windows,
+    generated MAP-SIDE by Spark's window(ts, win, slide) — bounded
+    constant fan-out, no range self-join.  Same code path runs under
+    readStream with a watermark."""
+    from opl_spark.streaming.events import hopping_counts
+
+    return hopping_counts(
+        load_table(spark, sf_dir, "events"), "10 minutes", "5 minutes"
+    )
+
+
+@register(
+    "q_data_checks",
+    oracle="""
+SELECT 'nonpositive_qty' AS rule,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS n_violations
+UNION ALL
+SELECT 'negative_price', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0)
+UNION ALL
+SELECT 'high_discount', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_discount > 0.08)
+UNION ALL
+SELECT 'null_shipdate', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+UNION ALL
+SELECT 'fk_order', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+""",
+)
+def q_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation report (the dbt-test tier): four
+    column rules reduced in ONE aggregate pass (conditional sums — no
+    per-rule jobs) plus a referential-integrity orphan check as a
+    LEFT ANTI join against the deduped parent keys.  Output is
+    rule-sized, never row-level."""
+    from opl_spark.operators.analytics import validate_contract
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return validate_contract(
+        li,
+        checks=[
+            ("nonpositive_qty", F.col("l_quantity") <= 0),
+            ("negative_price", F.col("l_extendedprice") < 0),
+            ("high_discount", F.col("l_discount") > 0.08),
+            ("null_shipdate", F.col("l_shipdate").isNull()),
+        ],
+        fk=[("fk_order", "l_orderkey", orders, "o_orderkey")],
+    )

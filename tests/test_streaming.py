@@ -277,3 +277,16 @@ def test_streaming_transitions_equal_batch_matrix(spark, sf_dir):
         for r in workload.queries()["q_event_transitions"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_hopping_counts_stream_equals_batch(spark, sf_dir):
+    """The hopping (overlapping) window aggregate must produce the
+    identical result streamed with availableNow replay — including the
+    2x map-side window fan-out."""
+    from opl_spark.streaming.events import hopping_counts
+
+    batch = hopping_counts(load_table(spark, sf_dir, "events"))
+    stream = hopping_counts(read_events_stream(spark, sf_dir))
+    assert stream.isStreaming
+    got = run_to_memory(stream, "t_hopping")
+    assert _sorted_rows(got) == _sorted_rows(batch)
