@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "q_hll_rollup",
     "q_hopping_window",
     "q_data_checks",
+    "q_pricing_summary",
 ]
 
 

@@ -57,3 +57,28 @@ def zorder_layout(
     the dimensions are skewed."""
     keyed = df.withColumn(key_name, zorder_key(dims, bits))
     return keyed.repartitionByRange(key_name).sortWithinPartitions(key_name)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+) -> None:
+    """Range-clustered parquet write: repartitionByRange on the sort
+    key (each output file owns a contiguous, non-overlapping key
+    range) + sortWithinPartitions (rows ordered inside each file, so
+    every parquet ROW GROUP's min/max footer stats span a narrow
+    slice).  A point or range filter on the key then skips whole
+    files from the footer alone — the single-dimension complement to
+    the Z-order key (use zorder for multi-dimension cuts).
+
+    Writer-side only: no new storage format, no table metadata — the
+    pruning contract is plain parquet statistics, verified in
+    tests/test_bucketing.py by reading the footers back."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -3776,3 +3776,64 @@ def q_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         fk=[("fk_order", "l_orderkey", orders, "o_orderkey")],
     )
+
+
+@register(
+    "q_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                             AS DECIMAL(18,0))) AS DOUBLE) / 100, 2)
+           AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                             AS DECIMAL(18,0))
+                      * CAST(100 + CAST(round(l_tax * 100) AS BIGINT)
+                             AS DECIMAL(18,0))) AS DOUBLE) / 10000, 2)
+           AS sum_charge,
+       ROUND(CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+             / COUNT(*), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan-heavy
+    single-pass aggregate (six measures, two grouping columns, a
+    pushed-down date filter).  All money math in exact integer/decimal
+    arithmetic — discounts and tax scale to hundredths so the
+    disc_price/charge products stay order-independent; averages divide
+    two exact numbers once at emission."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")).cast(
+        "decimal(18,0)"
+    )
+    tax = (F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")).cast(
+        "decimal(18,0)"
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * disc).cast("double") / 100, 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(price * disc * tax).cast("double") / 10000, 2).alias(
+                "sum_charge"
+            ),
+            F.round(
+                F.sum(qty).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

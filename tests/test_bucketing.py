@@ -56,3 +56,39 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
     )
     assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_write_sorted_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered writes must yield parquet files whose
+    [min, max] key ranges do NOT overlap (footer-stat file skipping
+    works) and whose row groups are internally sorted."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from opl_spark.operators.layout import write_sorted
+    from opl_spark.sources import load_table
+
+    out = str(tmp_path / "sorted_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    write_sorted(orders, out, ["o_custkey"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(c).name for c in range(len(md.schema))]
+        idx = names.index("o_custkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
+
+    # and a key filter on the reread must push down to the scan
+    back = spark.read.parquet(out).filter("o_custkey = 7")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "o_custkey" in plan and "PushedFilters" in plan
