@@ -37,6 +37,7 @@ from opl_spark.operators.dedup import (  # noqa: F401
     shingles_col,
 )
 from opl_spark.operators.layout import (  # noqa: F401
+    write_sorted,
     zorder_key,
     zorder_layout,
     zorder_sql,
@@ -59,6 +60,8 @@ from opl_spark.operators.sketch import (  # noqa: F401
     count_min_build,
     count_min_estimate,
     count_min_merge,
+    hll_stream_to_table,
+    hll_table_estimate,
 )
 from opl_spark.operators.similarity import (  # noqa: F401
     cosine_sim_col,

@@ -149,3 +149,67 @@ def count_min_stream_to_table(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def hll_stream_to_table(
+    stream_df: DataFrame,
+    col: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    lgk: int = 12,
+    timeout_sec: int = 120,
+) -> None:
+    """Maintain a DISTINCT-COUNT sketch over a stream: per microbatch,
+    build the batch's HLL sketch (DataSketches built-ins) and union it
+    into a one-row parquet sketch table.  Same mergeable-state story
+    as :func:`count_min_stream_to_table` — distinct state stays ~2^lgk
+    bytes forever where an exact distinct set grows with the keyspace
+    — and the same checkpoint-scoped ``(__stream_id, __batch_id)``
+    replay guard makes the at-least-once foreachBatch effectively
+    exactly-once (drained estimate == batch-built estimate, asserted
+    in tests/test_streaming.py)."""
+    stream_id = checkpoint_path  # batch ids are only comparable per checkpoint
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = df.sparkSession
+        batch_sketch = df.agg(F.hll_sketch_agg(col, F.lit(lgk)).alias("sk"))
+        try:
+            old = spark.read.parquet(sketch_path)
+        except AnalysisException:
+            merged = batch_sketch
+        else:
+            replayed = old.filter(
+                (F.col("__stream_id") == stream_id)
+                & (F.col("__batch_id") >= batch_id)
+            )
+            if replayed.limit(1).count() > 0:
+                return  # replayed batch of THIS stream — already merged
+            merged = (
+                old.select("sk")
+                .unionByName(batch_sketch)
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        merged = merged.withColumn("__stream_id", F.lit(stream_id)).withColumn(
+            "__batch_id", F.lit(batch_id)
+        )
+        merged.localCheckpoint().write.mode("overwrite").parquet(sketch_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def hll_table_estimate(spark, sketch_path: str) -> int:
+    """Read the maintained sketch table and return the distinct
+    estimate (one-row scan + one sketch evaluation)."""
+    df = spark.read.parquet(sketch_path)
+    return int(
+        df.select(F.hll_sketch_estimate("sk").alias("est")).first()["est"]
+    )

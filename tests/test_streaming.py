@@ -290,3 +290,26 @@ def test_hopping_counts_stream_equals_batch(spark, sf_dir):
     assert stream.isStreaming
     got = run_to_memory(stream, "t_hopping")
     assert _sorted_rows(got) == _sorted_rows(batch)
+
+
+def test_streaming_hll_equals_batch_estimate(spark, sf_dir, tmp_path):
+    """Draining the event stream through the HLL sketch maintainer
+    must produce the same distinct-user estimate as one batch sketch
+    over the same data (microbatch unions are lossless)."""
+    from opl_spark.operators.sketch import hll_stream_to_table, hll_table_estimate
+
+    sketch = str(tmp_path / "hll_sketch")
+    ckpt = str(tmp_path / "hll_ckpt")
+    hll_stream_to_table(
+        read_events_stream(spark, sf_dir), "user_id", sketch, ckpt
+    )
+    got = hll_table_estimate(spark, sketch)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e"))
+        .first()["e"]
+    )
+    assert got == int(want)
+    # exact distinct for scale sanity — estimate within 5%
+    exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert abs(got - exact) <= max(1, 0.05 * exact)
