@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q_hopping_window",
     "q_data_checks",
     "q_pricing_summary",
+    "q_triangles",
 ]
 
 

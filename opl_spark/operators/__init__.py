@@ -34,6 +34,7 @@ from opl_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
     span_duplication_profile,
+    triangle_count,
     shingles_col,
 )
 from opl_spark.operators.layout import (  # noqa: F401

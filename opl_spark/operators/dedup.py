@@ -955,3 +955,59 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     return members.join(keepers, "doc", "left").select(
         "doc", F.coalesce(F.col("keeper"), F.col("doc")).alias("keeper")
     )
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Exact triangle count over an undirected pair graph — one row
+    ``(n_nodes, n_edges, n_triangles)``.  The graph-health diagnostic
+    for linkage/dedup graphs (a spike in triangles means transitive
+    near-dup clusters are denser than pairwise scoring suggests).
+
+    Scale shape is the classic degree-oriented wedge join (MapReduce
+    triangle counting): edges orient from the LOWER-degree endpoint to
+    the higher (ties by id), which bounds every node's out-degree by
+    O(√m); wedges (u→v, u→w) then join once against the oriented edge
+    set.  Cost is Σ out_deg(u)² = O(m^1.5) worst case instead of the
+    unoriented Σ deg(u)² a hub node would explode.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("lo"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    nbr = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("u"), F.col("hi").alias("v")),
+                F.struct(F.col("hi").alias("u"), F.col("lo").alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    deg = nbr.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranked = (
+        nbr.join(deg.withColumnRenamed("u", "v").withColumnRenamed("d", "dv"), "v")
+        .join(deg, "u")
+        # orient u→v when (deg, id) of u < (deg, id) of v
+        .filter(
+            (F.col("d") < F.col("dv"))
+            | ((F.col("d") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    w1 = ranked.select(F.col("u"), F.col("v").alias("a"))
+    w2 = ranked.select(F.col("u"), F.col("v").alias("b"))
+    wedges = w1.join(w2, "u").filter(F.col("a") < F.col("b"))
+    closing = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    tris = wedges.join(closing, ["a", "b"]).count()
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).first()
+    n_nodes = nbr.select("u").distinct().count()
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, stats["n_edges"], tris)],
+        "n_nodes long, n_edges long, n_triangles long",
+    )

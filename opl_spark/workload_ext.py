@@ -3837,3 +3837,38 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "q_triangles",
+    oracle="""
+WITH v AS (SELECT DISTINCT c_name AS w FROM customer),
+p AS (
+    SELECT a.w AS a, b.w AS b
+    FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+),
+nodes AS (SELECT COUNT(DISTINCT x) AS n FROM (
+    SELECT a AS x FROM p UNION SELECT b FROM p)),
+tri AS (
+    SELECT COUNT(*) AS t
+    FROM p e1
+    JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT nodes.n AS n_nodes, (SELECT COUNT(*) FROM p) AS n_edges,
+       tri.t AS n_triangles
+FROM nodes, tri
+""",
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the fuzzy-name linkage graph via
+    degree-oriented wedge joins (out-degree bounded by O(√m) — the
+    hub-safe MapReduce formulation), against the oracle's direct
+    ordered triple join."""
+    from opl_spark.operators.dedup import fuzzy_pairs, triangle_count
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(cust, "c_name").select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    return triangle_count(pairs)
