@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "q_data_checks",
     "q_pricing_summary",
     "q_triangles",
+    "q_winsorized",
+    "q_mode",
+    "q_id_gaps",
 ]
 
 

@@ -3872,3 +3872,137 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("id_a"), F.col("b").alias("id_b")
     )
     return triangle_count(pairs)
+
+
+@register(
+    "q_winsorized",
+    oracle="""
+WITH ev AS (
+    SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+b AS (
+    SELECT grp,
+           quantile_cont(v, 0.05) AS lo,
+           quantile_cont(v, 0.95) AS hi
+    FROM ev GROUP BY 1
+)
+SELECT ev.grp, COUNT(*) AS n,
+       ROUND(AVG(CASE WHEN ev.v < b.lo THEN b.lo
+                      WHEN ev.v > b.hi THEN b.hi
+                      ELSE ev.v END) / 100, 6) AS winsorized_mean,
+       SUM(CASE WHEN ev.v < b.lo OR ev.v > b.hi THEN 1 ELSE 0 END)
+           AS n_clipped
+FROM ev JOIN b ON ev.grp = b.grp
+GROUP BY 1
+""",
+)
+def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) robust mean per event type: exact
+    interpolated percentile boundaries over integer-scaled values
+    (Spark `percentile` == DuckDB `quantile_cont` interpolation), one
+    group-keyed join back, one combinable aggregate.  At 100 TB swap
+    the exact percentile for the t-digest `percentile_approx` — same
+    shape, documented rank error."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    b = ev.groupBy("grp").agg(
+        F.expr("percentile(v, 0.05)").alias("lo"),
+        F.expr("percentile(v, 0.95)").alias("hi"),
+    )
+    clipped = (
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+    )
+    return (
+        ev.join(b, "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(clipped) / 100, 6).alias("winsorized_mean"),
+            F.sum(
+                ((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi"))).cast("long")
+            ).alias("n_clipped"),
+        )
+    )
+
+
+@register(
+    "q_mode",
+    oracle="""
+SELECT grp, v AS mode_value, c AS n_occurrences
+FROM (
+    SELECT event_type AS grp, CAST(round(value * 10) AS BIGINT) AS v,
+           COUNT(*) AS c,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY COUNT(*) DESC, CAST(round(value * 10) AS BIGINT)
+           ) AS rn
+    FROM events GROUP BY 1, 2
+)
+WHERE rn = 1
+""",
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent decile-bucketed
+    value): count per (group, value) — map-side combinable — then a
+    GROUP-PARTITIONED rank with an explicit (count desc, value) tie
+    order, because both engines' built-in ``mode`` picks ties
+    arbitrarily and arbitrary is not reproducible."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 10).cast("long").alias("v"),
+    )
+    counts = ev.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("grp").orderBy(F.col("c").desc(), "v")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("grp", F.col("v").alias("mode_value"), F.col("c").alias("n_occurrences"))
+    )
+
+
+@register(
+    "q_id_gaps",
+    oracle="""
+WITH b AS (
+    SELECT o_orderkey // 1000 AS bucket,
+           MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+           COUNT(DISTINCT o_orderkey) AS n
+    FROM orders GROUP BY 1
+)
+SELECT bucket, lo, hi, n,
+       (hi - lo + 1 - n) AS n_missing_inside,
+       (lo - 1 - LAG(hi) OVER (ORDER BY bucket)) AS gap_before
+FROM b
+""",
+)
+def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit over the order-key space: per
+    1000-wide bucket, missing ids INSIDE the bucket come from exact
+    (max-min+1-distinct) arithmetic — a combinable aggregate, no
+    row-adjacent window over the fact stream — and gaps BETWEEN
+    buckets from one lag over the bucket summary (bucket-sized, one
+    task is fine).  The completeness check every ingestion pipeline
+    runs after a backfill."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        (F.col("o_orderkey") / 1000).cast("long").alias("bucket")
+    ).agg(
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+        F.count_distinct("o_orderkey").alias("n"),
+    )
+    w = Window.orderBy("bucket")
+    return b.select(
+        "bucket", "lo", "hi", "n",
+        (F.col("hi") - F.col("lo") + 1 - F.col("n")).alias("n_missing_inside"),
+        (F.col("lo") - 1 - F.lag("hi").over(w)).alias("gap_before"),
+    )

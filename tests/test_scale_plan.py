@@ -224,6 +224,9 @@ def test_no_scale_killers_in_any_registered_query(spark):
     # broadcast cross-join against a single-row aggregate (corpus count
     # guards / zero-fill defaults) is 1-row x N — legitimate
     single_row_broadcast_ok = {"q_tfidf", "q_zero_fill", "q_bm25_search", "q_pmi"}
+    # ordered window over a GROUP-SUMMARY input (bucket stats, report
+    # rows) — bounded by construction, not a fact-stream funnel
+    summary_window_ok = {"q_id_gaps"}
     sf = "/root/testdata/sf0.001"
     flagged = {}
     for name, fn in workload.queries().items():
@@ -234,7 +237,9 @@ def test_no_scale_killers_in_any_registered_query(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in single_row_broadcast_ok:
             hits.append("nested-loop join")
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-            if re.match(r"^[^,]+ (ASC|DESC)", m.group(1)):
+            if name not in summary_window_ok and re.match(
+                r"^[^,]+ (ASC|DESC)", m.group(1)
+            ):
                 hits.append("global window")
         if hits:
             flagged[name] = hits
