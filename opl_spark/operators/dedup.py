@@ -970,13 +970,25 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     set.  Cost is Σ out_deg(u)² = O(m^1.5) worst case instead of the
     unoriented Σ deg(u)² a hub node would explode.
     """
+    # checkpoint the canonical edge list ONCE: it feeds four plan
+    # branches (degrees, orientation, wedges, closing edges) and three
+    # actions — without this the upstream pair computation (the
+    # expensive part, e.g. a fuzzy join) re-executes per branch
+    # counting needs only identity, not the values — node ids shuffle
+    # as 8-byte xxhash64 longs (collision odds ~n²/2⁶⁴), and the
+    # hashed edge list re-canonicalizes on the hash order
     e = (
         pairs.select(
-            F.least(F.col("id_a"), F.col("id_b")).alias("lo"),
-            F.greatest(F.col("id_a"), F.col("id_b")).alias("hi"),
+            F.xxhash64(F.col("id_a").cast("string")).alias("ha"),
+            F.xxhash64(F.col("id_b").cast("string")).alias("hb"),
+        )
+        .select(
+            F.least(F.col("ha"), F.col("hb")).alias("lo"),
+            F.greatest(F.col("ha"), F.col("hb")).alias("hi"),
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
+        .localCheckpoint()
     )
     nbr = e.select(
         F.explode(
