@@ -420,6 +420,7 @@ class CubeEngine:
         from pyspark.sql import Window
 
         group_cols = out.columns[:n_group_cols]
+        measures = out.columns[n_group_cols:]
         if share_within:
             keys = [c.strip() for c in share_within.split(",") if c.strip()]
             for k in keys:
@@ -428,14 +429,23 @@ class CubeEngine:
                         f"share_within column {k!r} not a group column {group_cols}"
                     )
             w = Window.partitionBy(*keys)
-        else:
-            w = Window.partitionBy(F.lit(1))
-        for m in out.columns[n_group_cols:]:
+            for m in measures:
+                out = out.withColumn(
+                    f"{m}_share", F.round(F.col(m) / F.sum(m).over(w), 6)
+                )
+            return out
+        # grand total: one single-row aggregate broadcast back onto the
+        # report — not a window (avoids the misleading WindowExec
+        # single-partition warning on what is metadata-sized data)
+        totals = out.agg(
+            *[F.sum(m).alias(f"__total_{m}") for m in measures]
+        )
+        out = out.crossJoin(F.broadcast(totals))
+        for m in measures:
             out = out.withColumn(
-                f"{m}_share",
-                F.round(F.col(m) / F.sum(m).over(w), 6),
+                f"{m}_share", F.round(F.col(m) / F.col(f"__total_{m}"), 6)
             )
-        return out
+        return out.drop(*[f"__total_{m}" for m in measures])
 
     @staticmethod
     def _compile_having(out: DataFrame, n_group_cols: int, having: str) -> Column:

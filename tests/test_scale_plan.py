@@ -223,7 +223,9 @@ def test_no_scale_killers_in_any_registered_query(spark):
 
     # broadcast cross-join against a single-row aggregate (corpus count
     # guards / zero-fill defaults) is 1-row x N — legitimate
-    single_row_broadcast_ok = {"q_tfidf", "q_zero_fill", "q_bm25_search", "q_pmi"}
+    single_row_broadcast_ok = {
+        "q_tfidf", "q_zero_fill", "q_bm25_search", "q_pmi", "q_cube_share",
+    }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
     summary_window_ok = {"q_id_gaps"}
