@@ -49,19 +49,25 @@ class OlapApi:
         raise KeyError(f"unknown route {path!r}")
 
     def _aggregate(self, fact: str, params: dict[str, str]) -> Any:
-        df = self.engine.aggregate(
-            fact,
-            cut=params.get("cut"),
-            drilldown=params.get("drilldown"),
-            measure=params.get("measure"),
-            aggregate=params.get("aggregate"),
-            hierarchy=params.get("hierarchy"),
-            top_n=int(params["top_n"]) if "top_n" in params else None,
-            top_within=params.get("top_within"),
-            having=params.get("having"),
-            share=params.get("share") in ("1", "true", "yes"),
-            share_within=params.get("share_within"),
-        )
+        self.catalog.fact(fact)  # unknown fact -> KeyError -> 404
+        try:
+            df = self.engine.aggregate(
+                fact,
+                cut=params.get("cut"),
+                drilldown=params.get("drilldown"),
+                measure=params.get("measure"),
+                aggregate=params.get("aggregate"),
+                hierarchy=params.get("hierarchy"),
+                top_n=int(params["top_n"]) if "top_n" in params else None,
+                top_within=params.get("top_within"),
+                having=params.get("having"),
+                share=params.get("share") in ("1", "true", "yes"),
+                share_within=params.get("share_within"),
+            )
+        except KeyError as exc:
+            # a bad PARAMETER column (having/top_within/share_within)
+            # is a malformed request (400), not a missing route (404)
+            raise ValueError(str(exc)) from exc
         if params.get("output") == "table":
             # S11 — first row = column names, then value rows
             # (Codice.gs:349 request / 155-184 consumption)

@@ -396,15 +396,19 @@ class CubeEngine:
 
         group_cols = self._resolve_drilldown(df, q)
         aggs = self._agg_exprs(df, q)
-        if not group_cols:
-            return df.agg(*aggs)
-        out = df.groupBy(*group_cols).agg(*aggs)
+        # the no-drilldown grand total flows through the SAME
+        # post-processing: having/share/top_n are well-defined on the
+        # one-row result, and silently dropping request parameters is
+        # worse than either honoring or rejecting them
+        out = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
         if share or share_within:
             out = self._apply_share(out, len(group_cols), share_within)
         if having:
             out = out.filter(self._compile_having(out, len(group_cols), having))
         if top_n is not None:
             out = self._apply_top(out, len(group_cols), int(top_n), top_within)
+        if not group_cols:
+            return out
         # deterministic ordering — required by output=table consumers
         return out.orderBy(*out.columns[: len(group_cols)])
 

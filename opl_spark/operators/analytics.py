@@ -63,8 +63,13 @@ def funnel(
     counts = acc.agg(
         *[F.count(F.col(f"t{i}")).alias(f"n{i}") for i in range(len(steps))]
     )
+    def _q(name: str) -> str:
+        # step names land inside selectExpr — escape, never interpolate
+        # raw (a quote in a step name would otherwise crash or inject)
+        return name.replace("\\", "\\\\").replace("'", "\\'")
+
     stack = ", ".join(
-        f"{i}, '{s}', n{i}" for i, s in enumerate(steps)
+        f"{i}, '{_q(s)}', n{i}" for i, s in enumerate(steps)
     )
     return counts.selectExpr(
         f"stack({len(steps)}, {stack}) AS (step, step_name, n_users)"
@@ -268,12 +273,24 @@ def zscore_outliers(
     bound = F.lit(z * z).cast(big) * (
         F.col("n") * F.col("s2") - F.col("s") * F.col("s")
     )
+    # decimal(38,0) is the widest exact type: (n·v-S)² overflows it
+    # once n·|v| nears 10¹⁹ (e.g. 10¹⁰ rows of 10⁹-scaled values).
+    # Overflow yields NULL (non-ANSI), and summing a NULL flag would
+    # silently UNDERCOUNT outliers — so a flag that is NULL while its
+    # inputs are not raises instead; callers rescale value_decimals.
+    flag = dev * dev > bound
+    flag = F.when(
+        flag.isNull() & F.col("v").isNotNull(),
+        F.raise_error(
+            "zscore_outliers: decimal(38,0) overflow — lower value_decimals"
+        ).cast("boolean"),
+    ).otherwise(flag)
     return (
         ev.join(stats, "grp")
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((dev * dev > bound).cast("long")).alias("n_outliers"),
+            F.sum(flag.cast("long")).alias("n_outliers"),
             F.round(
                 F.max(F.col("s")).cast("double")
                 / (F.max(F.col("n")).cast("double") * scale),
@@ -304,7 +321,9 @@ def validate_contract(
         aggs.append(F.sum(pred.cast("long")).alias(name))
     row = df.agg(*aggs).first()
     n = row["__n"]
-    out = [(name, n, int(row[name])) for name, _ in checks]
+    # sum() over zero rows is NULL — an empty load is a valid input to
+    # a validator and must report 0 violations, not crash
+    out = [(name, n, int(row[name] or 0)) for name, _ in checks]
     for name, col, parent, pcol in fk or []:
         orphans = (
             df.select(F.col(col))

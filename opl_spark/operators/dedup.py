@@ -673,12 +673,17 @@ def source_overlap(
         .select("src", F.xxhash64("s").alias("sh"))
         .distinct()
     )
-    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_group_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("gf"))
         sh = sh.join(
             freq.filter(F.col("gf") <= max_group_freq).select("sh"), "sh"
         )
+    # sizes AFTER the stop-shingle filter: intersection and set sizes
+    # must describe the same (surviving) shingle sets or the Jaccard is
+    # the ratio of two different universes — with the cap on, the
+    # matrix is over surviving shingles (the same documented
+    # approximation as ngram_jaccard_pairs' max_doc_freq)
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -807,8 +812,7 @@ def mask_repeated_spans(
     Documents with no duplicated span pass through via the left join's
     empty-array fallback.
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col).alias("doc"), words.alias("w"))
+    base = df.select(F.col(id_col).alias("doc"), words_col(F.col(text_col)).alias("w"))
     spans = base.select(
         "doc",
         F.posexplode(

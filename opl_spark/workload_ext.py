@@ -2730,10 +2730,29 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
+    # decimal(38,0) products overflow to NULL (non-ANSI) once n·x²
+    # nears 10³⁸ — emitting corr=NULL would be a silent wrong answer,
+    # so a NULL with non-NULL inputs raises (rescale the fixed-point
+    # factor to fit the domain); the zscore_outliers discipline
+    corr = F.round(num / den, 6)
+    # NULL corr while every input sum is non-NULL can only mean a
+    # decimal product overflowed (zero variance yields NaN, not NULL,
+    # because double division by zero is IEEE here)
+    sums_ok = (
+        F.col("sx").isNotNull() & F.col("sy").isNotNull()
+        & F.col("sxy").isNotNull() & F.col("sxx").isNotNull()
+        & F.col("syy").isNotNull()
+    )
+    corr = F.when(
+        corr.isNull() & sums_ok,
+        F.raise_error(
+            "pearson_corr: decimal(38,0) overflow — lower the value scale"
+        ).cast("double"),
+    ).otherwise(corr)
     return st.select(
         "grp",
         F.col("n").cast("long").alias("n"),
-        F.round(num / den, 6).alias("corr"),
+        corr.alias("corr"),
     )
 
 
@@ -3557,7 +3576,7 @@ WITH s AS (
 pts AS (
     SELECT day, t0 AS t, 1 AS delta FROM s
     UNION ALL
-    SELECT day, t1, -1 FROM s WHERE t1 > t0
+    SELECT day, t1, -1 FROM s
 ),
 run AS (
     SELECT day,
@@ -3573,9 +3592,11 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent user sessions per day (the Gantt-stacking
     maximum): each user's daily activity span becomes +1/-1 boundary
     events, a DAY-PARTITIONED running sum stacks them, and the peak is
-    one more combinable aggregate.  Zero-length spans contribute no
-    -1-at-same-instant cancellation ambiguity (+1 sorts before -1 at
-    ties), so the count is exact and engine-stable."""
+    one more combinable aggregate.  EVERY span emits both boundaries —
+    a zero-length (single-event) span opens and closes at the same
+    instant, counted present exactly at that instant because +1 sorts
+    before -1 at ties; leaving its -1 out would keep the user "open"
+    for the rest of the day and inflate later peaks."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -3583,9 +3604,7 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("u"), F.col("ts").cast("date").alias("day")
     ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
     pts = spans.select("day", F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
-        spans.filter(F.col("t1") > F.col("t0")).select(
-            "day", F.col("t1").alias("t"), F.lit(-1).alias("delta")
-        )
+        spans.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
     )
     w = (
         Window.partitionBy("day")

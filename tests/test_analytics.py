@@ -196,3 +196,66 @@ def test_temperature_mix_upsamples_small_groups(spark):
     # alpha=1 keeps natural proportions: everything exactly once
     nat = temperature_mix(df, "source", "doc_id", alpha=1.0).collect()
     assert len(nat) == 50 and all(r["epoch"] == 1 for r in nat)
+
+
+def test_validate_contract_on_empty_input_reports_zero(spark):
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.analytics import validate_contract
+
+    empty = spark.createDataFrame([], "v long")
+    out = validate_contract(empty, checks=[("neg", F.col("v") < 0)])
+    assert [tuple(r) for r in out.collect()] == [("neg", 0, 0)]
+
+
+def test_funnel_step_names_with_quotes_are_escaped(spark):
+    from opl_spark.operators.analytics import funnel
+
+    df = spark.createDataFrame(
+        [(1, 1, "don't"), (1, 2, "it's")],
+        "user_id long, ts long, event_type string",
+    )
+    rows = {r["step_name"]: r["n_users"] for r in
+            funnel(df, "user_id", "ts", "event_type", ["don't", "it's"]).collect()}
+    assert rows == {"don't": 1, "it's": 1}
+
+
+def test_peak_concurrency_closes_single_event_spans(spark, tmp_path):
+    """A user whose only event is at 00:01 must NOT stay 'open' all
+    day: a later lone user yields peak 1, not 2 (the zero-length span
+    emits both boundaries)."""
+    import datetime as dt
+
+    from opl_spark import workload
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, d.replace(hour=0, minute=1), 10, "view", 0.0, "{}"),
+        (2, d.replace(hour=23, minute=0), 20, "view", 0.0, "{}"),
+        (3, d.replace(hour=23, minute=30), 20, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    sf = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    out = {str(r["day"]): r["peak"] for r in
+           workload.queries()["q_peak_concurrency"](spark, sf).collect()}
+    assert out == {"2024-01-01": 1}
+
+
+def test_zscore_overflow_raises_instead_of_undercounting(spark):
+    """Values big enough to overflow the decimal(38,0) product space
+    must raise loudly — a silent NULL would be summed away as 'not an
+    outlier'."""
+    import pytest
+
+    from opl_spark.operators.analytics import zscore_outliers
+
+    rows = [("g", 9.2e16 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    with pytest.raises(Exception, match="overflow"):
+        zscore_outliers(df, "grp", "value", z=3, value_decimals=2).collect()

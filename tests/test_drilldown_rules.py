@@ -336,3 +336,20 @@ def test_share_within_rejects_non_group_column(spark, sf_dir):
             "loans2", drilldown="organization_level", measure="value",
             share_within="nope",
         ).collect()
+
+
+def test_grand_total_row_honors_having_and_share(spark, sf_dir):
+    """With no drilldown, having/share must still apply to the one-row
+    grand total instead of being silently dropped."""
+    from opl_spark.cube import CubeEngine
+    from opl_spark.facts import build_loans_fact, default_catalog
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    shared = engine.aggregate("loans2", measure="value", share=True)
+    row = shared.collect()
+    assert len(row) == 1 and abs(row[0]["value_share"] - 1.0) < 1e-9
+    filtered = engine.aggregate(
+        "loans2", measure="value", having="value>=999999999999"
+    )
+    assert filtered.count() == 0
