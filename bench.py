@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "q_winsorized",
     "q_mode",
     "q_id_gaps",
+    "q_attribution",
+    "q_ks_drift",
+    "q_benford",
 ]
 
 

@@ -4025,3 +4025,149 @@ def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hi") - F.col("lo") + 1 - F.col("n")).alias("n_missing_inside"),
         (F.col("lo") - 1 - F.lag("hi").over(w)).alias("gap_before"),
     )
+
+
+@register(
+    "q_attribution",
+    oracle=_EVENTS_US_CTE
+    + """,
+v AS (
+    SELECT event_id AS view_id, user_id, us AS view_us
+    FROM e WHERE event_type = 'view'
+)
+SELECT p.purchase_id, p.user_id, v.view_id,
+       (p.purchase_us - v.view_us) AS gap_us
+FROM p ASOF JOIN v
+  ON p.user_id = v.user_id AND v.view_us <= p.purchase_us
+WHERE p.purchase_us - v.view_us <= CAST(3 AS BIGINT) * 86400 * 1000000
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's LATEST
+    preceding view within a 3-day lookback — one backward as-of join
+    (single key shuffle + running-last window) and a map-side window
+    filter on the gap."""
+    from opl_spark.operators.temporal import asof_join
+
+    p = _typed_events(spark, sf_dir, "purchase", "purchase")
+    v = _typed_events(spark, sf_dir, "view", "view")
+    out = asof_join(p, v, ["user_id"], "purchase_us", "view_us")
+    return out.select(
+        "purchase_id", "user_id", "view_id",
+        (F.col("purchase_us") - F.col("view_us")).alias("gap_us"),
+    ).filter(F.col("gap_us") <= 3 * 86400 * 1000000)
+
+
+@register(
+    "q_ks_drift",
+    oracle="""
+WITH ev AS (
+    SELECT event_type AS grp,
+           CAST(round(value * 100) AS BIGINT) AS v,
+           CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+                THEN 'a' ELSE 'b' END AS side
+    FROM events
+),
+c AS (
+    SELECT grp, v,
+           SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+    FROM ev GROUP BY 1, 2
+),
+t AS (
+    SELECT grp, SUM(na) AS ta, SUM(nb) AS tb FROM c GROUP BY 1
+),
+r AS (
+    SELECT c.grp,
+           SUM(na) OVER w AS ca, SUM(nb) OVER w AS cb, t.ta, t.tb
+    FROM c JOIN t ON c.grp = t.grp
+    WINDOW w AS (PARTITION BY c.grp ORDER BY v ROWS UNBOUNDED PRECEDING)
+)
+SELECT grp, MAX(ta) AS n_before, MAX(tb) AS n_after,
+       ROUND(CAST(MAX(ABS(ca * tb - cb * ta)) AS DOUBLE)
+             / (CAST(MAX(ta) AS DOUBLE) * MAX(tb)), 6) AS ks
+FROM r GROUP BY 1
+""",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: exact Kolmogorov-Smirnov distance
+    per event type between the value distributions before/after a
+    cutoff date.  The CDF difference is kept in EXACT integer
+    cross-multiplied form (|ca·tb − cb·ta|) until one final division —
+    no float CDFs to drift across engines; the only window partitions
+    BY GROUP over the (group, distinct-value) table, value-sized not
+    event-sized."""
+    from pyspark.sql import Window
+
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("ts") < cutoff, "a").otherwise("b").alias("side"),
+    )
+    c = ev.groupBy("grp", "v").agg(
+        F.sum((F.col("side") == "a").cast("long")).alias("na"),
+        F.sum((F.col("side") == "b").cast("long")).alias("nb"),
+    )
+    t = c.groupBy("grp").agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = c.join(t, "grp").select(
+        "grp", "ta", "tb",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    return r.groupBy("grp").agg(
+        F.max("ta").alias("n_before"),
+        F.max("tb").alias("n_after"),
+        F.round(
+            F.max(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")))
+            .cast("double")
+            / (F.max("ta").cast("double") * F.max("tb")),
+            6,
+        ).alias("ks"),
+    )
+
+
+@register(
+    "q_benford",
+    oracle="""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders WHERE o_totalprice > 0
+)
+SELECT digit, COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM d), 6) AS observed,
+       ROUND(log10(1 + 1.0 / digit), 6) AS benford_expected
+FROM d GROUP BY 1
+""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit audit of the money column (the classic
+    fabricated-data screen): the digit comes from the INTEGER cents
+    string — never float log10, whose sub-ulp differences at powers of
+    ten could flip a digit bucket between engines.  Map-only digit
+    expression + one combinable aggregate + a single-row total
+    broadcast."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    d = orders.select(digit.alias("digit"))
+    total = d.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("observed"),
+            F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
+        )
+    )
