@@ -110,3 +110,41 @@ def save_any(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def read_media_dir(spark, path: str, glob: str | None = None):
+    """Ingest a directory of opaque media files as the canonical
+    binary-media layout (``media.media_bytes / mime / media_id`` plus
+    provenance path/length): Spark's built-in ``binaryFile`` source
+    reads file contents distributed (each executor reads its own
+    split of files; nothing routes through the driver), so this is
+    the REAL ingestion path the ``with_media_column`` test fixture
+    stands in for.
+
+    ``media_id`` is the xxhash64 of the file path — stable across
+    runs and executors; dedup on ``md5(media_bytes)`` downstream via
+    :func:`opl_spark.operators.multimodal.media_metadata`.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = (
+        F.when(ext == "png", "image/png")
+        .when(F.col("path").rlike(r"\.jpe?g$"), "image/jpeg")
+        .when(ext == "wav", "audio/wav")
+        .when(ext == "mp4", "video/mp4")
+        .otherwise("application/octet-stream")
+    )
+    return raw.select(
+        F.struct(
+            F.col("content").alias("media_bytes"),
+            mime.alias("mime"),
+            F.xxhash64("path").alias("media_id"),
+        ).alias("media"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("byte_len"),
+    )

@@ -59,3 +59,31 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
 def test_infer_format_rejects_unknown():
     with pytest.raises(ValueError, match="cannot infer format"):
         infer_format("/data/table.xyz")
+
+
+def test_read_media_dir_binary_ingestion(spark, tmp_path):
+    """binaryFile ingestion must produce the canonical media struct
+    with intact bytes, mime from the extension, and a path-stable id —
+    and feed straight into the existing decode/metadata operators."""
+    from opl_spark.operators.multimodal import decode_images, media_metadata
+    from opl_spark.sources.formats import read_media_dir
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake-payload")
+    (d / "b.bin").write_bytes(b"opaque-bytes")
+    media = read_media_dir(spark, str(d))
+    rows = {r["source_path"].split("/")[-1]: r for r in media.collect()}
+    assert bytes(rows["a.png"]["media"]["media_bytes"]) == b"\x89PNG-fake-payload"
+    assert rows["a.png"]["media"]["mime"] == "image/png"
+    assert rows["b.bin"]["media"]["mime"] == "application/octet-stream"
+    assert rows["a.png"]["byte_len"] == 17
+    # id is stable across re-reads
+    again = {r["source_path"].split("/")[-1]: r["media"]["media_id"]
+             for r in read_media_dir(spark, str(d)).collect()}
+    assert again == {k: r["media"]["media_id"] for k, r in rows.items()}
+    # plugs into the downstream operators unchanged
+    meta = media_metadata(media.select("media"))
+    assert meta.count() == 2 and "content_md5" in meta.columns
+    feats = decode_images(media.select("media"))
+    assert feats.count() == 2

@@ -313,3 +313,75 @@ def test_streaming_hll_equals_batch_estimate(spark, sf_dir, tmp_path):
     # exact distinct for scale sanity — estimate within 5%
     exact = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert abs(got - exact) <= max(1, 0.05 * exact)
+
+
+def test_watermark_drops_late_rows_deterministically(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark must finalize
+    windows once the watermark passes and DROP events arriving later
+    than the horizon — bounded state is the whole streaming-at-scale
+    contract, so the drop has to be deterministic and observable.
+
+    Two availableNow drains share one checkpoint (the watermark
+    persists across restarts): drain 1 advances event time to 13:00
+    (watermark horizon 12:50); drain 2 delivers a 12:01 event — 49
+    minutes beyond the horizon — which must be dropped, so the 12:00
+    window finalizes with exactly its on-time row."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from opl_spark.streaming.events import windowed_counts
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+
+    def write_batch(name, rows):
+        stage = os.path.join(str(tmp_path), name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        shutil.copy(part, os.path.join(str(src), f"{name}.parquet"))
+
+    out = str(tmp_path / "emitted")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = windowed_counts(stream, window="5 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return {
+                (r["window_start"], r["n_events"])
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            return set()
+
+    write_batch("b1", [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base.replace(hour=13), 2, "view", 1.0, "{}"),
+    ])
+    drain()
+
+    write_batch("b2", [
+        (3, base.replace(minute=1), 3, "view", 1.0, "{}"),
+        (4, base.replace(hour=13, minute=1), 4, "view", 1.0, "{}"),
+    ])
+    got2 = drain()
+    emitted_1200 = {n for ws, n in got2 if ws == "2024-01-01 12:00:00"}
+    # the 12:00 window finalized with ONLY on-time event 1; the
+    # 59-minutes-late event 3 was dropped, never merged or re-emitted
+    assert emitted_1200 == {1}, got2
