@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q_attribution",
     "q_ks_drift",
     "q_benford",
+    "q_variant_extract",
 ]
 
 

@@ -4171,3 +4171,35 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
         )
     )
+
+
+@register(
+    "q_variant_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) - COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS n_missing
+FROM events
+GROUP BY 1
+""",
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``try_variant_get`` paths — the modern schema-on-read shape that
+    beats per-path JSON string re-parsing when several fields extract
+    from one payload.  Missing paths surface as NULL (counted), never
+    as errors."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.count(F.lit(1)) - F.count("k")).alias("n_missing"),
+        )
+    )
