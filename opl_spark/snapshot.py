@@ -220,6 +220,36 @@ class SnapshotEngine:
             raise IOError(f"compact: rename {tmp} -> {path} failed")
         fs.delete(hold, True)
 
+    def vacuum(self) -> list[str]:
+        """Remove stale maintenance staging left by a crashed
+        ``compact``/``upsert``: ``<fact>__compacting`` / ``__upserting``
+        (an unfinished rewrite — the live table is intact, the staging
+        copy is garbage) and ``<fact>__old`` WHEN the live table exists
+        (the swap completed; the backup is garbage.  An ``__old``
+        WITHOUT a live table is the mid-swap crash state and is LEFT
+        ALONE — renaming it back is the operator's recovery decision,
+        documented on ``compact``).  Returns the removed paths.
+
+        Driver-side directory listing only — maintenance metadata, no
+        data scan; same single-writer/offline window as compact.
+        """
+        fs, root = self._fs(self.warehouse_dir)
+        if not fs.exists(root):
+            return []
+        removed = []
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            for suffix in ("__compacting", "__upserting"):
+                if name.endswith(suffix):
+                    fs.delete(status.getPath(), True)
+                    removed.append(name)
+            if name.endswith("__old"):
+                live = name[: -len("__old")]
+                if self.exists(live):
+                    fs.delete(status.getPath(), True)
+                    removed.append(name)
+        return removed
+
     def upsert(
         self, df: DataFrame, fact_table: str, key_cols: list[str]
     ) -> dict[str, int]:

@@ -184,3 +184,30 @@ def test_upsert_evolves_schema_and_handles_multirow_keys(registered, tmp_path):
         (r["k"], r["v"], r["extra"]) for r in eng.fact_frame("f_multi").collect()
     )
     assert rows == [(1, 12.0, "x"), (2, 20.0, None)]
+
+
+def test_vacuum_removes_stale_staging_but_keeps_crash_backup(registered, tmp_path):
+    """vacuum must delete leftover __compacting/__upserting staging and
+    a completed-swap __old backup, but preserve an __old whose live
+    table is MISSING (the mid-swap crash state an operator recovers by
+    renaming back)."""
+    import os
+
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, 10.0, 1998, 6)], "k long, v double, year int, month int"
+    )
+    eng.write(base, "f_live")
+    # completed swap: live exists + stale backup and staging dirs
+    base.write.parquet(os.path.join(str(tmp_path), "f_live__old"))
+    base.write.parquet(os.path.join(str(tmp_path), "f_live__compacting"))
+    base.write.parquet(os.path.join(str(tmp_path), "f_live__upserting"))
+    # mid-swap crash: __old without a live table
+    base.write.parquet(os.path.join(str(tmp_path), "f_crashed__old"))
+    removed = sorted(eng.vacuum())
+    assert removed == ["f_live__compacting", "f_live__old", "f_live__upserting"]
+    assert os.path.isdir(os.path.join(str(tmp_path), "f_crashed__old"))
+    assert eng.fact_frame("f_live").count() == 1
+    # idempotent: second vacuum finds nothing
+    assert eng.vacuum() == []
