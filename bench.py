@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "q_ks_drift",
     "q_benford",
     "q_variant_extract",
+    "q_unigram_train",
+    "q_unigram_tokenize",
 ]
 
 

@@ -87,6 +87,10 @@ from opl_spark.operators.skew import (  # noqa: F401
     salted_join,
     salted_sum,
 )
+from opl_spark.operators.unigram import (  # noqa: F401
+    unigram_segment,
+    unigram_train,
+)
 from opl_spark.operators.temporal import (  # noqa: F401
     asof_join,
     interval_join,

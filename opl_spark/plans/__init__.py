@@ -5,4 +5,5 @@ from opl_spark.plans.inspect import (  # noqa: F401
     partition_filters,
     pushed_filters,
     read_schemas,
+    scale_lint,
 )

@@ -50,3 +50,43 @@ def read_schemas(df: DataFrame) -> list[str]:
         if "ReadSchema:" in ln:
             out.append(ln.split("ReadSchema:", 1)[1].strip())
     return out
+
+
+def scale_lint(df: DataFrame, single_row_broadcast_ok: bool = False) -> list[str]:
+    """Lint a DataFrame's physical plan for the shapes that silently
+    stop scaling at 100× — the library form of the repo-wide test
+    audit (tests/test_scale_plan.py), usable in CI gates and notebook
+    spot checks before a query ships:
+
+    - ``cartesian``: CartesianProduct — O(n·m) row pairs;
+    - ``nested-loop join``: BroadcastNestedLoopJoin — legitimate ONLY
+      against a provably single-row side (pass
+      ``single_row_broadcast_ok=True`` when that is the design);
+    - ``global window``: an ORDERED window with no partition keys —
+      funnels the whole input through one task;
+    - ``single partition exchange``: an explicit SinglePartition
+      shuffle outside AQE's final stages.
+
+    Returns human-readable findings (empty = clean).  Plan SHAPE is
+    scale-invariant, so linting a small-data build of the query is
+    valid for the full-size deployment.
+    """
+    import re
+
+    plan = formatted_plan(df)
+    findings = []
+    if "CartesianProduct" in plan:
+        findings.append("cartesian: CartesianProduct joins every row pair")
+    if "BroadcastNestedLoopJoin" in plan and not single_row_broadcast_ok:
+        findings.append(
+            "nested-loop join: BroadcastNestedLoopJoin (fine only vs a "
+            "single-row side; pass single_row_broadcast_ok=True if so)"
+        )
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        if re.match(r"^[^,]+ (ASC|DESC)", m.group(1)):
+            findings.append(
+                f"global window: ordered window with no partition keys "
+                f"({m.group(1)[:60]}...)"
+            )
+            break
+    return findings

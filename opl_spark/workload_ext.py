@@ -4203,3 +4203,34 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("k")).alias("n_missing"),
         )
     )
+
+
+@register("q_unigram_train")
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training: one
+    corpus pass for distinct-word counts, hard-EM Viterbi iterations
+    as ONE Spark job each over the word-TYPE table, driver state
+    vocab-sized throughout.  Not SQL-expressible (iterative EM) —
+    rows-only; tests pin loss monotonicity, determinism, and piece
+    recovery on a hand corpus."""
+    from opl_spark.operators.unigram import unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _ = unigram_train(docs, "text", vocab_size=64, iters=3)
+    return spark.createDataFrame(
+        [(p, round(lp, 6)) for p, lp in vocab], "piece string, logprob double"
+    )
+
+
+@register("q_unigram_tokenize")
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply side of the unigram tokenizer: Viterbi decode per
+    DISTINCT word (Arrow-batched, closure-broadcast vocab), piece
+    counts hash-joined back to the token stream — per-TYPE Python
+    cost, the bpe_segment discipline.  Rows-only (Viterbi isn't SQL);
+    a test pins doc piece counts against a local decode."""
+    from opl_spark.operators.unigram import unigram_segment, unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _ = unigram_train(docs, "text", vocab_size=64, iters=2)
+    return unigram_segment(docs, "text", "doc_id", vocab)

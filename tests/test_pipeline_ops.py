@@ -783,3 +783,56 @@ def test_star_components_converge_on_long_chain(spark):
     rows = {r["doc"]: r["keeper"] for r in out.collect()}
     assert len(rows) == n
     assert set(rows.values()) == {0}
+
+
+# ---------------------------------------------------------------------------
+# unigram tokenizer (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_learns_frequent_pieces_and_loss_decreases(spark):
+    from opl_spark.operators.unigram import unigram_train
+
+    rows = [(i, "abab abab abc xy") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab, losses = unigram_train(df, "text", vocab_size=12, iters=3)
+    pieces = {p for p, _ in vocab}
+    # the dominant substring survives pruning; singles always kept
+    assert "abab" in pieces or "ab" in pieces
+    assert {"a", "b", "c", "x", "y"} <= pieces
+    # hard-EM loss is non-increasing
+    assert all(l2 <= l1 + 1e-9 for l1, l2 in zip(losses, losses[1:])), losses
+    # deterministic: same corpus → identical vocab
+    vocab2, _ = unigram_train(df, "text", vocab_size=12, iters=3)
+    assert vocab2 == vocab
+
+
+def test_unigram_segment_counts_per_type(spark, sf_dir):
+    from opl_spark.operators.unigram import (
+        _viterbi,
+        unigram_segment,
+        unigram_train,
+    )
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    vocab, _ = unigram_train(docs, "text", vocab_size=48, iters=2)
+    out = unigram_segment(docs, "text", "doc_id", vocab)
+    rows = out.collect()
+    assert rows and all(r["n_pieces"] >= r["n_words"] >= 1 for r in rows)
+    # spot-check one doc against a local Viterbi decode
+    scores = dict(vocab)
+    first = docs.orderBy("doc_id").first()
+    words = first["text"].lower().strip().split()
+    want = sum(len(_viterbi(w, scores, 4)[0]) for w in words)
+    got = {r["doc"]: r["n_pieces"] for r in rows}[first["doc_id"]]
+    assert got == want
+
+
+def test_unigram_viterbi_prefers_longer_pieces_on_ties(spark):
+    from opl_spark.operators.unigram import _viterbi
+
+    scores = {"a": -1.0, "b": -1.0, "ab": -2.0}
+    pieces, sc = _viterbi("ab", scores, 4)
+    # equal total score (-2.0): the longer piece wins deterministically
+    assert pieces == ["ab"] and sc == -2.0

@@ -274,3 +274,23 @@ def test_weighted_sample_plans_take_ordered(spark, sf_dir):
     plan = formatted_plan(workload.queries()["q_weighted_sample"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_scale_lint_flags_known_bad_and_passes_known_good(spark, sf_dir):
+    """The library linter must flag a cartesian product and a global
+    ranking window, and pass a clean aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from opl_spark.plans import scale_lint
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bad_cart = docs.crossJoin(docs.withColumnRenamed("doc_id", "d2"))
+    assert any("cartesian" in f or "nested-loop" in f for f in scale_lint(bad_cart))
+    bad_window = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert any("global window" in f for f in scale_lint(bad_window))
+    good = docs.groupBy((F.col("doc_id") % 10).alias("b")).count()
+    assert scale_lint(good) == []
