@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "q_variant_extract",
     "q_unigram_train",
     "q_unigram_tokenize",
+    "q_negative_pairs",
+    "q_hard_negatives",
 ]
 
 

@@ -4234,3 +4234,116 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab, _ = unigram_train(docs, "text", vocab_size=64, iters=2)
     return unigram_segment(docs, "text", "doc_id", vocab)
+
+
+@register(
+    "q_negative_pairs",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+pairs AS (
+    SELECT e.vec_id, t.j,
+           CAST((e.vec_id + 1 +
+                 ((e.vec_id * 2654435761 + t.j) % 4294967296) % (n.n - 1))
+                % n.n AS BIGINT) AS neg_id
+    FROM embeddings e
+    CROSS JOIN n
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t
+)
+SELECT p.vec_id, p.j, p.neg_id,
+       (a.label = b.label) AS same_label
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.vec_id
+JOIN embeddings b ON b.vec_id = p.neg_id
+""",
+)
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    vector draws 4 pseudo-random partners from the Knuth id hash, with
+    the +1 offset-mod-(n-1) construction guaranteeing partner ≠ self —
+    reruns and retries mint identical pairs, no sampling state.  The
+    pairing is a map-only expression + one bounded explode; partner
+    labels come back through one self-join on the dense id (broadcast
+    when the table fits)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    h = F.pmod(F.col("vec_id") * F.lit(2654435761) + F.col("j"), F.lit(1 << 32))
+    neg = F.pmod(
+        F.col("vec_id") + 1 + F.pmod(h, F.col("n") - 1), F.col("n")
+    ).alias("neg_id")
+    pairs = (
+        emb.select("vec_id", F.col("label").alias("la"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id", "la", "n",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+        )
+        .select("vec_id", "la", "j", neg)
+    )
+    other = emb.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("lb"))
+    return pairs.join(other, "neg_id").select(
+        "vec_id", "j", "neg_id", (F.col("la") == F.col("lb")).alias("same_label")
+    )
+
+
+@register(
+    "q_hard_negatives",
+    oracle="""
+WITH q AS (
+    SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+pool AS (
+    SELECT vec_id AS id, label AS pl, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+),
+scored AS (
+    SELECT q.qid, q.ql, p.id, p.pl,
+           ROUND(
+             list_dot_product(p.v, q.qv) /
+             (sqrt(list_dot_product(p.v, p.v))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+    FROM pool p CROSS JOIN q
+),
+shortlist AS (
+    SELECT qid, ql, id, pl, sim,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT qid, id, sim,
+       CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY sim DESC, id) AS BIGINT) AS neg_rank
+FROM shortlist
+WHERE rank <= 20 AND pl <> ql
+QUALIFY neg_rank <= 5
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: ANN shortlist
+    (batch-gemm top-20 per query) filtered to DIFFERENT-label
+    neighbors, re-ranked to the 5 hardest — the shortlist-then-filter
+    recipe that avoids scoring the corpus twice.  The re-rank window
+    partitions per query."""
+    from pyspark.sql import Window
+
+    from opl_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    qlabels = {int(r["vec_id"]): r["label"] for r in qrows}
+    short = knn_join(emb, "embedding", "vec_id", queries, k=20)
+    qlab = F.create_map(
+        *[F.lit(x) for kv in qlabels.items() for x in kv]
+    )[F.col("qid")]
+    pool_lab = emb.select(F.col("vec_id").alias("id"), F.col("label").alias("pl"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "id")
+    return (
+        short.join(pool_lab, "id")
+        .filter(F.col("pl") != qlab)
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("qid", "id", "sim", "neg_rank")
+    )
