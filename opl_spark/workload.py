@@ -49,6 +49,9 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# MAINTENANCE (each round): extend this tuple with the ids the driver
+# checked last round (the keys of the newest CORRECTNESS_r*.json), so
+# the next 50 never-audited ids rotate into the driver's window.
 # Ids that already hold a driver CORRECTNESS row (rounds 1-2).  The
 # driver audits the first 50 ids in ``queries()`` order each round, so
 # never-yet-audited ids must come first or they never receive the hard

@@ -135,3 +135,29 @@ def test_engine_errors_are_reported_not_empty_200(server):
         _get(server, "/olap/loans2/aggregate", {"cut": "no_such_dim:1"})
     assert exc.value.code in (400, 404)
     assert "error" in json.loads(exc.value.read())
+
+
+def test_bad_parameter_is_400_unknown_fact_is_404(server):
+    """A malformed query PARAMETER (unknown having column) must come
+    back 400 — the route exists, the request is bad — while an unknown
+    FACT on a real route stays 404."""
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(server, "/olap/loans2/aggregate",
+             {"drilldown": "organization_level", "measure": "value",
+              "having": "bogus>=1"})
+    assert exc.value.code == 400
+    assert "error" in json.loads(exc.value.read())
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(server, "/olap/no_such_fact/aggregate", {"measure": "value"})
+    assert exc.value.code == 404
+
+
+def test_share_params_over_http(server):
+    """share/share_within ride the HTTP surface like top_n/having."""
+    status, body = _get(
+        server, "/olap/loans2/aggregate",
+        {"drilldown": "organization_level", "measure": "value", "share": "true"},
+    )
+    assert status == 200
+    rows = json.loads(body)["data"]
+    assert rows and abs(sum(r["value_share"] for r in rows) - 1.0) < 1e-4
