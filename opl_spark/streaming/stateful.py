@@ -123,3 +123,83 @@ def transition_stream(
     return events.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered funnel: per user, advance through ``steps``
+    only when the next step's event arrives strictly AFTER the time
+    the previous step was reached (the batch ``funnel`` contract),
+    emitting ``(user, step, step_name)`` each time a user advances.
+
+    Per-user state = the reached-step index + that step's event time
+    (a dozen bytes, sharded with the shuffle).  A user's progression
+    is processed in event-time order WITHIN each microbatch; because
+    the gate is strictly-after on the stored timestamp, replaying
+    batches or splitting them differently cannot advance a user twice
+    for the same event — summing emissions per step therefore equals
+    the batch funnel's step counts (asserted in
+    tests/test_streaming.py).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("step", T.IntegerType()),
+            T.StructField("step_name", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("reached", T.IntegerType()),
+            T.StructField("at_us", T.LongType()),
+        ]
+    )
+    step_list = list(steps)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        reached, at_us = (state.get if state.exists else (-1, -1))
+        frames = [
+            pdf[[ts_col, type_col]] for pdf in pdfs
+        ]
+        out_steps = []
+        if frames:
+            ev = pd.concat(frames).sort_values(ts_col, kind="mergesort")
+            for ts, et in zip(ev[ts_col], ev[type_col]):
+                if reached + 1 >= len(step_list):
+                    break
+                nxt = step_list[reached + 1]
+                ts_us = int(ts.value // 1000)
+                if et == nxt and (reached < 0 or ts_us > at_us):
+                    reached += 1
+                    at_us = ts_us
+                    out_steps.append(reached)
+        if out_steps:
+            state.update((reached, at_us))
+            yield pd.DataFrame(
+                {
+                    "user": [key[0]] * len(out_steps),
+                    "step": out_steps,
+                    "step_name": [step_list[i] for i in out_steps],
+                }
+            )
+        elif state.exists:
+            pass  # nothing advanced this batch; keep existing state
+
+    return (
+        events.select(user_col, ts_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

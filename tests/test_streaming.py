@@ -385,3 +385,27 @@ def test_watermark_drops_late_rows_deterministically(spark, tmp_path):
     # the 12:00 window finalized with ONLY on-time event 1; the
     # 59-minutes-late event 3 was dropped, never merged or re-emitted
     assert emitted_1200 == {1}, got2
+
+
+def test_funnel_stream_counts_equal_batch_funnel(spark, sf_dir):
+    """Summing streaming funnel advancement emissions per step must
+    reproduce the batch funnel's user counts (strictly-after gating,
+    first qualifying occurrence)."""
+    from opl_spark.operators.analytics import funnel
+    from opl_spark.streaming.stateful import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    batch = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            load_table(spark, sf_dir, "events"), "user_id", "ts", "event_type", steps
+        ).collect()
+    }
+    stream = funnel_stream(read_events_stream(spark, sf_dir), steps)
+    assert stream.isStreaming
+    got = run_to_memory(stream, "t_funnel_stream", output_mode="append")
+    by_step = {
+        r["step"]: r["n"]
+        for r in got.groupBy("step").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_step == {k: v for k, v in batch.items() if v > 0}
