@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "q_unigram_tokenize",
     "q_negative_pairs",
     "q_hard_negatives",
+    "q_drill_across",
 ]
 
 

@@ -412,6 +412,59 @@ class CubeEngine:
         # deterministic ordering — required by output=table consumers
         return out.orderBy(*out.columns[: len(group_cols)])
 
+    def drill_across(
+        self,
+        facts: list[str],
+        drilldown: str,
+        cut: str | None = None,
+        measure: str | None = None,
+        hierarchy: str | None = None,
+    ) -> DataFrame:
+        """Drill-across: the SAME drilldown (and optional cut) runs
+        against every fact — which therefore must all declare the
+        drilldown's CONFORMED dimensions — and the report-sized
+        per-fact aggregates FULL OUTER join on the shared group
+        columns, measures suffixed ``_<fact>``.  Kimball's
+        multi-fact comparison query (loans vs accessions per
+        consortium), impossible in the reference without N API calls
+        and client-side stitching.
+
+        Scale shape: each fact aggregates independently (all the
+        aggregate() machinery applies — pruning, pushdown, partial
+        aggs); the join inputs are dimension-cardinality-sized, so the
+        USING-join coalesces keys over report rows, never facts.
+        Absent cells stay NULL — absence of a fact's measure is
+        information a BI layer must see, not a zero.
+        """
+        if len(facts) < 2:
+            raise ValueError("drill_across: need at least two facts")
+        joined: DataFrame | None = None
+        keys: list[str] | None = None
+        for f in facts:
+            out = self.aggregate(
+                f, cut=cut, drilldown=drilldown, measure=measure,
+                hierarchy=hierarchy,
+            )
+            q = CubeQuery(
+                fact=self.catalog.fact(f), drilldown=drilldown,
+                hierarchy=hierarchy,
+            )
+            n_groups = len(self._resolve_drilldown(self.frame(f), q))
+            gcols = out.columns[:n_groups]
+            renamed = out
+            for m in out.columns[n_groups:]:
+                renamed = renamed.withColumnRenamed(m, f"{m}_{f}")
+            if joined is None:
+                joined, keys = renamed, gcols
+            else:
+                if gcols != keys:
+                    raise ValueError(
+                        f"drill_across: fact {f!r} resolves drilldown to "
+                        f"{gcols}, expected conformed {keys}"
+                    )
+                joined = joined.join(renamed, keys, "full_outer")
+        return joined.orderBy(*keys)
+
     @staticmethod
     def _apply_share(
         out: DataFrame, n_group_cols: int, share_within: str | None

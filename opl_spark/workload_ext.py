@@ -4347,3 +4347,41 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 5)
         .select("qid", "id", "sim", "neg_rank")
     )
+
+
+@register(
+    "q_drill_across",
+    oracle="WITH lf AS ("
+    + LOANS_FACT_SQL
+    + "), af AS ("
+    + ACCESSIONS_FACT_SQL
+    + """),
+l AS (
+    SELECT consortia_id, consortia_label,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value_loans2
+    FROM lf GROUP BY 1, 2
+),
+a AS (
+    SELECT consortia_id, consortia_label,
+           ROUND(CAST(SUM(accessions) AS DOUBLE), 2) AS accessions_accessions
+    FROM af GROUP BY 1, 2
+)
+SELECT consortia_id, consortia_label, value_loans2, accessions_accessions
+FROM l FULL JOIN a USING (consortia_id, consortia_label)
+""",
+)
+def q_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across (Kimball multi-fact comparison): loans value vs
+    accessions volume per consortium in ONE call — each fact
+    aggregates independently under the same conformed drilldown, the
+    report-sized results FULL OUTER join on the shared group columns,
+    measures suffixed by fact.  The reference needs N API calls and
+    client-side stitching for this."""
+    from opl_spark.facts import build_accessions_fact, build_loans_fact
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    engine.register_fact("accessions", build_accessions_fact(spark, sf_dir))
+    return engine.drill_across(
+        ["loans2", "accessions"], drilldown="organization_level"
+    )

@@ -353,3 +353,26 @@ def test_grand_total_row_honors_having_and_share(spark, sf_dir):
         "loans2", measure="value", having="value>=999999999999"
     )
     assert filtered.count() == 0
+
+
+def test_drill_across_rejects_nonconformed_and_single_fact(spark, sf_dir):
+    import pytest
+
+    from opl_spark.cube import CubeEngine
+    from opl_spark.facts import (
+        build_loans_fact,
+        build_patrimonio_fact,
+        default_catalog,
+    )
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    engine.register_fact("patrimonio", build_patrimonio_fact(spark, sf_dir))
+    with pytest.raises(ValueError, match="at least two"):
+        engine.drill_across(["loans2"], drilldown="organization_level")
+    # patrimonio's consortia_id dim resolves to different group columns
+    # than loans2's organization_level hierarchy → conformance error
+    with pytest.raises((ValueError, KeyError)):
+        engine.drill_across(
+            ["loans2", "patrimonio"], drilldown="organization_level"
+        )
