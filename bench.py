@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "q_negative_pairs",
     "q_hard_negatives",
     "q_drill_across",
+    "q_mad_outliers",
 ]
 
 

@@ -38,6 +38,8 @@ class OlapApi:
             raise KeyError(f"unknown route {path!r}")
         if parts[1:] == ["fact_tables"]:
             return self.catalog.fact_tables()
+        if parts[1:] == ["drill_across"]:
+            return self._drill_across(params)
         if len(parts) == 3:
             fact, endpoint = parts[1], parts[2]
             if endpoint == "dimensions":
@@ -47,6 +49,25 @@ class OlapApi:
             if endpoint == "aggregate":
                 return self._aggregate(fact, params)
         raise KeyError(f"unknown route {path!r}")
+
+    def _drill_across(self, params: dict[str, str]) -> Any:
+        facts = [f for f in (params.get("facts") or "").split(",") if f]
+        for f in facts:
+            self.catalog.fact(f)  # unknown fact -> KeyError -> 404
+        try:
+            df = self.engine.drill_across(
+                facts,
+                drilldown=params.get("drilldown") or "",
+                cut=params.get("cut"),
+                measure=params.get("measure"),
+                hierarchy=params.get("hierarchy"),
+            )
+        except KeyError as exc:
+            raise ValueError(str(exc)) from exc
+        if params.get("output") == "table":
+            return to_table(df)
+        rows = [r.asDict() for r in df.collect()]
+        return {"data": rows} if rows else {"message": "empty_dataset"}
 
     def _aggregate(self, fact: str, params: dict[str, str]) -> Any:
         self.catalog.fact(fact)  # unknown fact -> KeyError -> 404

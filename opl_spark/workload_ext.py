@@ -4385,3 +4385,48 @@ def q_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.drill_across(
         ["loans2", "accessions"], drilldown="organization_level"
     )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+WITH ev AS (
+    SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+med AS (SELECT grp, quantile_cont(v, 0.5) AS m FROM ev GROUP BY 1),
+dev AS (
+    SELECT ev.grp, ev.v, ABS(ev.v - med.m) AS d
+    FROM ev JOIN med ON ev.grp = med.grp
+),
+mad AS (SELECT grp, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT dev.grp, COUNT(*) AS n,
+       SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+FROM dev JOIN mad ON dev.grp = mad.grp
+GROUP BY 1
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen (the robust
+    complement to the 3σ z-score — a few extreme values can't inflate
+    the threshold the way they inflate a stddev): two exact
+    interpolated medians with one group-keyed join between them, then
+    one combinable count.  Same percentile-interpolation parity as
+    q_length_quantiles; t-digest swap documented for 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    med = ev.groupBy("grp").agg(F.expr("percentile(v, 0.5)").alias("m"))
+    dev = ev.join(med, "grp").select(
+        "grp", F.abs(F.col("v") - F.col("m")).alias("d")
+    )
+    mad = dev.groupBy("grp").agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    return (
+        dev.join(mad, "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("d") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+        )
+    )

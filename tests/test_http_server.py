@@ -29,6 +29,8 @@ def api(spark, sf_dir, tmp_path_factory):
     eng = CubeEngine(default_catalog())
     eng.register_fact("loans2", build_loans_fact(spark, sf_dir))
     eng.register_fact("general_indexes", build_general_indexes_fact(spark, sf_dir))
+    from opl_spark.facts import build_accessions_fact
+    eng.register_fact("accessions", build_accessions_fact(spark, sf_dir))
     eng.register_fact("patrimonio", build_patrimonio_fact(spark, sf_dir))
     from opl_spark.snapshot import FactQuery, SnapshotEngine
     from opl_spark.sources import register_sources
@@ -161,3 +163,13 @@ def test_share_params_over_http(server):
     assert status == 200
     rows = json.loads(body)["data"]
     assert rows and abs(sum(r["value_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_drill_across_over_http(server):
+    status, body = _get(
+        server, "/olap/drill_across",
+        {"facts": "loans2,accessions", "drilldown": "organization_level"},
+    )
+    assert status == 200
+    rows = json.loads(body)["data"]
+    assert rows and "value_loans2" in rows[0] and "accessions_accessions" in rows[0]
