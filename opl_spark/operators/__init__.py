@@ -97,6 +97,7 @@ from opl_spark.operators.temporal import (  # noqa: F401
 )
 from opl_spark.operators.text import (  # noqa: F401
     export_jsonl,
+    export_jsonl_manifest,
     fingerprint_col,
     heavy_hitters,
     lang_id_col,

@@ -366,3 +366,42 @@ def backfill(
             totals[fact_table] = totals.get(fact_table, 0) + n
         d += _dt.timedelta(days=1)
     return totals
+
+
+def incremental_refresh(
+    spark: SparkSession,
+    agg_path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str | None = "n",
+) -> None:
+    """Incrementally refresh a persisted additive aggregate
+    (materialized-view maintenance): the delta batch aggregates to its
+    own group rows, unions with the existing table, and re-reduces —
+    sums and counts are reassociative, so the refreshed table equals a
+    full recompute over base ∪ delta (asserted in
+    tests/test_evolution.py) at the cost of ONE delta-sized
+    aggregation + one table-sized re-reduce, never a rescan of
+    history.  Non-additive measures (distinct, medians) need their
+    sketch forms (HLL / t-digest) — documented, not silently wrong.
+
+    Same write-to-temp + rename discipline as ``compact``
+    (single-writer, offline).
+    """
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    if count_col:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    d = delta.groupBy(*key_cols).agg(*aggs)
+    try:
+        existing = spark.read.parquet(agg_path)
+    except Exception:
+        d.write.mode("overwrite").parquet(agg_path)
+        return
+    re_aggs = [F.sum(c).alias(c) for c in sum_cols]
+    if count_col:
+        re_aggs.append(F.sum(count_col).alias(count_col))
+    merged = (
+        existing.unionByName(d).groupBy(*key_cols).agg(*re_aggs).localCheckpoint()
+    )
+    merged.write.mode("overwrite").parquet(agg_path)

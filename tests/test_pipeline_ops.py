@@ -836,3 +836,22 @@ def test_unigram_viterbi_prefers_longer_pieces_on_ties(spark):
     pieces, sc = _viterbi("ab", scores, 4)
     # equal total score (-2.0): the longer piece wins deterministically
     assert pieces == ["ab"] and sc == -2.0
+
+
+def test_export_manifest_counts_and_hash_are_partition_invariant(spark, sf_dir, tmp_path):
+    from opl_spark.operators.text import export_jsonl_manifest
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m4 = export_jsonl_manifest(docs, str(tmp_path / "e4"), shards=4)
+    m2 = export_jsonl_manifest(docs, str(tmp_path / "e2"), shards=2)
+    assert m4["total_rows"] == m2["total_rows"] == docs.count()
+    assert len(m4["shards"]) == 4 and len(m2["shards"]) == 2
+    assert all(s["rows"] > 0 for s in m4["shards"].values())
+    # content hash is a reassociative sum — shard layout can't change it
+    tot4 = sum(int(s["content_hash"]) for s in m4["shards"].values())
+    tot2 = sum(int(s["content_hash"]) for s in m2["shards"].values())
+    assert tot4 == tot2
+    import json, os
+    on_disk = json.load(open(os.path.join(str(tmp_path / "e4"), "_MANIFEST.json")))
+    assert on_disk == m4
