@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "q_hard_negatives",
     "q_drill_across",
     "q_mad_outliers",
+    "q_lang_confusion",
+    "q_temporal_split",
+    "q_class_separation",
 ]
 
 

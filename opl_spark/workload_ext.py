@@ -4430,3 +4430,157 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("d") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_lang_confusion",
+    oracle="WITH scored AS (SELECT lang, "
+    + ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS_DESC)
+    + f" FROM documents)\nSELECT lang AS labeled, {_LANG_CASE} AS detected,"
+    " COUNT(*) AS n FROM scored GROUP BY 1, 2",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled corpus language × detected
+    language with counts — the detector-quality report card (which
+    languages leak into which).  Map-only detection + one combinable
+    aggregate; output is languages²-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"),
+            lang_id_col(F.col("text")).alias("detected"),
+        )
+        .groupBy("labeled", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_temporal_split",
+    oracle="""
+WITH ev AS (
+    SELECT user_id,
+           CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+                THEN 'train' ELSE 'val' END AS split
+    FROM events
+),
+c AS (
+    SELECT split, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM ev GROUP BY 1
+),
+overlap AS (
+    SELECT COUNT(*) AS n FROM (
+        SELECT user_id FROM ev WHERE split = 'train'
+        INTERSECT
+        SELECT user_id FROM ev WHERE split = 'val')
+)
+SELECT c.split, c.n_events, c.n_users, overlap.n AS n_overlap_users
+FROM c CROSS JOIN overlap
+""",
+)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/validation split report with the LEAKAGE metric:
+    events partitioned at a cutoff date, per-split volumes plus the
+    count of users active on BOTH sides (entity overlap is what makes
+    a temporal split leak for user-level models).  Two combinable
+    aggregates + one user-keyed intersection; the single-row overlap
+    broadcast onto the 2-row report."""
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("ts") < cutoff, "train").otherwise("val").alias("split"),
+    )
+    c = ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    tr = ev.filter(F.col("split") == "train").select("user_id").distinct()
+    va = ev.filter(F.col("split") == "val").select("user_id").distinct()
+    overlap = tr.join(va, "user_id", "semi").agg(
+        F.count(F.lit(1)).alias("n_overlap_users")
+    )
+    return c.crossJoin(F.broadcast(overlap))
+
+
+@register(
+    "q_class_separation",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+    SELECT label,
+           list_transform(range(1, 65),
+               i -> list_avg(list_transform(vs, x -> x[i]))) AS c
+    FROM (SELECT label, list(v) AS vs FROM e GROUP BY 1)
+),
+g AS (
+    SELECT list_transform(range(1, 65),
+               i -> list_avg(list_transform(vs, x -> x[i]))) AS c
+    FROM (SELECT list(v) AS vs FROM e)
+),
+d AS (
+    SELECT e.label,
+           sqrt(list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - cent.c[i]) * (e.v[i] - cent.c[i])))) AS d_own,
+           sqrt(list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - g.c[i]) * (e.v[i] - g.c[i])))) AS d_global
+    FROM e JOIN cent ON e.label = cent.label CROSS JOIN g
+)
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(d_own), 6) AS mean_dist_own,
+       ROUND(AVG(d_global), 6) AS mean_dist_global,
+       ROUND(AVG(d_own) / AVG(d_global), 6) AS separation
+FROM d GROUP BY 1
+""",
+)
+def q_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class-separation report: per label, mean
+    distance to the OWN-class centroid vs the global centroid (ratio
+    < 1 = classes are tighter than the cloud — the scatter diagnostic
+    run before trusting labels for SemDeDup/classifier training).
+    Centroids are label-sized aggregates; distances are one map pass
+    with both centroid tables joined (labels broadcast, global
+    single-row)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    by_dim = emb.select(
+        "vec_id", "label", F.posexplode(x).alias("pos", "xv")
+    )
+    cent = by_dim.groupBy("label", "pos").agg(F.avg("xv").alias("c"))
+    cent_arr = cent.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "c"))
+        ).alias("pc")
+    ).select("label", F.transform("pc", lambda s: s["c"]).alias("c_own"))
+    gcent = by_dim.groupBy("pos").agg(F.avg("xv").alias("c"))
+    g_arr = gcent.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+    ).select(F.transform("pc", lambda s: s["c"]).alias("c_glob"))
+    dist = (
+        emb.join(F.broadcast(cent_arr), "label")
+        .crossJoin(F.broadcast(g_arr))
+        .select(
+            "label",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(x, F.col("c_own"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                )
+            ).alias("d_own"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(x, F.col("c_glob"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                )
+            ).alias("d_global"),
+        )
+    )
+    return dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("d_own"), 6).alias("mean_dist_own"),
+        F.round(F.avg("d_global"), 6).alias("mean_dist_global"),
+        F.round(F.avg("d_own") / F.avg("d_global"), 6).alias("separation"),
+    )
