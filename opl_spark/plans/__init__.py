@@ -5,5 +5,6 @@ from opl_spark.plans.inspect import (  # noqa: F401
     partition_filters,
     pushed_filters,
     read_schemas,
+    partition_profile,
     scale_lint,
 )

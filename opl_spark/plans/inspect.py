@@ -90,3 +90,27 @@ def scale_lint(df: DataFrame, single_row_broadcast_ok: bool = False) -> list[str
             )
             break
     return findings
+
+
+def partition_profile(df: DataFrame) -> dict:
+    """Physical partition balance diagnostic: rows per partition via
+    one ``mapPartitions`` count (a long per partition crosses to the
+    driver — metadata-sized), plus the skew summary planners actually
+    act on: ``max/mean`` row ratio and the count of empty partitions.
+    A ratio ≫ 1 before a join/agg is the signal to salt, repartition,
+    or let AQE split; empty partitions after a filter are the signal
+    to coalesce before writing.
+    """
+    counts = df.rdd.mapPartitions(
+        lambda it: [sum(1 for _ in it)]
+    ).collect()
+    n = len(counts)
+    total = sum(counts)
+    mean = total / n if n else 0.0
+    return {
+        "n_partitions": n,
+        "total_rows": total,
+        "max_rows": max(counts) if counts else 0,
+        "empty_partitions": sum(1 for c in counts if c == 0),
+        "skew_ratio": round(max(counts) / mean, 3) if total else 0.0,
+    }
