@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "q_lang_confusion",
     "q_temporal_split",
     "q_class_separation",
+    "q_session_stats",
+    "q_conversion_time",
 ]
 
 

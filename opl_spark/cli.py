@@ -69,7 +69,8 @@ def _validate_date(s: str) -> _dt.date:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="opl-spark")
     p.add_argument(
-        "-c", "--command", required=True, choices=["add", "aggregate", "serve"]
+        "-c", "--command", required=True,
+        choices=["add", "aggregate", "serve", "compact", "vacuum"],
     )
     p.add_argument("--host", default="127.0.0.1", help="bind address (serve)")
     p.add_argument("--port", type=int, default=8080, help="bind port (serve)")
@@ -100,6 +101,19 @@ def main(argv: list[str] | None = None) -> int:
         engine = SnapshotEngine(spark, args.warehouse)
         written = engine.run(_validate_date(args.date), facts, only_fact=args.fact)
         print(json.dumps({"written": written}))
+        return 0
+
+    if args.command == "vacuum":
+        engine = SnapshotEngine(spark, args.warehouse)
+        print(json.dumps({"removed": engine.vacuum()}))
+        return 0
+
+    if args.command == "compact":
+        if not args.fact:
+            raise SystemExit("compact requires -f/--fact")
+        engine = SnapshotEngine(spark, args.warehouse)
+        engine.compact(args.fact)
+        print(json.dumps({"compacted": args.fact}))
         return 0
 
     if args.command == "serve":

@@ -4584,3 +4584,114 @@ def q_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("d_global"), 6).alias("mean_dist_global"),
         F.round(F.avg("d_own") / F.avg("d_global"), 6).alias("separation"),
     )
+
+
+@register(
+    "q_session_stats",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+),
+flagged AS (
+    SELECT user_id, us,
+           CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                     > 30 * 60 * 1000000 OR
+                lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM ev
+),
+sess AS (
+    SELECT user_id,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid,
+           us
+    FROM flagged
+),
+per AS (
+    SELECT user_id, sid, COUNT(*) AS n_events,
+           (MAX(us) - MIN(us)) / 1000000.0 AS dur_s
+    FROM sess GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_sessions,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+           AS avg_events_per_session,
+       ROUND(AVG(dur_s), 6) AS avg_duration_s,
+       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces
+FROM per
+""",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session report card over the 30-minute-gap sessionization:
+    session count, users, events-per-session, mean duration, and the
+    bounce count (single-event sessions) — all from user-partitioned
+    windows plus two combinable aggregates; output is one row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 30 * 60 * 1000000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("us") - F.min("us")) / 1000000.0).alias("dur_s"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events_per_session"),
+        F.round(F.avg("dur_s"), 6).alias("avg_duration_s"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+    )
+
+
+@register(
+    "q_conversion_time",
+    oracle=_EVENTS_US_CTE
+    + """
+SELECT COUNT(*) AS n_conversions,
+       ROUND(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS median_gap_s,
+       ROUND(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_s
+FROM (
+    SELECT (p.purchase_us - s.signup_us) AS gap_us
+    FROM s ASOF JOIN p
+      ON s.user_id = p.user_id AND p.purchase_us >= s.signup_us
+)
+""",
+)
+def q_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: signup→first-purchase gaps from
+    the forward as-of join, summarized as exact interpolated median /
+    p90 seconds — the funnel-latency metric every growth dashboard
+    carries next to the step counts."""
+    from opl_spark.operators.temporal import asof_join
+
+    s = _typed_events(spark, sf_dir, "signup", "signup")
+    p = _typed_events(spark, sf_dir, "purchase", "purchase")
+    pairs = asof_join(s, p, ["user_id"], "signup_us", "purchase_us",
+                      direction="forward")
+    gaps = pairs.select(
+        (F.col("purchase_us") - F.col("signup_us")).alias("gap_us")
+    )
+    pct = F.expr("percentile(gap_us, array(0.5, 0.9))")
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(pct[0] / 1000000.0, 6).alias("median_gap_s"),
+        F.round(pct[1] / 1000000.0, 6).alias("p90_gap_s"),
+    )

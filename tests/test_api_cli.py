@@ -179,3 +179,35 @@ def test_script_source_end_to_end(spark, tmp_path):
     assert rows[3]["queryId"] == 9 and rows[3]["year"] == 1998  # audit attached
     # idempotent re-run: same scope appends nothing (E4)
     assert eng.run("1998-06-01", facts) == {}
+
+
+def test_cli_compact_and_vacuum(spark, sf_dir, tmp_path, capsys):
+    """Maintenance commands: compact rewrites a fact's files; vacuum
+    reports stale staging removal — both as one-line JSON like the
+    other commands."""
+    import os
+
+    from opl_spark.facts import ACTIVE_USERS_SQL
+
+    settings = tmp_path / "olapSettings.json"
+    settings.write_text(
+        json.dumps(
+            {"fact_tables": [{"name": "enabled_users", "fact_queries": [
+                {"id": 1, "query": ACTIVE_USERS_SQL, "cron": "daily", "enable": 1}
+            ]}]}
+        )
+    )
+    wh = str(tmp_path / "wh")
+    assert cli_main([
+        "-c", "add", "-d", "1998-06-01",
+        "--settings", str(settings), "--sources", sf_dir, "--warehouse", wh,
+    ]) == 0
+    capsys.readouterr()
+    assert cli_main(["-c", "compact", "--warehouse", wh, "-f", "enabled_users"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"compacted": "enabled_users"}
+    # plant stale staging, vacuum reports it
+    os.makedirs(os.path.join(wh, "enabled_users__compacting"), exist_ok=True)
+    assert cli_main(["-c", "vacuum", "--warehouse", wh]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"removed": ["enabled_users__compacting"]}
