@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "q_class_separation",
     "q_session_stats",
     "q_conversion_time",
+    "q_bootstrap_mean",
+    "q_ab_zstat",
 ]
 
 

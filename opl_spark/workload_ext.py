@@ -4695,3 +4695,145 @@ def q_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct[0] / 1000000.0, 6).alias("median_gap_s"),
         F.round(pct[1] / 1000000.0, 6).alias("p90_gap_s"),
     )
+
+
+@register(
+    "q_bootstrap_mean",
+    oracle="""
+WITH ev AS (
+    SELECT event_type AS grp, event_id AS i,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+rep AS (
+    SELECT ev.grp, ev.v, t.r,
+           ((ev.i * 2654435761 + t.r * 40503) % 4294967296) % 256 AS u
+    FROM ev, (SELECT unnest(range(0, 32)) AS r) t
+),
+w AS (
+    SELECT grp, r, v,
+           CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1
+                WHEN u < 235 THEN 2 WHEN u < 251 THEN 3 ELSE 4 END AS w
+    FROM rep
+),
+means AS (
+    SELECT grp, r,
+           CAST(SUM(w * v) AS DOUBLE) / (SUM(w) * 100.0) AS m
+    FROM w GROUP BY 1, 2 HAVING SUM(w) > 0
+)
+SELECT grp,
+       ROUND(AVG(m), 6) AS boot_mean,
+       ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+       ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+FROM means GROUP BY 1
+""",
+)
+def q_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for per-group means (the
+    distributed bootstrap — each row draws an independent replica
+    weight, so no resample-wide coordination): 32 replicas, weights
+    from a DETERMINISTIC 8-bit hash through the Poisson(1) inverse
+    CDF, replica means reduced map-side, CI = exact percentiles over
+    the 32-row-per-group means table.  Fan-out is a bounded 32×; the
+    whole computation reruns bit-identically."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.col("event_id").alias("i"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    rep = ev.select(
+        "grp", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+        "i",
+    ).withColumn(
+        "u",
+        F.pmod(
+            F.pmod(F.col("i") * F.lit(2654435761) + F.col("r") * F.lit(40503),
+                   F.lit(1 << 32)),
+            F.lit(256),
+        ),
+    )
+    w = (
+        F.when(F.col("u") < 94, 0)
+        .when(F.col("u") < 188, 1)
+        .when(F.col("u") < 235, 2)
+        .when(F.col("u") < 251, 3)
+        .otherwise(4)
+    )
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("grp", "r")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("sw"), F.sum("w").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "grp", (F.col("sw").cast("double") / (F.col("n") * 100.0)).alias("m")
+        )
+    )
+    pct = F.expr("percentile(m, array(0.025, 0.975))")
+    return means.groupBy("grp").agg(
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(pct[0], 6).alias("ci_lo"),
+        F.round(pct[1], 6).alias("ci_hi"),
+    )
+
+
+@register(
+    "q_ab_zstat",
+    oracle="""
+WITH ev AS (
+    SELECT CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS arm,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events WHERE event_type IN ('view', 'click')
+),
+st AS (
+    SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(v) AS DOUBLE) AS s,
+           CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE) AS s2
+    FROM ev GROUP BY 1
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       ROUND((a.s / a.n - b.s / b.n) / 100, 6) AS mean_diff,
+       ROUND(((a.s / a.n) - (b.s / b.n))
+             / sqrt((a.s2 / a.n - (a.s / a.n) * (a.s / a.n)) / a.n
+                    + (b.s2 / b.n - (b.s / b.n) * (b.s / b.n)) / b.n), 6)
+           AS z
+FROM (SELECT * FROM st WHERE arm = 'a') a
+CROSS JOIN (SELECT * FROM st WHERE arm = 'b') b
+""",
+)
+def q_ab_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z statistic between the view and click value
+    distributions (the A/B readout): all moments are exact integer
+    sums; the divisions and one sqrt happen once at emission over
+    exact operands.  One combinable aggregate per arm, single-row
+    output."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        F.when(F.col("event_type") == "view", "a").otherwise("b").alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    st = ev.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum(
+            (F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)"))
+        ).cast("double").alias("s2"),
+    )
+    a = st.filter(F.col("arm") == "a").select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("s2").alias("s2_a")
+    )
+    b = st.filter(F.col("arm") == "b").select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("s2").alias("s2_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    ma = F.col("s_a") / F.col("n_a")
+    mb = F.col("s_b") / F.col("n_b")
+    va = (F.col("s2_a") / F.col("n_a") - ma * ma) / F.col("n_a")
+    vb = (F.col("s2_b") / F.col("n_b") - mb * mb) / F.col("n_b")
+    return j.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round((ma - mb) / 100, 6).alias("mean_diff"),
+        F.round((ma - mb) / F.sqrt(va + vb), 6).alias("z"),
+    )
