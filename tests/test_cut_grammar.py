@@ -129,3 +129,32 @@ def test_cut_matches_python_semantics(engine, terms):
     )
     expected = _rows_matching(terms)
     assert got == expected, f"cut={cut!r}"
+
+
+def test_having_parser_rejects_arbitrary_strings_without_injection():
+    """Fuzz the having grammar: every generated string either parses
+    to a plain comparison or raises ValueError/KeyError — it can never
+    reach expression evaluation (the HTTP surface depends on this)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from opl_spark.cube import CubeEngine
+
+    class _FakeOut:
+        columns = ["g", "value", "n"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=40))
+    def check(s):
+        try:
+            CubeEngine._compile_having(_FakeOut(), 1, s)
+        except (ValueError, KeyError):
+            return
+        # anything accepted must match the strict comparison grammar
+        assert re.fullmatch(
+            r"\s*\w+\s*(>=|<=|!=|=|>|<)\s*-?\d+(\.\d+)?\s*", s
+        ), s
+
+    check()

@@ -409,3 +409,50 @@ def test_funnel_stream_counts_equal_batch_funnel(spark, sf_dir):
         for r in got.groupBy("step").agg(F.count("*").alias("n")).collect()
     }
     assert by_step == {k: v for k, v in batch.items() if v > 0}
+
+
+def test_streamed_fact_serves_cube_queries(spark, sf_dir, tmp_path):
+    """End-to-end: stream → maintained fact table → CubeEngine
+    aggregate with having/share — the streaming leg feeding the same
+    OLAP surface the batch snapshots feed.  Totals must equal a batch
+    aggregation of the raw events."""
+    from opl_spark.catalog import Catalog, Dimension, FactMeta, Measure
+    from opl_spark.cube import CubeEngine
+    from opl_spark.streaming.events import (
+        read_stream_fact,
+        stream_to_fact,
+        windowed_counts,
+    )
+
+    fact_path = str(tmp_path / "stream_fact")
+    ckpt = str(tmp_path / "ckpt")
+    stream_to_fact(
+        windowed_counts(read_events_stream(spark, sf_dir)), fact_path, ckpt
+    )
+    fact = read_stream_fact(spark, fact_path)
+    cat = Catalog(
+        {
+            "events_5m": FactMeta(
+                name="events_5m",
+                dimensions=(Dimension(name="event_type"),),
+                measures=(
+                    Measure("n_events", column="n_events", aggregates=("sum",)),
+                ),
+            )
+        }
+    )
+    eng = CubeEngine(cat)
+    eng.register_fact("events_5m", fact)
+    out = eng.aggregate(
+        "events_5m", drilldown="event_type", measure="n_events", share=True
+    )
+    rows = {r["event_type"]: r for r in out.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {k: v["n_events"] for k, v in rows.items()} == want
+    assert abs(sum(v["n_events_share"] for v in rows.values()) - 1.0) < 1e-6
