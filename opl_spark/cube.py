@@ -438,6 +438,11 @@ class CubeEngine:
         """
         if len(facts) < 2:
             raise ValueError("drill_across: need at least two facts")
+        if not drilldown:
+            raise ValueError(
+                "drill_across: a drilldown over the conformed dimensions is "
+                "required (a grand-total comparison has no join keys)"
+            )
         joined: DataFrame | None = None
         keys: list[str] | None = None
         for f in facts:
@@ -445,11 +450,20 @@ class CubeEngine:
                 f, cut=cut, drilldown=drilldown, measure=measure,
                 hierarchy=hierarchy,
             )
+            # the group-column count must be derived EXACTLY the way
+            # aggregate() derived it — including cut depths, which
+            # change where a drilldown resolves (below-cut rule)
+            meta = self.catalog.fact(f)
+            df = self.frame(f)
             q = CubeQuery(
-                fact=self.catalog.fact(f), drilldown=drilldown,
-                hierarchy=hierarchy,
+                fact=meta, cut=cut, drilldown=drilldown, hierarchy=hierarchy
             )
-            n_groups = len(self._resolve_drilldown(self.frame(f), q))
+            for t in q.cut_terms:
+                dim = meta.dimension(t.dimension)
+                t.condition, t.depth = self._compile_cut(
+                    df, dim, t.spec, q.hierarchy_by_dim.get(t.dimension)
+                )
+            n_groups = len(self._resolve_drilldown(df, q))
             gcols = out.columns[:n_groups]
             renamed = out
             for m in out.columns[n_groups:]:

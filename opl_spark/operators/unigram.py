@@ -38,11 +38,22 @@ def _distinct_words(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+#: log-prob charged for a character the vocabulary has never seen —
+#: far below any trained piece, so UNK single-char steps are taken
+#: only when nothing else can cover the position (the SentencePiece
+#: ``unk`` convention).  Without this, segmenting text whose alphabet
+#: exceeds the training corpus would leave unreachable DP states.
+UNK_LOGPROB = -100.0
+
+
 def _viterbi(word: str, scores: dict[str, float], max_len: int):
     """Best segmentation of ``word`` under log-prob ``scores``.
-    Returns (pieces, total_score).  Single characters are always
-    scoreable (the seed guarantees them), so decoding never fails.
-    Tie-break: higher score, then LONGER last piece (deterministic).
+    Returns (pieces, total_score).  Decoding NEVER fails: a single
+    character absent from the vocabulary scores ``UNK_LOGPROB``, so
+    every position stays reachable even for out-of-vocabulary
+    alphabets (train on ASCII, segment accented text).
+    Tie-break: higher score, then LONGER last piece (deterministic);
+    unreachable prefixes (-inf) never propagate backpointers.
     """
     n = len(word)
     best = [(-math.inf, 0)] * (n + 1)  # (score, backpointer piece len)
@@ -52,6 +63,11 @@ def _viterbi(word: str, scores: dict[str, float], max_len: int):
             piece = word[i - plen : i]
             sc = scores.get(piece)
             if sc is None:
+                if plen == 1:
+                    sc = UNK_LOGPROB  # unknown char: always coverable
+                else:
+                    continue
+            if best[i - plen][0] == -math.inf:
                 continue
             cand = best[i - plen][0] + sc
             if cand > best[i][0] or (cand == best[i][0] and plen > best[i][1]):

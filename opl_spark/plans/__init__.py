@@ -7,4 +7,6 @@ from opl_spark.plans.inspect import (  # noqa: F401
     read_schemas,
     partition_profile,
     scale_lint,
+    unpartitioned_ordered_windows,
+    window_specs,
 )

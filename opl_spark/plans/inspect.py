@@ -52,27 +52,77 @@ def read_schemas(df: DataFrame) -> list[str]:
     return out
 
 
+def window_specs(plan: str) -> list[str]:
+    """Every ``windowspecdefinition(...)`` argument string in a plan,
+    extracted with BALANCED parentheses — sort keys that are
+    expressions (``cast(a as bigint) ASC``) nest parens, which a naive
+    ``[^)]*`` capture truncates (and then misclassifies)."""
+    out = []
+    marker = "windowspecdefinition("
+    i = plan.find(marker)
+    while i != -1:
+        depth, j = 1, i + len(marker)
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        out.append(plan[i + len(marker) : j - 1])
+        i = plan.find(marker, j)
+    return out
+
+
+def _top_level_args(spec: str) -> list[str]:
+    args, depth, cur = [], 0, []
+    for ch in spec:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def unpartitioned_ordered_windows(plan: str) -> list[str]:
+    """The windowspecdefinition specs whose FIRST top-level argument is
+    already an ordered sort key (`` ASC``/`` DESC``) — i.e. ordered
+    windows with NO partition keys, the single-task-funnel shape."""
+    bad = []
+    for spec in window_specs(plan):
+        args = _top_level_args(spec)
+        if args and (" ASC" in args[0] or " DESC" in args[0]):
+            bad.append(spec)
+    return bad
+
+
 def scale_lint(df: DataFrame, single_row_broadcast_ok: bool = False) -> list[str]:
     """Lint a DataFrame's physical plan for the shapes that silently
     stop scaling at 100× — the library form of the repo-wide test
-    audit (tests/test_scale_plan.py), usable in CI gates and notebook
-    spot checks before a query ships:
+    audit (tests/test_scale_plan.py calls this same detector), usable
+    in CI gates and notebook spot checks before a query ships:
 
     - ``cartesian``: CartesianProduct — O(n·m) row pairs;
     - ``nested-loop join``: BroadcastNestedLoopJoin — legitimate ONLY
       against a provably single-row side (pass
       ``single_row_broadcast_ok=True`` when that is the design);
     - ``global window``: an ORDERED window with no partition keys —
-      funnels the whole input through one task;
-    - ``single partition exchange``: an explicit SinglePartition
-      shuffle outside AQE's final stages.
+      funnels the whole input through one task.
+
+    (An ``Exchange SinglePartition`` is deliberately NOT flagged: the
+    final step of every grand-total aggregate plans one legitimately,
+    carrying one partial row per upstream partition.)
 
     Returns human-readable findings (empty = clean).  Plan SHAPE is
     scale-invariant, so linting a small-data build of the query is
     valid for the full-size deployment.
     """
-    import re
-
     plan = formatted_plan(df)
     findings = []
     if "CartesianProduct" in plan:
@@ -82,35 +132,44 @@ def scale_lint(df: DataFrame, single_row_broadcast_ok: bool = False) -> list[str
             "nested-loop join: BroadcastNestedLoopJoin (fine only vs a "
             "single-row side; pass single_row_broadcast_ok=True if so)"
         )
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        if re.match(r"^[^,]+ (ASC|DESC)", m.group(1)):
-            findings.append(
-                f"global window: ordered window with no partition keys "
-                f"({m.group(1)[:60]}...)"
-            )
-            break
+    for spec in unpartitioned_ordered_windows(plan):
+        findings.append(
+            f"global window: ordered window with no partition keys "
+            f"({spec[:60]}...)"
+        )
+        break
     return findings
 
 
 def partition_profile(df: DataFrame) -> dict:
-    """Physical partition balance diagnostic: rows per partition via
-    one ``mapPartitions`` count (a long per partition crosses to the
-    driver — metadata-sized), plus the skew summary planners actually
-    act on: ``max/mean`` row ratio and the count of empty partitions.
-    A ratio ≫ 1 before a join/agg is the signal to salt, repartition,
-    or let AQE split; empty partitions after a filter are the signal
-    to coalesce before writing.
+    """Physical partition balance diagnostic: rows per partition plus
+    the skew summary planners actually act on — ``max/mean`` row ratio
+    and the count of empty partitions.  A ratio ≫ 1 before a join/agg
+    is the signal to salt, repartition, or let AQE split; empty
+    partitions after a filter are the signal to coalesce before
+    writing.
+
+    Counting stays JVM-side: one ``spark_partition_id`` aggregate
+    (rows never cross into Python — on the wide tables this diagnoses,
+    row pickling would cost more than the scan); empty partitions are
+    inferred from the RDD's partition count, which is metadata.
     """
-    counts = df.rdd.mapPartitions(
-        lambda it: [sum(1 for _ in it)]
-    ).collect()
-    n = len(counts)
+    from pyspark.sql import functions as F
+
+    n = df.rdd.getNumPartitions()
+    counts = [
+        r["c"]
+        for r in df.select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
     total = sum(counts)
     mean = total / n if n else 0.0
     return {
         "n_partitions": n,
         "total_rows": total,
         "max_rows": max(counts) if counts else 0,
-        "empty_partitions": sum(1 for c in counts if c == 0),
+        "empty_partitions": n - len(counts),
         "skew_ratio": round(max(counts) / mean, 3) if total else 0.0,
     }

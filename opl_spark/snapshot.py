@@ -389,19 +389,37 @@ def incremental_refresh(
     Same write-to-temp + rename discipline as ``compact``
     (single-writer, offline).
     """
+    from pyspark.errors import AnalysisException
+
     aggs = [F.sum(c).alias(c) for c in sum_cols]
     if count_col:
         aggs.append(F.count(F.lit(1)).alias(count_col))
     d = delta.groupBy(*key_cols).agg(*aggs)
     try:
         existing = spark.read.parquet(agg_path)
-    except Exception:
+    except AnalysisException:
+        # ONLY path-not-found may mean "first refresh"; any other read
+        # failure (storage hiccup, corrupt footer) must surface —
+        # falling through here would overwrite history with one delta
         d.write.mode("overwrite").parquet(agg_path)
         return
     re_aggs = [F.sum(c).alias(c) for c in sum_cols]
     if count_col:
         re_aggs.append(F.sum(count_col).alias(count_col))
-    merged = (
-        existing.unionByName(d).groupBy(*key_cols).agg(*re_aggs).localCheckpoint()
-    )
-    merged.write.mode("overwrite").parquet(agg_path)
+    merged = existing.unionByName(d).groupBy(*key_cols).agg(*re_aggs)
+    # compact's write-to-temp + two-rename swap: a crash mid-write
+    # leaves the live table intact (recover by renaming __old back)
+    tmp, old = agg_path + "__refreshing", agg_path + "__old"
+    merged.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(agg_path)
+    fs = hpath.getFileSystem(conf)
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    hold = jvm.org.apache.hadoop.fs.Path(old)
+    if not fs.rename(hpath, hold):
+        raise IOError(f"incremental_refresh: rename {agg_path} -> {old} failed")
+    if not fs.rename(htmp, hpath):
+        fs.rename(hold, hpath)
+        raise IOError(f"incremental_refresh: rename {tmp} -> {agg_path} failed")
+    fs.delete(hold, True)

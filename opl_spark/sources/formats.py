@@ -134,7 +134,7 @@ def read_media_dir(spark, path: str, glob: str | None = None):
     ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
     mime = (
         F.when(ext == "png", "image/png")
-        .when(F.col("path").rlike(r"\.jpe?g$"), "image/jpeg")
+        .when(ext.isin("jpg", "jpeg"), "image/jpeg")
         .when(ext == "wav", "audio/wav")
         .when(ext == "mp4", "video/mp4")
         .otherwise("application/octet-stream")

@@ -855,3 +855,18 @@ def test_export_manifest_counts_and_hash_are_partition_invariant(spark, sf_dir, 
     import json, os
     on_disk = json.load(open(os.path.join(str(tmp_path / "e4"), "_MANIFEST.json")))
     assert on_disk == m4
+
+
+def test_unigram_segments_out_of_vocab_characters(spark):
+    """Applying a trained vocab to text with characters the corpus
+    never contained must DECODE (UNK single-char fallback), not hang
+    or crash — the train-here/segment-there deployment case."""
+    from opl_spark.operators.unigram import UNK_LOGPROB, _viterbi, unigram_train
+
+    rows = [(i, "abab abab xy") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab, _ = unigram_train(df, "text", vocab_size=10, iters=2)
+    scores = dict(vocab)
+    pieces, sc = _viterbi("abéz", scores, 4)
+    assert "".join(pieces) == "abéz"
+    assert sc > 3 * UNK_LOGPROB  # only the unseen chars pay the UNK price

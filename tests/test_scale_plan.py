@@ -214,15 +214,17 @@ def test_no_scale_killers_in_any_registered_query(spark):
     a provably single-row side), or an unpartitioned ranking window —
     the three shapes that silently stop scaling at 100x.
 
-    Plans are inspected at sf0.001 (plan SHAPE is scale-invariant;
-    AQE only narrows it at runtime)."""
-    import re
-
+    Detection is the SAME code production uses (plans.scale_lint /
+    unpartitioned_ordered_windows) — one detector, no drift between
+    the CI gate and the library.  Plans are inspected at sf0.001 (plan
+    SHAPE is scale-invariant; AQE only narrows it at runtime)."""
     from opl_spark import workload
     from opl_spark.plans import formatted_plan
+    from opl_spark.plans.inspect import unpartitioned_ordered_windows
 
     # broadcast cross-join against a single-row aggregate (corpus count
-    # guards / zero-fill defaults) is 1-row x N — legitimate
+    # guards / zero-fill defaults / report-total shares) is 1-row x N —
+    # legitimate
     single_row_broadcast_ok = {
         "q_tfidf", "q_zero_fill", "q_bm25_search", "q_pmi", "q_cube_share",
         "q_negative_pairs", "q_benford", "q_temporal_split",
@@ -240,11 +242,8 @@ def test_no_scale_killers_in_any_registered_query(spark):
             hits.append("cartesian")
         if "BroadcastNestedLoopJoin" in plan and name not in single_row_broadcast_ok:
             hits.append("nested-loop join")
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-            if name not in summary_window_ok and re.match(
-                r"^[^,]+ (ASC|DESC)", m.group(1)
-            ):
-                hits.append("global window")
+        if name not in summary_window_ok and unpartitioned_ordered_windows(plan):
+            hits.append("global window")
         if hits:
             flagged[name] = hits
     assert not flagged, flagged
@@ -295,4 +294,31 @@ def test_scale_lint_flags_known_bad_and_passes_known_good(spark, sf_dir):
     )
     assert any("global window" in f for f in scale_lint(bad_window))
     good = docs.groupBy((F.col("doc_id") % 10).alias("b")).count()
+    assert scale_lint(good) == []
+
+
+def test_scale_lint_catches_expression_sort_keys(spark, sf_dir):
+    """The regression the balanced-paren extractor exists for: an
+    unpartitioned window ordered by an EXPRESSION (nested parens in
+    windowspecdefinition) must still be flagged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from opl_spark.plans import scale_lint
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bad = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("doc_id").cast("string")))
+    )
+    assert any("global window" in f for f in scale_lint(bad))
+    # and a PARTITIONED window with an expression key stays clean
+    good = docs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.col("doc_id") % 5).orderBy(
+                F.col("doc_id").cast("string")
+            )
+        ),
+    )
     assert scale_lint(good) == []
