@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "q_conversion_time",
     "q_bootstrap_mean",
     "q_ab_zstat",
+    "q_value_deciles",
 ]
 
 

@@ -4837,3 +4837,46 @@ def q_ab_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ma - mb) / 100, 6).alias("mean_diff"),
         F.round((ma - mb) / F.sqrt(va + vb), 6).alias("z"),
     )
+
+
+@register(
+    "q_value_deciles",
+    oracle="""
+WITH t AS (
+    SELECT event_type AS grp,
+           CAST(round(value * 100) AS BIGINT) AS v,
+           NTILE(10) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+           ) AS decile
+    FROM events
+)
+SELECT grp, decile, COUNT(*) AS n,
+       ROUND(MIN(v) / 100.0, 6) AS lo,
+       ROUND(MAX(v) / 100.0, 6) AS hi
+FROM t GROUP BY 1, 2
+""",
+)
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile summary per event type: NTILE over a
+    GROUP-PARTITIONED window (parallelism = groups, never a global
+    sort) with a deterministic (value, event_id) tie order, reduced to
+    per-decile count/bounds — the per-segment value-band report
+    behind pricing/engagement dashboards."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("grp").orderBy("v", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("grp", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("v") / 100.0, 6).alias("lo"),
+            F.round(F.max("v") / 100.0, 6).alias("hi"),
+        )
+    )
