@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q_bootstrap_mean",
     "q_ab_zstat",
     "q_value_deciles",
+    "q_pit_lookup",
 ]
 
 

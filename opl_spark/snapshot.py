@@ -220,6 +220,41 @@ class SnapshotEngine:
             raise IOError(f"compact: rename {tmp} -> {path} failed")
         fs.delete(hold, True)
 
+    def expire_partitions(
+        self, fact_table: str, before_year: int, before_month: int
+    ) -> list[str]:
+        """Retention TTL: drop every ``(year, month)`` partition
+        strictly OLDER than the given boundary — directory-level
+        deletes through the Hadoop FS (no data scan, no rewrite; the
+        whole point of partitioning by the retention dimension).
+        Returns the removed partition names.  Compliance deletions
+        inside a partition are a different operation (rewrite via
+        ``upsert``); this is the cheap calendar-based tier.
+        """
+        fs, hpath = self._fs(self._path(fact_table))
+        if not fs.exists(hpath):
+            return []
+        removed = []
+        for ystat in fs.listStatus(hpath):
+            yname = ystat.getPath().getName()
+            if not yname.startswith("year="):
+                continue
+            year = int(yname.split("=", 1)[1])
+            for mstat in fs.listStatus(ystat.getPath()):
+                mname = mstat.getPath().getName()
+                if not mname.startswith("month="):
+                    continue
+                month = int(mname.split("=", 1)[1])
+                if (year, month) < (before_year, before_month):
+                    fs.delete(mstat.getPath(), True)
+                    removed.append(f"{yname}/{mname}")
+            if not any(
+                st.getPath().getName().startswith("month=")
+                for st in fs.listStatus(ystat.getPath())
+            ):
+                fs.delete(ystat.getPath(), True)
+        return sorted(removed)
+
     def vacuum(self) -> list[str]:
         """Remove stale maintenance staging left by a crashed
         ``compact``/``upsert``: ``<fact>__compacting`` / ``__upserting``

@@ -4880,3 +4880,38 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v") / 100.0, 6).alias("hi"),
         )
     )
+
+
+@register(
+    "q_pit_lookup",
+    oracle="""
+WITH h AS (
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, o_orderkey, o_orderstatus
+FROM h
+WHERE valid_from <= TIMESTAMP '1997-06-01'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-06-01')
+""",
+)
+def q_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against SCD2 history: each customer's
+    state AS OF 1997-06-01 selected by one validity-range predicate
+    over the interval table — the temporally-correct dimension read
+    every feature store and audit query needs (no window re-rank at
+    read time; the intervals did that work once at build time)."""
+    from opl_spark.operators.analytics import scd2_intervals
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = scd2_intervals(
+        orders, "o_custkey", "o_orderdate", ["o_orderstatus"], "o_orderkey"
+    )
+    asof = F.lit("1997-06-01").cast("timestamp")
+    return h.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    ).select("o_custkey", "o_orderkey", "o_orderstatus")

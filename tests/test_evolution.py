@@ -237,3 +237,21 @@ def test_incremental_refresh_equals_full_recompute(registered, tmp_path):
         .collect()
     }
     assert got == full
+
+
+def test_expire_partitions_drops_only_older_months(registered, tmp_path):
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    rows = [
+        (1, 1997, 11), (2, 1997, 12), (3, 1998, 1), (4, 1998, 2),
+    ]
+    df = spark.createDataFrame(rows, "k long, year int, month int")
+    eng.write(df, "f_ttl")
+    removed = eng.expire_partitions("f_ttl", 1998, 1)
+    assert removed == ["year=1997/month=11", "year=1997/month=12"]
+    kept = sorted(
+        (r["year"], r["month"]) for r in eng.fact_frame("f_ttl").collect()
+    )
+    assert kept == [(1998, 1), (1998, 2)]
+    # idempotent; boundary month itself survives
+    assert eng.expire_partitions("f_ttl", 1998, 1) == []
