@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "q_ab_zstat",
     "q_value_deciles",
     "q_pit_lookup",
+    "q_basket_rules",
+    "q_moving_avg",
 ]
 
 

@@ -4915,3 +4915,99 @@ def q_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= asof)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
     ).select("o_custkey", "o_orderkey", "o_orderstatus")
+
+
+@register(
+    "q_basket_rules",
+    oracle="""
+WITH b AS (SELECT DISTINCT user_id AS u, event_type AS it FROM events),
+n AS (SELECT COUNT(DISTINCT u) AS n_users FROM b),
+item AS (SELECT it, COUNT(*) AS c FROM b GROUP BY 1),
+pair AS (
+    SELECT a.it AS ante, c.it AS cons, COUNT(*) AS c_ab
+    FROM b a JOIN b c ON a.u = c.u AND a.it <> c.it
+    GROUP BY 1, 2
+)
+SELECT pair.ante, pair.cons,
+       ROUND(CAST(pair.c_ab AS DOUBLE) / n.n_users, 6) AS support,
+       ROUND(CAST(pair.c_ab AS DOUBLE) / ia.c, 6) AS confidence,
+       ROUND(CAST(pair.c_ab AS DOUBLE) * n.n_users
+             / (CAST(ia.c AS DOUBLE) * ic.c), 6) AS lift
+FROM pair
+JOIN item ia ON ia.it = pair.ante
+JOIN item ic ON ic.it = pair.cons
+CROSS JOIN n
+""",
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over user event baskets: support, confidence
+    and lift for every ordered item pair, from exact distinct counts.
+    The pair join keys on the USER (fan-out bounded by items-per-user²,
+    never users²); marginals are item-sized and the single-row basket
+    count broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(F.col("user_id").alias("u"), F.col("event_type").alias("it")).distinct()
+    n = b.agg(F.count_distinct("u").alias("n_users"))
+    item = b.groupBy("it").agg(F.count(F.lit(1)).alias("c"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(c, (F.col("a.u") == F.col("c.u")) & (F.col("a.it") != F.col("c.it")))
+        .groupBy(F.col("a.it").alias("ante"), F.col("c.it").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ia = item.select(F.col("it").alias("ante"), F.col("c").alias("c_a"))
+    ic = item.select(F.col("it").alias("cons"), F.col("c").alias("c_c"))
+    return (
+        pair.join(ia, "ante")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante", "cons",
+            F.round(F.col("c_ab").cast("double") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("c_ab").cast("double") / F.col("c_a"), 6).alias("confidence"),
+            F.round(
+                F.col("c_ab").cast("double") * F.col("n_users")
+                / (F.col("c_a").cast("double") * F.col("c_c")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q_moving_avg",
+    oracle="""
+WITH d AS (
+    SELECT event_type AS grp, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,6))) AS total
+    FROM events GROUP BY 1, 2
+)
+SELECT grp, day,
+       ROUND(CAST(total AS DOUBLE), 6) AS total,
+       ROUND(AVG(CAST(total AS DOUBLE)) OVER (
+           PARTITION BY grp ORDER BY day
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS ma7
+FROM d
+""",
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-row moving average of daily totals per event type —
+    the trend-smoothing read every ops dashboard draws.  The window
+    partitions BY GROUP over the day-summary table (groups × days
+    rows, report-sized); daily totals reduce exactly in decimal before
+    the float average."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type").alias("grp"), F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("total"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    return d.select(
+        "grp", "day",
+        F.round(F.col("total").cast("double"), 6).alias("total"),
+        F.round(F.avg(F.col("total").cast("double")).over(w), 6).alias("ma7"),
+    )
