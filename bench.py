@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q_pit_lookup",
     "q_basket_rules",
     "q_moving_avg",
+    "q_cusum_shift",
 ]
 
 

@@ -458,3 +458,37 @@ def incremental_refresh(
         fs.rename(hold, hpath)
         raise IOError(f"incremental_refresh: rename {tmp} -> {agg_path} failed")
     fs.delete(hold, True)
+
+
+def table_stats(engine: SnapshotEngine, fact_table: str) -> list[dict]:
+    """Storage report per (year, month) partition: file count and
+    total bytes from Hadoop FS LISTING (metadata only — no data
+    read).  The capacity/small-files dashboard behind ``compact``
+    decisions: a partition with hundreds of small files wants
+    compaction; one with none wants its retention checked.
+    """
+    fs, hpath = engine._fs(engine._path(fact_table))
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for ystat in fs.listStatus(hpath):
+        yname = ystat.getPath().getName()
+        if not yname.startswith("year="):
+            continue
+        for mstat in fs.listStatus(ystat.getPath()):
+            mname = mstat.getPath().getName()
+            if not mname.startswith("month="):
+                continue
+            files = [
+                st
+                for st in fs.listStatus(mstat.getPath())
+                if st.getPath().getName().endswith(".parquet")
+            ]
+            out.append(
+                {
+                    "partition": f"{yname}/{mname}",
+                    "n_files": len(files),
+                    "bytes": int(sum(st.getLen() for st in files)),
+                }
+            )
+    return sorted(out, key=lambda d: d["partition"])

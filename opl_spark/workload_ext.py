@@ -5011,3 +5011,72 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total").cast("double"), 6).alias("total"),
         F.round(F.avg(F.col("total").cast("double")).over(w), 6).alias("ma7"),
     )
+
+
+@register(
+    "q_cusum_shift",
+    oracle="""
+WITH d AS (
+    SELECT event_type AS grp, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS s, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+t AS (
+    SELECT grp, SUM(s) AS ts_, SUM(n) AS tn FROM d GROUP BY 1
+),
+c AS (
+    SELECT d.grp, d.day,
+           SUM(d.s * t.tn - t.ts_ * d.n) OVER (
+               PARTITION BY d.grp ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) AS dev
+    FROM d JOIN t ON d.grp = t.grp
+)
+SELECT grp, day AS shift_day,
+       ROUND(CAST(ABS(dev) AS DOUBLE) / 1e9, 6) AS cusum_peak
+FROM (
+    SELECT grp, day, dev,
+           ROW_NUMBER() OVER (
+               PARTITION BY grp ORDER BY ABS(dev) DESC, day) AS rn
+    FROM c
+)
+WHERE rn = 1
+""",
+)
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative deviation from the overall mean peaks — in EXACT
+    integer cross-multiplied form (``Σ(sᵢ·N - S·nᵢ)``, the
+    zscore/KS discipline: no float means on the decision path), over
+    the report-sized day table with group-partitioned windows and a
+    deterministic (|dev| desc, day) tie-break."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type").alias("grp"), F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    t = d.groupBy("grp").agg(F.sum("s").alias("ts_"), F.sum("n").alias("tn"))
+    wrun = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.join(t, "grp").select(
+        "grp", "day",
+        F.sum(
+            F.col("s") * F.col("tn") - F.col("ts_") * F.col("n")
+        ).over(wrun).alias("dev"),
+    )
+    wrank = Window.partitionBy("grp").orderBy(F.abs("dev").desc(), "day")
+    return (
+        c.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "grp",
+            F.col("day").alias("shift_day"),
+            F.round(F.abs("dev").cast("double") / 1e9, 6).alias("cusum_peak"),
+        )
+    )

@@ -255,3 +255,23 @@ def test_expire_partitions_drops_only_older_months(registered, tmp_path):
     assert kept == [(1998, 1), (1998, 2)]
     # idempotent; boundary month itself survives
     assert eng.expire_partitions("f_ttl", 1998, 1) == []
+
+
+def test_table_stats_reports_partition_files_and_bytes(registered, tmp_path):
+    from opl_spark.snapshot import table_stats
+
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, 1998, 6), (2, 1998, 6), (3, 1998, 7)],
+        "k long, year int, month int",
+    )
+    eng.write(df, "f_stats")
+    eng.write(df.filter("month = 6"), "f_stats")  # second file batch in 06
+    stats = {s["partition"]: s for s in table_stats(eng, "f_stats")}
+    assert set(stats) == {"year=1998/month=6", "year=1998/month=7"}
+    assert stats["year=1998/month=6"]["n_files"] > stats["year=1998/month=7"]["n_files"]
+    assert all(s["bytes"] > 0 for s in stats.values())
+    eng.compact("f_stats")
+    after = {s["partition"]: s for s in table_stats(eng, "f_stats")}
+    assert all(s["n_files"] == 1 for s in after.values())
