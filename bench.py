@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "q_basket_rules",
     "q_moving_avg",
     "q_cusum_shift",
+    "q_attribution_linear",
 ]
 
 

@@ -5080,3 +5080,55 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs("dev").cast("double") / 1e9, 6).alias("cusum_peak"),
         )
     )
+
+
+@register(
+    "q_attribution_linear",
+    oracle=_EVENTS_US_CTE
+    + """,
+v AS (
+    SELECT event_id AS view_id, user_id, us AS view_us
+    FROM e WHERE event_type = 'view'
+),
+touch AS (
+    SELECT p.purchase_id, p.user_id, v.view_id
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.view_us <= p.purchase_us
+     AND p.purchase_us - v.view_us <= CAST(3 AS BIGINT) * 86400 * 1000000
+),
+per AS (
+    SELECT purchase_id, COUNT(*) AS n_touches FROM touch GROUP BY 1
+)
+SELECT t.view_id,
+       COUNT(*) AS n_purchases,
+       ROUND(SUM(1.0 / per.n_touches), 6) AS credit
+FROM touch t JOIN per ON t.purchase_id = per.purchase_id
+GROUP BY 1
+""",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view inside the 3-day
+    lookback shares a purchase's credit equally (1/n per touch) — the
+    companion to last-touch (`q_attribution`) that marketing mix
+    models start from.  One user-keyed interval join bounded by the
+    lookback window, purchase-sized touch counts joined back, credit
+    summed per view."""
+    p = _typed_events(spark, sf_dir, "purchase", "purchase")
+    v = _typed_events(spark, sf_dir, "view", "view")
+    lookback = 3 * 86400 * 1000000
+    touch = p.join(
+        v,
+        (p["user_id"] == v["user_id"])
+        & (v["view_us"] <= p["purchase_us"])
+        & (p["purchase_us"] - v["view_us"] <= lookback),
+    ).select("purchase_id", "view_id")
+    per = touch.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_touches"))
+    return (
+        touch.join(per, "purchase_id")
+        .groupBy("view_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(1.0 / F.col("n_touches")), 6).alias("credit"),
+        )
+    )
