@@ -82,3 +82,25 @@ def write_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int = 100_000,
+) -> None:
+    """Parquet write with column BLOOM FILTERS: point-lookup pruning
+    for high-cardinality columns whose min/max stats are useless
+    (uuids, hashes — every file spans the whole value range, so range
+    stats skip nothing, but a bloom probe skips files that provably
+    lack the key).  Complements ``write_sorted`` (range keys) and
+    Z-order (multi-dim): bloom is the layout tool for exact-match
+    predicates on unsorted keys.  ``ndv`` sizes the filter
+    (~1.2 bytes/value at the default FPP)."""
+    w = df.write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    w.parquet(path)

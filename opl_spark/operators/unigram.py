@@ -46,8 +46,52 @@ def _distinct_words(df: DataFrame, text_col: str) -> DataFrame:
 UNK_LOGPROB = -100.0
 
 
+def _make_viterbi(scores: dict[str, float], max_len: int, unk: float = UNK_LOGPROB):
+    """Build a self-contained Viterbi decoder CLOSURE.
+
+    Executor closures must not reference module globals: cloudpickle
+    serializes module-level functions BY REFERENCE (import path), so a
+    driver running outside the repo (the external harness) would hand
+    workers an unimportable reference.  A closure built here pickles
+    BY VALUE — code and captured literals travel with the task, the
+    same self-containment rule streaming/stateful.py documents.
+    """
+    import math as _math
+
+    def viterbi(word: str):
+        n = len(word)
+        best = [(-_math.inf, 0)] * (n + 1)  # (score, backpointer len)
+        best[0] = (0.0, 0)
+        for i in range(1, n + 1):
+            for plen in range(1, min(max_len, i) + 1):
+                piece = word[i - plen : i]
+                sc = scores.get(piece)
+                if sc is None:
+                    if plen == 1:
+                        sc = unk  # unknown char: always coverable
+                    else:
+                        continue
+                if best[i - plen][0] == -_math.inf:
+                    continue
+                cand = best[i - plen][0] + sc
+                if cand > best[i][0] or (
+                    cand == best[i][0] and plen > best[i][1]
+                ):
+                    best[i] = (cand, plen)
+        pieces = []
+        i = n
+        while i > 0:
+            plen = best[i][1]
+            pieces.append(word[i - plen : i])
+            i -= plen
+        return pieces[::-1], best[n][0]
+
+    return viterbi
+
+
 def _viterbi(word: str, scores: dict[str, float], max_len: int):
-    """Best segmentation of ``word`` under log-prob ``scores``.
+    """Best segmentation of ``word`` under log-prob ``scores`` —
+    driver-side convenience over :func:`_make_viterbi`.
     Returns (pieces, total_score).  Decoding NEVER fails: a single
     character absent from the vocabulary scores ``UNK_LOGPROB``, so
     every position stays reachable even for out-of-vocabulary
@@ -55,30 +99,7 @@ def _viterbi(word: str, scores: dict[str, float], max_len: int):
     Tie-break: higher score, then LONGER last piece (deterministic);
     unreachable prefixes (-inf) never propagate backpointers.
     """
-    n = len(word)
-    best = [(-math.inf, 0)] * (n + 1)  # (score, backpointer piece len)
-    best[0] = (0.0, 0)
-    for i in range(1, n + 1):
-        for plen in range(1, min(max_len, i) + 1):
-            piece = word[i - plen : i]
-            sc = scores.get(piece)
-            if sc is None:
-                if plen == 1:
-                    sc = UNK_LOGPROB  # unknown char: always coverable
-                else:
-                    continue
-            if best[i - plen][0] == -math.inf:
-                continue
-            cand = best[i - plen][0] + sc
-            if cand > best[i][0] or (cand == best[i][0] and plen > best[i][1]):
-                best[i] = (cand, plen)
-    pieces = []
-    i = n
-    while i > 0:
-        plen = best[i][1]
-        pieces.append(word[i - plen : i])
-        i -= plen
-    return pieces[::-1], best[n][0]
+    return _make_viterbi(scores, max_len)(word)
 
 
 def _estep_counts(words: DataFrame, scores: dict[str, float], max_len: int):
@@ -87,12 +108,14 @@ def _estep_counts(words: DataFrame, scores: dict[str, float], max_len: int):
     loss.  One Spark job; Python work is vocab-sized (per TYPE)."""
     import pandas as pd
 
+    viterbi = _make_viterbi(scores, max_len)  # pickles by value
+
     def batches(it):
         for pdf in it:
             counts: dict[str, int] = {}
             loss = 0.0
             for w, f in zip(pdf["w"], pdf["freq"]):
-                pieces, sc = _viterbi(w, scores, max_len)
+                pieces, sc = viterbi(w)
                 loss += -sc * int(f)
                 for p in pieces:
                     counts[p] = counts.get(p, 0) + int(f)
@@ -196,6 +219,7 @@ def unigram_segment(
     import pandas as pd
 
     scores = dict(vocab)
+    viterbi = _make_viterbi(scores, max_piece_len)  # pickles by value
 
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -207,7 +231,7 @@ def unigram_segment(
         for pdf in it:
             out = []
             for w in pdf["w"]:
-                pieces, _ = _viterbi(w, scores, max_piece_len)
+                pieces, _ = viterbi(w)
                 out.append(len(pieces))
             yield pd.DataFrame({"w": pdf["w"], "n_p": out})
 

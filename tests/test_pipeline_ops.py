@@ -870,3 +870,31 @@ def test_unigram_segments_out_of_vocab_characters(spark):
     pieces, sc = _viterbi("abéz", scores, 4)
     assert "".join(pieces) == "abéz"
     assert sc > 3 * UNK_LOGPROB  # only the unseen chars pay the UNK price
+
+
+def test_udf_queries_run_with_driver_outside_repo(sf_dir):
+    """The external harness imports __spark_entry__ from OUTSIDE the
+    repo; Python workers then cannot import opl_spark, so every Arrow
+    closure must pickle BY VALUE (no module-global references).  This
+    runs the closure-bearing tokenizer queries in a clean subprocess
+    with cwd=/tmp to reproduce that environment."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as e\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')"
+        ".config('spark.sql.shuffle.partitions','2')"
+        ".config('spark.ui.enabled','false').getOrCreate())\n"
+        "q = e.queries()\n"
+        f"assert q['q_unigram_train'](spark, '{sf_dir}').count() > 0\n"
+        f"assert q['q_unigram_tokenize'](spark, '{sf_dir}').count() > 0\n"
+        "print('SELFCONTAINED_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd="/tmp", capture_output=True,
+        text=True, timeout=240,
+    )
+    assert "SELFCONTAINED_OK" in out.stdout, out.stderr[-2000:]
