@@ -39,6 +39,7 @@ from opl_spark.operators.dedup import (  # noqa: F401
 )
 from opl_spark.operators.layout import (  # noqa: F401
     write_sorted,
+    write_with_bloom,
     zorder_key,
     zorder_layout,
     zorder_sql,
