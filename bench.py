@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "q_moving_avg",
     "q_cusum_shift",
     "q_attribution_linear",
+    "q_drill_across_cut",
 ]
 
 

@@ -5132,3 +5132,40 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(1.0 / F.col("n_touches")), 6).alias("credit"),
         )
     )
+
+
+@register(
+    "q_drill_across_cut",
+    oracle="WITH lf AS ("
+    + LOANS_FACT_SQL
+    + "), af AS ("
+    + ACCESSIONS_FACT_SQL
+    + """),
+l AS (
+    SELECT month, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS value_loans2
+    FROM lf WHERE year = 1996 GROUP BY 1
+),
+a AS (
+    SELECT month,
+           ROUND(CAST(SUM(accessions) AS DOUBLE), 2) AS accessions_accessions
+    FROM af WHERE year = 1996 GROUP BY 1
+)
+SELECT month, value_loans2, accessions_accessions
+FROM l FULL JOIN a USING (month)
+""",
+)
+def q_drill_across_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across UNDER A CUT: the 1996 monthly loans-vs-accessions
+    comparison — the cut compiles into every fact's aggregate AND into
+    the conformed-group resolution (the below-cut rule shifts the date
+    drilldown to the month level), so the join keys stay exactly the
+    group columns.  Pins the cut-aware column-split contract as a
+    driver-checked row."""
+    from opl_spark.facts import build_accessions_fact, build_loans_fact
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    engine.register_fact("accessions", build_accessions_fact(spark, sf_dir))
+    return engine.drill_across(
+        ["loans2", "accessions"], drilldown="date", cut="date:1996"
+    )
