@@ -148,6 +148,10 @@ BENCH_QUERIES = [
     "q_negative_pairs",
     "q_hard_negatives",
     "q_drill_across",
+    "q_order_priority",
+    "q_big_orders",
+    "q_min_cost_supplier",
+    "q_pagerank",
     "q_mad_outliers",
     "q_lang_confusion",
     "q_temporal_split",

@@ -1,0 +1,83 @@
+"""Graph analytics over linkage/interaction graphs: PageRank in exact
+integer arithmetic.
+
+The reference has no graph surface (its graphs live implicitly in the
+library network's FK structure); this module serves the training-data
+pipeline tier — ranking nodes of the customer↔supplier interaction
+graph, boilerplate-source graphs, or fuzzy-linkage graphs built by
+``operators.dedup``.
+
+Scale shape: the edge list is the only large state.  Per iteration the
+plan is one edge⋈rank hash join + one key-sum aggregation — both
+shuffle on the node key, so a pre-partitioned/bucketed edge list
+co-locates every round.  Rank state is node-sized, never collected;
+the driver only paces the (fixed, small) iteration count.  Lineage is
+truncated once on the edge list, not per round (ranks re-derive from 2
+prior maps, so the DAG stays shallow without extra checkpoints).
+
+Arithmetic: ranks are BIGINTs scaled by 1e12.  Contribution =
+``rank DIV degree`` (integer floor division, exact and
+order-independent); update = ``0.15*S + (85 * Σcontrib) DIV 100``.
+Every engine computes the identical integer result — no float summation
+order to drift, which is what makes the DuckDB oracle hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale for rank values (1.0 == 1e12).
+PR_SCALE = 1_000_000_000_000
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected view of an edge list: both directions, self-loops
+    dropped, duplicates removed (so degrees are simple row counts)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list
+    (``src``/``dst`` long columns, both directions present — use
+    :func:`symmetrize`).  Returns ``(node, pr)`` with ``pr`` the
+    1e12-scaled BIGINT rank after ``iterations`` rounds from a uniform
+    start.  Undirected graphs have no dangling nodes (deg >= 1), so no
+    teleport-mass correction term is needed.
+
+    Exactly reproducible across engines: all arithmetic is integer
+    (see module doc), and each round is one join + one sum — the
+    Pregel message-passing shape without per-round driver traffic.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = int(round((100 - damping_pct) / 100 * PR_SCALE))
+    pr = deg.select("node", "deg", F.lit(PR_SCALE).alias("pr"))
+    for _ in range(iterations):
+        msgs = e.join(pr, e["src"] == pr["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("pr div deg").alias("contrib"),
+        )
+        agg = msgs.groupBy("node").agg(F.sum("contrib").alias("s"))
+        pr = deg.join(agg, "node", "left").select(
+            "node",
+            "deg",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_pct} * coalesce(s, 0L)) div 100"
+                )
+            ).alias("pr"),
+        )
+    return pr.select("node", "pr")

@@ -323,3 +323,164 @@ def audio_frame_energy(
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+def image_phash(
+    df: DataFrame, media_col: str = "media", codec: str = "fake", bits: int = 63
+) -> DataFrame:
+    """Perceptual hash per image: 63-bit average-hash (aHash) — a grid
+    of brightness cells thresholded at the grid mean, packed into a
+    signed BIGINT (63 bits so the value stays positive, mirroring
+    ``operators.dedup.simhash``).
+
+    ``codec="fake"`` derives the 64-cell grid deterministically from
+    the payload bytes (position-mod-64 byte fold — the stand-in
+    "image"); ``codec="real"`` builds it from an 8×8 grayscale Pillow
+    thumbnail.  Identical mapInPandas plan either way; identical
+    downstream banding/hamming machinery as text SimHash — near-dup
+    *image* dedup reuses the text dedup scale path unchanged.
+    """
+    if codec == "real":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "codec='real' requires Pillow; use codec='fake' for the "
+                "plumbing path"
+            ) from exc
+
+    out_schema = "media_id long, phash long"
+    use_real = codec == "real"
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
+    n_bits = int(bits)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def grid_of(by: bytes) -> "_np.ndarray":
+            if use_real:
+                import io
+
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(by)).convert("L").resize((8, 8))
+                return _np.asarray(img, dtype=_np.float64).reshape(64)
+            x = _np.frombuffer(by, dtype=_np.uint8).astype(_np.float64)
+            if len(x) == 0:
+                return _np.zeros(64)
+            return _np.bincount(
+                _np.arange(len(x)) % 64, weights=x, minlength=64
+            )
+
+        for pdf in it:
+            ids, hashes = [], []
+            for rec in pdf[media_col]:
+                g = grid_of(bytes(rec["media_bytes"]))
+                above = g > g.mean()
+                h = 0
+                for b in range(n_bits):
+                    if above[b]:
+                        h |= 1 << b
+                ids.append(rec["media_id"])
+                hashes.append(h)
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.Series(ids, dtype="int64"),
+                    "phash": _pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def phash_dup_candidates(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup image pairs from perceptual hashes: the SimHash
+    chunk-equality banding (pigeonhole on 16-bit chunks) bounds the
+    candidate join, then exact hamming filters.  Exact byte-duplicates
+    always hash identically (hamming 0), so recall on true copies is 1
+    regardless of the banding."""
+    from opl_spark.operators.dedup import simhash_candidates
+
+    sim = hashes.select(
+        F.col("media_id").alias("doc"), F.col("phash").alias("simhash")
+    )
+    return (
+        simhash_candidates(sim)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("id_a").alias("media_a"),
+            F.col("id_b").alias("media_b"),
+            "hamming",
+        )
+    )
+
+
+def video_scene_changes(
+    df: DataFrame,
+    media_col: str = "media",
+    frame_bytes: int = 256,
+    threshold: float = 8.0,
+) -> DataFrame:
+    """Shot-boundary detection shape: per-frame brightness means over
+    fixed-size payload windows (the stand-in for decoded frame luma —
+    same integration point as ``decode_images(codec="real")``), then a
+    lag-window difference cut at ``threshold`` and an island cumsum to
+    number shots.  Returns one row per (media, shot): start frame and
+    frame count.
+
+    The Python stage is map-only framing inside Arrow batches; shot
+    assembly is pure JVM window work partitioned by ``media_id`` —
+    per-media frame counts are payload/frame_bytes, so no partition
+    outgrows a single video's frame list.
+    """
+    from pyspark.sql import Window
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            ids, frames, lumas = [], [], []
+            for rec in pdf[media_col]:
+                x = _np.frombuffer(
+                    bytes(rec["media_bytes"]), dtype=_np.uint8
+                ).astype(_np.float64)
+                if len(x) == 0:
+                    continue
+                pad = (-len(x)) % frame_bytes
+                if pad:
+                    x = _np.pad(x, (0, pad))
+                fr = x.reshape(-1, frame_bytes).mean(axis=1).round(6)
+                ids.extend([rec["media_id"]] * len(fr))
+                frames.extend(range(len(fr)))
+                lumas.extend(fr.tolist())
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.Series(ids, dtype="int64"),
+                    "frame": _pd.Series(frames, dtype="int32"),
+                    "luma": _pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    frames_df = df.mapInPandas(batches, "media_id long, frame int, luma double")
+    w = Window.partitionBy("media_id").orderBy("frame")
+    flagged = frames_df.withColumn(
+        "is_cut",
+        F.when(
+            F.abs(F.col("luma") - F.lag("luma").over(w)) > threshold, 1
+        ).otherwise(0),
+    ).withColumn(
+        "shot_no",
+        F.sum("is_cut").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("media_id", "shot_no")
+        .agg(
+            F.min("frame").alias("start_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+    )

@@ -5169,3 +5169,395 @@ def q_drill_across_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.drill_across(
         ["loans2", "accessions"], drilldown="date", cut="date:1996"
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic warehouse join shapes (TPC-H Q4/Q13/Q16/Q18/Q2 analogues over
+# the driver's star schema).  Each exists to pin a DISTINCT physical
+# join strategy: semi-join existence, outer-join distribution counts,
+# anti-join exclusion under a distinct-agg, aggregated semi-join
+# (HAVING-in-subquery), and lexicographic min-per-group join-back.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+""",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority check: EXISTS compiles to a LEFT SEMI
+    join (each order tested once, no fan-out duplication from multi-
+    line orders), with the half-year date window pushed to the orders
+    scan.  The semi-join's extra predicate (shipped after ordered)
+    rides the join condition, not a post-filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    hit = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+    GROUP BY 1
+)
+GROUP BY 1
+""",
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer distribution: zero-order customers
+    must survive, so the status exclusion lives in the OUTER join's ON
+    clause (a WHERE would silently turn the join inner).  Two
+    map-side-combinable aggregations; no distinct."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderstatus"] != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_parts_supplier",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT a.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+JOIN part p ON p.p_partkey = a.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 4, 7)
+  AND a.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def q_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: the part predicate prunes
+    before the shuffle, the excluded-supplier list applies as a LEFT
+    ANTI join (never a collected NOT IN), and the distinct count runs
+    over the already-distinct (part, supplier) association."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    assoc = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep = assoc.join(
+        bad, assoc["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    )
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+    )
+    return (
+        keep.join(p, keep["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_big_orders",
+    oracle="""
+WITH tot AS (
+    SELECT l_orderkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+    FROM lineitem GROUP BY 1 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(CAST(o.o_totalprice AS DOUBLE), 2) AS total_price,
+       t.total_qty
+FROM tot t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: the HAVING-in-subquery
+    reduces lineitem to a tiny qualifying-order set FIRST, so the
+    orders/customer joins run against hundreds of keys, not millions —
+    the aggregated-semi-join shape that makes Q18 tractable at scale.
+    Quantities summed as exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    tot = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        tot.join(orders, tot["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 2)
+            .alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(s.s_acctbal * 100) AS BIGINT) AS cents
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+cand AS (
+    SELECT a.l_partkey AS pk, e.cents, e.s_suppkey
+    FROM assoc a JOIN eu e ON e.s_suppkey = a.l_suppkey
+),
+m1 AS (SELECT pk, MIN(cents) AS mc FROM cand GROUP BY 1),
+m2 AS (
+    SELECT c.pk, c.cents, MIN(c.s_suppkey) AS ms
+    FROM cand c JOIN m1 ON m1.pk = c.pk AND m1.mc = c.cents
+    GROUP BY 1, 2
+)
+SELECT p.p_partkey, p.p_name, m2.ms AS s_suppkey,
+       ROUND(CAST(m2.cents AS DOUBLE) / 100, 2) AS s_acctbal
+FROM m2 JOIN part p ON p.p_partkey = m2.pk
+""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier: per part, the EUROPE
+    supplier with the lowest account balance (cents-exact), suppkey
+    tiebreak — computed as ONE lexicographic `min(struct(...))`
+    aggregate instead of the oracle's two-step min+join-back.  Nation
+    and region broadcast; the distinct association is the only
+    shuffle-heavy input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    assoc = li.select("l_partkey", "l_suppkey").distinct()
+    eu = (
+        supp.join(
+            F.broadcast(nation),
+            supp["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "s_suppkey",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    best = (
+        assoc.join(eu, assoc["l_suppkey"] == eu["s_suppkey"])
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.min(F.struct("cents", "s_suppkey")).alias("b"))
+    )
+    return best.join(
+        F.broadcast(part), best["pk"] == part["p_partkey"]
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.col("b.s_suppkey").alias("s_suppkey"),
+        F.round(F.col("b.cents").cast("double") / 100, 2).alias("s_acctbal"),
+    )
+
+
+@register(
+    "q_pagerank",
+    oracle="""
+WITH raw AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+e AS (
+    SELECT src, dst FROM raw
+    UNION
+    SELECT dst AS src, src AS dst FROM raw
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+p0 AS (SELECT node, deg, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+p1 AS (
+    SELECT d.node, d.deg,
+           150000000000 + (85 * COALESCE(m.s, 0)) // 100 AS pr
+    FROM deg d LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr // p.deg) AS s
+        FROM e JOIN p0 p ON e.src = p.node GROUP BY 1) m
+      ON m.node = d.node
+),
+p2 AS (
+    SELECT d.node, d.deg,
+           150000000000 + (85 * COALESCE(m.s, 0)) // 100 AS pr
+    FROM deg d LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr // p.deg) AS s
+        FROM e JOIN p1 p ON e.src = p.node GROUP BY 1) m
+      ON m.node = d.node
+),
+p3 AS (
+    SELECT d.node, d.deg,
+           150000000000 + (85 * COALESCE(m.s, 0)) // 100 AS pr
+    FROM deg d LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr // p.deg) AS s
+        FROM e JOIN p2 p ON e.src = p.node GROUP BY 1) m
+      ON m.node = d.node
+)
+SELECT node, pr FROM p3
+""",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-round PageRank over the undirected customer↔supplier
+    interaction graph (distinct trade pairs from orders⋈lineitem;
+    node key = 2·custkey / 2·suppkey+1).  Exact 1e12-scaled integer
+    arithmetic makes the iterative result engine-portable — the oracle
+    unrolls the identical three rounds as CTEs.  Per round: one
+    edge⋈rank join + one node-keyed sum; rank state never leaves the
+    cluster."""
+    from opl_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = raw.union(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=3)
+
+
+@register("q_image_phash")  # Pandas-UDF grid hash — rows-only
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit perceptual hash (average-hash) per media payload via the
+    stub pixel grid — the image twin of text SimHash; codec="real"
+    swaps in an 8×8 Pillow thumbnail over the same plan (pinned by
+    tests/test_operators.py numpy reference + Pillow-optional test)."""
+    from opl_spark.operators.multimodal import image_phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_phash(with_media_column(docs, "text", "doc_id"))
+
+
+@register("q_image_dedup")  # banded hamming candidates — rows-only
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup IMAGE pairs: perceptual hashes banded into 16-bit
+    chunks (pigeonhole join bound), exact hamming ≤ 8 verification —
+    the multimodal reuse of the text dedup scale path.  Exact byte
+    copies always land at hamming 0."""
+    from opl_spark.operators.multimodal import image_phash, phash_dup_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = image_phash(with_media_column(docs, "text", "doc_id"))
+    return phash_dup_candidates(hashes, max_hamming=8)
+
+
+@register("q_scene_change")  # Pandas-UDF framing — rows-only
+def q_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over video-payload stand-ins: per-frame
+    luma means framed inside Arrow batches, lag-window cut threshold,
+    island cumsum → one row per (media, shot) with start frame and
+    length.  Real-codec integration point documented in
+    operators/multimodal.py."""
+    from opl_spark.operators.multimodal import video_scene_changes
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_scene_changes(
+        with_media_column(docs, "text", "doc_id"), frame_bytes=64, threshold=4.0
+    )
+
+
+@register(
+    "q_embedding_standardize",
+    oracle="""
+WITH cells AS (
+    SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos,
+           CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS v
+    FROM (
+        SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ) u
+),
+stats AS (
+    SELECT pos, SUM(v) AS s, SUM(v * v) AS s2, COUNT(*) AS n
+    FROM cells GROUP BY 1
+)
+SELECT c.vec_id, c.pos,
+       ROUND(
+           (CAST(c.v AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+           / sqrt(CAST(st.s2 AS DOUBLE) / st.n
+                  - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)),
+           6) AS z
+FROM cells c JOIN stats st ON st.pos = c.pos
+""",
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding matrix
+    (feature normalization before clustering/ANN): values scale to
+    exact integers, per-dimension moments are order-independent integer
+    sums (dimension-count-sized state), and floats appear only in the
+    final normalized emission.  One posexplode + one 64-group agg +
+    one broadcast-sized join back."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("val").cast("double") * 1000000).cast("long").alias("v"),
+    )
+    stats = cells.groupBy("pos").agg(
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mu * mu
+    return cells.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        F.round(
+            (F.col("v").cast("double") - mu) / F.sqrt(var), 6
+        ).alias("z"),
+    )

@@ -1,0 +1,156 @@
+"""Tests for graph analytics (PageRank) and the multimodal perceptual
+pipeline (image pHash, near-dup candidates, scene changes).
+
+Reference strategy mirrors the repo convention: hand-computed /
+numpy-reference expectations for the non-SQL-expressible operators,
+algorithm-level invariants for the rest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opl_spark.operators.graph import PR_SCALE, pagerank, symmetrize
+from opl_spark.operators.multimodal import (
+    image_phash,
+    phash_dup_candidates,
+    video_scene_changes,
+    with_media_column,
+)
+
+
+def _local_pagerank(edges, iterations=3, damping_pct=85):
+    """Driver-side integer replica of operators.graph.pagerank."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, d in edges:
+        deg[s] += 1
+    pr = {n: PR_SCALE for n in deg}
+    base = (100 - damping_pct) * PR_SCALE // 100
+    for _ in range(iterations):
+        acc = defaultdict(int)
+        for s, d in edges:
+            acc[d] += pr[s] // deg[s]
+        pr = {n: base + (damping_pct * acc.get(n, 0)) // 100 for n in deg}
+    return pr
+
+
+def test_pagerank_matches_local_integer_replica(spark):
+    # path graph 1-2-3-4 plus a pendant 5 off node 2
+    raw = [(1, 2), (2, 3), (3, 4), (2, 5)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    und = symmetrize(edges)
+    got = {r["node"]: r["pr"] for r in pagerank(und, iterations=3).collect()}
+    sym = [(s, d) for s, d in raw] + [(d, s) for s, d in raw]
+    want = _local_pagerank(sym)
+    assert got == want
+    # hub (node 2, degree 3) must outrank every leaf
+    assert got[2] == max(got.values())
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    und = symmetrize(spark.createDataFrame(raw, ["src", "dst"]))
+    prs = [r["pr"] for r in pagerank(und, iterations=4).collect()]
+    # unnormalized formulation: total rank stays near N * SCALE
+    # (floor-division loss only ever shrinks it, never grows it)
+    n = len(prs)
+    assert n * PR_SCALE * 0.99 < sum(prs) <= n * PR_SCALE
+
+
+def _fake_grid(by: bytes) -> np.ndarray:
+    x = np.frombuffer(by, dtype=np.uint8).astype(np.float64)
+    if len(x) == 0:
+        return np.zeros(64)
+    return np.bincount(np.arange(len(x)) % 64, weights=x, minlength=64)
+
+
+def _local_phash(by: bytes, bits: int = 63) -> int:
+    g = _fake_grid(by)
+    above = g > g.mean()
+    return sum(1 << b for b in range(bits) if above[b])
+
+
+def test_image_phash_matches_numpy_reference(spark):
+    texts = [(0, "hello world"), (1, "hello world"), (2, "something else entirely")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    media = with_media_column(df, "text", "doc_id")
+    got = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    for i, t in texts:
+        assert got[i] == _local_phash(t.encode()), i
+    # identical payloads hash identically; hash fits in 63 bits
+    assert got[0] == got[1]
+    assert all(0 <= h < 1 << 63 for h in got.values())
+
+
+def test_phash_dup_candidates_find_exact_copies(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact copy
+        (2, "completely different text with other bytes 123"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hashes = image_phash(with_media_column(df, "text", "doc_id"))
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in phash_dup_candidates(hashes, max_hamming=0).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # exact copy found at hamming 0
+
+
+def _local_scenes(by: bytes, frame_bytes: int, threshold: float):
+    x = np.frombuffer(by, dtype=np.uint8).astype(np.float64)
+    pad = (-len(x)) % frame_bytes
+    if pad:
+        x = np.pad(x, (0, pad))
+    lumas = x.reshape(-1, frame_bytes).mean(axis=1).round(6)
+    shots, start = [], 0
+    for i in range(1, len(lumas)):
+        if abs(lumas[i] - lumas[i - 1]) > threshold:
+            shots.append((start, i - start))
+            start = i
+    shots.append((start, len(lumas) - start))
+    return shots
+
+
+def test_scene_changes_match_numpy_reference(spark):
+    payloads = [
+        (0, "a" * 100 + "Z" * 100 + "a" * 100),  # two clear cuts
+        (1, "constant payload " * 10),
+    ]
+    df = spark.createDataFrame(payloads, ["doc_id", "text"])
+    media = with_media_column(df, "text", "doc_id")
+    out = video_scene_changes(media, frame_bytes=50, threshold=5.0).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["media_id"], []).append(
+            (r["shot_no"], r["start_frame"], r["n_frames"])
+        )
+    for mid, text in payloads:
+        want = _local_scenes(text.encode(), 50, 5.0)
+        shots = sorted(got[mid])
+        assert [(s, n) for _, s, n in shots] == want, mid
+
+
+def test_scene_change_empty_payload_dropped(spark):
+    df = spark.createDataFrame([(0, "")], ["doc_id", "text"])
+    media = with_media_column(df, "text", "doc_id")
+    assert video_scene_changes(media, frame_bytes=8).count() == 0
+
+
+def test_phash_real_codec_gate(spark):
+    """codec='real' requires Pillow: decodes where present, raises the
+    documented NotImplementedError where absent — never a silent fake."""
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    media = with_media_column(df, "text", "doc_id")
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            image_phash(media, codec="real")
