@@ -152,6 +152,10 @@ BENCH_QUERIES = [
     "q_big_orders",
     "q_min_cost_supplier",
     "q_pagerank",
+    "q_kcore",
+    "q_pareto_customers",
+    "q_image_dedup",
+    "q_embedding_standardize",
     "q_mad_outliers",
     "q_lang_confusion",
     "q_temporal_split",

@@ -340,3 +340,63 @@ def validate_contract(
     return spark.createDataFrame(
         out, "rule string, n_rows long, n_violations long"
     )
+
+
+def pareto_front_2d(
+    df: DataFrame, x_col: str, y_col: str, bucket_width: int = 100_000
+) -> DataFrame:
+    """2-D skyline (Pareto front, maximizing both integer dimensions):
+    the distinct ``(x, y)`` pairs not dominated by any pair that is >=
+    in both dimensions and > in at least one.
+
+    Scale shape — never a global sort/window: (1) per-x maxima (one
+    keyed agg; removes same-x dominance), (2) LOCAL fronts inside
+    ``x DIV bucket_width`` buckets via a bucket-partitioned running
+    max over strictly-greater x, (3) cross-bucket domination resolved
+    through the bucket-count-sized summary (max y per bucket),
+    self-joined and broadcast back.  The classical sort-scan skyline
+    needs a single ordered pass; bucketing restores partition
+    parallelism and keeps every window bounded by one bucket.
+    """
+    from pyspark.sql import Window
+
+    pts = (
+        df.groupBy(F.col(x_col).alias("x"))
+        .agg(F.max(F.col(y_col)).alias("y"))
+        .withColumn("bucket", F.expr(f"x div {int(bucket_width)}"))
+    )
+    # strictly-greater-x running max inside the bucket (range frame on
+    # DESC x: "1 PRECEDING" = x >= current + 1)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("x").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    local = pts.withColumn("max_above", F.max("y").over(w))
+    # cross-bucket thresholds: the bucket summary is metadata-sized
+    # (x_range / bucket_width rows), so the suffix max is a driver-side
+    # scan of it — same discipline as IVF centroids / Bloom words —
+    # then a broadcast equality join (an inequality self-join would
+    # plan a nested loop, which the repo-wide audit forbids)
+    summary = sorted(
+        (r["bucket"], r["by"])
+        for r in pts.groupBy("bucket").agg(F.max("y").alias("by")).collect()
+    )
+    thr_rows, best = [], None
+    for bucket, by in reversed(summary):
+        if best is not None:
+            thr_rows.append((bucket, best))
+        best = by if best is None else max(best, by)
+    spark = df.sparkSession
+    if thr_rows:
+        thr = spark.createDataFrame(thr_rows, ["bucket", "thr"])
+    else:
+        thr = spark.createDataFrame([], "bucket long, thr long")
+    return (
+        local.join(F.broadcast(thr), "bucket", "left")
+        .filter(
+            (F.col("max_above").isNull() | (F.col("y") > F.col("max_above")))
+            & (F.col("thr").isNull() | (F.col("y") > F.col("thr")))
+        )
+        .select("x", "y")
+    )

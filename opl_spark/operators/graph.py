@@ -81,3 +81,55 @@ def pagerank(
             ).alias("pr"),
         )
     return pr.select("node", "pr")
+
+
+def kcore_prune(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core pruning of an undirected edge list (both
+    directions present): each round drops nodes whose current degree
+    is below ``k`` plus their incident edges.  Returns the surviving
+    ``(node, deg)`` table after exactly ``rounds`` rounds — a pinned,
+    engine-portable prefix of the k-core fixpoint (all-integer, so a
+    SQL oracle can unroll the identical rounds).
+
+    Per round: one degree aggregation + two anti-joins against the
+    node-sized below-k list — no driver traffic at all for the fixed-
+    round form.  :func:`kcore` iterates the same round to convergence.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        bad = deg.filter(F.col("deg") < k).select("node")
+        e = (
+            e.join(bad, e["src"] == bad["node"], "left_anti")
+            .join(bad, e["dst"] == bad["node"], "left_anti")
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """k-core to convergence: repeat :func:`kcore_prune` rounds until
+    no node falls below ``k`` (every survivor then has degree >= k in
+    the surviving subgraph — the classical k-core).  Driver state per
+    round is ONE count (the number of below-k nodes); lineage is
+    truncated each round so the DAG stays flat over long prune chains.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        bad = deg.filter(F.col("deg") < k).select("node")
+        if bad.limit(1).count() == 0:
+            break
+        e = (
+            e.join(bad, e["src"] == bad["node"], "left_anti")
+            .join(bad, e["dst"] == bad["node"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

@@ -492,3 +492,62 @@ def table_stats(engine: SnapshotEngine, fact_table: str) -> list[dict]:
                 }
             )
     return sorted(out, key=lambda d: d["partition"])
+
+
+def ingest_new_files(
+    spark: SparkSession,
+    source_dir: str,
+    ledger_path: str,
+    process,
+    file_format: str = "parquet",
+    suffix: str | None = None,
+) -> dict:
+    """Incremental file ingestion with a processed-file ledger: list
+    the landing directory (FS metadata only), anti-join against the
+    ledger of already-ingested paths, run ``process(df)`` over ONLY the
+    new files, then append their paths to the ledger.
+
+    Semantics are at-least-once: the ledger is written AFTER
+    ``process`` succeeds, so a crash between the two replays the batch
+    on restart (the downstream write must be idempotent — the
+    engine's scope-anti-join / upsert sinks are).  The path diff runs
+    as a Spark anti-join (ledger-sized state never on the driver
+    beyond the new-batch path list, which the reader needs anyway).
+
+    Returns ``{"listed": n, "new": m}``.  Mirrors the cron-driven
+    snapshot loop of the reference (OLAP.php:325-375) transposed to a
+    file-landing-zone source: each nightly drop ingests exactly once.
+    """
+    from pyspark.errors import AnalysisException
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hdir = jvm.org.apache.hadoop.fs.Path(source_dir)
+    fs = hdir.getFileSystem(conf)
+    listed = []
+    if fs.exists(hdir):
+        for st in fs.listStatus(hdir):
+            p = st.getPath().toString()
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                if suffix is None or name.endswith(suffix):
+                    listed.append(p)
+    if not listed:
+        return {"listed": 0, "new": 0}
+    paths_df = spark.createDataFrame([(p,) for p in listed], ["path"])
+    try:
+        ledger = spark.read.parquet(ledger_path).select("path")
+        fresh_df = paths_df.join(ledger, "path", "left_anti")
+    except AnalysisException:
+        fresh_df = paths_df
+    fresh = [r["path"] for r in fresh_df.collect()]
+    if not fresh:
+        return {"listed": len(listed), "new": 0}
+    batch = spark.read.format(file_format).load(fresh)
+    process(batch)
+    spark.createDataFrame(
+        [(p,) for p in sorted(fresh)], ["path"]
+    ).withColumn("ingested_at", F.current_timestamp()).write.mode(
+        "append"
+    ).parquet(ledger_path)
+    return {"listed": len(listed), "new": len(fresh)}

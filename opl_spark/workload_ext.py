@@ -5561,3 +5561,101 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v").cast("double") - mu) / F.sqrt(var), 6
         ).alias("z"),
     )
+
+
+@register(
+    "q_kcore",
+    oracle="""
+WITH raw AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+),
+e0 AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+b1 AS (SELECT src AS node FROM e0 GROUP BY 1 HAVING COUNT(*) < 4),
+e1 AS (
+    SELECT e.src, e.dst FROM e0 e
+    WHERE e.src NOT IN (SELECT node FROM b1)
+      AND e.dst NOT IN (SELECT node FROM b1)
+),
+b2 AS (SELECT src AS node FROM e1 GROUP BY 1 HAVING COUNT(*) < 4),
+e2 AS (
+    SELECT e.src, e.dst FROM e1 e
+    WHERE e.src NOT IN (SELECT node FROM b2)
+      AND e.dst NOT IN (SELECT node FROM b2)
+),
+b3 AS (SELECT src AS node FROM e2 GROUP BY 1 HAVING COUNT(*) < 4),
+e3 AS (
+    SELECT e.src, e.dst FROM e2 e
+    WHERE e.src NOT IN (SELECT node FROM b3)
+      AND e.dst NOT IN (SELECT node FROM b3)
+)
+SELECT src AS node, COUNT(*) AS deg FROM e3 GROUP BY 1
+""",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three pruning rounds toward the 4-core of the quarterly trade
+    graph (customer↔supplier; dense-interaction subgraph mining for
+    sampling/curation).  Each round = one degree agg + two anti-joins
+    against the below-k node list; the fixed-round prefix is pinned by
+    the oracle's unrolled CTEs, and `operators.graph.kcore` runs the
+    identical round to convergence (tests/test_graph_multimodal.py)."""
+    from opl_spark.operators.graph import kcore_prune
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = raw.union(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore_prune(edges, k=4, rounds=3)
+
+
+@register(
+    "q_pareto_customers",
+    oracle="""
+WITH per AS (
+    SELECT cents, MAX(n) AS n FROM (
+        SELECT CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents,
+               COUNT(o.o_orderkey) AS n
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, 1
+    ) GROUP BY 1
+)
+SELECT cents AS x, n AS y FROM per p
+WHERE NOT EXISTS (
+    SELECT 1 FROM per q WHERE q.cents > p.cents AND q.n >= p.n)
+""",
+)
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front of customers (account balance vs order count —
+    the multi-criteria data-selection skyline).  The engine's two-phase
+    bucketed skyline (per-x maxima → bucket-local running-max fronts →
+    bucket-summary threshold join) replaces the oracle's quadratic
+    NOT EXISTS; no global window anywhere."""
+    from opl_spark.operators.analytics import pareto_front_2d
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        cust.select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .join(orders, F.col("c_custkey") == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "cents")
+        .agg(F.count("o_orderkey").alias("n"))
+    )
+    return pareto_front_2d(per, "cents", "n")

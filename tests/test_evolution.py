@@ -275,3 +275,42 @@ def test_table_stats_reports_partition_files_and_bytes(registered, tmp_path):
     eng.compact("f_stats")
     after = {s["partition"]: s for s in table_stats(eng, "f_stats")}
     assert all(s["n_files"] == 1 for s in after.values())
+
+
+def test_ingest_new_files_processes_each_drop_once(spark, tmp_path):
+    from opl_spark.snapshot import ingest_new_files
+
+    land = str(tmp_path / "landing")
+    ledger = str(tmp_path / "ledger")
+    seen = []
+
+    def process(df):
+        seen.append(df.count())
+
+    spark.range(0, 10).write.mode("overwrite").parquet(land + "/d1")
+    # landing zone holds FILES; move part-files up into the flat dir
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(flat, exist_ok=True)
+    for i, f in enumerate(glob.glob(land + "/d1/part-*.parquet")):
+        shutil.copy(f, f"{flat}/drop1_{i}.parquet")
+
+    r1 = ingest_new_files(spark, flat, ledger, process, suffix=".parquet")
+    assert r1["new"] == r1["listed"] > 0
+    assert sum(seen) == 10
+
+    # nothing new → process not called again
+    r2 = ingest_new_files(spark, flat, ledger, process, suffix=".parquet")
+    assert r2["new"] == 0 and len(seen) == 1
+
+    # second drop: only the fresh file is read
+    spark.range(100, 105).write.mode("overwrite").parquet(land + "/d2")
+    for i, f in enumerate(glob.glob(land + "/d2/part-*.parquet")):
+        shutil.copy(f, f"{flat}/drop2_{i}.parquet")
+    r3 = ingest_new_files(spark, flat, ledger, process, suffix=".parquet")
+    assert r3["new"] == r3["listed"] - r1["listed"]
+    assert seen[-1] == 5

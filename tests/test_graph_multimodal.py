@@ -154,3 +154,57 @@ def test_phash_real_codec_gate(spark):
     if not has_pil:
         with pytest.raises(NotImplementedError):
             image_phash(media, codec="real")
+
+
+def test_kcore_converges_to_classical_core(spark):
+    from opl_spark.operators.graph import kcore, kcore_prune
+
+    # 4-clique {1,2,3,4} + a tail 4-5-6: the 2-core is exactly the
+    # clique plus nothing of the tail (5 drops after 6, so two rounds
+    # are required — exercises the iteration, not just one pass)
+    raw = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # clique
+        (4, 5), (5, 6),                                   # tail
+    ]
+    edges = symmetrize(spark.createDataFrame(raw, ["src", "dst"]))
+    core = {r["node"]: r["deg"] for r in kcore(edges, k=2).collect()}
+    assert set(core) == {1, 2, 3, 4}
+    assert all(d >= 2 for d in core.values())
+    # converged result is a fixpoint of further fixed-round pruning
+    again = {
+        r["node"]: r["deg"]
+        for r in kcore_prune(
+            symmetrize(
+                spark.createDataFrame(
+                    [(a, b) for a, b in raw if a in core and b in core],
+                    ["src", "dst"],
+                )
+            ),
+            k=2,
+            rounds=2,
+        ).collect()
+    }
+    assert again == core
+
+
+def test_pareto_front_matches_quadratic_reference(spark):
+    from opl_spark.operators.analytics import pareto_front_2d
+
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(0, 1000), rng.randrange(0, 50)) for _ in range(300)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {(r["x"], r["y"]) for r in pareto_front_2d(df, "x", "y", bucket_width=100).collect()}
+    per_x = {}
+    for x, y in pts:
+        per_x[x] = max(per_x.get(x, -1), y)
+    dedup = list(per_x.items())
+    want = {
+        (x, y)
+        for x, y in dedup
+        if not any(
+            (qx >= x and qy >= y and (qx > x or qy > y)) for qx, qy in dedup
+        )
+    }
+    assert got == want
