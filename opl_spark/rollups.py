@@ -1,0 +1,238 @@
+"""Aggregate navigator: a materialized rollup lattice over a fact
+table, with transparent query routing.
+
+The reference's single real optimization is materialized
+pre-aggregation — the OLAP DB stores *query results* so API reads
+never touch the production DB (SURVEY.md §4; reference `README.md:4`,
+`library_olap/README.md:11`).  This module generalizes that design
+point the way warehouse engines do: operators declare a small lattice
+of groupings worth materializing; ``materialize`` writes one
+pre-aggregated parquet table per grouping carrying RE-AGGREGABLE
+partials (sum / non-null count / min / max per measure); ``aggregate``
+answers a cube query from the smallest covering rollup and falls back
+to the base fact when none covers (or the aggregate isn't derivable
+from partials — median needs the raw values or a sketch).
+
+At 100 TB this converts report-latency queries from fact-sized scans
+to rollup-sized ones (dims × levels rows), which is exactly the
+reference's architecture — kept, but now lattice-wide and
+automatically routed.
+
+Correctness: partials re-aggregate exactly for sum/count/min/max over
+integral measures and over the engine's exact-decimal measure
+convention; avg derives as sum/count from the same partials.  The
+routed result is asserted equal to the base-engine result in
+tests/test_rollups.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opl_spark.cube import CubeEngine, CubeQuery
+
+#: Aggregates derivable from (sum, count, min, max) partials.
+_DERIVABLE = ("sum", "avg", "count", "min", "max")
+
+
+def _grouping_key(cols: list[str]) -> str:
+    return "__".join(re.sub(r"[^A-Za-z0-9_]", "_", c) for c in cols)
+
+
+class RollupStore:
+    """Materialized-rollup registry for one warehouse directory.
+
+    Layout: ``<base>/<fact>/<grouping_key>/`` parquet per rollup plus
+    ``<base>/<fact>/_LATTICE.json`` recording each rollup's grouping
+    columns, row count, and per-measure fractional-ness (needed to
+    reproduce the engine's canonical sum/min/max emission typing).
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+
+    def _fact_dir(self, fact: str) -> str:
+        return os.path.join(self.base_dir, fact)
+
+    def _manifest_path(self, fact: str) -> str:
+        return os.path.join(self._fact_dir(fact), "_LATTICE.json")
+
+    def _load_manifest(self, fact: str) -> dict:
+        try:
+            with open(self._manifest_path(fact)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"rollups": {}, "measures": {}}
+
+    # -- build --------------------------------------------------------------
+
+    def materialize(
+        self, engine: CubeEngine, fact: str, groupings: list[list[str]]
+    ) -> dict:
+        """Write one partial-aggregate parquet per grouping (columns
+        are PHYSICAL fact columns — include every hierarchy level you
+        want cuttable/drillable through the rollup).  Re-running
+        overwrites: rollup maintenance after snapshot appends is a
+        re-materialize (or `snapshot.incremental_refresh` for the
+        additive partials)."""
+        meta = engine.catalog.fact(fact)
+        base = engine.frame(fact)
+        partials = []
+        measures_info = {}
+        for m in meta.measures:
+            col = F.col(m.physical)
+            frac = isinstance(base.schema[m.physical].dataType, T.FractionalType)
+            measures_info[m.name] = {"fractional": frac, "physical": m.physical}
+            partials += [
+                F.sum(col).alias(f"__sum_{m.name}"),
+                F.count(col).alias(f"__cnt_{m.name}"),
+                F.min(col).alias(f"__min_{m.name}"),
+                F.max(col).alias(f"__max_{m.name}"),
+            ]
+        manifest = self._load_manifest(fact)
+        manifest["measures"] = measures_info
+        for cols in groupings:
+            key = _grouping_key(cols)
+            rolled = base.groupBy(*cols).agg(*partials)
+            path = os.path.join(self._fact_dir(fact), key)
+            rolled.write.mode("overwrite").parquet(path)
+            rows = self.spark.read.parquet(path).count()
+            manifest["rollups"][key] = {"cols": cols, "rows": rows}
+        os.makedirs(self._fact_dir(fact), exist_ok=True)
+        with open(self._manifest_path(fact), "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        return manifest
+
+    # -- route + answer -----------------------------------------------------
+
+    def route(self, fact: str, needed_cols: set[str]) -> dict | None:
+        """Smallest (by materialized row count) rollup whose grouping
+        covers every needed column; None when nothing covers."""
+        manifest = self._load_manifest(fact)
+        best = None
+        for key, info in manifest["rollups"].items():
+            if needed_cols <= set(info["cols"]):
+                if best is None or info["rows"] < best["rows"]:
+                    best = {"key": key, **info}
+        return best
+
+    def aggregate(
+        self,
+        engine: CubeEngine,
+        fact: str,
+        cut: str | None = None,
+        drilldown: str | None = None,
+        measure: str | None = None,
+        aggregate: str | None = None,
+        hierarchy: str | None = None,
+    ) -> DataFrame:
+        """`CubeEngine.aggregate`, answered from the lattice when a
+        rollup covers the query's cut + drilldown columns and every
+        requested aggregate derives from partials — else the base
+        engine, transparently (same output either way)."""
+        meta = engine.catalog.fact(fact)
+        q = CubeQuery(
+            fact=meta,
+            cut=cut,
+            drilldown=drilldown,
+            measure=measure,
+            aggregate=aggregate,
+            hierarchy=hierarchy,
+        )
+        names = (
+            [n.strip() for n in measure.split("|")]
+            if measure
+            else [meta.default_measure.name]
+        )
+        plan = []
+        manifest = self._load_manifest(fact)
+        for n in names:
+            m = meta.measure(n)
+            agg = aggregate or m.default_aggregate
+            info = manifest["measures"].get(m.name)
+            if agg not in _DERIVABLE or agg not in m.aggregates or info is None:
+                return engine.aggregate(
+                    fact,
+                    cut=cut,
+                    drilldown=drilldown,
+                    measure=measure,
+                    aggregate=aggregate,
+                    hierarchy=hierarchy,
+                )
+            plan.append((m, agg, info["fractional"]))
+
+        # compile cuts against the (lazy) base frame first: cut depths
+        # feed the below-cut drilldown-resolution rule, exactly as in
+        # CubeEngine.aggregate; conditions are recompiled against the
+        # rollup frame after routing
+        base_frame = engine.frame(fact)
+        cut_cols: set[str] = set()
+        for t in q.cut_terms:
+            dim = meta.dimension(t.dimension)
+            t.condition, t.depth = engine._compile_cut(
+                base_frame, dim, t.spec, q.hierarchy_by_dim.get(t.dimension)
+            )
+            order = dim.hierarchy_order(q.hierarchy_by_dim.get(t.dimension))
+            for lv in order:
+                cut_cols.add(dim.level(lv).physical)
+        group_cols = engine._resolve_drilldown(base_frame, q)
+        needed = set(group_cols) | cut_cols
+        hit = self.route(fact, needed)
+        if hit is None:
+            return engine.aggregate(
+                fact,
+                cut=cut,
+                drilldown=drilldown,
+                measure=measure,
+                aggregate=aggregate,
+                hierarchy=hierarchy,
+            )
+
+        rdf = self.spark.read.parquet(
+            os.path.join(self._fact_dir(fact), hit["key"])
+        )
+        for t in q.cut_terms:
+            dim = meta.dimension(t.dimension)
+            cond, _ = engine._compile_cut(
+                rdf, dim, t.spec, q.hierarchy_by_dim.get(t.dimension)
+            )
+            rdf = rdf.filter(cond)
+
+        exprs = []
+        for m, agg, fractional in plan:
+            if agg == "sum":
+                e = F.sum(f"__sum_{m.name}")
+                if fractional:
+                    e = F.round(e.cast("double"), 2)
+            elif agg == "count":
+                e = F.sum(f"__cnt_{m.name}")
+            elif agg == "avg":
+                e = F.round(
+                    F.sum(f"__sum_{m.name}").cast("double")
+                    / F.sum(f"__cnt_{m.name}"),
+                    6,
+                )
+            elif agg == "min":
+                e = F.min(f"__min_{m.name}")
+                if fractional:
+                    e = F.round(e.cast("double"), 2)
+            else:  # max
+                e = F.max(f"__max_{m.name}")
+                if fractional:
+                    e = F.round(e.cast("double"), 2)
+            exprs.append(e.alias(m.name))
+        out = (
+            rdf.groupBy(*group_cols).agg(*exprs)
+            if group_cols
+            else rdf.agg(*exprs)
+        )
+        if not group_cols:
+            return out
+        return out.orderBy(*out.columns[: len(group_cols)])

@@ -1,0 +1,83 @@
+"""Aggregate-navigator tests: materialized rollup lattice + routing
+must answer cube queries identically to the base engine (the routed
+path is pre-aggregation, not approximation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from opl_spark.cube import CubeEngine
+from opl_spark.facts import build_loans_fact, default_catalog
+from opl_spark.rollups import RollupStore
+
+
+@pytest.fixture(scope="module")
+def navigator(spark, sf_dir, tmp_path_factory):
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    store = RollupStore(spark, str(tmp_path_factory.mktemp("lattice")))
+    store.materialize(
+        engine,
+        "loans2",
+        [
+            ["year", "month"],
+            ["year", "month", "day", "loan_type"],
+            ["consortia_id", "consortia_label", "library_id", "year", "month", "day"],
+        ],
+    )
+    return engine, store
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(cut="date:1996", drilldown="date", measure="value"),
+        dict(cut="date:1996,10", drilldown="date:day", measure="value"),
+        dict(drilldown="date", measure="value", aggregate="avg"),
+        dict(drilldown="date|loan_type", measure="loans", aggregate="count"),
+        dict(
+            cut="loan_type:O",
+            drilldown="organization_level:library_id",
+            measure="value",
+        ),
+        dict(measure="value"),  # grand total, no drilldown
+    ],
+)
+def test_routed_equals_base_engine(navigator, kwargs):
+    engine, store = navigator
+    base = engine.aggregate("loans2", **kwargs)
+    routed = store.aggregate(engine, "loans2", **kwargs)
+    assert routed.columns == base.columns
+    assert _rows(routed) == _rows(base)
+
+
+def test_route_picks_smallest_covering_rollup(navigator):
+    engine, store = navigator
+    hit = store.route("loans2", {"year", "month"})
+    assert hit["cols"] == ["year", "month"]  # smallest covering
+    hit2 = store.route("loans2", {"year", "month", "loan_type"})
+    assert hit2["cols"] == ["year", "month", "day", "loan_type"]
+    assert store.route("loans2", {"segment"}) is None
+
+
+def test_non_derivable_aggregate_falls_back(navigator):
+    engine, store = navigator
+    base = engine.aggregate(
+        "loans2", drilldown="date", measure="value", aggregate="median"
+    )
+    routed = store.aggregate(
+        engine, "loans2", drilldown="date", measure="value", aggregate="median"
+    )
+    assert _rows(routed) == _rows(base)
+
+
+def test_uncovered_query_falls_back(navigator):
+    engine, store = navigator
+    kwargs = dict(drilldown="segment", measure="value")
+    base = engine.aggregate("loans2", **kwargs)
+    routed = store.aggregate(engine, "loans2", **kwargs)
+    assert _rows(routed) == _rows(base)
