@@ -27,9 +27,13 @@ class OlapApi:
     - ``/olap/<fact>/aggregate?cut=&drilldown=&measure=&aggregate=&output=``
     """
 
-    def __init__(self, engine: CubeEngine):
+    def __init__(self, engine: CubeEngine, rollups=None):
         self.engine = engine
         self.catalog = engine.catalog
+        #: optional opl_spark.rollups.RollupStore — core aggregate
+        #: requests route through the materialized lattice when set
+        #: (identical results either way; tests/test_rollups.py pins it)
+        self.rollups = rollups
 
     def handle(self, path: str, params: dict[str, str] | None = None) -> Any:
         params = params or {}
@@ -71,6 +75,27 @@ class OlapApi:
 
     def _aggregate(self, fact: str, params: dict[str, str]) -> Any:
         self.catalog.fact(fact)  # unknown fact -> KeyError -> 404
+        core_only = not any(
+            k in params
+            for k in ("top_n", "top_within", "having", "share", "share_within")
+        )
+        if self.rollups is not None and core_only:
+            try:
+                df = self.rollups.aggregate(
+                    self.engine,
+                    fact,
+                    cut=params.get("cut"),
+                    drilldown=params.get("drilldown"),
+                    measure=params.get("measure"),
+                    aggregate=params.get("aggregate"),
+                    hierarchy=params.get("hierarchy"),
+                )
+            except KeyError as exc:
+                raise ValueError(str(exc)) from exc
+            if params.get("output") == "table":
+                return to_table(df)
+            rows = [r.asDict() for r in df.collect()]
+            return {"data": rows} if rows else {"message": "empty_dataset"}
         try:
             df = self.engine.aggregate(
                 fact,

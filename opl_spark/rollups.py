@@ -79,9 +79,8 @@ class RollupStore:
         """Write one partial-aggregate parquet per grouping (columns
         are PHYSICAL fact columns — include every hierarchy level you
         want cuttable/drillable through the rollup).  Re-running
-        overwrites: rollup maintenance after snapshot appends is a
-        re-materialize (or `snapshot.incremental_refresh` for the
-        additive partials)."""
+        overwrites; for append-only deltas :meth:`refresh` maintains
+        the lattice incrementally instead."""
         meta = engine.catalog.fact(fact)
         base = engine.frame(fact)
         partials = []
@@ -236,3 +235,67 @@ class RollupStore:
         if not group_cols:
             return out
         return out.orderBy(*out.columns[: len(group_cols)])
+
+
+    # -- maintenance --------------------------------------------------------
+
+    def refresh(self, engine: CubeEngine, fact: str, delta: DataFrame) -> dict:
+        """Incremental lattice maintenance for APPEND-ONLY deltas (the
+        engine's snapshot model): each rollup gets the delta's partials
+        unioned in and re-reduced — sums/counts re-add, min/min and
+        max/max re-reduce, all reassociative, so the refreshed rollup
+        equals a full re-materialize over base ∪ delta at the cost of
+        one delta-sized aggregation per rollup (asserted in
+        tests/test_rollups.py).  Updates/deletes need re-materialize —
+        min/max partials are not subtractable.
+
+        Same write-to-temp + two-rename swap as ``snapshot.compact``:
+        a crash mid-write leaves the live rollup intact.
+        """
+        meta = engine.catalog.fact(fact)
+        manifest = self._load_manifest(fact)
+        delta_partials = []
+        for m in meta.measures:
+            col = F.col(m.physical)
+            delta_partials += [
+                F.sum(col).alias(f"__sum_{m.name}"),
+                F.count(col).alias(f"__cnt_{m.name}"),
+                F.min(col).alias(f"__min_{m.name}"),
+                F.max(col).alias(f"__max_{m.name}"),
+            ]
+        re_reduce = []
+        for m in meta.measures:
+            re_reduce += [
+                F.sum(f"__sum_{m.name}").alias(f"__sum_{m.name}"),
+                F.sum(f"__cnt_{m.name}").alias(f"__cnt_{m.name}"),
+                F.min(f"__min_{m.name}").alias(f"__min_{m.name}"),
+                F.max(f"__max_{m.name}").alias(f"__max_{m.name}"),
+            ]
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        for key, info in manifest["rollups"].items():
+            cols = info["cols"]
+            path = os.path.join(self._fact_dir(fact), key)
+            d = delta.groupBy(*cols).agg(*delta_partials)
+            merged = (
+                self.spark.read.parquet(path)
+                .unionByName(d)
+                .groupBy(*cols)
+                .agg(*re_reduce)
+            )
+            tmp, old = path + "__refreshing", path + "__old"
+            merged.write.mode("overwrite").parquet(tmp)
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(conf)
+            htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+            hold = jvm.org.apache.hadoop.fs.Path(old)
+            if not fs.rename(hpath, hold):
+                raise IOError(f"rollup refresh: rename {path} -> {old} failed")
+            if not fs.rename(htmp, hpath):
+                fs.rename(hold, hpath)
+                raise IOError(f"rollup refresh: rename {tmp} -> {path} failed")
+            fs.delete(hold, True)
+            info["rows"] = self.spark.read.parquet(path).count()
+        with open(self._manifest_path(fact), "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        return manifest

@@ -81,3 +81,64 @@ def test_uncovered_query_falls_back(navigator):
     base = engine.aggregate("loans2", **kwargs)
     routed = store.aggregate(engine, "loans2", **kwargs)
     assert _rows(routed) == _rows(base)
+
+
+def test_refresh_equals_rematerialize(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from opl_spark.facts import build_loans_fact
+
+    engine = CubeEngine(default_catalog())
+    full = build_loans_fact(spark, sf_dir)
+    old = full.filter(F.col("year") < 2000)
+    delta = full.filter(F.col("year") >= 2000)
+
+    engine.register_fact("loans2", old)
+    store = RollupStore(spark, str(tmp_path / "lattice"))
+    store.materialize(engine, "loans2", [["year", "month"], ["loan_type"]])
+    store.refresh(engine, "loans2", delta)
+
+    # reference: a lattice materialized from the full fact
+    engine_full = CubeEngine(default_catalog())
+    engine_full.register_fact("loans2", full)
+    ref = RollupStore(spark, str(tmp_path / "lattice_full"))
+    ref.materialize(engine_full, "loans2", [["year", "month"], ["loan_type"]])
+
+    for key in ("year__month", "loan_type"):
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                str(tmp_path / "lattice" / "loans2" / key)
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                str(tmp_path / "lattice_full" / "loans2" / key)
+            ).collect()
+        )
+        assert got == want, key
+    # routed answers now include the delta
+    engine.register_fact("loans2", full)  # base must match for fallback paths
+    routed = store.aggregate(engine, "loans2", drilldown="date", measure="value")
+    base = engine_full.aggregate("loans2", drilldown="date", measure="value")
+    assert _rows(routed) == _rows(base)
+
+
+def test_api_routes_through_lattice_identically(navigator):
+    from opl_spark.api import OlapApi
+
+    engine, store = navigator
+    plain = OlapApi(engine)
+    routed = OlapApi(engine, rollups=store)
+    for params in (
+        {"cut": "date:1996", "drilldown": "date", "measure": "value"},
+        {"drilldown": "date|loan_type", "measure": "loans",
+         "aggregate": "count", "output": "table"},
+        {"cut": "date:2050", "drilldown": "date", "measure": "value"},  # empty
+        # extension params bypass the lattice but must still answer
+        {"drilldown": "date", "measure": "value", "top_n": "2"},
+    ):
+        a = plain.handle("/olap/loans2/aggregate", dict(params))
+        b = routed.handle("/olap/loans2/aggregate", dict(params))
+        assert a == b, params
