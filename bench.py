@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "q_pareto_customers",
     "q_image_dedup",
     "q_embedding_standardize",
+    "q_cluster_terms",
+    "q_sentence_dedup",
     "q_mad_outliers",
     "q_lang_confusion",
     "q_temporal_split",

@@ -1040,3 +1040,62 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         [(n_nodes, stats["n_edges"], tris)],
         "n_nodes long, n_edges long, n_triangles long",
     )
+
+
+def sentence_dedup(
+    df: DataFrame, text_col: str, id_col: str, min_count: int = 3
+) -> DataFrame:
+    """C4-style sentence-level dedup REMOVAL: sentences occurring at
+    least ``min_count`` times corpus-wide (boilerplate, cookie
+    banners, licence footers) are dropped from every document and the
+    document is rebuilt in original order (arXiv:1910.10683 §2.2 uses
+    the three-sentence rule; span-level twin: ``mask_repeated_spans``).
+
+    Scale shape: sentences shuffle once as 8-byte xxhash64 keys and
+    corpus frequencies come from ONE unordered window count over that
+    hash (no count-table self-join, no second shuffle — the same
+    rewrite that halved ``span_duplication_profile``); the rebuild is
+    a doc-keyed sort_array + array_join.  Sentence hash groups are
+    near-unique outside true boilerplate, so the window has no
+    hot-partition exposure.
+
+    Sentence boundary = ``\\.\\s+`` (portable across engines — RE2 has
+    no lookbehind, so fancier splitters would diverge from the SQL
+    oracle).
+    """
+    from pyspark.sql import Window
+
+    sents = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\.\s+")
+        ).alias("pos", "sent"),
+    ).filter(F.length(F.trim(F.col("sent"))) > 0)
+    hashed = sents.select(
+        "doc", "pos", "sent", F.xxhash64(F.lower(F.trim(F.col("sent")))).alias("sh")
+    )
+    w = Window.partitionBy("sh")
+    flagged = hashed.withColumn("freq", F.count(F.lit(1)).over(w))
+    kept = flagged.filter(F.col("freq") < min_count)
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "sent"))),
+                lambda s: s["sent"],
+            ),
+            ". ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = hashed.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sentences"))
+    return (
+        totals.join(rebuilt, "doc", "left")
+        .select(
+            "doc",
+            "n_sentences",
+            (F.col("n_sentences") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

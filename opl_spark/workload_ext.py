@@ -5659,3 +5659,109 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n"))
     )
     return pareto_front_2d(per, "cents", "n")
+
+
+@register(
+    "q_cluster_terms",
+    oracle=r"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+dists AS (
+    SELECT e.vec_id, c.cell,
+           list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+    FROM e CROSS JOIN c
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+toks AS (
+    SELECT a.cell,
+           unnest(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS term
+    FROM documents d JOIN assign a ON a.vec_id = d.doc_id
+),
+cnts AS (
+    SELECT cell, term, COUNT(*) AS cnt FROM toks
+    WHERE length(term) >= 4 GROUP BY 1, 2
+)
+SELECT cell, rank, term, cnt FROM (
+    SELECT cell, term, cnt,
+           row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, term) AS rank
+    FROM cnts
+) WHERE rank <= 3
+""",
+)
+def q_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster report cards: embeddings assigned to 8 seeded cells
+    (the SemDeDup/IVF assignment), documents joined by id, and each
+    cluster labeled with its top-3 characteristic terms (count desc,
+    term tiebreak).  The corpus-exploration step between clustering
+    and curation decisions — all work is cell-partitioned; the rank
+    window is keyed by cell."""
+    from pyspark.sql import Window
+
+    from opl_spark.operators.dedup import words_col
+    from opl_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = seed_centroids(emb, "embedding", "vec_id", ncells=8)
+    assigned = ivf_assign(emb, "embedding", cents).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    toks = (
+        docs.join(assigned, "doc_id")
+        .select("cell", F.explode(words_col(F.col("text"))).alias("term"))
+        .filter(F.length("term") >= 4)
+    )
+    cnts = toks.groupBy("cell", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("cell").orderBy(F.col("cnt").desc(), "term")
+    return (
+        cnts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("cell", "rank", "term", "cnt")
+    )
+
+
+@register(
+    "q_sentence_dedup",
+    oracle=r"""
+WITH sents AS (
+    SELECT doc_id AS doc, s.pos, s.sent
+    FROM documents,
+         LATERAL (
+             SELECT unnest(regexp_split_to_array(trim(text), '\.\s+')) AS sent,
+                    generate_subscripts(
+                        regexp_split_to_array(trim(text), '\.\s+'), 1) AS pos
+         ) s
+    WHERE length(trim(s.sent)) > 0
+),
+freq AS (
+    SELECT doc, pos, sent,
+           COUNT(*) OVER (PARTITION BY lower(trim(sent))) AS freq
+    FROM sents
+),
+rebuilt AS (
+    SELECT doc, string_agg(sent, '. ' ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_kept
+    FROM freq WHERE freq < 3 GROUP BY doc
+),
+totals AS (SELECT doc, COUNT(*) AS n_sentences FROM sents GROUP BY 1)
+SELECT t.doc, t.n_sentences,
+       t.n_sentences - COALESCE(r.n_kept, 0) AS n_dropped,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r ON r.doc = t.doc
+""",
+)
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sentence dedup removal (arXiv:1910.10683 §2.2):
+    sentences seen ≥3 times corpus-wide drop from every document;
+    documents rebuild in original order.  One window count over the
+    sentence hash — never a count-table self-join."""
+    from opl_spark.operators.dedup import sentence_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sentence_dedup(docs, "text", "doc_id", min_count=3)

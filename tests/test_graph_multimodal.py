@@ -208,3 +208,23 @@ def test_pareto_front_matches_quadratic_reference(spark):
         )
     }
     assert got == want
+
+
+def test_sentence_dedup_drops_boilerplate_keeps_order(spark):
+    from opl_spark.operators.dedup import sentence_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, f"alpha fact one. {boiler}. beta fact two"),
+        (1, f"{boiler}. gamma insight"),
+        (2, f"delta point. {boiler}"),
+        (3, "entirely unique document text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc"]: r for r in sentence_dedup(df, "text", "doc_id", 3).collect()}
+    assert out[0]["clean_text"] == "alpha fact one. beta fact two"
+    assert out[0]["n_dropped"] == 1 and out[0]["n_sentences"] == 3
+    assert out[1]["clean_text"] == "gamma insight"
+    assert out[2]["clean_text"] == "delta point"
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["clean_text"] == "entirely unique document text"
