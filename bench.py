@@ -173,6 +173,17 @@ BENCH_QUERIES = [
     "q_cusum_shift",
     "q_attribution_linear",
     "q_drill_across_cut",
+    # TPC-H block 2 (Q7/Q8/Q9/Q10/Q12/Q14/Q15/Q17/Q21/Q22 shapes)
+    "q_volume_shipping",
+    "q_market_share",
+    "q_product_profit",
+    "q_returned_items",
+    "q_late_lines",
+    "q_promo_effect",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_waiting_suppliers",
+    "q_sales_opportunity",
 ]
 
 

@@ -5765,3 +5765,563 @@ def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sentence_dedup(docs, "text", "doc_id", min_count=3)
+
+
+# ---------------------------------------------------------------------------
+# Second TPC-H-shaped block (Q7/Q8/Q9/Q10/Q12/Q14/Q15/Q17/Q21/Q22
+# analogues over the driver's star schema).  As with the first block,
+# each pins a DISTINCT physical strategy: bidirectional pair joins,
+# conditional-aggregate ratios, LIKE-pushdown star joins, top-k over a
+# join-agg, decorrelated per-group averages, scalar-subquery
+# thresholds, and the exists/not-exists double-semi-join.  Money math
+# follows the block-1 convention: discounts scale to exact integer
+# hundredths so decimal sums are order-independent, ROUND(double, 2)
+# only at the final projection.
+# ---------------------------------------------------------------------------
+
+_DISC_SCALED_SQL = """CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                             AS DECIMAL(18,0))"""
+
+
+def _disc_revenue():
+    """Exact line revenue in integer hundredths: extendedprice(dec 18,2)
+    × (100 − discount·100)(dec 18,0); divide by 100 at final ROUND."""
+    scaled = (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    ).cast("decimal(18,0)")
+    return F.col("l_extendedprice").cast("decimal(18,2)") * scaled
+
+
+@register(
+    "q_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(CAST(SUM(vol) AS DOUBLE) / 100, 2) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           {_DISC_SCALED_SQL} AS vol
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY 1, 2, 3
+""",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping: bilateral trade between two
+    nations by ship year.  The disjunctive nation-pair predicate sits
+    AFTER both nation joins (each a broadcast), so Catalyst still
+    prunes the fact side down to two nations' suppliers/customers
+    before the orders⋈lineitem shuffle; revenue uses the exact
+    integer-hundredths convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("n1_key") == F.col("s_nationkey"))
+        .join(n2, F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(_disc_revenue()).cast("double") / 100, 2).alias("revenue"))
+    )
+
+
+@register(
+    "q_market_share",
+    oracle=f"""
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                           ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+FROM (
+    SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+           n1.n_name AS supp_nation,
+           {_DISC_SCALED_SQL} AS vol
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA'
+)
+GROUP BY 1
+""",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_3 suppliers' slice of all
+    revenue sold into ASIA customers, per order year.  The numerator
+    is a CONDITIONAL aggregate over the same joined stream as the
+    denominator — one pass, no self-join; both sums stay exact
+    decimals and only the final ratio goes floating-point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    joined = (
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("n1_key") == F.col("s_nationkey"))
+        .join(n2, F.col("n2_key") == F.col("c_nationkey"))
+        .join(region, F.col("r_regionkey") == F.col("n2_region"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    vol = _disc_revenue()
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+            F.lit(0).cast("decimal(28,0)")
+        )
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.round(num.cast("double") / F.sum(vol).cast("double"), 6).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@register(
+    "q_product_profit",
+    oracle="""
+SELECT nation, o_year,
+       ROUND(CAST(SUM(amount) AS DOUBLE) / 100, 2) AS sum_profit
+FROM (
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                    AS DECIMAL(18,0))
+             - CAST(p.p_retailprice AS DECIMAL(18,2))
+               * CAST(round(l.l_quantity) AS BIGINT)
+               * CAST(100 AS DECIMAL(18,0)) AS amount
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+)
+GROUP BY 1, 2
+""",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product profit: per supplier-nation, per order
+    year, profit on every 'widget' part = discounted revenue minus
+    retail cost of the shipped quantity.  The LIKE predicate prunes
+    part BEFORE its broadcast join (the Q9 pattern that matters at
+    scale: the string match runs over the 1/1000-sized dimension, not
+    the fact stream); all money stays in integer hundredths until the
+    final projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    p = part.filter(F.col("p_name").like("%widget%"))
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.round(F.col("l_quantity")).cast("long")
+        * F.lit(100).cast("decimal(18,0)")
+    )
+    joined = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nation, F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("amount", _disc_revenue() - cost)
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.round(F.sum("amount").cast("double") / 100, 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                             AS DECIMAL(18,0))) * 100 AS BIGINT) + 50) // 100
+            AS DOUBLE) / 100 AS revenue,
+       ROUND(CAST(c.c_acctbal AS DOUBLE), 2) AS acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: top-20 customers by
+    revenue lost to returns in one quarter.  The quarter window pushes
+    to the orders scan and the returnflag to the lineitem scan before
+    the shuffle join; the final top-20 plans as TakeOrderedAndProject
+    (limit+sort fused, no global sort materialization), with custkey
+    as the deterministic tiebreak.  Rounding happens in INTEGER cents
+    (`(units_1e4 + 50) // 100`) because a half-cent boundary row
+    (….595) rounds differently between Spark's shortest-repr HALF_UP
+    and DuckDB's binary-double round — observed live on customer 249
+    at sf0.01."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = li.filter(F.col("l_returnflag") == "R")
+    joined = (
+        cust.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    units = (F.sum(_disc_revenue()) * 100).cast("long")  # 1e-4 dollars, exact
+    cents = F.floor((units + 50) / 100)  # half-up; < 2^53 so the double is exact
+    return (
+        joined.groupBy(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+            "n_name",
+        )
+        .agg((cents.cast("double") / 100).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_late_lines",
+    oracle="""
+SELECT EXTRACT(year FROM l.l_shipdate) AS ship_year,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+)
+def q_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped late-shipment split: lines shipped more than
+    60 days after ordering, counted by ship year and split into
+    high/low priority via two conditional counts over ONE joined
+    stream (the Q12 pattern — never two filtered scans unioned).  The
+    lateness predicate rides the join output where both dates are in
+    scope."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.withColumn("ship_year", F.year("l_shipdate").cast("long"))
+        .groupBy("ship_year")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_promo_effect",
+    oracle="""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                        AS DECIMAL(18,0))
+             ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                         AS DECIMAL(18,0))) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def q_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo effect: percentage of one month's
+    revenue from PROMO-type parts.  Numerator and denominator are one
+    conditional-aggregate pass over the month's lineitem⋈part stream
+    (part broadcasts); exact decimal sums, one floating ratio at the
+    end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    joined = month.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    vol = _disc_revenue()
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(
+            F.lit(0).cast("decimal(28,0)")
+        )
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / F.sum(vol).cast("double"), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q_top_supplier",
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(100 - CAST(round(l_discount * 100) AS BIGINT)
+                      AS DECIMAL(18,0))) AS total
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       ROUND(CAST(r.total AS DOUBLE) / 100, 2) AS total_revenue
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE r.total = (SELECT MAX(total) FROM rev)
+""",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) with maximum
+    quarterly revenue.  The revenue view computes ONCE (cached via
+    localCheckpoint would be overkill — Catalyst reuses the exchange
+    under AQE); the scalar max joins back as a 1-row broadcast
+    cross-filter rather than a global sort, so ties surface exactly
+    and nothing orders the full supplier set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_revenue()).alias("total"))
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total"] == mx["mx"])
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total").cast("double") / 100, 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle="""
+WITH pstats AS (
+    SELECT l_partkey AS pk,
+           SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1
+)
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN pstats p ON p.pk = l.l_partkey
+JOIN part pt  ON pt.p_partkey = l.l_partkey
+WHERE pt.p_brand = 'Brand#4'
+  AND 2 * CAST(round(l.l_quantity) AS BIGINT) * p.cnt < p.sum_qty
+""",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: lines of one brand
+    whose quantity is below half the part's average order quantity.
+    The correlated AVG subquery decorrelates into one per-part
+    aggregate joined back on partkey — and the fractional-average
+    comparison `qty < 0.5·avg` is algebraically cleared to the exact
+    integer form `2·qty·cnt < sum` so no floating average can flip a
+    boundary row between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    pstats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    joined = (
+        li.join(pstats, F.col("pk") == F.col("l_partkey"))
+        .join(brand, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.lit(2) * qty * F.col("cnt") < F.col("sum_qty"))
+    )
+    return joined.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+@register(
+    "q_waiting_suppliers",
+    oracle="""
+WITH late AS (
+    SELECT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1, 2
+),
+order_stats AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY 1
+),
+late_stats AS (
+    SELECT l_orderkey, COUNT(*) AS n_late, MIN(l_suppkey) AS only_late
+    FROM late GROUP BY 1
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late_stats ls
+JOIN order_stats os ON os.l_orderkey = ls.l_orderkey
+JOIN supplier s ON s.s_suppkey = ls.only_late
+WHERE os.n_supps >= 2 AND ls.n_late = 1
+GROUP BY 1
+""",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped waiting suppliers: per supplier, how many
+    multi-supplier orders were held up by THAT supplier alone (its
+    line shipped >90 days late while every co-supplier shipped on
+    time).  The exists/not-exists pair decorrelates into two
+    map-side-combinable per-order aggregates (distinct-supplier count;
+    late-supplier count + identity) — no correlated re-scan of
+    lineitem per order, which is what kills naive Q21 plans at
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps")
+    )
+    late_stats = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late"), F.min("l_suppkey").alias("only_late")
+    )
+    culprit = (
+        late_stats.join(order_stats, "l_orderkey")
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late") == 1))
+        .join(supp, F.col("s_suppkey") == F.col("only_late"))
+    )
+    return culprit.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "q_sales_opportunity",
+    oracle="""
+WITH pos AS (
+    SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+           COUNT(*) AS cnt
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100, 2) AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+CROSS JOIN pos
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.cnt > pos.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+""",
+)
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped sales opportunity: customers with
+    above-average positive balance and NO orders, counted per nation.
+    The global average arrives as a 1-row broadcast (sum_cents, cnt)
+    and the comparison clears the division (`cents·cnt > sum_cents`)
+    for engine-exact boundaries; the no-orders test is a LEFT ANTI
+    join, never a collected NOT IN."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("cnt")
+    )
+    rich = (
+        cust.withColumn("cents", cents)
+        .join(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("cnt") > F.col("sum_cents"))
+    )
+    no_orders = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return (
+        no_orders.join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("totacctbal"),
+        )
+    )
