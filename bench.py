@@ -184,6 +184,12 @@ BENCH_QUERIES = [
     "q_small_qty_revenue",
     "q_waiting_suppliers",
     "q_sales_opportunity",
+    # data-selection / sketch / diversity / community tier
+    "q_dsir_weights",
+    "q_spend_trend",
+    "q_topk_sketch",
+    "q_mmr_select",
+    "q_label_prop",
 ]
 
 

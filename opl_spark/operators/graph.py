@@ -133,3 +133,44 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.,
+    arXiv:0709.2938) for community detection: every node starts as its
+    own label; each round it adopts the most frequent label among its
+    neighbours, smallest label on ties.  A FIXED round count replaces
+    the paper's random asynchronous order — same answer on every
+    engine, every partitioning, every run, which is what lets a SQL
+    oracle unroll the identical rounds.
+
+    Expects a symmetric edge list.  Per round the plan is one
+    edge⋈label hash join + one (node, label) count + one struct-max
+    per node — all shuffling on the node key, so a bucketed edge list
+    co-locates every round (same shape as :func:`pagerank`).  Label
+    state is node-sized and never collected; ties resolve via
+    ``max(struct(count, -label))`` instead of a ranking window, so no
+    per-node sort materializes.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    labels = e.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        counts = (
+            e.join(labels, e["s"] == labels["node"])
+            .groupBy(F.col("d").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("b")
+            )
+            .select("node", (-F.col("b.nl")).alias("label"))
+        )
+    return labels

@@ -214,3 +214,93 @@ def temperature_mix(
         )
         .drop("__g", "__n", "__n_max", "__copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: importance resampling toward a target distribution
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance log-weights (arXiv:2302.03169): score every
+    document by how much more likely its hashed-token profile is under
+    a TARGET slice of the corpus than under the raw corpus — the
+    selection signal behind "pick web text that looks like Wikipedia".
+
+    Features are hashed token buckets (portable md5-prefix hash so a
+    SQL oracle can replay the exact bucketing); both bucket-count
+    profiles (target, raw) are ``buckets``-sized tables.  The add-one
+    smoothed log-ratio per bucket is quantized to INTEGER micronats,
+    so each document's score is an exact integer sum — no
+    order-dependent float accumulation across engines — and floats
+    only appear at the final ``/1e6`` emission.
+
+    Scale shape: one token-explode pass; the per-bucket lambda table
+    broadcasts (≤ a few KiB); per-doc aggregation is map-side
+    combinable.  The two corpus totals cross the driver as scalars
+    (metadata-sized).  Resampling itself is then a deterministic gate
+    on the emitted weight (e.g. ``percentile_filter`` or
+    ``hash_gate``), kept out of this operator so callers choose the
+    budget.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        target.alias("__t"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        ),
+    )
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.filter(F.col("__t"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw_total = int(raw.agg(F.sum("cr")).first()[0])
+    tgt_total = int(tgt.agg(F.sum("ct")).first()[0] or 0)
+    lam = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / F.lit(float(tgt_total + buckets))
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / F.lit(float(raw_total + buckets))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(lam), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lam_micro").alias("__s"),
+        )
+    )
+    return per_doc.select(
+        "doc",
+        "n_tokens",
+        (F.col("__s").cast("double") / 1e6).alias("log_weight"),
+    )

@@ -916,3 +916,90 @@ def pca_project(
     return out.select(
         id_col, *[F.col("__p")[i].alias(f"pc{i+1}") for i in range(k)]
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR: diversity-aware selection from a similarity shortlist
+# ---------------------------------------------------------------------------
+
+
+def mmr_select(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    pick ``k`` results that balance query relevance against redundancy
+    with the already-picked set —
+
+        argmax_d  λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s)
+
+    — the standard answer to "my top-10 nearest neighbours are ten
+    copies of the same document".
+
+    Scale shape: the DISTRIBUTED stage is the shortlist — brute-force
+    (or IVF) cosine top-``shortlist`` via TakeOrderedAndProject, which
+    bounds everything after it.  The greedy loop is inherently
+    sequential in k and runs on the collected shortlist
+    (shortlist·dim floats — metadata-sized like the IVF centroids),
+    as one numpy gram-matrix computation + k argmax passes.  Ties
+    break on min id; emits ``(id, sim, mmr_score, pick)`` in pick
+    order.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(
+            topk_scored(df, vec_col, id_col, query, shortlist).select("id"),
+            "id",
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r["id"])
+    ids = [r["id"] for r in rows]
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        raise ValueError("mmr_select: query has zero norm — cosine undefined")
+    qsim = unit @ (q / qn)
+    gram = unit @ unit.T
+    picked: list[int] = []
+    out = []
+    remaining = set(range(len(ids)))
+    for pick in range(1, min(k, len(ids)) + 1):
+        best_i, best_score = None, None
+        for i in sorted(remaining):
+            red = max((gram[i, j] for j in picked), default=0.0)
+            score = lam * qsim[i] - (1 - lam) * red
+            if best_score is None or score > best_score + 1e-12:
+                best_i, best_score = i, score
+        picked.append(best_i)
+        remaining.discard(best_i)
+        out.append(
+            (ids[best_i], round(float(qsim[best_i]), 6), round(float(best_score), 6), pick)
+        )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("sim", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+            StructField("pick", LongType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)

@@ -213,3 +213,86 @@ def hll_table_estimate(spark, sketch_path: str) -> int:
     return int(
         df.select(F.hll_sketch_estimate("sk").alias("est")).first()["est"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Space-saving top-k (Metwally et al., "Efficient computation of
+# frequent and top-k elements in data streams", ICDT 2005)
+# ---------------------------------------------------------------------------
+
+
+def space_saving_topk(
+    df: DataFrame, col: str, k: int = 20, counters: int = 200
+) -> DataFrame:
+    """Approximate top-k frequent values with FIXED memory: each
+    partition runs a ``counters``-slot space-saving summary (the
+    classic stream heavy-hitter structure — full counts for tracked
+    items, evict-min with inherited count for new ones), then the
+    per-partition summaries merge WITHOUT revisiting the data.
+
+    The merge keeps the overcount-only guarantee: a partition's
+    summary bounds any UNTRACKED item's local count by the summary's
+    minimum counter (its eviction threshold), so
+
+        ub(item) = Σ_present (count_p − thr_p) + Σ_all thr_p
+
+    needs only the summary rows plus one scalar (the threshold total)
+    — never a candidate × partition expansion.  ``estimate ≥ true``
+    always, and the absolute error is ≤ N/counters, so with
+    ``counters`` a few multiples of ``k`` the true heavy hitters
+    cannot be displaced.  Summary size is partitions·counters rows —
+    sketch-sized, independent of distinct-key cardinality, which is
+    the whole point at 100 TB (an exact groupBy count would shuffle
+    every distinct key).
+
+    Emits the k rows with the largest upper bound, ``(value, est)``,
+    min-value tiebreak for determinism.  Within-partition results
+    depend on arrival order (inherent to space-saving); re-runs over
+    the same files are stable.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    out_schema = "part_id long, value string, cnt long, thr long"
+
+    def summarize(iterator):
+        slots: dict[str, int] = {}
+        n_seen = 0
+        for pdf in iterator:
+            for v in pdf[col].astype(str):
+                n_seen += 1
+                if v in slots:
+                    slots[v] += 1
+                elif len(slots) < counters:
+                    slots[v] = 1
+                else:
+                    mn_key = min(slots, key=lambda s: (slots[s], s))
+                    mn = slots.pop(mn_key)
+                    slots[v] = mn + 1
+        if not slots:
+            return
+        thr = min(slots.values()) if len(slots) >= counters else 0
+        yield pd.DataFrame(
+            {
+                "part_id": TaskContext.get().partitionId(),
+                "value": list(slots.keys()),
+                "cnt": list(slots.values()),
+                "thr": thr,
+            }
+        )
+
+    summaries = (
+        df.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(summarize, schema=out_schema)
+        .localCheckpoint(eager=True)  # summaries are partition-order state; pin them
+    )
+    thr_total = int(
+        summaries.select("part_id", "thr").distinct().agg(F.sum("thr")).first()[0]
+        or 0
+    )
+    ub = (
+        summaries.groupBy("value")
+        .agg(F.sum(F.col("cnt") - F.col("thr")).alias("delta"))
+        .select("value", (F.col("delta") + F.lit(thr_total)).alias("est"))
+    )
+    return ub.orderBy(F.desc("est"), F.asc("value")).limit(k)

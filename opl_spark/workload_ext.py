@@ -6325,3 +6325,203 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents").cast("double") / 100, 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_dsir_weights",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS doc, (lang = 'en') AS t,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 256 AS bucket
+    FROM (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    )
+),
+raw AS (SELECT bucket, COUNT(*) AS cr FROM toks GROUP BY 1),
+tgt AS (SELECT bucket, COUNT(*) AS ct FROM toks WHERE t GROUP BY 1),
+tots AS (
+    SELECT (SELECT SUM(cr) FROM raw) AS rt,
+           (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt
+),
+lam AS (
+    SELECT r.bucket,
+           CAST(round((ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                          / CAST(tt + 256 AS DOUBLE))
+                       - ln(CAST(r.cr + 1 AS DOUBLE)
+                            / CAST(rt + 256 AS DOUBLE))) * 1e6) AS BIGINT)
+               AS lam_micro
+    FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tots
+)
+SELECT doc, COUNT(*) AS n_tokens,
+       CAST(SUM(lam_micro) AS DOUBLE) / 1e6 AS log_weight
+FROM toks JOIN lam USING (bucket)
+GROUP BY doc
+""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights toward the English slice
+    (arXiv:2302.03169): hashed-token bucket profiles, add-one smoothed
+    log-ratio per bucket quantized to integer micronats, exact integer
+    per-doc sums.  The md5-prefix bucket hash is engine-portable, so
+    the oracle replays the identical bucketing."""
+    from opl_spark.operators.sampling import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, "text", "doc_id", F.col("lang") == "en")
+
+
+@register(
+    "q_spend_trend",
+    oracle="""
+WITH monthly AS (
+    SELECT n.n_name AS nation,
+           (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+             + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
+           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+)
+SELECT nation, COUNT(*) AS n_months,
+       ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+             / 100, 4) AS slope_per_month
+FROM monthly
+GROUP BY 1
+""",
+)
+def q_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation spend trend: ordinary-least-squares slope of monthly
+    order revenue over the month index, in currency units per month.
+    Every regression moment (n, Σx, Σy, Σxy, Σx²) is an exact integer
+    — x is a month ordinal, y is revenue in cents — so the group-wise
+    OLS needs no float accumulation: the two-level aggregation
+    (month roll-up, then moment roll-up) is map-side combinable twice,
+    and the single division happens per nation at emission.  The
+    standard slope identity `(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` avoids
+    a centered second pass entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    return monthly.groupBy("nation").agg(
+        n.alias("n_months"),
+        F.round(num.cast("double") / den.cast("double") / 100, 4).alias(
+            "slope_per_month"
+        ),
+    )
+
+
+@register("q_topk_sketch")
+def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-saving top-20 tokens with 200 fixed counters per
+    partition (Metwally et al., ICDT 2005): sketch-sized state, merge
+    by summary rows + one threshold scalar, estimate ≥ true always.
+    Rows-only: within-partition estimates depend on arrival order
+    (inherent to space-saving); the overcount bound and top-item
+    recovery are pinned by tests/test_operators.py."""
+    from opl_spark.operators.sketch import space_saving_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return space_saving_topk(toks, "tok", k=20, counters=200)
+
+
+@register("q_mmr_select")
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity-aware top-10 for the vec_id-0 probe (λ=0.7 over a
+    50-deep shortlist): relevance minus max-redundancy greedy pick.
+    Rows-only: the greedy argmax chain is not SQL-expressible; the
+    subset/first-pick/diversity properties are pinned by
+    tests/test_operators.py."""
+    from opl_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir), k=10, shortlist=50
+    )
+
+
+@register(
+    "q_label_prop",
+    oracle="""
+WITH raw AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+e AS (
+    SELECT src, dst FROM raw
+    UNION
+    SELECT dst AS src, src AS dst FROM raw
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+l1 AS (
+    SELECT dst AS node, label FROM (
+        SELECT e.dst, l.label,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM e JOIN l0 l ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ) WHERE rn = 1
+),
+l2 AS (
+    SELECT dst AS node, label FROM (
+        SELECT e.dst, l.label,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM e JOIN l1 l ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ) WHERE rn = 1
+),
+l3 AS (
+    SELECT dst AS node, label FROM (
+        SELECT e.dst, l.label,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM e JOIN l2 l ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ) WHERE rn = 1
+)
+SELECT node, label FROM l3
+""",
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-round deterministic label propagation over the
+    customer↔supplier trade graph (most-frequent neighbour label,
+    min-label ties, synchronous rounds).  Integer labels end to end,
+    so the oracle unrolls the identical three rounds as CTEs — the
+    same portability trick as q_pagerank."""
+    from opl_spark.operators.graph import label_propagation
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = raw.union(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    return label_propagation(edges, rounds=3)

@@ -363,3 +363,77 @@ def test_hll_rollup_tracks_exact_distinct(spark, sf_dir):
         .collect()
     }
     assert got == direct
+
+
+def test_space_saving_topk_guarantees(spark):
+    """Crafted Zipf-ish stream with far more distinct keys than
+    counters, forcing evictions: every reported estimate must be an
+    upper bound on the true count, the overcount must respect the
+    N/counters envelope, and the true heavy hitters must all be
+    recovered (the space-saving displacement guarantee)."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.sketch import space_saving_topk
+
+    # 10 heavy keys (600..1500 copies) + 3000 singleton-ish tail keys
+    rows = []
+    for i in range(10):
+        rows += [f"hot{i}"] * (600 + 100 * i)
+    for j in range(3000):
+        rows += [f"tail{j}"] * (1 + j % 2)
+    df = spark.createDataFrame([(v,) for v in rows], "value string").repartition(8)
+    est = {
+        r["value"]: r["est"]
+        for r in space_saving_topk(df, "value", k=10, counters=100).collect()
+    }
+    true = {
+        r["value"]: r["c"]
+        for r in df.groupBy("value").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_total = sum(true.values())
+    assert len(est) == 10
+    for v, e in est.items():
+        assert e >= true[v], (v, e, true[v])
+        assert e - true[v] <= n_total / 100 * 8, (v, e, true[v])  # per-part envelope
+    for i in range(10):
+        assert f"hot{i}" in est, f"hot{i} displaced"
+
+
+def test_mmr_select_properties(spark, sf_dir):
+    """MMR contract: (1) picks form a subset of the relevance
+    shortlist; (2) the first pick IS the relevance top-1; (3) the MMR
+    set is no more internally redundant than the plain top-k set
+    (diversity is the operator's reason to exist); (4) deterministic
+    across invocations."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.similarity import mmr_select, topk_scored
+    from opl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = mmr_select(emb, "embedding", "vec_id", q, k=10, shortlist=50).collect()
+    short = [r["id"] for r in topk_scored(emb, "embedding", "vec_id", q, 50).collect()]
+    picks = [r["id"] for r in sorted(got, key=lambda r: r["pick"])]
+    assert set(picks) <= set(short)
+    assert picks[0] == short[0]
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin([int(i) for i in set(short)])).collect()
+    }
+
+    def avg_pairwise(ids):
+        u = [vecs[i] / np.linalg.norm(vecs[i]) for i in ids]
+        sims = [float(a @ b) for x, a in enumerate(u) for b in u[x + 1:]]
+        return sum(sims) / len(sims)
+
+    assert avg_pairwise(picks) <= avg_pairwise(short[:10]) + 1e-9
+    again = [
+        r["id"]
+        for r in sorted(
+            mmr_select(emb, "embedding", "vec_id", q, k=10, shortlist=50).collect(),
+            key=lambda r: r["pick"],
+        )
+    ]
+    assert again == picks
