@@ -203,3 +203,90 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def topk_stream(
+    df: DataFrame, col: str, k: int = 10, counters: int = 200
+) -> DataFrame:
+    """Streaming heavy hitters: a space-saving summary (Metwally et
+    al., ICDT 2005) maintained across microbatches, emitting the
+    current top-``k`` ``(seq, rank, value, est)`` after every batch.
+
+    State is the fixed ``counters``-slot summary — bounded no matter
+    how many distinct values the stream ever carries, which is the
+    reason to sketch instead of `groupBy().count()` (whose state grows
+    with the keyspace).  Each microbatch is pre-reduced to
+    ``(value, weight)`` pairs inside the closure (pandas
+    ``value_counts`` — the map-side combine), then folded into the
+    summary with the weighted space-saving update: tracked values add
+    their weight, new values evict the minimum counter and inherit it.
+    ``est ≥ true`` for every tracked value, error ≤ N/counters —
+    the same guarantee as the batch operator
+    (``operators.sketch.space_saving_topk``), so stream and batch
+    answers agree wherever cardinality ≤ counters.
+
+    The single state group is a deliberate funnel: a summary is
+    GLOBAL state (like the count-min grid), and what crosses the
+    shuffle per batch is the batch's value-count table, not its rows.
+    ``seq`` increments per batch so consumers (and tests) can select
+    the newest emission.
+    """
+    import pandas as pd  # noqa: F401 — closure dependency, imported early
+
+    out_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("rank", T.LongType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("est", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("vals", T.ArrayType(T.StringType())),
+            T.StructField("cnts", T.ArrayType(T.LongType())),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            vals, cnts, seq = state.get
+            slots = dict(zip(list(vals), list(cnts)))
+        else:
+            slots, seq = {}, 0
+        for pdf in pdfs:
+            for v, w in pdf[col].astype(str).value_counts().sort_index().items():
+                w = int(w)
+                if v in slots:
+                    slots[v] += w
+                elif len(slots) < counters:
+                    slots[v] = w
+                else:
+                    mn_key = min(slots, key=lambda s: (slots[s], s))
+                    mn = slots.pop(mn_key)
+                    slots[v] = mn + w
+        seq += 1
+        state.update((list(slots.keys()), [int(c) for c in slots.values()], seq))
+        top = sorted(slots.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "seq": seq,
+                "rank": range(1, len(top) + 1),
+                "value": [v for v, _ in top],
+                "est": [int(c) for _, c in top],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(col).cast("string").alias(col))
+        .withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
