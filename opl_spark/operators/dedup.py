@@ -1099,3 +1099,136 @@ def sentence_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup maintenance: a persisted LSH signature store
+# ---------------------------------------------------------------------------
+
+#: Partition fan-out for the signature store's bucket dimension.  Each
+#: (band, bucket_shard) pair is one parquet partition; a probe touches
+#: only the partitions its own band keys hash into.
+STORE_BUCKET_SHARDS = 8
+
+
+def _banded_sigs(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc, sig, band, band_key, bucket_shard) — one row per band."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.select("doc", "sig", F.explode(band_structs).alias("bk"))
+        .select(
+            "doc",
+            "sig",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+            F.pmod(F.col("bk.band_key"), F.lit(STORE_BUCKET_SHARDS)).alias(
+                "bucket_shard"
+            ),
+        )
+    )
+
+
+def build_signature_store(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_path: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> None:
+    """Materialize the corpus's banded MinHash signatures as the
+    persistent NEAR-dup index: parquet partitioned by
+    ``(band, bucket_shard)`` so an incremental probe reads only the
+    partitions its own band keys land in — the near-dup analogue of
+    the exact-dedup hash ledger (``incremental_dedup``) and the IVF
+    cell store (``build_ivf_index``).
+
+    Store size is bands × corpus rows of (doc, band_key, sig) — the
+    signature matrix, NOT the text; at 100 TB of text the store is
+    ~3 orders smaller and is the only thing history ever re-reads.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, bands * rows_per_band)
+    _banded_sigs(sigs, bands, rows_per_band).write.partitionBy(
+        "band", "bucket_shard"
+    ).mode("overwrite").parquet(store_path)
+
+
+def near_dedup_incremental(
+    spark,
+    store_path: str,
+    new_batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    append: bool = True,
+) -> DataFrame:
+    """Probe a new ingest batch against the persisted signature store:
+    emits ``(doc, dup_of, sim)`` for every new document whose MinHash
+    similarity to some stored document reaches ``threshold`` (sim =
+    fraction of agreeing minhashes, the unbiased Jaccard estimate).
+
+    Scale shape: the batch's banded keys join the store on
+    ``(band, bucket_shard, band_key)`` — the partition columns lead,
+    so only the batch's own (band, shard) partitions are scanned
+    (batch-sized × bands partitions, never the whole store), and
+    bucket membership bounds the candidate fan-out exactly as in
+    :func:`minhash_lsh_candidates`.  Signature agreement is one
+    ``zip_with`` over the two 64-long arrays — no text ever re-reads.
+    New signatures append to the store afterwards (same partitioning),
+    so the index stays current without rebuilds.
+
+    Returns the duplicate report; the caller anti-joins it to admit
+    only novel documents (mirroring ``incremental_dedup``).
+    """
+    n_hashes = bands * rows_per_band
+    sigs = minhash_signatures(new_batch, text_col, id_col, n_hashes)
+    banded = _banded_sigs(sigs, bands, rows_per_band).localCheckpoint(eager=True)
+    store = spark.read.parquet(store_path).select(
+        F.col("doc").alias("old_doc"),
+        F.col("sig").alias("old_sig"),
+        "band",
+        "band_key",
+        "bucket_shard",
+    )
+    cand = (
+        banded.join(store, ["band", "bucket_shard", "band_key"])
+        .select("doc", "old_doc", "sig", "old_sig")
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with("sig", "old_sig", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        cand.withColumn("sim", F.round(agree.cast("double") / n_hashes, 6))
+        .filter(F.col("sim") >= threshold)
+        .groupBy("doc")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("old_doc")).alias("no"))).alias("b")
+        )
+        .select("doc", (-F.col("b.no")).alias("dup_of"), F.col("b.sim").alias("sim"))
+    )
+    dups = dups.localCheckpoint(eager=True)  # pin before the store mutates
+    if append:
+        banded.write.partitionBy("band", "bucket_shard").mode("append").parquet(
+            store_path
+        )
+    return dups

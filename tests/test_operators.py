@@ -437,3 +437,51 @@ def test_mmr_select_properties(spark, sf_dir):
         )
     ]
     assert again == picks
+
+
+def test_near_dedup_incremental_store(spark, sf_dir, tmp_path):
+    """Incremental near-dup: a persisted banded-signature store built
+    once, then probed by a new ingest batch.  Verbatim copies must
+    report sim 1.0 against their stored original, lightly edited
+    copies must clear the threshold, novel text must pass, and the
+    probe must append the batch's signatures so a SECOND probe of the
+    same batch self-detects (the index stays current)."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.dedup import (
+        build_signature_store,
+        near_dedup_incremental,
+    )
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "sig_store")
+    build_signature_store(docs, "text", "doc_id", store)
+
+    base = {r["doc_id"]: r["text"] for r in docs.orderBy("doc_id").limit(3).collect()}
+    ids = sorted(base)
+    edited = base[ids[1]]
+    words = edited.split()
+    words[len(words) // 2] = "xqzzy"
+    batch = spark.createDataFrame(
+        [
+            (900001, base[ids[0]]),                  # verbatim copy
+            (900002, " ".join(words)),               # one-word edit
+            (900003, "totally novel zebra " * 30),   # fresh text
+        ],
+        "doc_id long, text string",
+    )
+    dups = near_dedup_incremental(
+        spark, store, batch, "text", "doc_id", threshold=0.5
+    ).collect()
+    got = {r["doc"]: (r["dup_of"], r["sim"]) for r in dups}
+    assert got[900001] == (ids[0], 1.0)
+    assert 900002 in got and got[900002][0] == ids[1] and got[900002][1] >= 0.5
+    assert 900003 not in got
+    # second probe: the appended signatures make the batch self-visible
+    redup = near_dedup_incremental(
+        spark, store, batch, "text", "doc_id", threshold=0.5, append=False
+    ).collect()
+    re_got = {r["doc"]: r for r in redup}
+    assert set(re_got) == {900001, 900002, 900003}
+    assert re_got[900003]["dup_of"] == 900003 and re_got[900003]["sim"] == 1.0
