@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "q_topk_sketch",
     "q_mmr_select",
     "q_label_prop",
+    "q_seasonal_naive",
 ]
 
 

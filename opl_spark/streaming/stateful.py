@@ -290,3 +290,25 @@ def topk_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def dedup_within_watermark_stream(
+    events: DataFrame, key_cols: list[str], ts_col: str = "ts", delay: str = "1 hour"
+) -> DataFrame:
+    """Bounded-state streaming dedup: suppress repeats of a key seen
+    within the watermark horizon, via Spark's built-in
+    ``dropDuplicatesWithinWatermark`` — the production complement to
+    :func:`first_seen_stream`.
+
+    The trade-off between the two IS the operator choice:
+    ``first_seen_stream`` guarantees exactly-once per key forever but
+    its state grows with the keyspace (unbounded on an infinite
+    stream); this one's state is bounded by the watermark window —
+    keys older than ``delay`` are forgotten, so a key recurring after
+    the horizon is emitted again.  For ingest pipelines where
+    duplicates arrive in bursts (retried producers, replayed
+    partitions), bounded state is the 100 TB-safe default.
+    """
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

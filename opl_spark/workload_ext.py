@@ -5793,11 +5793,25 @@ def _disc_revenue():
     return F.col("l_extendedprice").cast("decimal(18,2)") * scaled
 
 
+def _cents_half_up(sum_expr):
+    """Round a 1e-4-dollar decimal SUM to 2 decimals in INTEGER space:
+    ``floor((units + 50) / 100) / 100`` — half-up, exact, identical in
+    every engine.  `ROUND(CAST(x AS DOUBLE)/100, 2)` is NOT: a
+    half-cent boundary sum (….595) rounds up under Spark's
+    shortest-repr HALF_UP but down under DuckDB's binary-double round;
+    customer 249 (sf0.01) and NATION_21/1997 (sf0.001) both hit it
+    live.  Works for negative sums too — both engines floor toward
+    −∞ on the same integers."""
+    units = (sum_expr * 100).cast("long")  # 1e-4 dollars, exact
+    return F.floor((units + 50) / 100).cast("double") / 100
+
+
 @register(
     "q_volume_shipping",
     oracle=f"""
 SELECT supp_nation, cust_nation, l_year,
-       ROUND(CAST(SUM(vol) AS DOUBLE) / 100, 2) AS revenue
+       CAST((CAST(SUM(vol) * 100 AS BIGINT) + 50) // 100 AS DOUBLE) / 100
+           AS revenue
 FROM (
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(year FROM l_shipdate) AS l_year,
@@ -5852,7 +5866,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum(_disc_revenue()).cast("double") / 100, 2).alias("revenue"))
+        .agg(_cents_half_up(F.sum(_disc_revenue())).alias("revenue"))
     )
 
 
@@ -5927,7 +5941,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_product_profit",
     oracle="""
 SELECT nation, o_year,
-       ROUND(CAST(SUM(amount) AS DOUBLE) / 100, 2) AS sum_profit
+       CAST((CAST(SUM(amount) * 100 AS BIGINT) + 50) // 100 AS DOUBLE) / 100
+           AS sum_profit
 FROM (
     SELECT n.n_name AS nation,
            EXTRACT(year FROM o.o_orderdate) AS o_year,
@@ -5976,7 +5991,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
         .withColumn("amount", _disc_revenue() - cost)
         .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
-        .agg(F.round(F.sum("amount").cast("double") / 100, 2).alias("sum_profit"))
+        .agg(_cents_half_up(F.sum("amount")).alias("sum_profit"))
     )
 
 
@@ -6136,7 +6151,8 @@ WITH rev AS (
     GROUP BY 1
 )
 SELECT s.s_suppkey, s.s_name,
-       ROUND(CAST(r.total AS DOUBLE) / 100, 2) AS total_revenue
+       CAST((CAST(r.total * 100 AS BIGINT) + 50) // 100 AS DOUBLE) / 100
+           AS total_revenue
 FROM rev r
 JOIN supplier s ON s.s_suppkey = r.supplier_no
 WHERE r.total = (SELECT MAX(total) FROM rev)
@@ -6166,7 +6182,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total").cast("double") / 100, 2).alias("total_revenue"),
+            _cents_half_up(F.col("total")).alias("total_revenue"),
         )
     )
 
@@ -6180,8 +6196,8 @@ WITH pstats AS (
            COUNT(*) AS cnt
     FROM lineitem GROUP BY 1
 )
-SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             / 7.0, 2) AS avg_yearly
+SELECT CAST((2 * CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) + 7) // 14 AS DOUBLE) / 100 AS avg_yearly
 FROM lineitem l
 JOIN pstats p ON p.pk = l.l_partkey
 JOIN part pt  ON pt.p_partkey = l.l_partkey
@@ -6209,12 +6225,11 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(brand, F.col("p_partkey") == F.col("l_partkey"))
         .filter(F.lit(2) * qty * F.col("cnt") < F.col("sum_qty"))
     )
+    cents = (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100).cast(
+        "long"
+    )
     return joined.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-            / 7.0,
-            2,
-        ).alias("avg_yearly")
+        (F.floor((2 * cents + 7) / 14).cast("double") / 100).alias("avg_yearly")
     )
 
 
@@ -6525,3 +6540,59 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=False)
     return label_propagation(edges, rounds=3)
+
+
+@register(
+    "q_seasonal_naive",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1
+),
+marked AS (
+    SELECT d, n, dayofweek(d) AS dow,
+           ((EXTRACT(day FROM d) - 1) // 7) + 1 AS wk
+    FROM daily
+    WHERE d >= DATE '2024-01-01' AND d < DATE '2024-01-29'
+),
+hist AS (
+    SELECT dow, SUM(n) AS sum3 FROM marked WHERE wk <= 3 GROUP BY 1
+),
+actual AS (
+    SELECT dow, d, n FROM marked WHERE wk = 4
+)
+SELECT a.d AS day, a.n AS actual, h.sum3 AS forecast_x3,
+       ABS(3 * a.n - h.sum3) AS abs_err_x3
+FROM actual a JOIN hist h ON h.dow = a.dow
+""",
+)
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict week 4's daily event
+    volume from the mean of the same weekday over weeks 1–3, reporting
+    per-day absolute error.  The ÷3 mean never happens — forecasts and
+    errors stay ×3-scaled integers (`|3·actual − Σ3|`), so the entire
+    backtest is exact across engines.  Two map-side-combinable
+    aggregations (daily roll-up, weekday roll-up) and one 7-row
+    broadcast join; the pattern extends to any horizon/periodicity by
+    swapping the week arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(
+            (F.col("d") >= F.lit("2024-01-01").cast("date"))
+            & (F.col("d") < F.lit("2024-01-29").cast("date"))
+        )
+        .withColumn("dow", F.dayofweek("d"))
+        .withColumn("wk", ((F.dayofmonth("d") - 1) / 7).cast("long") + 1)
+    )
+    hist = daily.filter(F.col("wk") <= 3).groupBy("dow").agg(
+        F.sum("n").alias("sum3")
+    )
+    actual = daily.filter(F.col("wk") == 4)
+    return actual.join(F.broadcast(hist), "dow").select(
+        F.col("d").alias("day"),
+        F.col("n").alias("actual"),
+        F.col("sum3").alias("forecast_x3"),
+        F.abs(3 * F.col("n") - F.col("sum3")).alias("abs_err_x3"),
+    )

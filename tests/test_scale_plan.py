@@ -266,6 +266,30 @@ def test_star_join_broadcasts_all_dimensions(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan3, plan3
 
 
+def test_tpch_block2_plan_shapes(spark, sf_dir):
+    """Physical-strategy pins for the second TPC-H block: bilateral
+    trade (Q7) and product profit (Q9) broadcast every dimension side
+    so only orders⋈lineitem shuffles; the returns report (Q10) plans
+    its top-20 as TakeOrderedAndProject; the LIKE filter in Q9 prunes
+    the part dimension BEFORE its broadcast exchange (the predicate
+    must sit under the exchange, not above the join)."""
+    from opl_spark import workload
+    from opl_spark.plans import formatted_plan
+
+    qs = workload.queries()
+    p7 = formatted_plan(qs["q_volume_shipping"](spark, sf_dir))
+    assert p7.count("BroadcastHashJoin") >= 3, p7
+    p9 = formatted_plan(qs["q_product_profit"](spark, sf_dir))
+    assert p9.count("BroadcastHashJoin") >= 3, p9
+    # LIKE predicate below the exchange: the filter appears in a scan/
+    # filter node that feeds a BroadcastExchange, not post-join
+    assert "widget" in p9 and p9.index("widget") < p9.index("BroadcastExchange") or (
+        "Contains(p_name" in p9
+    ), p9
+    p10 = formatted_plan(qs["q_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p10, p10
+
+
 def test_weighted_sample_plans_take_ordered(spark, sf_dir):
     """A-ES weighted sampling is a map-only key + top-k: the plan must
     be TakeOrderedAndProject over the scan with no Exchange before the

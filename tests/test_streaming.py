@@ -572,3 +572,34 @@ def test_interval_join_left_outer_stream_stream(spark, sf_dir, tmp_path):
     must_emit = {key(r) for r in outer_nulls if r["click_ts"] < horizon}
     assert must_emit, "test data gives the watermark nothing to evict"
     assert must_emit <= set(map(key, got_nulls))
+
+
+def test_dedup_within_watermark_bounds_state_not_correctness(spark, sf_dir):
+    """Within-watermark dedup drained over the bounded events table
+    must emit at most one row per (user, event_type) key — with the
+    whole table inside one microbatch nothing outlives the horizon, so
+    the result equals exact distinct-key count (the bounded-state
+    operator degrades to exact dedup when the stream fits the
+    window)."""
+    from opl_spark.streaming.stateful import dedup_within_watermark_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    out = dedup_within_watermark_stream(
+        stream, ["user_id", "event_type"], "ts", "40 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, event_type FROM t_wm_dedup")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert got.count() == exact.count()
+    assert got.distinct().count() == got.count()
