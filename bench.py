@@ -191,6 +191,11 @@ BENCH_QUERIES = [
     "q_mmr_select",
     "q_label_prop",
     "q_seasonal_naive",
+    # TPC-H completion (Q6/Q11/Q19/Q20 shapes)
+    "q_forecast_revenue",
+    "q_important_stock",
+    "q_discounted_revenue",
+    "q_dominant_suppliers",
 ]
 
 

@@ -6596,3 +6596,236 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum3").alias("forecast_x3"),
         F.abs(3 * F.col("n") - F.col("sum3")).alias("abs_err_x3"),
     )
+
+
+# ===========================================================================
+# TPC-H completion block: the last four classic shapes (Q6/Q11/Q19/Q20)
+# ===========================================================================
+
+
+@register(
+    "q_forecast_revenue",
+    oracle="""
+SELECT ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 1000000, 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 4
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change: the canonical
+    full-scan conditional aggregate (one year, a discount band, a
+    quantity cap; zero joins).  Every predicate reaches the parquet
+    scan as a pushed filter and the plan is a single
+    whole-stage-codegen pass with map-side partial sums.  Money stays
+    exact: price cents x discount hundredths accumulate as integers
+    (1e-6 currency units) and the /1e6 + round(2) happens once on the
+    one-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & disc_h.between(2, 4)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(cents * disc_h).cast("double") / 1000000, 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_important_stock",
+    oracle="""
+WITH natsupp AS (
+    SELECT s_suppkey FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7'
+),
+val AS (
+    SELECT l.l_partkey,
+           SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS value_cents
+    FROM lineitem l JOIN natsupp ns ON ns.s_suppkey = l.l_suppkey
+    GROUP BY 1
+),
+tot AS (SELECT SUM(value_cents) AS total_cents FROM val)
+SELECT v.l_partkey AS partkey,
+       ROUND(CAST(v.value_cents AS DOUBLE) / 100, 2) AS value
+FROM val v CROSS JOIN tot
+WHERE v.value_cents * 1000 > tot.total_cents
+""",
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock: per-part inventory value held
+    by one nation's suppliers, keeping parts above a fraction (0.1%) of
+    the nation total.  (No partsupp table in this star schema, so
+    lineitem volume stands in for stock value — the shape is
+    identical.)  The nation's supplier keys BROADCAST into the
+    lineitem scan; the global total arrives back as a 1-row broadcast
+    and the HAVING-style fraction test clears the division
+    (`value*1000 > total`) so threshold boundaries are engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    natsupp = (
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        ).select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(natsupp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "value_cents"
+            )
+        )
+    )
+    tot = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value_cents").cast("double") / 100, 2).alias("value"),
+        )
+    )
+
+
+@register(
+    "q_discounted_revenue",
+    oracle="""
+SELECT ROUND(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             AS DOUBLE) / 10000, 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped discounted revenue: a three-arm disjunctive
+    predicate spanning part attributes and line quantity.  The part
+    dimension is pre-filtered to the union of the three brand/size
+    windows BEFORE it broadcasts (Catalyst can't split an OR across
+    the join by itself, so the query hands it the per-side
+    disjunction), then the joined stream applies the exact arm
+    pairing.  Revenue = cents x (100 - discount hundredths) summed as
+    integers; one divide + round on the single-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    part_side = part.filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 15))
+    )
+    li_side = li.filter(F.col("l_quantity").between(1, 30))
+    arms = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li_side.join(
+            F.broadcast(part_side), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter(arms)
+        .agg(
+            F.round(F.sum(cents * disc).cast("double") / 10000, 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_dominant_suppliers",
+    oracle="""
+WITH flagged AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+shipped AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           SUM(CAST(round(l.l_quantity) AS BIGINT)) AS qty
+    FROM lineitem l
+    JOIN flagged f ON f.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+),
+part_tot AS (
+    SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1
+)
+SELECT s.s_name, COUNT(*) AS n_dominated
+FROM shipped sh
+JOIN part_tot pt ON pt.l_partkey = sh.l_partkey
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+WHERE 2 * sh.qty > pt.total_qty
+GROUP BY 1
+""",
+)
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped supplier qualification: suppliers that shipped
+    MORE THAN HALF of a flagged part family's 1996 volume, counted per
+    supplier.  (partsupp availqty doesn't exist in this schema; the
+    'excess share' test against the part's own total preserves Q20's
+    nested aggregate-vs-aggregate semi-join shape.)  The LIKE-pruned
+    part keys broadcast into the lineitem scan; per-(part,supplier)
+    and per-part totals are two map-side-combinable aggs over the SAME
+    shuffled stream (the second is a re-reduce of the first); the
+    half test is integer cross-multiplied (`2*qty > total`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    flagged = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(flagged), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
+    )
+    part_tot = shipped.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty")
+    )
+    return (
+        shipped.join(part_tot, "l_partkey")
+        .filter(2 * F.col("qty") > F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated"))
+    )
