@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "q_important_stock",
     "q_discounted_revenue",
     "q_dominant_suppliers",
+    "q_hybrid_search",
 ]
 
 

@@ -1003,3 +1003,70 @@ def mmr_select(
         ]
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (lexical + dense, reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    text_col: str,
+    doc_id_col: str,
+    vec_col: str,
+    vec_id_col: str,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical shortlist + dense cosine
+    shortlist fused by reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009).  RRF contributions are the INTEGER quotients
+    ``1e9 // (k0 + rank)`` — engine-exact fusion scores with no float
+    on the comparison path, so ordering and ties (broken by doc id)
+    can never drift between engines.
+
+    Scale shape: each leg is the already-scale-audited distributed
+    operator (only query-term postings shuffle for BM25; one
+    map-side-combinable TakeOrdered pass for cosine); fusion touches
+    only the two ``shortlist``-sized lists — metadata, like the MMR
+    gram matrix.  Docs outside a leg's shortlist simply lack that
+    leg's contribution (standard top-k RRF).
+
+    Emits ``(doc, rrf_x, lex_rank, dense_rank)`` — ranks NULL when the
+    doc missed that shortlist — ordered by (rrf_x desc, doc), top k.
+    Assumes the embedding table's ids are the document ids (the
+    testdata's doc_id == vec_id alignment)."""
+    from opl_spark.operators.text import bm25_search
+
+    lex_rows = bm25_search(
+        docs, text_col, doc_id_col, query_terms, k=shortlist
+    ).collect()
+    dense_rows = topk_scored(
+        emb, vec_col, vec_id_col, query_vec, shortlist
+    ).collect()
+    lex_rank = {r["doc"]: i + 1 for i, r in enumerate(lex_rows)}
+    dense_rank = {r["id"]: i + 1 for i, r in enumerate(dense_rows)}
+    fused = []
+    for doc in set(lex_rank) | set(dense_rank):
+        lr, dr = lex_rank.get(doc), dense_rank.get(doc)
+        rrf = (1_000_000_000 // (k0 + lr) if lr else 0) + (
+            1_000_000_000 // (k0 + dr) if dr else 0
+        )
+        fused.append((doc, rrf, lr, dr))
+    fused.sort(key=lambda t: (-t[1], t[0]))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc", docs.schema[doc_id_col].dataType),
+            StructField("rrf_x", LongType()),
+            StructField("lex_rank", LongType(), nullable=True),
+            StructField("dense_rank", LongType(), nullable=True),
+        ]
+    )
+    return docs.sparkSession.createDataFrame(fused[:k], schema)

@@ -6829,3 +6829,95 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_dominated"))
     )
+
+
+@register(
+    "q_hybrid_search",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents
+),
+tok AS (SELECT doc, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc, COUNT(*) AS dl FROM tok GROUP BY 1),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+tf AS (
+    SELECT doc, term, COUNT(*) AS tf FROM tok
+    WHERE term IN ('hash', 'join', 'window') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+bm25 AS (
+    SELECT tf.doc,
+           ROUND(SUM(
+               ln((corpus.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5) + 1.0)
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                  + 0.75 * dl.dl / (CAST(corpus.total_dl AS DOUBLE) / corpus.n_docs)))
+           ), 6) AS score
+    FROM tf
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN dl ON tf.doc = dl.doc
+    CROSS JOIN corpus
+    GROUP BY tf.doc
+    ORDER BY score DESC, tf.doc
+    LIMIT 50
+),
+lex AS (
+    SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS lex_rank
+    FROM bm25
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id AS doc,
+           ROUND(
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+             (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))),
+             6) AS sim
+    FROM embeddings e CROSS JOIN q
+    ORDER BY sim DESC, doc
+    LIMIT 50
+),
+dense AS (
+    SELECT doc, row_number() OVER (ORDER BY sim DESC, doc) AS dense_rank
+    FROM scored
+),
+fused AS (
+    SELECT COALESCE(l.doc, d.doc) AS doc,
+           COALESCE(1000000000 // (60 + l.lex_rank), 0)
+             + COALESCE(1000000000 // (60 + d.dense_rank), 0) AS rrf_x,
+           l.lex_rank, d.dense_rank
+    FROM lex l FULL OUTER JOIN dense d ON l.doc = d.doc
+)
+SELECT doc, rrf_x, lex_rank, dense_rank
+FROM fused
+ORDER BY rrf_x DESC, doc
+LIMIT 10
+""",
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval: BM25 shortlist for {hash, join, window} +
+    dense cosine shortlist for the vec_id-0 probe, fused by
+    reciprocal-rank fusion with ENGINE-EXACT integer contributions
+    ``1e9 // (60 + rank)`` — the standard production pattern (sparse
+    recall + dense recall, rank-level fusion, no score calibration
+    across legs).  Both legs are the existing scale-audited
+    distributed operators; the fusion itself touches only two 50-row
+    shortlists."""
+    from opl_spark.operators.similarity import hybrid_search_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search_rrf(
+        docs,
+        emb,
+        "text",
+        "doc_id",
+        "embedding",
+        "vec_id",
+        ["hash", "join", "window"],
+        _query_vec(spark, sf_dir),
+        k=10,
+        shortlist=50,
+    )

@@ -485,3 +485,44 @@ def test_near_dedup_incremental_store(spark, sf_dir, tmp_path):
     re_got = {r["doc"]: r for r in redup}
     assert set(re_got) == {900001, 900002, 900003}
     assert re_got[900003]["dup_of"] == 900003 and re_got[900003]["sim"] == 1.0
+
+
+def test_hybrid_search_rrf_contract(spark, sf_dir):
+    """RRF contract: (1) every fused doc came from a leg shortlist;
+    (2) a doc in BOTH legs outscores the same ranks taken singly;
+    (3) contributions are the exact integer quotients (spot-checked
+    against the returned ranks); (4) deterministic."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.similarity import hybrid_search_rrf, topk_scored
+    from opl_spark.operators.text import bm25_search
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    terms = ["hash", "join", "window"]
+    got = hybrid_search_rrf(
+        docs, emb, "text", "doc_id", "embedding", "vec_id", terms, q,
+        k=10, shortlist=50,
+    ).collect()
+    lex = [r["doc"] for r in bm25_search(docs, "text", "doc_id", terms, k=50).collect()]
+    dense = [r["id"] for r in topk_scored(emb, "embedding", "vec_id", q, 50).collect()]
+    assert {r["doc"] for r in got} <= set(lex) | set(dense)
+    for r in got:
+        want = 0
+        if r["lex_rank"] is not None:
+            assert lex[r["lex_rank"] - 1] == r["doc"]
+            want += 1_000_000_000 // (60 + r["lex_rank"])
+        if r["dense_rank"] is not None:
+            assert dense[r["dense_rank"] - 1] == r["doc"]
+            want += 1_000_000_000 // (60 + r["dense_rank"])
+        assert r["rrf_x"] == want
+    # fused list is ordered by (rrf_x desc, doc)
+    keys = [(-r["rrf_x"], r["doc"]) for r in got]
+    assert keys == sorted(keys)
+    again = hybrid_search_rrf(
+        docs, emb, "text", "doc_id", "embedding", "vec_id", terms, q,
+        k=10, shortlist=50,
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
