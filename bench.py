@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "q_discounted_revenue",
     "q_dominant_suppliers",
     "q_hybrid_search",
+    "q_containment_pairs",
+    "q_ewma_daily",
 ]
 
 

@@ -1232,3 +1232,63 @@ def near_dedup_incremental(
             store_path
         )
     return dups
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: directed (a → b) with
+    ``|A∩B| / |A| ≥ threshold`` — the quote/subset detector Jaccard
+    misses (a short doc wholly embedded in a long one scores near-zero
+    Jaccard but containment 1.0).  Broder's resemblance-vs-containment
+    distinction (SEQUENCES '97).
+
+    Same inverted-index scale shape as :func:`ngram_jaccard_pairs`
+    (8-byte shingle-hash join keys, optional ``max_doc_freq``
+    stop-shingle cap bounding per-key fan-out), but the co-occurrence
+    join keeps BOTH directions (a ≠ b), since containment is
+    directional.  The threshold test is integer cross-multiplied
+    (``inter · den ≥ |A| · num``) so boundary pairs can't flip across
+    engines; the reported score is round(6) from exact counts.
+
+    Emits ``(id_a, id_b, containment)`` = fraction of A's shingles
+    also in B.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    ).select("doc", F.xxhash64("s").alias("sh"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_doc_freq).select("sh")
+        sh = sh.join(F.broadcast(keep), "sh")
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = df.select(
+            F.col(id_col).alias("doc"),
+            F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
+        )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    return (
+        inter.join(sa, "id_a")
+        .filter(F.col("inter") * threshold_den >= F.col("na") * threshold_num)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter").cast("double") / F.col("na"), 6).alias(
+                "containment"
+            ),
+        )
+    )

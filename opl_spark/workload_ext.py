@@ -6921,3 +6921,96 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         shortlist=50,
     )
+
+
+@register(
+    "q_containment_pairs",
+    oracle=_SHINGLE_CTE.replace(
+        "a.s = b.s AND a.doc < b.doc", "a.s = b.s AND a.doc <> b.doc"
+    )
+    + """
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / sa.n_sh, 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+WHERE i * 5 >= sa.n_sh * 4
+""",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs at ≥0.8 — catches short
+    documents embedded inside longer ones (quotes, boilerplate
+    wrappers, partial crawls) that symmetric Jaccard scores near zero.
+    Same inverted-index join as q_dedup_ngram; the ≥0.8 gate is the
+    exact integer test `5·inter ≥ 4·|A|`."""
+    from opl_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "text", "doc_id", n=3)
+
+
+@register(
+    "q_ewma_daily",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+    FROM events GROUP BY 1, 2
+),
+seq AS (
+    SELECT event_type, d, x,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS t
+    FROM daily
+),
+weighted AS (
+    SELECT event_type, d, x, t,
+           x * (CASE WHEN t = 1 THEN 1 ELSE (CAST(1 AS BIGINT) << (t - 2)) END)
+               AS wx
+    FROM seq
+),
+cum AS (
+    SELECT event_type, d, x, t,
+           SUM(wx) OVER (PARTITION BY event_type ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS scaled
+    FROM weighted
+)
+SELECT event_type, d AS day, x AS n_events, scaled AS ewma_scaled,
+       ROUND(CAST(scaled AS DOUBLE)
+             / CAST(CAST(1 AS BIGINT) << (t - 1) AS DOUBLE), 6) AS ewma
+FROM cum
+""",
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=1/2) of daily event
+    volume per type — the trend-smoothing companion to q_moving_avg.
+    α=1/2 makes every EWMA a dyadic rational, so the recursion runs as
+    ONE cumulative integer sum of shifted weights (`x·2^(t-2)`,
+    `ewma_t = scaled_t / 2^(t-1)`) — engine-exact, no float
+    accumulation, no recursive self-join.  The window runs over the
+    report-sized (type, day) table, partitioned by type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    from pyspark.sql import Window
+
+    w_seq = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.withColumn("t", F.row_number().over(w_seq).cast("long"))
+    wx = F.when(F.col("t") == 1, F.col("x")).otherwise(
+        F.col("x") * F.expr("shiftleft(1L, cast(t - 2 AS INT))")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = seq.withColumn("scaled", F.sum(wx).over(w_cum))
+    return cum.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("x").alias("n_events"),
+        F.col("scaled").alias("ewma_scaled"),
+        F.round(
+            F.col("scaled").cast("double")
+            / F.expr("shiftleft(1L, cast(t - 1 AS INT))").cast("double"),
+            6,
+        ).alias("ewma"),
+    )
