@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "q_hybrid_search",
     "q_containment_pairs",
     "q_ewma_daily",
+    "q_stupid_backoff",
 ]
 
 

@@ -856,3 +856,128 @@ def export_jsonl_manifest(
     with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+def stupid_backoff_score(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Trigram Stupid Backoff language-model scoring (Brants et al.,
+    EMNLP 2007) — the LM smoothing designed FOR distributed count
+    tables: no discount normalization pass, every level is a plain
+    count ratio, so the model IS three groupBy outputs.
+
+        S(w|a,b) = c3(a,b,w)/c2(a,b)         if the trigram was seen
+                 = α · c2(b,w)/c1(b)          else if the bigram was
+                 = α² · (c1(w)+1)/(N+V)       else (Laplace unigram
+                                               floor, OOV-safe)
+
+    ``train`` provides the counts, ``score`` the docs to score —
+    keeping them disjoint is what makes the backoff paths fire (a
+    corpus scored on its own counts always finds its trigrams).
+
+    Scale shape: count tables are n-gram-sized aggregates; the scored
+    token stream joins them on 8-byte xxhash64 keys (three left joins,
+    each combinable); (N, V) cross as a 1-row broadcast.  Per-doc
+    emission is mean log-score over trigram positions, round(6).
+
+    Emits ``(doc, n_trigrams, avg_logscore)``.
+    """
+    from opl_spark.operators.dedup import words_col
+
+    def toks(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("doc"),
+                F.posexplode(words_col(F.col(text_col))).alias("pos", "w"),
+            )
+            .filter(F.col("w") != "")
+        )
+
+    tr = toks(train)
+    c1 = tr.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    corpus = c1.agg(
+        F.sum("c1").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+
+    def with_next(df: DataFrame, n: int) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc").orderBy("pos")
+        out = df
+        for j in range(1, n):
+            out = out.withColumn(f"w{j}", F.lead("w", j).over(w))
+        return out
+
+    tr_seq = with_next(tr, 3)
+    c2 = (
+        tr_seq.filter(F.col("w1").isNotNull())
+        .groupBy(F.col("w").alias("a"), F.col("w1").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c3 = (
+        tr_seq.filter(F.col("w2").isNotNull())
+        .groupBy(
+            F.col("w").alias("a"), F.col("w1").alias("b"), F.col("w2").alias("c")
+        )
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    sc = with_next(toks(score), 3).filter(F.col("w2").isNotNull())
+    j = (
+        sc.select(
+            "doc",
+            F.col("w").alias("a"),
+            F.col("w1").alias("b"),
+            F.col("w2").alias("c"),
+        )
+        .join(
+            c3.withColumnRenamed("c3", "c3_"),
+            ["a", "b", "c"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("a"), F.col("b"), F.col("c2").alias("c2_ab")
+            ),
+            ["a", "b"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("a").alias("b"),
+                F.col("b").alias("c"),
+                F.col("c2").alias("c2_bc"),
+            ),
+            ["b", "c"],
+            "left",
+        )
+        .join(c1.select(F.col("w").alias("b"), F.col("c1").alias("c1_b")), ["b"], "left")
+        .join(c1.select(F.col("w").alias("c"), F.col("c1").alias("c1_c")), ["c"], "left")
+        .crossJoin(F.broadcast(corpus))
+    )
+    s = (
+        F.when(
+            F.col("c3_").isNotNull(),
+            F.col("c3_").cast("double") / F.col("c2_ab"),
+        )
+        .when(
+            F.col("c2_bc").isNotNull(),
+            F.lit(alpha) * F.col("c2_bc").cast("double") / F.col("c1_b"),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * (F.coalesce(F.col("c1_c"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_tokens") + F.col("vocab"))
+        )
+    )
+    return (
+        j.select("doc", F.log(s).alias("ls"))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg("ls"), 6).alias("avg_logscore"),
+        )
+    )

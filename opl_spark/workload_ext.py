@@ -7014,3 +7014,80 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     )
+
+
+@register(
+    "q_stupid_backoff",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+),
+train AS (SELECT * FROM docs WHERE doc_id % 10 <> 0),
+val AS (SELECT * FROM docs WHERE doc_id % 10 = 0),
+c1 AS (
+    SELECT t.w1 AS w, COUNT(*) AS c1 FROM (
+        SELECT unnest(w) AS w1 FROM train
+    ) t GROUP BY 1
+),
+corpus AS (SELECT SUM(c1) AS n_tokens, COUNT(*) AS vocab FROM c1),
+c2 AS (
+    SELECT g.a AS a, g.b AS b, COUNT(*) AS c2 FROM (
+        SELECT unnest(list_transform(
+            range(1, greatest(len(w) - 1, 0) + 1),
+            i -> {'a': w[i], 'b': w[i + 1]})) AS g
+        FROM train
+    ) GROUP BY 1, 2
+),
+c3 AS (
+    SELECT g.a AS a, g.b AS b, g.c AS c, COUNT(*) AS c3 FROM (
+        SELECT unnest(list_transform(
+            range(1, greatest(len(w) - 2, 0) + 1),
+            i -> {'a': w[i], 'b': w[i + 1], 'c': w[i + 2]})) AS g
+        FROM train
+    ) GROUP BY 1, 2, 3
+),
+tri AS (
+    SELECT doc, g.a AS a, g.b AS b, g.c AS c FROM (
+        SELECT doc_id AS doc, unnest(list_transform(
+            range(1, greatest(len(w) - 2, 0) + 1),
+            i -> {'a': w[i], 'b': w[i + 1], 'c': w[i + 2]})) AS g
+        FROM val
+    )
+),
+scored AS (
+    SELECT tri.doc,
+           ln(CASE
+              WHEN c3.c3 IS NOT NULL
+                THEN CAST(c3.c3 AS DOUBLE) / c2ab.c2
+              WHEN c2bc.c2 IS NOT NULL
+                THEN 0.4 * CAST(c2bc.c2 AS DOUBLE) / c1b.c1
+              ELSE 0.4 * 0.4 * (COALESCE(c1c.c1, 0) + 1)
+                   / CAST(corpus.n_tokens + corpus.vocab AS DOUBLE)
+           END) AS ls
+    FROM tri
+    LEFT JOIN c3 ON c3.a = tri.a AND c3.b = tri.b AND c3.c = tri.c
+    LEFT JOIN c2 c2ab ON c2ab.a = tri.a AND c2ab.b = tri.b
+    LEFT JOIN c2 c2bc ON c2bc.a = tri.b AND c2bc.b = tri.c
+    LEFT JOIN c1 c1b ON c1b.w = tri.b
+    LEFT JOIN c1 c1c ON c1c.w = tri.c
+    CROSS JOIN corpus
+)
+SELECT doc, COUNT(*) AS n_trigrams, ROUND(AVG(ls), 6) AS avg_logscore
+FROM scored GROUP BY doc
+""",
+)
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM quality scoring with trigram Stupid Backoff (Brants
+    et al., EMNLP 2007): counts from the 90% train split score the 10%
+    validation split, so the backoff chain (trigram → α·bigram →
+    α²·Laplace-unigram) actually fires — the distributed-count LM
+    built exactly the way the paper built it for MapReduce."""
+    from opl_spark.operators.text import stupid_backoff_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    val = docs.filter(F.col("doc_id") % 10 == 0)
+    return stupid_backoff_score(train, val, "text", "doc_id")

@@ -898,3 +898,38 @@ def test_udf_queries_run_with_driver_outside_repo(sf_dir):
         text=True, timeout=240,
     )
     assert "SELFCONTAINED_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_stupid_backoff_levels(spark):
+    """Hand corpus where each backoff level fires: a seen trigram
+    scores c3/c2; a seen-bigram-only trigram scores 0.4*c2/c1; an
+    unseen-everything trigram hits the Laplace unigram floor."""
+    import math
+
+    from opl_spark.operators.text import stupid_backoff_score
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "b d e")], ["doc_id", "text"]
+    )
+    # train counts: c1: a2 b3 c2 d1 e1 (N=9, V=5)
+    # c3: (a,b,c)=2, (b,c,a)=1, (c,a,b)=1, (b,d,e)=1
+    # c2: (a,b)=2, (b,c)=2, (c,a)=1, (b,d)=1, (d,e)=1
+    val = spark.createDataFrame(
+        [
+            (10, "a b c"),   # seen trigram: 2/2 = 1.0
+            (20, "e b d"),   # (e,b,d) unseen, (b,d) seen: 0.4 * 1/3
+            (30, "z z q"),   # everything unseen, q OOV: 0.16 * 1/14
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc"]: r
+        for r in stupid_backoff_score(train, val, "text", "doc_id").collect()
+    }
+    assert got[10]["n_trigrams"] == 1
+    assert abs(got[10]["avg_logscore"] - round(math.log(1.0), 6)) < 1e-9
+    assert abs(got[20]["avg_logscore"] - round(math.log(0.4 * 1 / 3), 6)) < 1e-9
+    # (z,z,q): c3 miss, (z,q) bigram miss -> 0.4^2 * (c1(q)+1)/(N+V) with q OOV
+    assert abs(
+        got[30]["avg_logscore"] - round(math.log(0.16 * 1 / 14), 6)
+    ) < 1e-9
