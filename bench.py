@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "q_containment_pairs",
     "q_ewma_daily",
     "q_stupid_backoff",
+    "q_random_projection",
 ]
 
 

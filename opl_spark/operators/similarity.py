@@ -1070,3 +1070,62 @@ def hybrid_search_rrf(
         ]
     )
     return docs.sparkSession.createDataFrame(fused[:k], schema)
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    salt: int = 11,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003):
+    project ``in_dim`` → ``out_dim`` with the ±1 matrix derived from
+    the portable multiplicative hash
+    ``(i·2654435761 + j·40503 + i·j·2246822519 + salt) mod 2³² < 2³¹``
+    → ±1 — no stored
+    matrix, no RNG state, identical on any engine.  Output scaled by
+    1/√out_dim so pairwise distances are preserved in expectation.
+
+    Map-only and JVM-side: per row, ``transform`` over the output dims
+    with a ``zip_with``+``aggregate`` inner product per dim — zero
+    shuffles, zero Python.  Emits the exploded ``(id, dim, value)``
+    long form (round(6)) so the check hashes scalar rows, not array
+    reprs.
+    """
+    import math
+
+    vec = F.col(vec_col)
+    scale = 1.0 / math.sqrt(out_dim)
+
+    def sign(i: Column, j: Column) -> Column:
+        # the bilinear i*j term is load-bearing: without it the sign
+        # columns are shifted copies of one Weyl sequence (the matrix
+        # is near-degenerate and distances are NOT preserved — JL
+        # ratio std 1.4 vs the ~sqrt(2/k)=0.35 this form measures)
+        h = (
+            i * F.lit(2654435761)
+            + j * F.lit(40503)
+            + i * j * F.lit(2246822519)
+            + F.lit(salt)
+        ) % F.lit(4294967296)
+        return F.when(h < 2147483648, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def proj(j: Column) -> Column:
+        prods = F.zip_with(
+            vec,
+            F.sequence(F.lit(1), F.lit(in_dim)),
+            lambda v, i: v.cast("double") * sign(i, j),
+        )
+        return F.round(
+            F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x) * F.lit(scale),
+            6,
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), F.lit(out_dim)), proj)
+        ).alias("pos", "value"),
+    ).select("id", (F.col("pos") + 1).alias("dim"), "value")

@@ -7091,3 +7091,30 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 10 != 0)
     val = docs.filter(F.col("doc_id") % 10 == 0)
     return stupid_backoff_score(train, val, "text", "doc_id")
+
+
+@register(
+    "q_random_projection",
+    oracle="""
+SELECT vec_id AS id, CAST(j AS INT) AS dim,
+       ROUND(list_aggregate(
+           list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * (CASE WHEN (i * 2654435761 + j * 40503
+                                  + i * j * 2246822519 + 11)
+                              % 4294967296 < 2147483648
+                       THEN 1.0 ELSE -1.0 END)),
+           'sum') * 0.25, 6) AS value
+FROM embeddings, range(1, 17) t(j)
+""",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign random projection 64 → 16 dims: the dimensionality
+    reducer in front of clustering/ANN when even PQ is too heavy.  The
+    ±1 matrix is derived per (i,j) from the portable multiplicative
+    hash, so there is no stored matrix, no broadcast, no RNG — the
+    whole operator is one map-only JVM expression (zero shuffles)."""
+    from opl_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, "embedding", "vec_id", out_dim=16, in_dim=64)

@@ -933,3 +933,39 @@ def test_stupid_backoff_levels(spark):
     assert abs(
         got[30]["avg_logscore"] - round(math.log(0.16 * 1 / 14), 6)
     ) < 1e-9
+
+
+def test_random_projection_distance_preservation(spark, sf_dir):
+    """JL contract: per-pair squared-distance ratios concentrate
+    around 1 with the ~sqrt(2/k) spread the lemma predicts, and the
+    projection is deterministic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.similarity import random_projection
+    from opl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    rows = random_projection(emb, "embedding", "vec_id", 16, 64).collect()
+    proj = {}
+    for r in rows:
+        proj.setdefault(r["id"], [0.0] * 16)[r["dim"] - 1] = r["value"]
+    ids = sorted(orig)
+    ratios = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d0 = float(np.sum((orig[ids[x]] - orig[ids[y]]) ** 2))
+            d1 = float(
+                np.sum((np.array(proj[ids[x]]) - np.array(proj[ids[y]])) ** 2)
+            )
+            ratios.append(d1 / d0)
+    r = np.array(ratios)
+    # JL at k=16: ratio mean ~1, std ~sqrt(2/16); band test over pairs
+    assert abs(float(r.mean()) - 1.0) < 0.15, r.mean()
+    assert float(((r > 0.3) & (r < 1.7)).mean()) > 0.9, r
+    again = random_projection(emb, "embedding", "vec_id", 16, 64).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
