@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "q_ewma_daily",
     "q_stupid_backoff",
     "q_random_projection",
+    "q_bfs_hops",
+    "q_user_journey",
 ]
 
 

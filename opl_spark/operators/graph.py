@@ -174,3 +174,36 @@ def label_propagation(
             .select("node", (-F.col("b.nl")).alias("label"))
         )
     return labels
+
+
+def bfs_hops(edges: DataFrame, seed, rounds: int = 3) -> DataFrame:
+    """Bounded-depth BFS hop distances from ``seed`` over a directed
+    edge set — ``(node, hop)`` for every node within ``rounds`` hops,
+    hop = length of the shortest path.
+
+    Per round: one frontier⋈edges join + one node-keyed min — the
+    textbook iterative-BFS data shape.  Distance state stays node-
+    sized and in-cluster; lineage is truncated per round with a lazy
+    ``localCheckpoint`` so the k-round plan never nests.  Exact
+    integer hops, so a fixed-round prefix is engine-portable (the
+    oracle unrolls the same rounds as CTEs).
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    dist = (
+        e.select(F.col("src").alias("node"))
+        .filter(F.col("node") == seed)
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+    )
+    for _ in range(rounds):
+        nxt = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.union(nxt)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

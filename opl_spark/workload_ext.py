@@ -7118,3 +7118,102 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return random_projection(emb, "embedding", "vec_id", out_dim=16, in_dim=64)
+
+
+@register(
+    "q_bfs_hops",
+    oracle="""
+WITH raw AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+d0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop),
+d1 AS (
+    SELECT node, MIN(hop) AS hop FROM (
+        SELECT node, hop FROM d0
+        UNION ALL
+        SELECT e.dst, d0.hop + 1 FROM d0 JOIN e ON e.src = d0.node
+    ) GROUP BY 1
+),
+d2 AS (
+    SELECT node, MIN(hop) AS hop FROM (
+        SELECT node, hop FROM d1
+        UNION ALL
+        SELECT e.dst, d1.hop + 1 FROM d1 JOIN e ON e.src = d1.node
+    ) GROUP BY 1
+),
+d3 AS (
+    SELECT node, MIN(hop) AS hop FROM (
+        SELECT node, hop FROM d2
+        UNION ALL
+        SELECT e.dst, d2.hop + 1 FROM d2 JOIN e ON e.src = d2.node
+    ) GROUP BY 1
+)
+SELECT node, hop FROM d3
+""",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS distances from customer 1 over the undirected trade
+    graph (same node keying as q_pagerank).  One frontier⋈edges join
+    + one min per round, node-sized state, integer hops — the
+    fixed-round prefix is oracled via unrolled CTEs like
+    q_pagerank/q_kcore."""
+    from opl_spark.operators.graph import bfs_hops
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = raw.union(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bfs_hops(edges, seed=2, rounds=3)
+
+
+@register(
+    "q_user_journey",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 10
+""",
+)
+def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys (the product-analytics path
+    report): per-user lead windows with the deterministic (ts,
+    event_id) tie order, path-keyed count, TakeOrdered on
+    (n desc, path).  The window partitions by user — no global
+    ranking; path cardinality is event_types³-bounded."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
