@@ -926,36 +926,27 @@ def stupid_backoff_score(
         .agg(F.count(F.lit(1)).alias("c3"))
     )
     sc = with_next(toks(score), 3).filter(F.col("w2").isNotNull())
+    # every count join moves 8-byte xxhash64 keys, not word tuples —
+    # the scored token stream shuffles fixed-width longs five times
+    # instead of variable-width text (collision odds ~|ngrams|²/2⁶⁴)
+    h = lambda *cols: F.xxhash64(F.concat_ws("\x1f", *cols))  # noqa: E731
+    c3k = c3.select(h("a", "b", "c").alias("h3"), F.col("c3").alias("c3_"))
+    c2k = c2.select(h("a", "b").alias("h2"), F.col("c2"))
+    c1k = c1.select(h("w").alias("h1"), F.col("c1"))
     j = (
         sc.select(
             "doc",
-            F.col("w").alias("a"),
-            F.col("w1").alias("b"),
-            F.col("w2").alias("c"),
+            h("w", "w1", "w2").alias("h3"),
+            h("w", "w1").alias("h2_ab"),
+            h("w1", "w2").alias("h2_bc"),
+            h("w1").alias("h1_b"),
+            h("w2").alias("h1_c"),
         )
-        .join(
-            c3.withColumnRenamed("c3", "c3_"),
-            ["a", "b", "c"],
-            "left",
-        )
-        .join(
-            c2.select(
-                F.col("a"), F.col("b"), F.col("c2").alias("c2_ab")
-            ),
-            ["a", "b"],
-            "left",
-        )
-        .join(
-            c2.select(
-                F.col("a").alias("b"),
-                F.col("b").alias("c"),
-                F.col("c2").alias("c2_bc"),
-            ),
-            ["b", "c"],
-            "left",
-        )
-        .join(c1.select(F.col("w").alias("b"), F.col("c1").alias("c1_b")), ["b"], "left")
-        .join(c1.select(F.col("w").alias("c"), F.col("c1").alias("c1_c")), ["c"], "left")
+        .join(c3k, ["h3"], "left")
+        .join(c2k.select(F.col("h2").alias("h2_ab"), F.col("c2").alias("c2_ab")), ["h2_ab"], "left")
+        .join(c2k.select(F.col("h2").alias("h2_bc"), F.col("c2").alias("c2_bc")), ["h2_bc"], "left")
+        .join(c1k.select(F.col("h1").alias("h1_b"), F.col("c1").alias("c1_b")), ["h1_b"], "left")
+        .join(c1k.select(F.col("h1").alias("h1_c"), F.col("c1").alias("c1_c")), ["h1_c"], "left")
         .crossJoin(F.broadcast(corpus))
     )
     s = (

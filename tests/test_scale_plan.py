@@ -229,7 +229,7 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_tfidf", "q_zero_fill", "q_bm25_search", "q_pmi", "q_cube_share",
         "q_negative_pairs", "q_benford", "q_temporal_split",
         "q_class_separation", "q_ab_zstat", "q_basket_rules",
-        "q_sales_opportunity",
+        "q_sales_opportunity", "q_important_stock", "q_stupid_backoff",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
