@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "q_random_projection",
     "q_bfs_hops",
     "q_user_journey",
+    "q_naive_bayes",
 ]
 
 

@@ -972,3 +972,93 @@ def stupid_backoff_score(
             F.round(F.avg("ls"), 6).alias("avg_logscore"),
         )
     )
+
+
+def naive_bayes_scores(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Multinomial Naive Bayes, trained AND applied distributed: the
+    classic bag-of-words classifier whose training is nothing but
+    count aggregation, so the distributed form is exact — no SGD
+    order-dependence, no float model state.
+
+        log P(l | d) ∝ log(D_l / D) + Σ_w tf(w,d) · log((c_{l,w}+1) /
+                                                        (T_l + V))
+
+    ``train`` supplies the counts (class = ``label_col``), ``score``
+    the docs to score.  Emits the full ``(doc, label, logpost)``
+    posterior matrix (round(6)) — argmax is left to the consumer so
+    no float comparison sits on the hash path.
+
+    Scale shape: the model IS three aggregates (class-word counts,
+    class totals + priors, vocab size); scoring joins the per-doc tf
+    stream once against the count table on an 8-byte hash key and
+    fans out only over the label set (a broadcast of |classes| rows).
+    """
+    from opl_spark.operators.dedup import words_col
+
+    def toks(df: DataFrame, *extra) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc"),
+            *[F.col(c) for c in extra],
+            F.explode(words_col(F.col(text_col))).alias("w"),
+        ).filter(F.col("w") != "")
+
+    tr = toks(train, label_col).withColumnRenamed(label_col, "label")
+    cw = tr.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = cw.groupBy("label").agg(F.sum("c").alias("t"))
+    vocab = cw.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    priors = (
+        train.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("d_l"))
+    )
+    d_total = train.agg(F.count(F.lit(1)).alias("d"))
+    classes = (
+        priors.join(F.broadcast(d_total))
+        .join(totals, "label")
+        .join(F.broadcast(vocab))
+        .select(
+            "label",
+            F.log(F.col("d_l").cast("double") / F.col("d")).alias("logprior"),
+            (F.col("t") + F.col("v")).alias("denom"),
+        )
+    )
+    tf = (
+        toks(score)
+        .groupBy("doc", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("hw", F.xxhash64("w"))
+    )
+    cwk = cw.select(
+        "label", F.xxhash64("w").alias("hw"), F.col("c")
+    )
+    scored = (
+        tf.join(F.broadcast(classes.select("label")), how="cross")
+        .join(cwk, ["label", "hw"], "left")
+        .join(F.broadcast(classes), "label")
+        .select(
+            "doc",
+            "label",
+            (
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / F.col("denom")
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        scored.groupBy("doc", "label")
+        .agg(F.sum("term").alias("s"))
+        .join(F.broadcast(classes.select("label", "logprior")), "label")
+        .select(
+            "doc",
+            "label",
+            F.round(F.col("s") + F.col("logprior"), 6).alias("logpost"),
+        )
+    )

@@ -7217,3 +7217,62 @@ def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+@register(
+    "q_naive_bayes",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+),
+train AS (SELECT * FROM docs WHERE doc_id % 10 <> 0),
+val AS (SELECT * FROM docs WHERE doc_id % 10 = 0),
+tr AS (SELECT lang AS label, unnest(w) AS w FROM train),
+cw AS (SELECT label, w, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+totals AS (SELECT label, SUM(c) AS t FROM cw GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM cw),
+priors AS (SELECT lang AS label, COUNT(*) AS d_l FROM train GROUP BY 1),
+d_total AS (SELECT COUNT(*) AS d FROM train),
+classes AS (
+    SELECT p.label,
+           ln(CAST(p.d_l AS DOUBLE) / dt.d) AS logprior,
+           t.t + vocab.v AS denom
+    FROM priors p CROSS JOIN d_total dt
+    JOIN totals t ON t.label = p.label
+    CROSS JOIN vocab
+),
+tf AS (
+    SELECT doc, w, COUNT(*) AS tf FROM (
+        SELECT doc_id AS doc, unnest(w) AS w FROM val
+    ) GROUP BY 1, 2
+),
+scored AS (
+    SELECT tf.doc, cls.label,
+           tf.tf * ln((COALESCE(cw.c, 0) + 1) / CAST(classes.denom AS DOUBLE))
+               AS term
+    FROM tf
+    CROSS JOIN (SELECT label FROM classes) cls
+    LEFT JOIN cw ON cw.label = cls.label AND cw.w = tf.w
+    JOIN classes ON classes.label = cls.label
+)
+SELECT s.doc, s.label, ROUND(SUM(s.term) + ANY_VALUE(c.logprior), 6) AS logpost
+FROM scored s JOIN classes c ON c.label = s.label
+GROUP BY s.doc, s.label
+""",
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained on the 90%
+    split, scoring the held-out 10% — distributed training that is
+    EXACT because the model is three count aggregates (class-word
+    counts, class totals+priors, vocab size).  The full per-(doc,
+    label) log-posterior matrix is emitted (round(6)); no float
+    argmax sits on the comparison path."""
+    from opl_spark.operators.text import naive_bayes_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    val = docs.filter(F.col("doc_id") % 10 == 0)
+    return naive_bayes_scores(train, val, "text", "lang", "doc_id")

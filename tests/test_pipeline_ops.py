@@ -969,3 +969,33 @@ def test_random_projection_distance_preservation(spark, sf_dir):
     assert float(((r > 0.3) & (r < 1.7)).mean()) > 0.9, r
     again = random_projection(emb, "embedding", "vec_id", 16, 64).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_naive_bayes_hand_corpus(spark):
+    """NB math pinned on a hand corpus: priors, Laplace smoothing and
+    the log-posterior sum computed by hand for one val doc."""
+    import math
+
+    from opl_spark.operators.text import naive_bayes_scores
+
+    train = spark.createDataFrame(
+        [
+            (1, "ja ja nein", "de"),
+            (2, "ja gut", "de"),
+            (3, "yes no", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    val = spark.createDataFrame([(10, "ja yes")], ["doc_id", "text"])
+    got = {
+        r["label"]: r["logpost"]
+        for r in naive_bayes_scores(train, val, "text", "lang", "doc_id").collect()
+    }
+    # vocab = {ja, nein, gut, yes, no} -> V=5; de: T=5, en: T=2
+    # de: prior ln(2/3); ja c=3 -> (3+1)/10; yes c=0 -> 1/10
+    want_de = math.log(2 / 3) + math.log(4 / 10) + math.log(1 / 10)
+    # en: prior ln(1/3); ja 0 -> 1/7; yes 1 -> 2/7
+    want_en = math.log(1 / 3) + math.log(1 / 7) + math.log(2 / 7)
+    assert abs(got["de"] - round(want_de, 6)) < 1e-9
+    assert abs(got["en"] - round(want_en, 6)) < 1e-9
+    assert got["de"] > got["en"]  # 'ja' dominates
