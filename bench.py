@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "q_bfs_hops",
     "q_user_journey",
     "q_naive_bayes",
+    "q_pr_curve",
 ]
 
 

@@ -7219,9 +7219,7 @@ def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_naive_bayes",
-    oracle=r"""
+_NB_CTE = r"""
 WITH docs AS (
     SELECT doc_id, lang,
            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
@@ -7257,10 +7255,20 @@ scored AS (
     CROSS JOIN (SELECT label FROM classes) cls
     LEFT JOIN cw ON cw.label = cls.label AND cw.w = tf.w
     JOIN classes ON classes.label = cls.label
+),
+post AS (
+    SELECT s.doc, s.label,
+           ROUND(SUM(s.term) + ANY_VALUE(c.logprior), 6) AS logpost
+    FROM scored s JOIN classes c ON c.label = s.label
+    GROUP BY s.doc, s.label
 )
-SELECT s.doc, s.label, ROUND(SUM(s.term) + ANY_VALUE(c.logprior), 6) AS logpost
-FROM scored s JOIN classes c ON c.label = s.label
-GROUP BY s.doc, s.label
+"""
+
+
+@register(
+    "q_naive_bayes",
+    oracle=_NB_CTE + """
+SELECT doc, label, logpost FROM post
 """,
 )
 def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7276,3 +7284,86 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 10 != 0)
     val = docs.filter(F.col("doc_id") % 10 == 0)
     return naive_bayes_scores(train, val, "text", "lang", "doc_id")
+
+
+@register(
+    "q_pr_curve",
+    oracle=_NB_CTE + """,
+margin AS (
+    SELECT p.doc,
+           MAX(CASE WHEN p.label = 'en' THEN p.logpost END)
+             - MAX(CASE WHEN p.label <> 'en' THEN p.logpost END) AS m,
+           ANY_VALUE(v.lang = 'en') AS pos
+    FROM post p JOIN val v ON v.doc_id = p.doc
+    GROUP BY p.doc
+),
+thr AS (SELECT CAST(t AS BIGINT) AS t FROM unnest([-20, -10, -5, -2, 0, 2, 5, 10, 20]) AS u(t))
+SELECT thr.t AS threshold,
+       COUNT(*) FILTER (m >= thr.t AND pos) AS tp,
+       COUNT(*) FILTER (m >= thr.t AND NOT pos) AS fp,
+       COUNT(*) FILTER (m < thr.t AND pos) AS fn,
+       ROUND(CAST(COUNT(*) FILTER (m >= thr.t AND pos) AS DOUBLE)
+             / NULLIF(COUNT(*) FILTER (m >= thr.t), 0), 6) AS precision,
+       ROUND(CAST(COUNT(*) FILTER (m >= thr.t AND pos) AS DOUBLE)
+             / NULLIF(COUNT(*) FILTER (pos), 0), 6) AS recall
+FROM margin CROSS JOIN thr
+GROUP BY 1
+""",
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall threshold sweep over the held-out Naive Bayes
+    margin (logpost['en'] − best other class) — the eval harness that
+    closes the train → score → evaluate loop.  ONE pass: the
+    doc-sized margin table cross-joins a 9-row threshold list and
+    reduces to per-threshold conditional counts; precision/recall are
+    single divisions of exact integers at emission."""
+    from opl_spark.operators.text import naive_bayes_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    val = docs.filter(F.col("doc_id") % 10 == 0)
+    post = naive_bayes_scores(train, val, "text", "lang", "doc_id")
+    margin = (
+        post.groupBy("doc")
+        .agg(
+            (
+                F.max(F.when(F.col("label") == "en", F.col("logpost")))
+                - F.max(F.when(F.col("label") != "en", F.col("logpost")))
+            ).alias("m")
+        )
+        .join(
+            val.select(
+                F.col("doc_id").alias("doc"), (F.col("lang") == "en").alias("pos")
+            ),
+            "doc",
+        )
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in [-20, -10, -5, -2, 0, 2, 5, 10, 20]], "threshold long"
+    )
+    hit = F.col("m") >= F.col("threshold")
+    return (
+        margin.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(hit & F.col("pos"), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(hit & ~F.col("pos"), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~hit & F.col("pos"), 1).otherwise(0)).alias("fn"),
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            F.round(
+                F.col("tp").cast("double")
+                / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("tp").cast("double")
+                / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)),
+                6,
+            ).alias("recall"),
+        )
+    )
