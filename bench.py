@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "q_user_journey",
     "q_naive_bayes",
     "q_pr_curve",
+    "q_line_dedup",
 ]
 
 

@@ -1062,3 +1062,37 @@ def naive_bayes_scores(
             F.round(F.col("s") + F.col("logprior"), 6).alias("logpost"),
         )
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Within-document repeated-sentence removal (the C4 §2.2
+    *intra*-doc rule; corpus-wide twin: ``sentence_dedup``): keep only
+    the FIRST occurrence of each sentence inside a document
+    (case-insensitive match), rebuild in order.  Navigation chrome and
+    repeated boilerplate inside one page are the target.
+
+    Entirely map-only — one higher-order-function expression per row,
+    zero shuffles, no Python.  Sentence boundary is the same portable
+    ``\\.\\s+`` as sentence_dedup.
+
+    Emits ``(doc, clean_text, n_sents, n_removed)``.
+    """
+    sents = F.split(F.trim(F.col(text_col)), r"\.\s+")
+    lows = F.transform(sents, lambda s: F.lower(F.trim(s)))
+    keep_idx = F.filter(
+        F.sequence(F.lit(0), F.array_size(sents) - 1),
+        lambda i: (F.length(F.get(lows, i)) > 0)
+        & (F.array_position(lows, F.get(lows, i)) == i + 1),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.array_join(
+            F.transform(keep_idx, lambda i: F.get(sents, i)), ". "
+        ).alias("clean_text"),
+        F.array_size(sents).cast("long").alias("n_sents"),
+        (F.array_size(sents) - F.array_size(keep_idx)).cast("long").alias(
+            "n_removed"
+        ),
+    )

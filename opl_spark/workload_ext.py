@@ -7367,3 +7367,41 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "q_line_dedup",
+    oracle=r"""
+WITH s AS (
+    SELECT doc_id AS doc,
+           regexp_split_to_array(trim(text), '\.\s+') AS sents
+    FROM documents
+),
+l AS (
+    SELECT doc, sents,
+           list_transform(sents, x -> lower(trim(x))) AS lows
+    FROM s
+),
+k AS (
+    SELECT doc, sents,
+           list_filter(range(1, len(sents) + 1),
+               i -> length(lows[i]) > 0
+                    AND list_position(lows, lows[i]) = i) AS keep
+    FROM l
+)
+SELECT doc,
+       array_to_string(list_transform(keep, i -> sents[i]), '. ')
+           AS clean_text,
+       CAST(len(sents) AS BIGINT) AS n_sents,
+       CAST(len(sents) - len(keep) AS BIGINT) AS n_removed
+FROM k
+""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-sentence removal (C4's intra-doc
+    rule): first occurrence kept, case-insensitive, order preserved —
+    one map-only HOF expression, zero shuffles."""
+    from opl_spark.operators.text import dedup_lines_within_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_lines_within_doc(docs, "text", "doc_id")

@@ -999,3 +999,20 @@ def test_naive_bayes_hand_corpus(spark):
     assert abs(got["de"] - round(want_de, 6)) < 1e-9
     assert abs(got["en"] - round(want_en, 6)) < 1e-9
     assert got["de"] > got["en"]  # 'ja' dominates
+
+
+def test_line_dedup_within_doc(spark):
+    """Crafted doc: repeated sentence dropped at second occurrence
+    (case-insensitive), order preserved, counts exact."""
+    from opl_spark.operators.text import dedup_lines_within_doc
+
+    df = spark.createDataFrame(
+        [(1, "Buy now. Read more. buy NOW. The end"),
+         (2, "All unique. Sentences here")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc"]: r for r in dedup_lines_within_doc(df, "text", "doc_id").collect()}
+    assert got[1]["clean_text"] == "Buy now. Read more. The end"
+    assert got[1]["n_sents"] == 4 and got[1]["n_removed"] == 1
+    assert got[2]["clean_text"] == "All unique. Sentences here"
+    assert got[2]["n_removed"] == 0
