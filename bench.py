@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "q_naive_bayes",
     "q_pr_curve",
     "q_line_dedup",
+    "q_churn_cohort",
+    "q_dedup_report",
 ]
 
 

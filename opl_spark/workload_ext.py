@@ -7405,3 +7405,109 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_lines_within_doc(docs, "text", "doc_id")
+
+
+@register(
+    "q_churn_cohort",
+    oracle="""
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7) AS BIGINT)
+               AS wk
+    FROM events
+),
+w AS (SELECT DISTINCT wk FROM uw WHERE wk < (SELECT MAX(wk) FROM uw))
+SELECT w.wk,
+       COUNT(*) AS active,
+       COUNT(*) FILTER (nxt.user_id IS NULL) AS churned,
+       ROUND(CAST(COUNT(*) FILTER (nxt.user_id IS NULL) AS DOUBLE)
+             / COUNT(*), 6) AS churn_rate
+FROM w
+JOIN uw cur ON cur.wk = w.wk
+LEFT JOIN uw nxt ON nxt.user_id = cur.user_id AND nxt.wk = w.wk + 1
+GROUP BY 1
+""",
+)
+def q_churn_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: of users active in week w, the fraction with no
+    activity in week w+1 (the last observed week is excluded — its
+    churn is right-censored).  One distinct user-week table, one
+    self LEFT JOIN on (user, wk+1), exact integer counts; the ratio
+    divides once at emission."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / 7
+        ).alias("wk"),
+    ).distinct()
+    max_wk = uw.agg(F.max("wk").alias("mx"))
+    cur = uw.join(F.broadcast(max_wk)).filter(F.col("wk") < F.col("mx"))
+    nxt = uw.select(
+        F.col("user_id"), (F.col("wk") - 1).alias("wk"), F.lit(1).alias("ret")
+    )
+    joined = cur.join(nxt, ["user_id", "wk"], "left")
+    return (
+        joined.groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("active"),
+            F.sum(F.when(F.col("ret").isNull(), 1).otherwise(0)).alias("churned"),
+        )
+        .select(
+            "wk",
+            "active",
+            "churned",
+            F.round(
+                F.col("churned").cast("double") / F.col("active"), 6
+            ).alias("churn_rate"),
+        )
+    )
+
+
+@register(
+    "q_dedup_report",
+    oracle="""
+WITH g AS (SELECT md5(text) AS h, COUNT(*) AS copies,
+                  MIN(n_chars) AS chars FROM documents GROUP BY 1)
+SELECT COUNT(*) AS n_docs,
+       (SELECT COUNT(*) FROM g) AS n_distinct,
+       COUNT(*) - (SELECT COUNT(*) FROM g) AS n_dupes,
+       ROUND(CAST(COUNT(*) - (SELECT COUNT(*) FROM g) AS DOUBLE)
+             / COUNT(*), 6) AS dup_rate,
+       SUM(n_chars) AS total_chars,
+       SUM(n_chars) - (SELECT SUM(chars) FROM g) AS chars_saved
+FROM documents
+""",
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact-dedup report card (docs, distinct texts, dup
+    rate, characters an exact dedup would save) — the before/after
+    summary every curation run logs.  Two combinable aggregates (doc
+    level, distinct-text level via md5 group) merged as single-row
+    broadcasts; no data leaves the cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.count(F.lit(1)).alias("copies"), F.min("n_chars").alias("chars")
+    )
+    doc_tot = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    g_tot = g.agg(
+        F.count(F.lit(1)).alias("n_distinct"), F.sum("chars").alias("kept_chars")
+    )
+    return (
+        doc_tot.join(F.broadcast(g_tot))
+        .select(
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dupes"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            "total_chars",
+            (F.col("total_chars") - F.col("kept_chars")).alias("chars_saved"),
+        )
+    )
