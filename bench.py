@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "q_line_dedup",
     "q_churn_cohort",
     "q_dedup_report",
+    "q_cdc_chunks",
 ]
 
 

@@ -1096,3 +1096,61 @@ def dedup_lines_within_doc(
             "n_removed"
         ),
     )
+
+
+def cdc_chunks(
+    df: DataFrame, text_col: str, id_col: str, mask: int = 15
+) -> DataFrame:
+    """Content-defined chunking over the word stream (the FastCDC /
+    rsync idea at token granularity): a chunk boundary falls AFTER
+    word i when the portable hash of the trailing 3-gram ≡ 0 (mod
+    ``mask``+1).  Insertions/deletions only reshuffle boundaries
+    locally, so shifted copies of a passage still produce identical
+    interior chunks — the property fixed-width shingles lose.
+
+    Entirely map-only (the boundary rule and chunk assembly are one
+    HOF chain per row; expected chunk length = mask+1 words).  Chunk
+    identity is the portable md5-prefix hash, so a SQL oracle replays
+    the exact chunking.
+
+    Emits ``(doc, chunk_idx, chunk_hash, n_words)`` — feed to a
+    groupBy(chunk_hash) for shift-robust near-dup detection.
+    """
+    from opl_spark.operators.dedup import shingle_seq_col, words_col
+
+    words = words_col(F.col(text_col))
+    grams = shingle_seq_col(F.col(text_col), 3)
+    # boundary AFTER position i (1-based, over words) when the 3-gram
+    # ENDING at i hashes to 0 mod (mask+1); the first two positions
+    # have no complete trailing 3-gram
+    ghash = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % (mask + 1),
+    )
+    n = F.array_size(words)
+    bounds = F.filter(
+        F.sequence(F.lit(3), F.greatest(n, F.lit(3))),
+        lambda i: (i <= n) & (F.element_at(ghash, i - 2) == 0),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bounds, lambda b: b + 1))
+    ends = F.concat(bounds, F.array(n))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.when(
+            e >= s, F.concat_ws(" ", F.slice(words, s, e - s + 1))
+        ),
+    )
+    out = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.filter(chunks, lambda c: c.isNotNull())).alias(
+            "idx", "chunk"
+        ),
+    )
+    return out.select(
+        "doc",
+        (F.col("idx") + 1).alias("chunk_idx"),
+        F.substring(F.md5(F.col("chunk")), 1, 16).alias("chunk_hash"),
+        F.array_size(F.split(F.col("chunk"), " ")).cast("long").alias("n_words"),
+    )

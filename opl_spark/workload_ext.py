@@ -7511,3 +7511,64 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_chars") - F.col("kept_chars")).alias("chars_saved"),
         )
     )
+
+
+@register(
+    "q_cdc_chunks",
+    oracle=r"""
+WITH d AS (
+    SELECT doc_id AS doc,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+g AS (
+    SELECT doc, w,
+           list_transform(
+               list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')),
+               s -> CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) % 16)
+               AS gh
+    FROM d
+),
+b AS (
+    SELECT doc, w,
+           list_filter(range(3, greatest(len(w), 3) + 1),
+               i -> i <= len(w) AND gh[i - 2] = 0) AS bounds
+    FROM g
+),
+se AS (
+    SELECT doc, w,
+           [1] || list_transform(bounds, x -> x + 1) AS starts,
+           bounds || [len(w)] AS ends
+    FROM b
+),
+ch AS (
+    SELECT doc, u.s AS s, u.e AS e, u.k AS k FROM (
+        SELECT doc, unnest(list_transform(range(1, len(starts) + 1),
+                   k -> {'k': k, 's': starts[k], 'e': ends[k]})) AS u
+        FROM se
+    )
+),
+kept AS (
+    SELECT ch.doc,
+           row_number() OVER (PARTITION BY ch.doc ORDER BY ch.k) AS chunk_idx,
+           array_to_string(list_slice(se.w, ch.s, ch.e), ' ') AS chunk,
+           CAST(ch.e - ch.s + 1 AS BIGINT) AS n_words
+    FROM ch JOIN se ON se.doc = ch.doc
+    WHERE ch.e >= ch.s
+)
+SELECT doc, CAST(chunk_idx AS INT) AS chunk_idx,
+       substr(md5(chunk), 1, 16) AS chunk_hash, n_words
+FROM kept
+""",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync at word granularity):
+    boundaries where the trailing 3-gram's portable hash ≡ 0 mod 16,
+    so shifted/edited copies keep identical interior chunks — the
+    shift-robust complement to fixed-width shingles.  Map-only HOF
+    chain, zero shuffles."""
+    from opl_spark.operators.text import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, "text", "doc_id", mask=15)
