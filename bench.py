@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "q_churn_cohort",
     "q_dedup_report",
     "q_cdc_chunks",
+    "q_skew_report",
+    "q_vocab_coverage",
 ]
 
 

@@ -7572,3 +7572,142 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunks(docs, "text", "doc_id", mask=15)
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+WITH ks AS (
+    SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+    UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+    UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+per AS (SELECT key_col, k, COUNT(*) AS c FROM ks GROUP BY 1, 2),
+stats AS (
+    SELECT key_col, COUNT(*) AS n_keys, SUM(c) AS total_rows,
+           MAX(c) AS max_rows
+    FROM per GROUP BY 1
+),
+hot AS (
+    SELECT p.key_col, MIN(p.k) AS hottest_key
+    FROM per p JOIN stats s ON s.key_col = p.key_col AND p.c = s.max_rows
+    GROUP BY 1
+)
+SELECT s.key_col, s.n_keys, s.total_rows, s.max_rows, hot.hottest_key,
+       s.max_rows * s.n_keys * 1000 // s.total_rows AS skew_x1000
+FROM stats s JOIN hot ON hot.key_col = s.key_col
+""",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic across the three lineitem join keys —
+    the 'which key needs salting' report run BEFORE choosing a join
+    strategy.  skew_x1000 = max/mean per key in exact integer
+    thousandths; hottest key picked with a deterministic min-id tie.
+    One union-explode + one combinable per-key count; output is
+    3 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        li.select(F.lit(c).alias("key_col"), F.col(c).alias("k"))
+        for c in ["l_orderkey", "l_partkey", "l_suppkey"]
+    ]
+    ks = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    per = ks.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy("key_col").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_rows"),
+    )
+    hottest = (
+        per.join(
+            stats.select("key_col", F.col("max_rows").alias("mx")), "key_col"
+        )
+        .filter(F.col("c") == F.col("mx"))
+        .groupBy("key_col")
+        .agg(F.min("k").alias("hottest_key"))
+    )
+    return (
+        stats.join(hottest, "key_col")
+        .select(
+            "key_col",
+            "n_keys",
+            "total_rows",
+            "max_rows",
+            "hottest_key",
+            (
+                F.col("max_rows") * F.col("n_keys") * 1000
+                / F.col("total_rows")
+            ).cast("long").alias("skew_x1000"),
+        )
+    )
+
+
+@register(
+    "q_vocab_coverage",
+    oracle="""
+WITH toks AS (
+    SELECT t.w FROM (
+        SELECT unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\\s+'),
+            x -> x <> '')) AS w
+        FROM documents
+    ) t
+),
+vc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM vc
+),
+tot AS (SELECT SUM(c) AS total FROM vc)
+SELECT s.n AS vocab_size,
+       SUM(r.c) FILTER (r.rn <= s.n) AS covered,
+       ANY_VALUE(tot.total) AS total_tokens,
+       ROUND(CAST(SUM(r.c) FILTER (r.rn <= s.n) AS DOUBLE)
+             / ANY_VALUE(tot.total), 6) AS coverage
+FROM ranked r
+CROSS JOIN tot
+CROSS JOIN (SELECT CAST(n AS BIGINT) AS n
+            FROM unnest([100, 500, 2000, 10000]) AS u(n)) s
+GROUP BY s.n
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve: what fraction of corpus tokens the top-N
+    vocabulary covers, at four candidate sizes — the
+    vocab-size-selection report every tokenizer build starts from.
+    The ranking window runs over the VOCAB-SIZED count summary (not
+    the token stream); coverage sums are exact integers."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    vc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ranked = vc.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w")))
+        .alias("rn"),
+    )
+    tot = vc.agg(F.sum("c").alias("total"))
+    sizes = docs.sparkSession.createDataFrame(
+        [(100,), (500,), (2000,), (10000,)], "vocab_size long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sizes))
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("vocab_size"), F.col("c"))).alias(
+                "covered"
+            ),
+            F.first("total").alias("total_tokens"),
+        )
+        .select(
+            "vocab_size",
+            "covered",
+            "total_tokens",
+            F.round(
+                F.col("covered").cast("double") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -230,10 +230,14 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_negative_pairs", "q_benford", "q_temporal_split",
         "q_class_separation", "q_ab_zstat", "q_basket_rules",
         "q_sales_opportunity", "q_important_stock", "q_stupid_backoff",
+        # constant-size broadcast sides (label set / threshold list /
+        # vocab-size list / 1-row totals)
+        "q_naive_bayes", "q_pr_curve", "q_churn_cohort", "q_dedup_report",
+        "q_vocab_coverage",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
-    summary_window_ok = {"q_id_gaps"}
+    summary_window_ok = {"q_id_gaps", "q_vocab_coverage"}
     sf = "/root/testdata/sf0.001"
     flagged = {}
     for name, fn in workload.queries().items():
