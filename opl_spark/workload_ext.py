@@ -6955,64 +6955,55 @@ WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
     FROM events GROUP BY 1, 2
 ),
-seq AS (
+win AS (
     SELECT event_type, d, x,
-           CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS t
+           list(x) OVER (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 61 PRECEDING AND CURRENT ROW) AS xs
     FROM daily
-),
-weighted AS (
-    SELECT event_type, d, x, t,
-           x * (CASE WHEN t = 1 THEN 1 ELSE (CAST(1 AS BIGINT) << (t - 2)) END)
-               AS wx
-    FROM seq
-),
-cum AS (
-    SELECT event_type, d, x, t,
-           SUM(wx) OVER (PARTITION BY event_type ORDER BY t
-                         ROWS UNBOUNDED PRECEDING) AS scaled
-    FROM weighted
 )
-SELECT event_type, d AS day, x AS n_events, scaled AS ewma_scaled,
-       ROUND(CAST(scaled AS DOUBLE)
-             / CAST(CAST(1 AS BIGINT) << (t - 1) AS DOUBLE), 6) AS ewma
-FROM cum
+SELECT event_type, d AS day, x AS n_events,
+       CAST(len(xs) AS BIGINT) AS n_window,
+       ROUND(list_reduce(list_transform(xs, v -> CAST(v AS DOUBLE)),
+                         (acc, v) -> (acc + v) / 2), 6) AS ewma
+FROM win
 """,
 )
 def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially weighted moving average (α=1/2) of daily event
-    volume per type — the trend-smoothing companion to q_moving_avg.
-    α=1/2 makes every EWMA a dyadic rational, so the recursion runs as
-    ONE cumulative integer sum of shifted weights (`x·2^(t-2)`,
-    `ewma_t = scaled_t / 2^(t-1)`) — engine-exact, no float
-    accumulation, no recursive self-join.  The window runs over the
-    report-sized (type, day) table, partitioned by type."""
+    """Exponentially weighted moving average (alpha=1/2) of daily
+    event volume per type — the trend-smoothing companion to
+    q_moving_avg.  The recursion `ewma = (ewma + x)/2` runs as a
+    LEFT FOLD over each row's trailing 62-day window list: the /2
+    halvings are exact binary scalings (never round), the adds execute
+    in one fixed oldest-to-newest order on every engine, so the result
+    is bit-identical cross-engine at ANY magnitude — no scaled-integer
+    form to overflow.  62 rows of history ≈ 62 halvings puts older
+    contributions below one double ulp, and bounds the per-row list
+    (the window runs over the report-sized (type, day) table,
+    partitioned by type)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.col("event_type"), F.col("ts").cast("date").alias("d")
     ).agg(F.count(F.lit(1)).alias("x"))
     from pyspark.sql import Window
 
-    w_seq = Window.partitionBy("event_type").orderBy("d")
-    seq = daily.withColumn("t", F.row_number().over(w_seq).cast("long"))
-    wx = F.when(F.col("t") == 1, F.col("x")).otherwise(
-        F.col("x") * F.expr("shiftleft(1L, cast(t - 2 AS INT))")
-    )
-    w_cum = (
+    w62 = (
         Window.partitionBy("event_type")
-        .orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy("d")
+        .rowsBetween(-61, Window.currentRow)
     )
-    cum = seq.withColumn("scaled", F.sum(wx).over(w_cum))
-    return cum.select(
+    win = daily.withColumn("xs", F.collect_list("x").over(w62))
+    m = F.array_size("xs")
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(m - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1).cast("double"),
+        lambda acc, v: (acc + v) / 2,
+    )
+    return win.select(
         "event_type",
         F.col("d").alias("day"),
         F.col("x").alias("n_events"),
-        F.col("scaled").alias("ewma_scaled"),
-        F.round(
-            F.col("scaled").cast("double")
-            / F.expr("shiftleft(1L, cast(t - 1 AS INT))").cast("double"),
-            6,
-        ).alias("ewma"),
+        m.cast("long").alias("n_window"),
+        F.round(ewma, 6).alias("ewma"),
     )
 
 

@@ -310,3 +310,46 @@ def test_scd2_apply_merge_and_idempotence(spark):
     # exactly one current row per key
     cur = merged.filter(F.col("is_current")).groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_ewma_62_step_window_no_overflow(spark):
+    """A 200-step series stays finite and correct: the EWMA matches
+    the full-history float recursion to rounding (62 trailing steps
+    bound the window; older contributions are sub-ulp), with half-UP
+    rounding like both engines."""
+    import datetime
+    import math
+
+    from opl_spark import workload
+
+    qs = workload.queries()
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for day in range(200):
+        for k in range(day % 7 + 1):  # varying daily count
+            rows.append((day * 1000 + k, base + datetime.timedelta(days=day), 7, "a", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        got = sorted(
+            qs["q_ewma_daily"](spark, td).collect(),
+            key=lambda r: r["day"],
+        )
+    assert len(got) == 200
+    # local reference: ewma_1 = x_1; ewma_t = (x_t + ewma_{t-1}) / 2
+    ref = None
+    for i, r in enumerate(got):
+        x = r["n_events"]
+        ref = x if ref is None else (x + ref) / 2
+        # truncated 62-step window: older contributions are sub-ulp,
+        # so the full-history recursion still matches to rounding
+        # (half-UP like both engines, not Python's banker rounding)
+        want = math.floor(ref * 1e6 + 0.5) / 1e6
+        assert abs(r["ewma"] - want) < 1e-9, (i, r["ewma"], want)
+        assert r["n_window"] == min(i + 1, 62)
