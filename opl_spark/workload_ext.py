@@ -6608,7 +6608,7 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
                    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
-             / 1000000, 2) AS revenue,
+             / 10000, 2) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -6623,9 +6623,10 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity cap; zero joins).  Every predicate reaches the parquet
     scan as a pushed filter and the plan is a single
     whole-stage-codegen pass with map-side partial sums.  Money stays
-    exact: price cents x discount hundredths accumulate as integers
-    (1e-6 currency units) and the /1e6 + round(2) happens once on the
-    one-row output."""
+    exact: price cents x discount hundredths accumulate as a decimal
+    sum of exact integers (1e-4 currency units, overflow-free at any
+    scale) and the /1e4 + round(2) happens once on the one-row
+    output."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_h = F.round(F.col("l_discount") * 100).cast("long")
@@ -6637,9 +6638,11 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(cents * disc_h).cast("double") / 1000000, 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum((cents * disc_h).cast("decimal(38,0)")).cast("double")
+                / 10000,
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -6688,9 +6691,11 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(natsupp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
-                "value_cents"
-            )
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).alias("value_cents")
         )
     )
     tot = val.agg(F.sum("value_cents").alias("total_cents"))
@@ -6762,9 +6767,11 @@ def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(arms)
         .agg(
-            F.round(F.sum(cents * disc).cast("double") / 10000, 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum((cents * disc).cast("decimal(38,0)")).cast("double")
+                / 10000,
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
