@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "q_cdc_chunks",
     "q_skew_report",
     "q_vocab_coverage",
+    "q_theta_audience",
+    "q_kll_quantiles",
 ]
 
 

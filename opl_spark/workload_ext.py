@@ -7709,3 +7709,73 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register("q_theta_audience")
+def q_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra with Theta sketches (Apache DataSketches
+    via Spark built-ins): per-day user sketches combined with UNION /
+    INTERSECTION / DIFFERENCE to answer 'active both days', 'new
+    today', 'churned from yesterday' — the set operations HLL cannot
+    do (HLL only unions).  One pass builds the day sketches; every
+    audience question after that is sketch-sized work.  Emits per
+    consecutive-day pair: estimated either-day / both-days / new /
+    churned counts.  Rows-only (sketch binaries aren't
+    SQL-expressible); tests bound the estimates against exact set
+    sizes."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    # consecutive-day pairing via a keyed self-join on day-1 (the day
+    # table is sketch-summary-sized; no global window needed)
+    prev = daily.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("day").alias("prev_day"),
+        F.col("sk").alias("prev_sk"),
+    )
+    paired = daily.join(prev, "day")
+    return paired.select(
+        F.col("prev_day").alias("day_a"),
+        F.col("day").alias("day_b"),
+        F.theta_sketch_estimate(F.theta_union(F.col("prev_sk"), F.col("sk")))
+        .cast("long")
+        .alias("either_day"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("prev_sk"), F.col("sk"))
+        )
+        .cast("long")
+        .alias("both_days"),
+        F.theta_sketch_estimate(F.theta_difference(F.col("sk"), F.col("prev_sk")))
+        .cast("long")
+        .alias("new_users"),
+        F.theta_sketch_estimate(F.theta_difference(F.col("prev_sk"), F.col("sk")))
+        .cast("long")
+        .alias("churned_users"),
+    )
+
+
+@register("q_kll_quantiles")
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL via Spark
+    built-ins): per-day value sketches built once, MERGED upward to
+    weekly p50/p90/p99 without re-touching the event stream — the
+    rollup-able form of percentile_approx, and the 100 TB path where
+    exact per-group sort-based percentiles stop being re-aggregable.
+    Rows-only; tests bound the sketch quantiles against exact ones."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.kll_sketch_agg_double("value").alias("sk"))
+    weekly = daily.groupBy("week").agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return weekly.select(
+        "week",
+        "n_days",
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 6).alias("p99"),
+    )

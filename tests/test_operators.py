@@ -526,3 +526,54 @@ def test_hybrid_search_rrf_contract(spark, sf_dir):
         k=10, shortlist=50,
     ).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_theta_audience_exact_below_k(spark, sf_dir):
+    """Theta sketches are EXACT below their nominal k (4096): at
+    testdata scale every audience estimate must equal the true set
+    algebra computed from the raw user-day table."""
+    from pyspark.sql import functions as F
+
+    from opl_spark import workload
+    from opl_spark.sources import load_table
+
+    got = {
+        (r["day_a"], r["day_b"]): r
+        for r in workload.queries()["q_theta_audience"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    days = {}
+    for r in ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct().collect():
+        days.setdefault(r["d"], set()).add(r["user_id"])
+    assert len(got) == len(days) - 1
+    for (a, b), r in got.items():
+        ua, ub = days[a], days[b]
+        assert r["either_day"] == len(ua | ub), (a, b)
+        assert r["both_days"] == len(ua & ub)
+        assert r["new_users"] == len(ub - ua)
+        assert r["churned_users"] == len(ua - ub)
+
+
+def test_kll_quantiles_within_rank_error(spark, sf_dir):
+    """KLL contract: each sketched quantile must fall between the
+    exact values at rank q±3% (k=200 gives ~1.65% one-sided rank
+    error; 3% is the slack-tested envelope)."""
+    from pyspark.sql import functions as F
+
+    from opl_spark import workload
+    from opl_spark.sources import load_table
+
+    got = {r["week"]: r for r in workload.queries()["q_kll_quantiles"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    weeks = {}
+    for r in ev.select(
+        F.date_trunc("week", "ts").cast("date").alias("w"), "value"
+    ).collect():
+        weeks.setdefault(r["w"], []).append(r["value"])
+    for w, r in got.items():
+        vals = sorted(weeks[w])
+        n = len(vals)
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            lo = vals[max(0, int((q - 0.03) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.03) * n))]
+            assert lo <= r[col] <= hi, (w, col, lo, r[col], hi)
