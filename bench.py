@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "q_vocab_coverage",
     "q_theta_audience",
     "q_kll_quantiles",
+    "q_k_anonymity",
+    "q_doc_keywords",
 ]
 
 

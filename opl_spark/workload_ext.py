@@ -7779,3 +7779,103 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 6).alias("p90"),
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+WITH g AS (
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+    FROM customer GROUP BY 1, 2
+)
+SELECT SUM(sz) AS total_rows,
+       COUNT(*) AS n_groups,
+       COUNT(*) FILTER (sz < 5) AS risk_groups,
+       COALESCE(SUM(sz) FILTER (sz < 5), 0) AS risk_rows,
+       MIN(sz) AS anonymity
+FROM g
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, segment) quasi-identifier
+    pair: how many equivalence classes fall below k=5, how many rows
+    they expose, and the dataset's anonymity level (its smallest
+    class).  The privacy release gate run before sharing 'anonymized'
+    extracts — one combinable group count + a one-row reduce."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return g.agg(
+        F.sum("sz").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0)).alias("risk_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") < 5, F.col("sz"))), F.lit(0)
+        ).alias("risk_rows"),
+        F.min("sz").alias("anonymity"),
+    )
+
+
+@register(
+    "q_doc_keywords",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc, w FROM (
+        SELECT doc_id AS doc, unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> x <> '')) AS w
+        FROM documents
+    )
+),
+tf AS (SELECT doc, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc) AS n_docs FROM tf),
+scored AS (
+    SELECT tf.doc, tf.w,
+           tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s
+    FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+),
+ranked AS (
+    SELECT doc, w, s,
+           row_number() OVER (PARTITION BY doc ORDER BY s DESC, w) AS rnk
+    FROM scored
+)
+SELECT doc, w AS term, ROUND(s, 6) AS score, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+""",
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf within
+    each doc (deterministic (score desc, term) order) — the document
+    tagger beside the corpus-level q_tfidf.  The ranking window
+    partitions by doc over the (doc, term) aggregate; idf joins on
+    the term key; N crosses as a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select("doc").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc",
+            "w",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("s").desc(), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc", F.col("w").alias("term"), F.round("s", 6).alias("score"), "rank")
+    )
