@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "q_kll_quantiles",
     "q_k_anonymity",
     "q_doc_keywords",
+    "q_survival_hazard",
 ]
 
 

@@ -7879,3 +7879,82 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc", F.col("w").alias("term"), F.round("s", 6).alias("score"), "rank")
     )
+
+
+@register(
+    "q_survival_hazard",
+    oracle="""
+WITH bounds AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+life AS (
+    SELECT user_id,
+           CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+               AS lt,
+           MAX(CAST(ts AS DATE)) >= ANY_VALUE(bounds.mx) - 2 AS censored
+    FROM events CROSS JOIN bounds
+    GROUP BY user_id
+),
+per AS (
+    SELECT lt, COUNT(*) AS n_all,
+           COUNT(*) FILTER (NOT censored) AS n_churn
+    FROM life GROUP BY lt
+),
+tt AS (SELECT DISTINCT lt AS t FROM per)
+SELECT tt.t,
+       SUM(p.n_all) AS n_risk,
+       COALESCE(SUM(p.n_churn) FILTER (p.lt = tt.t), 0) AS n_churned,
+       ROUND(CAST(COALESCE(SUM(p.n_churn) FILTER (p.lt = tt.t), 0) AS DOUBLE)
+             / SUM(p.n_all), 6) AS hazard
+FROM tt JOIN per p ON p.lt >= tt.t
+GROUP BY tt.t
+""",
+)
+def q_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier hazard table for user lifetime (days between
+    first and last activity; users active in the final 3 days are
+    right-censored and never count as churn events): per observed
+    lifetime t, the risk set |lifetime ≥ t|, churn events at t, and
+    the discrete hazard d/n — the survival-analysis ingredients,
+    emitted as exact integers + one division.  The risk-set suffix
+    sums run as a ≤days² join over the LIFETIME-SIZED summary table,
+    never over users."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    life = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+            )
+            .cast("long")
+            .alias("lt"),
+            (
+                F.max(F.col("ts").cast("date"))
+                >= F.date_sub(F.first("mx"), 2)
+            ).alias("censored"),
+        )
+    )
+    per = life.groupBy("lt").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("n_churn"),
+    )
+    tt = per.select(F.col("lt").alias("t")).distinct()
+    joined = tt.join(F.broadcast(per), F.col("lt") >= F.col("t"))
+    return (
+        joined.groupBy("t")
+        .agg(
+            F.sum("n_all").alias("n_risk"),
+            F.coalesce(
+                F.sum(F.when(F.col("lt") == F.col("t"), F.col("n_churn"))),
+                F.lit(0),
+            ).alias("n_churned"),
+        )
+        .select(
+            "t",
+            "n_risk",
+            "n_churned",
+            F.round(
+                F.col("n_churned").cast("double") / F.col("n_risk"), 6
+            ).alias("hazard"),
+        )
+    )

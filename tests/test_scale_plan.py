@@ -234,6 +234,10 @@ def test_no_scale_killers_in_any_registered_query(spark):
         # vocab-size list / 1-row totals)
         "q_naive_bayes", "q_pr_curve", "q_churn_cohort", "q_dedup_report",
         "q_vocab_coverage",
+        # lifetime-summary x lifetime-summary non-equi suffix-sum join
+        "q_survival_hazard",
+        # 1-row corpus-size broadcast onto the (doc,term) aggregate
+        "q_doc_keywords",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
