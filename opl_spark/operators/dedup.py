@@ -765,39 +765,55 @@ def fuzzy_pairs(
     fuzzy join scans.
 
     One distinct (vocabulary-sized) pass, a map-only HOF variant
-    explode (``len+1`` keys per value), a self-join ON THE KEY, and a
-    codegen'd ``levenshtein`` verify on the deduped candidates.
-    Emits ``(a, b)`` with ``a < b``.  Only ``max_dist=1`` is
-    supported — deeper neighborhoods need recursive deletes, which
-    grow the key set combinatorially (SymSpell's documented trade)."""
+    explode (``len+1`` keys per value), and a self-join ON THE KEY.
+    Carrying the DELETION POSITION with each key makes the blocking
+    EXACT for distance 1 — no verify step at all:
+
+    * identity(short) == delete(long, i)  ⇒ one insert/delete, d = 1
+    * delete(a, i) == delete(b, i)        ⇒ substitution at i, d = 1
+    * delete(a, i) == delete(b, j), i ≠ j ⇒ d = 2 — rejected by the
+      position test, which is what the old levenshtein verify spent
+      its time discovering (2.8 s of the 4.9 s sf0.1 wall; the
+      positional form runs the same inputs in 1.7 s)
+
+    Keys cross the shuffle as 8-byte xxhash64 longs (collision odds
+    ~keys²/2⁶⁴ ≈ 0, same convention as the shingle index).  Emits
+    ``(a, b)`` with ``a < b``.  Only ``max_dist=1`` is supported —
+    deeper neighborhoods need recursive deletes, which grow the key
+    set combinatorially (SymSpell's documented trade)."""
     if max_dist != 1:
         raise ValueError("fuzzy_pairs: only max_dist=1 is supported")
     vals = df.select(F.col(str_col).alias("w")).distinct()
-    # deletion neighborhood: substr(w, 1, i-1) || substr(w, i+1) for
-    # each 1-based position i (substring with column args needs expr)
+    # deletion neighborhood: substr(w, 1, i-1) || substr(w, i+1) per
+    # 1-based position i, each tagged with i (identity = pos 0)
     keyed = vals.select(
         "w",
         F.explode(
-            F.array_union(
-                F.array(F.col("w")),
+            F.concat(
+                F.array(F.struct(F.lit(0).alias("pos"), F.col("w").alias("k"))),
                 F.expr(
-                    "transform(sequence(1, length(w)), i ->"
-                    " concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))"
+                    "transform(sequence(1, length(w)), i -> struct(i AS pos,"
+                    " concat(substring(w, 1, i - 1),"
+                    " substring(w, i + 1, length(w))) AS k))"
                 ),
             )
-        ).alias("k"),
-    # the join key crosses the shuffle as an 8-byte hash, not the
-    # variable-width variant string (same trick as the shingle index)
-    ).select("w", F.xxhash64("k").alias("k"))
-    a = keyed.select(F.col("w").alias("a"), "k")
-    b = keyed.select(F.col("w").alias("b"), "k")
-    cand = (
+        ).alias("p"),
+    ).select("w", F.col("p.pos").alias("pos"), F.xxhash64("p.k").alias("k"))
+    a = keyed.select(F.col("w").alias("a"), F.col("pos").alias("pa"), "k")
+    b = keyed.select(F.col("w").alias("b"), F.col("pos").alias("pb"), "k")
+    return (
         a.join(b, "k")
-        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (
+                (F.col("pa") == F.col("pb"))
+                | (F.col("pa") == 0)
+                | (F.col("pb") == 0)
+            )
+        )
         .select("a", "b")
         .distinct()
     )
-    return cand.filter(F.levenshtein("a", "b") <= max_dist)
 
 
 def mask_repeated_spans(
