@@ -173,3 +173,45 @@ def partition_profile(df: DataFrame) -> dict:
         "empty_partitions": n - len(counts),
         "skew_ratio": round(max(counts) / mean, 3) if total else 0.0,
     }
+
+
+def cost_report(df: DataFrame) -> dict:
+    """Pre-flight cost preview — the numbers an operator wants BEFORE
+    submitting a plan against 100 TB: how many shuffle exchanges and
+    broadcasts the plan contains, how many scans (and the bytes the
+    optimizer estimates they will read), and how much of the plan runs
+    inside whole-stage codegen.
+
+    All read from public surfaces (EXPLAIN FORMATTED + the optimizer's
+    plan statistics); nothing executes.  Estimated bytes follow the
+    optimizer's sizeInBytes (file-size based for parquet scans) — a
+    planning signal, not an execution measurement.
+    """
+    plan = formatted_plan(df)
+    n_broadcasts = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, flags=re.M))
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    n_scans = len(re.findall(r"^\(\d+\) Scan ", plan, flags=re.M))
+    # codegen spans show as *(N) markers in the SIMPLE explain
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", simple))
+    n_ops = len(re.findall(r"^\(\d+\)", plan, flags=re.M))
+    # estimated bytes READ = sum of leaf-relation sizes (file-size
+    # based for parquet) — the number that predicts cluster scan cost;
+    # the plan-output sizeInBytes is meaningless without CBO stats
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        est_scan = sum(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
+        )
+    except Exception:  # stats surface unavailable (e.g. streaming)
+        est_scan = -1
+    return {
+        "n_shuffles": n_shuffles,
+        "n_broadcasts": n_broadcasts,
+        "n_scans": n_scans,
+        "n_codegen_stages": len(codegen_ids),
+        "n_plan_ops": n_ops,
+        "est_scan_bytes": est_scan,
+        "scale_flags": scale_lint(df, single_row_broadcast_ok=True),
+    }
