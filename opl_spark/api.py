@@ -52,6 +52,8 @@ class OlapApi:
                 return self.catalog.measures(fact)
             if endpoint == "aggregate":
                 return self._aggregate(fact, params)
+            if endpoint == "explain":
+                return self._explain(fact, params)
         raise KeyError(f"unknown route {path!r}")
 
     def _drill_across(self, params: dict[str, str]) -> Any:
@@ -72,6 +74,28 @@ class OlapApi:
             return to_table(df)
         rows = [r.asDict() for r in df.collect()]
         return {"data": rows} if rows else {"message": "empty_dataset"}
+
+    def _explain(self, fact: str, params: dict[str, str]) -> Any:
+        """``/olap/<fact>/explain?cut=&drilldown=&measure=`` — the
+        aggregate request's PRE-FLIGHT cost preview: plan shape counts
+        + estimated scan bytes, nothing executes.  (Engine extension:
+        the reference has no explain surface; this exposes
+        plans.inspect.cost_report over the same request grammar.)"""
+        from opl_spark.plans.inspect import cost_report
+
+        self.catalog.fact(fact)
+        try:
+            df = self.engine.aggregate(
+                fact,
+                cut=params.get("cut"),
+                drilldown=params.get("drilldown"),
+                measure=params.get("measure"),
+                aggregate=params.get("aggregate"),
+                hierarchy=params.get("hierarchy"),
+            )
+        except KeyError as exc:
+            raise ValueError(str(exc)) from exc
+        return cost_report(df)
 
     def _aggregate(self, fact: str, params: dict[str, str]) -> Any:
         self.catalog.fact(fact)  # unknown fact -> KeyError -> 404

@@ -173,3 +173,23 @@ def test_drill_across_over_http(server):
     assert status == 200
     rows = json.loads(body)["data"]
     assert rows and "value_loans2" in rows[0] and "accessions_accessions" in rows[0]
+
+
+def test_explain_over_http(server):
+    """/olap/<fact>/explain returns the pre-flight cost preview for
+    the same request grammar as aggregate — counts present, nothing
+    negative, no scale flags on a core cube query."""
+    status, body = _get(
+        server, "/olap/loans2/explain",
+        {"drilldown": "organization_level", "measure": "value",
+         "cut": "date:2016"},
+    )
+    assert status == 200
+    rep = json.loads(body)
+    for k in ("n_shuffles", "n_scans", "n_plan_ops", "est_scan_bytes"):
+        assert rep[k] >= 0, rep
+    assert rep["n_scans"] >= 1
+    assert rep["scale_flags"] == []
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(server, "/olap/no_such_fact/explain", {"measure": "value"})
+    assert exc.value.code == 404
