@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "q_k_anonymity",
     "q_doc_keywords",
     "q_survival_hazard",
+    "q_acf",
+    "q_theil_sen",
 ]
 
 

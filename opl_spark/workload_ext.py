@@ -7958,3 +7958,149 @@ def q_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hazard"),
         )
     )
+
+
+@register(
+    "q_acf",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+    FROM events GROUP BY 1, 2
+),
+lags AS (SELECT CAST(l AS BIGINT) AS lag FROM unnest([1, 2, 3, 7]) AS u(l)),
+pairs AS (
+    SELECT a.event_type, lags.lag, a.x AS x, b.x AS y
+    FROM daily a
+    CROSS JOIN lags
+    JOIN daily b ON b.event_type = a.event_type
+                AND b.d = a.d + CAST(lags.lag AS INT)
+),
+mom AS (
+    SELECT event_type, lag, COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n,
+       ROUND((n * sxy - sx * sy)
+             / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                    * (n * syy - sy * sy)), 6) AS acf
+FROM mom
+WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+""",
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event volume per type at lags
+    {1,2,3,7} — the seasonality detector behind every forecasting
+    choice (a high lag-7 ACF is what justifies q_seasonal_naive).
+    Exact integer moments via one keyed self-join of the
+    report-sized day table (4× lag fan-out), Pearson assembled with
+    one sqrt/division at emission; degenerate (zero-variance) series
+    drop out exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], "lag long")
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        F.expr("date_add(d, cast(lag AS INT))").alias("d2"),
+        F.col("x"),
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("x").alias("y")
+    )
+    pairs = a.join(b, ["event_type", "d2"])
+    mom = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        mom.filter((vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            "lag",
+            "n",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(vx.cast("double") * vy),
+                6,
+            ).alias("acf"),
+        )
+    )
+
+
+@register(
+    "q_theil_sen",
+    oracle="""
+WITH monthly AS (
+    SELECT n.n_name AS grp,
+           CAST(date_part('year', o.o_orderdate) * 12
+                + date_part('month', o.o_orderdate) AS BIGINT) AS m,
+           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+),
+slopes AS (
+    SELECT a.grp,
+           (b.cents - a.cents) / CAST((b.m - a.m) AS DOUBLE) AS slope
+    FROM monthly a
+    JOIN monthly b ON b.grp = a.grp AND b.m > a.m
+)
+SELECT grp, COUNT(*) AS n_slopes,
+       ROUND(quantile_cont(slope, 0.5) / 100, 6) AS sen_slope
+FROM slopes GROUP BY grp
+""",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per nation: the MEDIAN of all pairwise
+    month-over-month revenue slopes — one gross outlier month cannot
+    move it, unlike the OLS slope of q_spend_trend.  The pair join
+    runs over the GROUP×MONTH summary (months² pairs per group, never
+    order rows); slopes divide exact integer cents by exact month
+    gaps, and the median interpolates identically in both engines
+    (Spark percentile ≡ DuckDB quantile_cont)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("grp"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    a = monthly.select("grp", F.col("m").alias("ma"), F.col("cents").alias("ca"))
+    b = monthly.select("grp", F.col("m").alias("mb"), F.col("cents").alias("cb"))
+    slopes = (
+        a.join(b, "grp")
+        .filter(F.col("mb") > F.col("ma"))
+        .select(
+            "grp",
+            (
+                (F.col("cb") - F.col("ca"))
+                / (F.col("mb") - F.col("ma")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_slopes"),
+        F.round(F.expr("percentile(slope, 0.5)") / 100, 6).alias("sen_slope"),
+    )
