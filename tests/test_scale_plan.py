@@ -238,6 +238,8 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_survival_hazard",
         # 1-row corpus-size broadcast onto the (doc,term) aggregate
         "q_doc_keywords",
+        # 4-row lag-list broadcast onto the day summary
+        "q_acf",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
