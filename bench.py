@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "q_survival_hazard",
     "q_acf",
     "q_theil_sen",
+    "q_rfm_segments",
 ]
 
 

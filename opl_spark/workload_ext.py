@@ -8104,3 +8104,99 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_slopes"),
         F.round(F.expr("percentile(slope, 0.5)") / 100, 6).alias("sen_slope"),
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS r FROM orders),
+per AS (
+    SELECT o.o_custkey AS cust,
+           CAST(ANY_VALUE(ref.r) - MAX(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS rec,
+           COUNT(*) AS freq,
+           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o CROSS JOIN ref
+    GROUP BY 1
+),
+b AS (
+    SELECT quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2,
+           quantile_cont(rec, 0.75) AS r3,
+           quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+           quantile_cont(freq, 0.75) AS f3,
+           quantile_cont(cents, 0.25) AS m1, quantile_cont(cents, 0.5) AS m2,
+           quantile_cont(cents, 0.75) AS m3
+    FROM per
+),
+scored AS (
+    SELECT cust,
+           CASE WHEN rec <= b.r1 THEN 4 WHEN rec <= b.r2 THEN 3
+                WHEN rec <= b.r3 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN freq > b.f3 THEN 4 WHEN freq > b.f2 THEN 3
+                WHEN freq > b.f1 THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN cents > b.m3 THEN 4 WHEN cents > b.m2 THEN 3
+                WHEN cents > b.m1 THEN 2 ELSE 1 END AS m_score,
+           cents
+    FROM per CROSS JOIN b
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       SUM(cents) AS total_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles,
+    4 = best): the classic CRM warehouse report.  Quartile boundaries
+    come from ONE exact interpolated percentile pass over the
+    customer summary and return as a 1-row broadcast — scoring is a
+    map-only CASE chain, never a global NTILE window over customers.
+    Cell counts and exact cents totals per 4×4×4 segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("r"))
+    per = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.datediff(F.first("r"), F.max(F.col("o_orderdate").cast("date")))
+            .cast("long")
+            .alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    b = per.agg(
+        F.expr("percentile(rec, 0.25)").alias("r1"),
+        F.expr("percentile(rec, 0.5)").alias("r2"),
+        F.expr("percentile(rec, 0.75)").alias("r3"),
+        F.expr("percentile(freq, 0.25)").alias("f1"),
+        F.expr("percentile(freq, 0.5)").alias("f2"),
+        F.expr("percentile(freq, 0.75)").alias("f3"),
+        F.expr("percentile(cents, 0.25)").alias("m1"),
+        F.expr("percentile(cents, 0.5)").alias("m2"),
+        F.expr("percentile(cents, 0.75)").alias("m3"),
+    )
+    scored = per.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("rec") <= F.col("r1"), 4)
+        .when(F.col("rec") <= F.col("r2"), 3)
+        .when(F.col("rec") <= F.col("r3"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("freq") > F.col("f3"), 4)
+        .when(F.col("freq") > F.col("f2"), 3)
+        .when(F.col("freq") > F.col("f1"), 2)
+        .otherwise(1)
+        .alias("f_score"),
+        F.when(F.col("cents") > F.col("m3"), 4)
+        .when(F.col("cents") > F.col("m2"), 3)
+        .when(F.col("cents") > F.col("m1"), 2)
+        .otherwise(1)
+        .alias("m_score"),
+        "cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+    )

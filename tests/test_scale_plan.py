@@ -240,6 +240,8 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_doc_keywords",
         # 4-row lag-list broadcast onto the day summary
         "q_acf",
+        # 1-row reference-date + quartile-boundary broadcasts
+        "q_rfm_segments",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
