@@ -169,8 +169,21 @@ class SnapshotEngine:
             .parquet(self._path(fact_table))
         )
 
-    def compact(self, fact_table: str, target_files_per_partition: int = 1) -> None:
-        """Rewrite a fact table's files to bound file count.
+    def compact(
+        self,
+        fact_table: str,
+        target_files_per_partition: int = 1,
+        cluster_by: list[str] | None = None,
+        zorder: bool = False,
+    ) -> None:
+        """Rewrite a fact table's files to bound file count — and,
+        with ``cluster_by``, to CLUSTER rows inside each rewritten
+        file so parquet row-group min/max stats prune point and range
+        reads on those columns (``zorder=True`` interleaves ≥2
+        cluster columns into one Morton key, preserving locality in
+        both dimensions; plain sort otherwise).  Compaction is the
+        natural moment to impose layout: the data is being rewritten
+        anyway, so clustering is free scan-cost insurance.
 
         Daily idempotent appends accumulate one file batch per run per
         partition; over years that is the classic small-files problem
@@ -205,9 +218,22 @@ class SnapshotEngine:
             keys.append(
                 F.pmod(F.xxhash64(*df.columns), F.lit(target_files_per_partition))
             )
-        df.repartition(*keys).write.mode("overwrite").partitionBy(
-            "year", "month"
-        ).parquet(tmp)
+        out = df.repartition(*keys)
+        if cluster_by:
+            if zorder and len(cluster_by) >= 2:
+                from opl_spark.operators.layout import zorder_key
+
+                sort_key = [zorder_key([F.col(c) for c in cluster_by])]
+            else:
+                sort_key = [F.col(c) for c in cluster_by]
+            # the (year, month) prefix satisfies the file writer's
+            # required partition-column ordering — without it the
+            # writer re-sorts by partition columns alone and silently
+            # discards the cluster order
+            out = out.sortWithinPartitions(
+                F.col("year"), F.col("month"), *sort_key
+            )
+        out.write.mode("overwrite").partitionBy("year", "month").parquet(tmp)
         old = path + "__old"
         fs, hpath = self._fs(path)
         _, htmp = self._fs(tmp)

@@ -314,3 +314,30 @@ def test_ingest_new_files_processes_each_drop_once(spark, tmp_path):
     r3 = ingest_new_files(spark, flat, ledger, process, suffix=".parquet")
     assert r3["new"] == r3["listed"] - r1["listed"]
     assert seen[-1] == 5
+
+
+def test_compact_cluster_by_sorts_row_groups(registered, tmp_path):
+    """compact(cluster_by=[k]) must preserve data exactly AND leave
+    each rewritten file internally sorted on k, so parquet row-group
+    min/max stats can prune point reads — checked from the file
+    footers, not the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    q = ("SELECT CAST(l_orderkey AS BIGINT) AS k, l_linenumber AS v "
+         "FROM lineitem WHERE l_orderkey <= 2000")
+    for d in ("1998-06-01", "1998-06-02"):
+        eng.run(d, [FactQuery(1, "f_cluster", q)])
+    rows_before = sorted(map(tuple, eng.fact_frame("f_cluster").collect()))
+
+    eng.compact("f_cluster", cluster_by=["k"])
+    rows_after = sorted(map(tuple, eng.fact_frame("f_cluster").collect()))
+    assert rows_after == rows_before
+    files = glob.glob(str(tmp_path / "f_cluster" / "year=*" / "month=*" / "*.parquet"))
+    assert files
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f
