@@ -337,6 +337,10 @@ class SnapshotEngine:
         cur = self.fact_frame(fact_table)
         keys = df.select(*key_cols).distinct()
         replaced = cur.join(keys, key_cols, "semi").count()
+        # count the incoming batch BEFORE the swap: the patch is often
+        # DERIVED from the target table (read-modify-write), and its
+        # lazy plan re-reads files the swap renames away
+        n_in = df.count()
         kept_df = cur.join(keys, key_cols, "left_anti")
         merged = kept_df.unionByName(df, allowMissingColumns=True)
         path = self._path(fact_table)
@@ -352,7 +356,6 @@ class SnapshotEngine:
             fs.rename(hold, hpath)
             raise IOError(f"upsert: rename {tmp} -> {path} failed")
         fs.delete(hold, True)
-        n_in = df.count()
         return {
             "replaced": replaced,
             "inserted": n_in,

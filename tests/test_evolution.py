@@ -341,3 +341,23 @@ def test_compact_cluster_by_sorts_row_groups(registered, tmp_path):
     for f in files:
         ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
         assert ks == sorted(ks), f
+
+
+def test_upsert_patch_derived_from_target(registered, tmp_path):
+    """Read-modify-write: an upsert whose patch DataFrame lazily
+    derives from the target table itself must not re-read the table's
+    files after the swap (the counts the call returns forced exactly
+    that before the fix)."""
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    q = "SELECT r_regionkey AS k, r_name AS name FROM region"
+    eng.run("1998-06-01", [FactQuery(1, "f_rmw", q)])
+    patch = (
+        eng.fact_frame("f_rmw")
+        .filter(F.col("k") == 0)
+        .withColumn("name", F.upper(F.col("name")))
+    )
+    res = eng.upsert(patch, "f_rmw", ["k"])
+    assert res["replaced"] == 1 and res["inserted"] == 1
+    got = {r["k"]: r["name"] for r in eng.fact_frame("f_rmw").collect()}
+    assert got[0] == got[0].upper()
