@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "q_acf",
     "q_theil_sen",
     "q_rfm_segments",
+    "q_periodic_snapshot",
 ]
 
 

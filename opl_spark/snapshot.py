@@ -580,3 +580,38 @@ def ingest_new_files(
         "append"
     ).parquet(ledger_path)
     return {"listed": len(listed), "new": len(fresh)}
+
+
+def conform_late_dimension(
+    fact: DataFrame, dim: DataFrame, key: str, placeholder: str = "Unknown"
+):
+    """Early-arriving-fact handling (Kimball's 'late-arriving
+    dimension'): fact rows referencing dimension keys the dimension
+    does not know yet get PLACEHOLDER members appended — string
+    attributes become ``placeholder``, everything else null — so the
+    fact loads tonight and the real member upserts over the
+    placeholder when it arrives (SCD1 ``upsert`` on the same key).
+
+    Returns ``(conformed_dim, n_placeholders)``.  One distinct
+    key projection + one LEFT ANTI join against the dimension
+    (broadcast when the dim is small); no fact rewrite, no dropped
+    rows — the alternative, inner-joining facts to the dim, silently
+    loses tonight's business.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql import types as T
+
+    unknown = (
+        fact.select(F.col(key)).distinct().join(dim.select(key), key, "left_anti")
+    )
+    cols = [F.col(key)]
+    for f in dim.schema.fields:
+        if f.name == key:
+            continue
+        if isinstance(f.dataType, T.StringType):
+            cols.append(F.lit(placeholder).cast("string").alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    placeholders = unknown.select(*cols)
+    n = placeholders.count()
+    return dim.unionByName(placeholders.select(dim.columns)), n

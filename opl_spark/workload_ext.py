@@ -8200,3 +8200,55 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@register(
+    "q_periodic_snapshot",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+per AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS day_cents
+    FROM events GROUP BY 1, 2
+),
+users AS (SELECT DISTINCT user_id FROM events),
+spine AS (SELECT u.user_id, days.d FROM users u CROSS JOIN days),
+dense AS (
+    SELECT s.user_id, s.d, COALESCE(p.day_cents, 0) AS day_cents
+    FROM spine s LEFT JOIN per p ON p.user_id = s.user_id AND p.d = s.d
+)
+SELECT user_id, d AS day,
+       SUM(day_cents) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS balance_cents
+FROM dense
+""",
+)
+def q_periodic_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball periodic-snapshot fact: every (user, day) cell carries
+    the user's cumulative value balance through that day — gap days
+    included, so point-in-time balance reads are one equality
+    predicate, no as-of scan.  The user×day densification IS the
+    fact's declared grain; the running sum is a user-partitioned
+    window over exact integer cents."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.col("ts").cast("date").alias("d")).distinct()
+    users = ev.select("user_id").distinct()
+    per = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents"))
+    spine = users.crossJoin(F.broadcast(days))
+    dense = spine.join(per, ["user_id", "d"], "left").select(
+        "user_id", "d", F.coalesce(F.col("day_cents"), F.lit(0)).alias("day_cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "user_id",
+        F.col("d").alias("day"),
+        F.sum("day_cents").over(w).alias("balance_cents"),
+    )

@@ -361,3 +361,25 @@ def test_upsert_patch_derived_from_target(registered, tmp_path):
     assert res["replaced"] == 1 and res["inserted"] == 1
     got = {r["k"]: r["name"] for r in eng.fact_frame("f_rmw").collect()}
     assert got[0] == got[0].upper()
+
+
+def test_conform_late_dimension_placeholders(registered):
+    """Unknown fact keys get placeholder dim members (string attrs =
+    'Unknown', others null); known keys never duplicate; the real
+    member later replaces the placeholder via SCD1 upsert semantics
+    (unionByName column order preserved)."""
+    from opl_spark.snapshot import conform_late_dimension
+
+    spark = registered
+    dim = spark.createDataFrame(
+        [(1, "alpha", 10.0), (2, "beta", 20.0)], ["k", "name", "weight"]
+    )
+    fact = spark.createDataFrame([(1,), (3,), (3,), (4,)], ["k"])
+    conformed, n = conform_late_dimension(fact, dim, "k")
+    assert n == 2
+    rows = {r["k"]: r for r in conformed.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3]["name"] == "Unknown" and rows[3]["weight"] is None
+    assert rows[1]["name"] == "alpha"
+    # fact joins now lose nothing
+    assert fact.join(conformed, "k").count() == fact.count()
