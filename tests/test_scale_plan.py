@@ -242,6 +242,8 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_acf",
         # 1-row reference-date + quartile-boundary broadcasts
         "q_rfm_segments",
+        # day-spine broadcast (calendar-sized) onto the user list
+        "q_periodic_snapshot",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
