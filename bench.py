@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "q_theil_sen",
     "q_rfm_segments",
     "q_periodic_snapshot",
+    "q_seasonality_strength",
 ]
 
 

@@ -8252,3 +8252,78 @@ def q_periodic_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("day"),
         F.sum("day_cents").over(w).alias("balance_cents"),
     )
+
+
+@register(
+    "q_seasonality_strength",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+    FROM events GROUP BY 1, 2
+),
+bydow AS (
+    SELECT event_type, dayofweek(d) AS dow,
+           SUM(x) AS tg, COUNT(*) AS ng
+    FROM daily GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, COUNT(*) AS n, SUM(x) AS t, SUM(x * x) AS s2
+    FROM daily GROUP BY 1
+),
+folded AS (
+    SELECT event_type,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list({'tg': tg, 'ng': ng} ORDER BY dow),
+                                  p -> CAST(p.tg AS DOUBLE) * p.tg / p.ng)),
+               (acc, v) -> acc + v) AS ssb_raw
+    FROM bydow GROUP BY event_type
+)
+SELECT t.event_type,
+       ROUND((f.ssb_raw - CAST(t.t AS DOUBLE) * t.t / t.n)
+             / (t.s2 - CAST(t.t AS DOUBLE) * t.t / t.n), 6) AS eta2
+FROM tot t JOIN folded f ON f.event_type = t.event_type
+WHERE t.s2 * t.n - t.t * t.t > 0
+""",
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality strength per event type: eta² = between-
+    weekday / total sum of squares over the daily volume series — the
+    scalar that says whether a weekly-seasonal model (q_seasonal_naive)
+    is justified.  Group sums are exact integers; the one float
+    reduction folds in FIXED weekday order on both engines (sorted
+    collect + left fold), so no arbitrary-order float summation
+    touches the hash path."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    bydow = daily.groupBy(
+        "event_type", F.dayofweek("d").alias("dow")
+    ).agg(F.sum("x").alias("tg"), F.count(F.lit(1)).alias("ng"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    folded = bydow.groupBy("event_type").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dow", "tg", "ng"))),
+                lambda p: p["tg"].cast("double") * p["tg"] / p["ng"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("ssb_raw")
+    )
+    t2n = F.col("t").cast("double") * F.col("t") / F.col("n")
+    return (
+        tot.join(folded, "event_type")
+        .filter(F.col("s2") * F.col("n") - F.col("t") * F.col("t") > 0)
+        .select(
+            "event_type",
+            F.round(
+                (F.col("ssb_raw") - t2n) / (F.col("s2") - t2n), 6
+            ).alias("eta2"),
+        )
+    )
