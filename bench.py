@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "q_rfm_segments",
     "q_periodic_snapshot",
     "q_seasonality_strength",
+    "q_revenue_concentration",
 ]
 
 

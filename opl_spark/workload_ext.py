@@ -8327,3 +8327,78 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eta2"),
         )
     )
+
+
+@register(
+    "q_revenue_concentration",
+    oracle="""
+WITH per AS (
+    SELECT o_custkey,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+),
+tot AS (
+    SELECT COUNT(*) AS n, SUM(cents) AS t,
+           quantile_cont(cents, 0.9) AS p90
+    FROM per
+),
+sq AS (
+    SELECT SUM(CAST(cents AS HUGEINT) * cents) AS s2,
+           COUNT(*) FILTER (per.cents > tot.p90) AS top_decile_customers,
+           SUM(per.cents) FILTER (per.cents > tot.p90) AS top_cents
+    FROM per CROSS JOIN tot
+)
+SELECT tot.n AS n_customers, tot.t AS total_cents,
+       ROUND(CAST(sq.s2 AS DOUBLE)
+             / (CAST(tot.t AS DOUBLE) * tot.t), 6) AS hhi,
+       sq.top_decile_customers,
+       ROUND(CAST(sq.top_cents AS DOUBLE) / tot.t, 6) AS top_decile_share
+FROM tot CROSS JOIN sq
+""",
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: Herfindahl–Hirschman index plus
+    the top-decile customer share — the inequality report with NO
+    global sort and NOTHING customer-sized collected: HHI = Σcents²/T²
+    with the squared sum kept as an exact combinable decimal, the
+    decile boundary one exact percentile broadcast + conditional
+    sums, and floats only in the two closing divisions."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.expr("percentile(cents, 0.9)").alias("p90"),
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    # HHI = Σcents²/T² — the squared sum stays an EXACT decimal
+    # integer (combinable, order-free), so the only float is the one
+    # closing division; nothing customer-sized is ever collected
+    agged = joined.groupBy().agg(
+        F.first("n_customers").alias("n_customers"),
+        F.first("total_cents").alias("total_cents"),
+        F.sum(
+            (F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        ).alias("s2"),
+        F.sum(F.when(F.col("cents") > F.col("p90"), 1).otherwise(0)).alias(
+            "top_decile_customers"
+        ),
+        F.sum(F.when(F.col("cents") > F.col("p90"), F.col("cents"))).alias(
+            "top_cents"
+        ),
+    )
+    return agged.select(
+        "n_customers",
+        "total_cents",
+        F.round(
+            F.col("s2").cast("double")
+            / (F.col("total_cents").cast("double") * F.col("total_cents")),
+            6,
+        ).alias("hhi"),
+        "top_decile_customers",
+        F.round(
+            F.col("top_cents").cast("double") / F.col("total_cents"), 6
+        ).alias("top_decile_share"),
+    )

@@ -244,6 +244,8 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_rfm_segments",
         # day-spine broadcast (calendar-sized) onto the user list
         "q_periodic_snapshot",
+        # 1-row totals/percentile broadcast onto the customer summary
+        "q_revenue_concentration",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
