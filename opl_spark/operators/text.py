@@ -1079,20 +1079,37 @@ def dedup_lines_within_doc(
 
     Emits ``(doc, clean_text, n_sents, n_removed)``.
     """
-    sents = F.split(F.trim(F.col(text_col)), r"\.\s+")
-    lows = F.transform(sents, lambda s: F.lower(F.trim(s)))
-    keep_idx = F.filter(
-        F.sequence(F.lit(0), F.array_size(sents) - 1),
-        lambda i: (F.length(F.get(lows, i)) > 0)
-        & (F.array_position(lows, F.get(lows, i)) == i + 1),
+    # intermediates staged as named columns before lambdas capture
+    # them (the repo HOF rule: capture attributes, never expression
+    # trees — see cdc_chunks for the measured cost of violating it)
+    staged = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.split(F.trim(F.col(text_col)), r"\.\s+").alias("sents"),
+        )
+        .withColumn(
+            "lows", F.transform(F.col("sents"), lambda s: F.lower(F.trim(s)))
+        )
+        .withColumn(
+            "keep_idx",
+            F.filter(
+                F.sequence(F.lit(0), F.array_size("sents") - 1),
+                lambda i: (F.length(F.get(F.col("lows"), i)) > 0)
+                & (
+                    F.array_position(F.col("lows"), F.get(F.col("lows"), i))
+                    == i + 1
+                ),
+            ),
+        )
     )
-    return df.select(
-        F.col(id_col).alias("doc"),
+    return staged.select(
+        "doc",
         F.array_join(
-            F.transform(keep_idx, lambda i: F.get(sents, i)), ". "
+            F.transform(F.col("keep_idx"), lambda i: F.get(F.col("sents"), i)),
+            ". ",
         ).alias("clean_text"),
-        F.array_size(sents).cast("long").alias("n_sents"),
-        (F.array_size(sents) - F.array_size(keep_idx)).cast("long").alias(
+        F.array_size("sents").cast("long").alias("n_sents"),
+        (F.array_size("sents") - F.array_size("keep_idx")).cast("long").alias(
             "n_removed"
         ),
     )
