@@ -76,23 +76,45 @@ class OlapApi:
         return {"data": rows} if rows else {"message": "empty_dataset"}
 
     def _explain(self, fact: str, params: dict[str, str]) -> Any:
-        """``/olap/<fact>/explain?cut=&drilldown=&measure=`` — the
-        aggregate request's PRE-FLIGHT cost preview: plan shape counts
-        + estimated scan bytes, nothing executes.  (Engine extension:
-        the reference has no explain surface; this exposes
-        plans.inspect.cost_report over the same request grammar.)"""
+        """``/olap/<fact>/explain?...`` — the aggregate request's
+        PRE-FLIGHT cost preview: plan shape counts + estimated scan
+        bytes, nothing executes.  Builds the SAME plan ``/aggregate``
+        would run for the SAME params — extension params included, and
+        routed through the rollup lattice when a core request would be
+        — so the preview never reports a plan that won't run.  (Engine
+        extension: the reference has no explain surface.)"""
         from opl_spark.plans.inspect import cost_report
 
         self.catalog.fact(fact)
+        core_only = not any(
+            k in params
+            for k in ("top_n", "top_within", "having", "share", "share_within")
+        )
         try:
-            df = self.engine.aggregate(
-                fact,
-                cut=params.get("cut"),
-                drilldown=params.get("drilldown"),
-                measure=params.get("measure"),
-                aggregate=params.get("aggregate"),
-                hierarchy=params.get("hierarchy"),
-            )
+            if self.rollups is not None and core_only:
+                df = self.rollups.aggregate(
+                    self.engine,
+                    fact,
+                    cut=params.get("cut"),
+                    drilldown=params.get("drilldown"),
+                    measure=params.get("measure"),
+                    aggregate=params.get("aggregate"),
+                    hierarchy=params.get("hierarchy"),
+                )
+            else:
+                df = self.engine.aggregate(
+                    fact,
+                    cut=params.get("cut"),
+                    drilldown=params.get("drilldown"),
+                    measure=params.get("measure"),
+                    aggregate=params.get("aggregate"),
+                    hierarchy=params.get("hierarchy"),
+                    top_n=int(params["top_n"]) if "top_n" in params else None,
+                    top_within=params.get("top_within"),
+                    having=params.get("having"),
+                    share=params.get("share") in ("1", "true", "yes"),
+                    share_within=params.get("share_within"),
+                )
         except KeyError as exc:
             raise ValueError(str(exc)) from exc
         return cost_report(df)

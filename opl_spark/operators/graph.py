@@ -189,11 +189,19 @@ def bfs_hops(edges: DataFrame, seed, rounds: int = 3) -> DataFrame:
     oracle unrolls the same rounds as CTEs).
     """
     e = edges.select("src", "dst").localCheckpoint(eager=False)
-    dist = (
-        e.select(F.col("src").alias("node"))
-        .filter(F.col("node") == seed)
-        .distinct()
-        .withColumn("hop", F.lit(0).cast("long"))
+    # the seed row is unconditional — a sink/absent seed is still at
+    # hop 0 of itself (matches the oracle's literal d0 CTE); node type
+    # follows the edge schema
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    dist = edges.sparkSession.createDataFrame(
+        [(seed, 0)],
+        StructType(
+            [
+                StructField("node", edges.schema["src"].dataType),
+                StructField("hop", LongType()),
+            ]
+        ),
     )
     for _ in range(rounds):
         nxt = (

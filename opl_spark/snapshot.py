@@ -612,6 +612,8 @@ def conform_late_dimension(
             cols.append(F.lit(placeholder).cast("string").alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    placeholders = unknown.select(*cols)
+    # one execution of the fact-distinct + anti-join plan: the count
+    # and the union both read the checkpointed placeholders
+    placeholders = unknown.select(*cols).localCheckpoint()
     n = placeholders.count()
     return dim.unionByName(placeholders.select(dim.columns)), n

@@ -7631,10 +7631,9 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_rows",
             "max_rows",
             "hottest_key",
-            (
-                F.col("max_rows") * F.col("n_keys") * 1000
-                / F.col("total_rows")
-            ).cast("long").alias("skew_x1000"),
+            F.expr("max_rows * n_keys * 1000L div total_rows").alias(
+                "skew_x1000"
+            ),
         )
     )
 

@@ -545,7 +545,12 @@ def test_theta_audience_exact_below_k(spark, sf_dir):
     days = {}
     for r in ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct().collect():
         days.setdefault(r["d"], set()).add(r["user_id"])
-    assert len(got) == len(days) - 1
+    import datetime
+
+    expected_pairs = sum(
+        1 for d in days if d + datetime.timedelta(days=1) in days
+    )
+    assert len(got) == expected_pairs
     for (a, b), r in got.items():
         ua, ub = days[a], days[b]
         assert r["either_day"] == len(ua | ub), (a, b)
