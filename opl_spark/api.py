@@ -75,24 +75,19 @@ class OlapApi:
         rows = [r.asDict() for r in df.collect()]
         return {"data": rows} if rows else {"message": "empty_dataset"}
 
-    def _explain(self, fact: str, params: dict[str, str]) -> Any:
-        """``/olap/<fact>/explain?...`` — the aggregate request's
-        PRE-FLIGHT cost preview: plan shape counts + estimated scan
-        bytes, nothing executes.  Builds the SAME plan ``/aggregate``
-        would run for the SAME params — extension params included, and
-        routed through the rollup lattice when a core request would be
-        — so the preview never reports a plan that won't run.  (Engine
-        extension: the reference has no explain surface.)"""
-        from opl_spark.plans.inspect import cost_report
-
-        self.catalog.fact(fact)
+    def _build_aggregate_df(self, fact: str, params: dict[str, str]):
+        """ONE plan builder for ``/aggregate`` and ``/explain`` — the
+        explain contract ('previews exactly the plan aggregate runs')
+        holds by construction because both routes call this.  Core
+        requests route through the rollup lattice when configured;
+        extension params always go to the live engine."""
         core_only = not any(
             k in params
             for k in ("top_n", "top_within", "having", "share", "share_within")
         )
         try:
             if self.rollups is not None and core_only:
-                df = self.rollups.aggregate(
+                return self.rollups.aggregate(
                     self.engine,
                     fact,
                     cut=params.get("cut"),
@@ -101,49 +96,7 @@ class OlapApi:
                     aggregate=params.get("aggregate"),
                     hierarchy=params.get("hierarchy"),
                 )
-            else:
-                df = self.engine.aggregate(
-                    fact,
-                    cut=params.get("cut"),
-                    drilldown=params.get("drilldown"),
-                    measure=params.get("measure"),
-                    aggregate=params.get("aggregate"),
-                    hierarchy=params.get("hierarchy"),
-                    top_n=int(params["top_n"]) if "top_n" in params else None,
-                    top_within=params.get("top_within"),
-                    having=params.get("having"),
-                    share=params.get("share") in ("1", "true", "yes"),
-                    share_within=params.get("share_within"),
-                )
-        except KeyError as exc:
-            raise ValueError(str(exc)) from exc
-        return cost_report(df)
-
-    def _aggregate(self, fact: str, params: dict[str, str]) -> Any:
-        self.catalog.fact(fact)  # unknown fact -> KeyError -> 404
-        core_only = not any(
-            k in params
-            for k in ("top_n", "top_within", "having", "share", "share_within")
-        )
-        if self.rollups is not None and core_only:
-            try:
-                df = self.rollups.aggregate(
-                    self.engine,
-                    fact,
-                    cut=params.get("cut"),
-                    drilldown=params.get("drilldown"),
-                    measure=params.get("measure"),
-                    aggregate=params.get("aggregate"),
-                    hierarchy=params.get("hierarchy"),
-                )
-            except KeyError as exc:
-                raise ValueError(str(exc)) from exc
-            if params.get("output") == "table":
-                return to_table(df)
-            rows = [r.asDict() for r in df.collect()]
-            return {"data": rows} if rows else {"message": "empty_dataset"}
-        try:
-            df = self.engine.aggregate(
+            return self.engine.aggregate(
                 fact,
                 cut=params.get("cut"),
                 drilldown=params.get("drilldown"),
@@ -160,6 +113,20 @@ class OlapApi:
             # a bad PARAMETER column (having/top_within/share_within)
             # is a malformed request (400), not a missing route (404)
             raise ValueError(str(exc)) from exc
+
+    def _explain(self, fact: str, params: dict[str, str]) -> Any:
+        """``/olap/<fact>/explain?...`` — the aggregate request's
+        PRE-FLIGHT cost preview: plan shape counts + estimated scan
+        bytes, nothing executes.  (Engine extension: the reference has
+        no explain surface.)"""
+        from opl_spark.plans.inspect import cost_report
+
+        self.catalog.fact(fact)
+        return cost_report(self._build_aggregate_df(fact, params))
+
+    def _aggregate(self, fact: str, params: dict[str, str]) -> Any:
+        self.catalog.fact(fact)  # unknown fact -> KeyError -> 404
+        df = self._build_aggregate_df(fact, params)
         if params.get("output") == "table":
             # S11 — first row = column names, then value rows
             # (Codice.gs:349 request / 155-184 consumption)

@@ -72,6 +72,38 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _shingle_index(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_doc_freq: int | None,
+):
+    """Shared inverted-index build for the shingle-pair family
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): the
+    (doc, shingle-hash) postings plus per-doc set sizes, with the
+    optional ``max_doc_freq`` stop-shingle cap applied to BOTH (so
+    sizes always reflect the surviving shingles — the documented
+    approximation)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    ).select("doc", F.xxhash64("s").alias("sh"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_doc_freq).select("sh")
+        sh = sh.join(F.broadcast(keep), "sh")
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        # map-only: |shingle set| = array_size of the distinct-shingle
+        # array — no explode, no shuffle for the size side
+        sizes = df.select(
+            F.col(id_col).alias("doc"),
+            F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
+        )
+    return sh, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -101,24 +133,7 @@ def ngram_jaccard_pairs(
     # join key is the 64-bit shingle hash, not the shingle string —
     # the shuffle moves 8-byte longs instead of variable-width text
     # (collision odds over distinct shingles are ~|S|²/2⁶⁴ ≈ 0)
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
-    ).select("doc", F.xxhash64("s").alias("sh"))
-    if max_doc_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        keep = freq.filter(F.col("df_") <= max_doc_freq).select("sh")
-        sh = sh.join(F.broadcast(keep), "sh")
-        # sizes must reflect the surviving shingles (documented
-        # approximation) — derive from the filtered index
-        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    else:
-        # map-only: |shingle set| = array_size of the distinct-shingle
-        # array — no explode, no shuffle for the size side
-        sizes = df.select(
-            F.col(id_col).alias("doc"),
-            F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
-        )
+    sh, sizes = _shingle_index(df, text_col, id_col, n, max_doc_freq)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
@@ -1276,20 +1291,7 @@ def containment_pairs(
     Emits ``(id_a, id_b, containment)`` = fraction of A's shingles
     also in B.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
-    ).select("doc", F.xxhash64("s").alias("sh"))
-    if max_doc_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        keep = freq.filter(F.col("df_") <= max_doc_freq).select("sh")
-        sh = sh.join(F.broadcast(keep), "sh")
-        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    else:
-        sizes = df.select(
-            F.col(id_col).alias("doc"),
-            F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
-        )
+    sh, sizes = _shingle_index(df, text_col, id_col, n, max_doc_freq)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") != F.col("b.doc")))

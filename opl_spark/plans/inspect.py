@@ -191,8 +191,21 @@ def cost_report(df: DataFrame) -> dict:
     n_broadcasts = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, flags=re.M))
     n_shuffles = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
     n_scans = len(re.findall(r"^\(\d+\) Scan ", plan, flags=re.M))
-    # codegen spans show as *(N) markers in the SIMPLE explain
-    simple = df._jdf.queryExecution().executedPlan().toString()
+    # codegen spans show as *(N) markers only in a NON-AQE physical
+    # plan (AdaptiveSparkPlan collapses codegen stages per-stage at
+    # runtime, so the unexecuted AQE plan prints none) — replan the
+    # probe once with AQE off, restore the setting after
+    spark = df.sparkSession
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df.createOrReplaceTempView(_PROBE)
+        simple = "\n".join(
+            r[0]
+            for r in spark.sql(f"EXPLAIN SELECT * FROM {_PROBE}").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
     codegen_ids = set(re.findall(r"\*\((\d+)\)", simple))
     n_ops = len(re.findall(r"^\(\d+\)", plan, flags=re.M))
     # estimated bytes READ = sum of leaf-relation sizes (file-size

@@ -601,8 +601,15 @@ def conform_late_dimension(
     from pyspark.sql import functions as F  # noqa: F811
     from pyspark.sql import types as T
 
+    # NULL keys are NOT conformable: a null-keyed placeholder can
+    # never be equality-joined to or upserted over, so it would
+    # permanently pollute the dimension while fixing nothing —
+    # null-key facts remain the caller's data-quality problem
     unknown = (
-        fact.select(F.col(key)).distinct().join(dim.select(key), key, "left_anti")
+        fact.select(F.col(key))
+        .filter(F.col(key).isNotNull())
+        .distinct()
+        .join(dim.select(key), key, "left_anti")
     )
     cols = [F.col(key)]
     for f in dim.schema.fields:

@@ -7832,7 +7832,7 @@ df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT COUNT(DISTINCT doc) AS n_docs FROM tf),
 scored AS (
     SELECT tf.doc, tf.w,
-           tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS s
     FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
 ),
 ranked AS (
@@ -7840,7 +7840,7 @@ ranked AS (
            row_number() OVER (PARTITION BY doc ORDER BY s DESC, w) AS rnk
     FROM scored
 )
-SELECT doc, w AS term, ROUND(s, 6) AS score, CAST(rnk AS BIGINT) AS rank
+SELECT doc, w AS term, s AS score, CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= 3
 """,
 )
@@ -7866,9 +7866,12 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc",
             "w",
-            (
+            # round(6) BEFORE ranking — the repo rule: no raw
+            # transcendental float on an ordering that crosses engines
+            F.round(
                 F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
             ).alias("s"),
         )
     )
@@ -7876,7 +7879,7 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
-        .select("doc", F.col("w").alias("term"), F.round("s", 6).alias("score"), "rank")
+        .select("doc", F.col("w").alias("term"), F.col("s").alias("score"), "rank")
     )
 
 

@@ -165,6 +165,7 @@ def test_cost_report_shapes(spark, sf_dir):
     mono = cost_report(qs["q_lang_id"](spark, sf_dir))
     assert mono["n_shuffles"] == 0 and mono["n_broadcasts"] == 0
     assert mono["n_scans"] == 1 and mono["est_scan_bytes"] > 0
+    assert mono["n_codegen_stages"] >= 1  # AQE must not blind the probe
     assert mono["scale_flags"] == []
     star = cost_report(qs["q_regional_revenue"](spark, sf_dir))
     assert star["n_shuffles"] == 1          # only orders⋈lineitem
