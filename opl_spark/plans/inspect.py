@@ -186,6 +186,13 @@ def cost_report(df: DataFrame) -> dict:
     plan statistics); nothing executes.  Estimated bytes follow the
     optimizer's sizeInBytes (file-size based for parquet scans) — a
     planning signal, not an execution measurement.
+
+    Concurrency caveat: counting codegen stages requires replanning
+    the probe with AQE off, which briefly toggles the SESSION-scoped
+    ``spark.sql.adaptive.enabled`` — a query planned concurrently in
+    the same session during that window would plan without AQE
+    (performance-only effect).  Run diagnostics from a dedicated
+    session if that matters.
     """
     plan = formatted_plan(df)
     n_broadcasts = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, flags=re.M))
