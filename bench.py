@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "q_periodic_snapshot",
     "q_seasonality_strength",
     "q_revenue_concentration",
+    "q_bpe_fertility",
 ]
 
 

@@ -222,3 +222,52 @@ def bpe_segment(
             "n_chars",
         )
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Tokenizer fertility report per language: tokens-per-word and
+    characters-per-token under a learned merge table — the standard
+    'is this tokenizer fair to language X' audit (fertility ≫ 1 for a
+    language means its text costs disproportionately many tokens).
+
+    Same per-TYPE discipline as :func:`bpe_segment`: the merge replay
+    runs once per distinct word, never per occurrence; per-language
+    totals are map-side-combinable sums over the joined counts.
+    Ratios ship ×1e6 as exact integers (`tokens·1e6 div words`) plus
+    a rounded float convenience column.
+
+    Emits ``(lang, n_words, n_tokens, n_chars, fertility_x1e6,
+    chars_per_token)``.
+    """
+    words = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    encoded = encode_vocab(wc.select("w").distinct(), merges)
+    per = (
+        wc.join(encoded, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("w_tokens")).alias("n_tokens"),
+            F.sum(F.col("cnt") * F.length("w")).alias("n_chars"),
+        )
+    )
+    return per.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.expr("n_tokens * 1000000L div n_words").alias("fertility_x1e6"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    )

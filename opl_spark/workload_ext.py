@@ -8404,3 +8404,17 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_cents").cast("double") / F.col("total_cents"), 6
         ).alias("top_decile_share"),
     )
+
+
+@register("q_bpe_fertility")
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the corpus-learned BPE
+    merge table (tokens/word ×1e6 exact, chars/token) — the fairness
+    audit run before accepting a tokenizer.  Rows-only (the merge
+    table is learned state); tests pin fertility bounds and the
+    exact-identity `n_tokens == Σ per-doc bpe_segment tokens`."""
+    from opl_spark.operators.bpe import bpe_fertility, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", num_merges=10)
+    return bpe_fertility(docs, "text", "lang", merges)

@@ -1038,3 +1038,27 @@ def test_cdc_chunks_shift_robust(spark):
     assert len(h1 - h2) <= 1, (len(h1), len(h1 - h2))
     # chunk word counts reassemble the doc exactly
     assert sum(r["n_words"] for r in rows if r["doc"] == 1) == 400
+
+
+def test_bpe_fertility_consistency(spark, sf_dir):
+    """Fertility identities: corpus tokens from the per-language
+    report equal the sum of per-doc bpe_segment tokens under the same
+    merge table; fertility >= 1e6 (a word is never fewer than one
+    token); chars/token <= mean word length."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.bpe import bpe_fertility, bpe_segment, learn_bpe_merges
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    merges = learn_bpe_merges(docs, "text", num_merges=10)
+    fert = bpe_fertility(docs, "text", "lang", merges).collect()
+    seg_total = (
+        bpe_segment(docs, "text", "doc_id", merges)
+        .agg(F.sum("n_tokens"))
+        .first()[0]
+    )
+    assert sum(r["n_tokens"] for r in fert) == seg_total
+    for r in fert:
+        assert r["fertility_x1e6"] >= 1_000_000
+        assert 0 < r["chars_per_token"] <= r["n_chars"] / r["n_words"] + 1e-9
