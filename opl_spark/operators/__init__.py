@@ -19,6 +19,7 @@ from opl_spark.operators.analytics import (  # noqa: F401
 )
 from opl_spark.operators.dedup import (  # noqa: F401
     bloom_contamination,
+    containment_pairs,
     build_bloom,
     bloom_might_contain,
     contamination,
@@ -67,6 +68,9 @@ from opl_spark.operators.sketch import (  # noqa: F401
 )
 from opl_spark.operators.similarity import (  # noqa: F401
     cosine_sim_col,
+    hybrid_search_rrf,
+    random_projection,
+    mmr_select,
     cosine_topk,
     ivf_assign,
     ivf_topk,
@@ -88,6 +92,17 @@ from opl_spark.operators.skew import (  # noqa: F401
     salted_join,
     salted_sum,
 )
+from opl_spark.operators.graph import (  # noqa: F401
+    bfs_hops,
+    kcore,
+    label_propagation,
+    pagerank,
+)
+from opl_spark.operators.bpe import (  # noqa: F401
+    bpe_fertility,
+    bpe_segment,
+    learn_bpe_merges,
+)
 from opl_spark.operators.unigram import (  # noqa: F401
     unigram_segment,
     unigram_train,
@@ -97,6 +112,10 @@ from opl_spark.operators.temporal import (  # noqa: F401
     interval_join,
 )
 from opl_spark.operators.text import (  # noqa: F401
+    cdc_chunks,
+    dedup_lines_within_doc,
+    naive_bayes_scores,
+    stupid_backoff_score,
     export_jsonl,
     export_jsonl_manifest,
     fingerprint_col,
