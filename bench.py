@@ -223,6 +223,8 @@ BENCH_QUERIES = [
     "q_seasonality_strength",
     "q_revenue_concentration",
     "q_bpe_fertility",
+    "q_activity_heatmap",
+    "q_ship_lag_quantiles",
 ]
 
 

@@ -8418,3 +8418,73 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, "text", num_merges=10)
     return bpe_fertility(docs, "text", "lang", merges)
+
+
+@register(
+    "q_activity_heatmap",
+    oracle="""
+SELECT dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+       CAST(date_part('hour', ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap (events + distinct users per
+    cell) — the 7×24-cell usage report behind every ops dashboard.
+    One combinable aggregate; output bounded at 168 rows regardless
+    of scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_ship_lag_quantiles",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_lines,
+       MIN(CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT))
+           AS min_days,
+       ROUND(quantile_cont(
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT),
+           0.5), 6) AS p50_days,
+       ROUND(quantile_cont(
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT),
+           0.9), 6) AS p90_days,
+       MAX(CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT))
+           AS max_days
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+)
+def q_ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfilment lag distribution per order priority
+    (min/median/p90/max days) — the SLA report card.  Lags are exact
+    integer day gaps; medians interpolate identically in both engines
+    (Spark percentile ≡ DuckDB quantile_cont); one keyed fact⋈fact
+    join + a priority-sized aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_orderpriority").alias("priority"), lag.alias("lag"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("lag").alias("min_days"),
+            F.round(F.expr("percentile(lag, 0.5)"), 6).alias("p50_days"),
+            F.round(F.expr("percentile(lag, 0.9)"), 6).alias("p90_days"),
+            F.max("lag").alias("max_days"),
+        )
+    )
