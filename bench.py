@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "q_bpe_fertility",
     "q_activity_heatmap",
     "q_ship_lag_quantiles",
+    "q_purchase_intervals",
 ]
 
 

@@ -8488,3 +8488,50 @@ def q_ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lag").alias("max_days"),
         )
     )
+
+
+@register(
+    "q_purchase_intervals",
+    oracle="""
+WITH seq AS (
+    SELECT o_custkey,
+           CAST(date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS gap
+    FROM orders
+)
+SELECT COUNT(*) AS n_gaps,
+       MIN(gap) AS min_days,
+       ROUND(quantile_cont(gap, 0.5), 6) AS p50_days,
+       ROUND(quantile_cont(gap, 0.9), 6) AS p90_days,
+       MAX(gap) AS max_days
+FROM seq WHERE gap IS NOT NULL
+""",
+)
+def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between
+    a customer's consecutive orders (min/median/p90/max) — the
+    re-engagement metric behind churn thresholds and email cadence.
+    One customer-partitioned lag window with the deterministic
+    (date, orderkey) tie order; gaps are exact integer days; medians
+    interpolate identically in both engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("long")
+        .alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap").alias("min_days"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90_days"),
+        F.max("gap").alias("max_days"),
+    )
