@@ -2,9 +2,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line on stdout:
+Prints exactly ONE SHORT JSON line on stdout as its LAST line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": <float>}
+     "n_queries": N, "sf": <float>, "detail": "BENCH_DETAIL.json"}
+
+The per-query map lives in BENCH_DETAIL.json next to this script —
+at 189 queries the inline map outgrew the driver's tail-capture window
+(BENCH_r03.json recorded "parsed": null), so the headline line must
+stay short and last.
 
 Each query is forced end-to-end with the no-op sink (full execution,
 no driver-side result materialization beyond Spark's own collect-free
@@ -260,14 +265,32 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(times),
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

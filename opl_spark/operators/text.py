@@ -182,7 +182,8 @@ def repetition_profile(
     """Per-document repetition profile over positional word n-grams
     (the Gopher-style repetition quality signals): total n-grams,
     distinct n-grams, the most frequent n-gram's count, and the
-    ``top_fraction`` / ``distinct_ratio`` filters derived from them.
+    ``top_ppm`` / ``distinct_ppm`` filters derived from them
+    (parts-per-million integers — exact across engines).
 
     Shape: explode positional n-grams (hashed to 8-byte longs so the
     shuffle moves longs, not text), count per (doc, gram), then fold to
@@ -199,10 +200,11 @@ def repetition_profile(
         F.sum("c").alias("n_grams"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("top_count"),
-        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_fraction"),
-        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
-            "distinct_ratio"
-        ),
+        # parts-per-million integer ratios (positive operands, so `div`
+        # == floor division == DuckDB `//`): integer-exact on the wire,
+        # immune to cross-engine double formatting/rounding drift.
+        F.expr("max(c) * 1000000 div sum(c)").alias("top_ppm"),
+        F.expr("count(1) * 1000000 div sum(c)").alias("distinct_ppm"),
     )
 
 
@@ -609,7 +611,7 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     engines; rounded(6) on the wire).  Shape: one map-side-combinable
     (doc, token) count, then a doc-keyed reduce — both partial-agg
     shuffles, no window, no driver state.  Emits
-    ``(doc, n_tokens, entropy)``.
+    ``(doc, n_tokens, n_distinct, entropy)``.
     """
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -618,6 +620,7 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     counts = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("c"))
     return counts.groupBy("doc").agg(
         F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
         F.round(
             F.log(F.sum("c").cast("double"))
             - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))

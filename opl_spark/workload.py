@@ -73,15 +73,47 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_similarity_ivf", "q_similarity_ivf_kmeans", "q_knn_batch",
     "q_lang_id", "q_quality_score", "q_token_count", "q_fingerprint",
     "q_text_clean", "q_winnow",
+    # round 3 (CORRECTNESS_r03.json) — the 45 hash-green ids ONLY.
+    # The five r3 hash-reds (q_repetition, q_split_sample,
+    # q_vocab_build, q_token_entropy, q_corpus_stats) are deliberately
+    # NOT listed: they stay pinned at the head via _RETRY_FIRST until
+    # a driver round confirms the HUGEINT-emission fix (their oracles
+    # emitted bare SUM(bigint) = HUGEINT, whose pandas/arrow conversion
+    # is DuckDB-version-sensitive — see tests/test_oracle_conformance).
+    "q_tfidf", "q_pii_scrub", "q_contamination", "q_multimodal_bytes",
+    "q_multimodal_resize", "q_frame_sample", "q_events_window",
+    "q_sessionize", "q_salted_agg", "q_embedding_centroid",
+    "q_running_total", "q_top_per_group", "q_pack_sequences",
+    "q_distinct_users", "q_length_quantiles", "q_rollup", "q_asof_join",
+    "q_interval_join", "q_pivot", "q_cube_sets", "q_pipeline_filter",
+    "q_fact_accessions", "q_fact_general_indexes", "q_fact_patrimonio",
+    "q_meta_fact_tables", "q_meta_dimensions", "q_meta_measures",
+    "q_mix_sources", "q_contamination_bloom", "q_zorder", "q_quantize",
+    "q_stratified_sample", "q_incremental_dedup", "q_quantized_topk",
+    "q_semantic_dedup", "q_unigram_logprob", "q_percentile_filter",
+    "q_heavy_hitters", "q_chunk_docs", "q_keep_best", "q_ccnet_bucket",
+    "q_budget_sample", "q_bigram_logprob", "q_dup_weights",
+    "q_winnow_pairs",
+)
+
+# Ids that failed a driver hash check and carry a fix awaiting driver
+# confirmation: always first in queries() order so they re-enter the
+# 50-id audit window next round.  Remove an id once its
+# CORRECTNESS_r*.json row is green (then add it to _DRIVER_AUDITED).
+_RETRY_FIRST: tuple[str, ...] = (
+    "q_repetition", "q_split_sample", "q_vocab_build",
+    "q_token_entropy", "q_corpus_stats",
 )
 
 
 def _audit_order(names) -> list[str]:
     audited = set(_DRIVER_AUDITED)
-    fresh_oracled = [n for n in names if n not in audited and n in _ORACLES]
-    fresh_rowsonly = [n for n in names if n not in audited and n not in _ORACLES]
+    retry = [n for n in _RETRY_FIRST if n in names]
+    skip = audited | set(retry)
+    fresh_oracled = [n for n in names if n not in skip and n in _ORACLES]
+    fresh_rowsonly = [n for n in names if n not in skip and n not in _ORACLES]
     tail = [n for n in names if n in audited]
-    return fresh_oracled + fresh_rowsonly + tail
+    return retry + fresh_oracled + fresh_rowsonly + tail
 
 
 def queries() -> dict[str, QueryFn]:

@@ -625,11 +625,11 @@ grams AS (
 ),
 cnt AS (SELECT doc, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
 SELECT doc,
-       SUM(c) AS n_grams,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
        COUNT(*) AS n_distinct,
        MAX(c) AS top_count,
-       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_fraction,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ratio
+       CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_ppm,
+       CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS distinct_ppm
 FROM cnt GROUP BY doc
 """,
 )
@@ -647,7 +647,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN doc_id % 100 < 90 THEN 'train' ELSE 'val' END AS split,
        source,
        COUNT(*) AS n_docs,
-       SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS n_tokens
+       CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+            AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """,
@@ -662,9 +664,14 @@ def q_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             split_col(F.col("doc_id")).alias("split"),
             "source",
             whitespace_token_count_col(F.col("text")).alias("t"),
+            "n_chars",
         )
         .groupBy("split", "source")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
     )
 
 
@@ -1791,7 +1798,7 @@ WITH toks AS (
     FROM documents
 ),
 pd AS (SELECT term, doc, COUNT(*) AS c FROM toks GROUP BY 1, 2)
-SELECT term, SUM(c) AS corpus_freq, COUNT(*) AS doc_freq
+SELECT term, CAST(SUM(c) AS BIGINT) AS corpus_freq, COUNT(*) AS doc_freq
 FROM pd GROUP BY term
 ORDER BY corpus_freq DESC, term
 LIMIT 100
@@ -1986,7 +1993,8 @@ WITH toks AS (
     FROM documents
 ),
 counts AS (SELECT doc, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
-SELECT doc, SUM(c) AS n_tokens,
+SELECT doc, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
        ROUND(ln(CAST(SUM(c) AS DOUBLE))
              - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
                / CAST(SUM(c) AS DOUBLE), 6) AS entropy
@@ -2068,8 +2076,8 @@ WITH per_doc AS (
 SELECT lang,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT source) AS n_sources,
-       SUM(n_chars) AS total_chars,
-       SUM(n_words) AS total_words,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
        COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
        ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
 FROM per_doc
@@ -2306,9 +2314,9 @@ st AS (
 )
 SELECT ev.grp,
        COUNT(*) AS n,
-       SUM(CASE WHEN (st.n * ev.v - st.s) * (st.n * ev.v - st.s)
+       CAST(SUM(CASE WHEN (st.n * ev.v - st.s) * (st.n * ev.v - st.s)
                      > 9 * (st.n * st.s2 - st.s * st.s)
-                THEN 1 ELSE 0 END) AS n_outliers,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        ROUND(CAST(MAX(st.s) AS DOUBLE) / (CAST(MAX(st.n) AS DOUBLE) * 100), 6)
            AS mean
 FROM ev JOIN st ON ev.grp = st.grp
@@ -2444,7 +2452,7 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
              / COUNT(*), 6) AS avg_k
 FROM events
@@ -2616,7 +2624,7 @@ sp AS (
 freq AS (SELECT s, COUNT(*) AS f FROM sp GROUP BY 1)
 SELECT doc,
        COUNT(*) AS n_spans,
-       SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+       CAST(SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
        ROUND(CAST(SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS dup_frac
 FROM sp JOIN freq ON sp.s = freq.s
@@ -2906,8 +2914,8 @@ WITH ud AS (
 ),
 f AS (SELECT u, MIN(day) AS first_day FROM ud GROUP BY 1)
 SELECT ud.day,
-       SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS n_new,
-       SUM(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END) AS n_returning
+       CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
 FROM ud JOIN f ON ud.u = f.u
 GROUP BY 1
 """,
@@ -3208,7 +3216,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(((doc_id * 2654435761 + 7) % 4294967296) % 5 AS BIGINT) AS fold,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS n_chars
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM documents
 GROUP BY 1
 """,
@@ -3585,7 +3593,7 @@ run AS (
                ROWS UNBOUNDED PRECEDING) AS c
     FROM pts
 )
-SELECT day, MAX(c) AS peak FROM run GROUP BY 1
+SELECT day, CAST(MAX(c) AS BIGINT) AS peak FROM run GROUP BY 1
 """,
 )
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3801,7 +3809,7 @@ def q_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
            AS sum_base_price,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -3910,8 +3918,8 @@ SELECT ev.grp, COUNT(*) AS n,
        ROUND(AVG(CASE WHEN ev.v < b.lo THEN b.lo
                       WHEN ev.v > b.hi THEN b.hi
                       ELSE ev.v END) / 100, 6) AS winsorized_mean,
-       SUM(CASE WHEN ev.v < b.lo OR ev.v > b.hi THEN 1 ELSE 0 END)
-           AS n_clipped
+       CAST(SUM(CASE WHEN ev.v < b.lo OR ev.v > b.hi THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_clipped
 FROM ev JOIN b ON ev.grp = b.grp
 GROUP BY 1
 """,
@@ -4083,7 +4091,7 @@ r AS (
     FROM c JOIN t ON c.grp = t.grp
     WINDOW w AS (PARTITION BY c.grp ORDER BY v ROWS UNBOUNDED PRECEDING)
 )
-SELECT grp, MAX(ta) AS n_before, MAX(tb) AS n_after,
+SELECT grp, CAST(MAX(ta) AS BIGINT) AS n_before, CAST(MAX(tb) AS BIGINT) AS n_after,
        ROUND(CAST(MAX(ABS(ca * tb - cb * ta)) AS DOUBLE)
              / (CAST(MAX(ta) AS DOUBLE) * MAX(tb)), 6) AS ks
 FROM r GROUP BY 1
@@ -4178,7 +4186,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) - COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
            AS n_missing
 FROM events
@@ -4401,7 +4409,7 @@ dev AS (
 ),
 mad AS (SELECT grp, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
 SELECT dev.grp, COUNT(*) AS n,
-       SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev JOIN mad ON dev.grp = mad.grp
 GROUP BY 1
 """,
@@ -4617,7 +4625,7 @@ SELECT COUNT(*) AS n_sessions,
        ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
            AS avg_events_per_session,
        ROUND(AVG(dur_s), 6) AS avg_duration_s,
-       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
 FROM per
 """,
 )
@@ -5295,7 +5303,7 @@ WITH tot AS (
 )
 SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
        ROUND(CAST(o.o_totalprice AS DOUBLE), 2) AS total_price,
-       t.total_qty
+       CAST(t.total_qty AS BIGINT) AS total_qty
 FROM tot t
 JOIN orders o ON o.o_orderkey = t.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -5437,7 +5445,7 @@ p3 AS (
         FROM e JOIN p2 p ON e.src = p.node GROUP BY 1) m
       ON m.node = d.node
 )
-SELECT node, pr FROM p3
+SELECT node, CAST(pr AS BIGINT) AS pr FROM p3
 """,
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6061,10 +6069,10 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_late_lines",
     oracle="""
 SELECT EXTRACT(year FROM l.l_shipdate) AS ship_year,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
@@ -6561,8 +6569,8 @@ hist AS (
 actual AS (
     SELECT dow, d, n FROM marked WHERE wk = 4
 )
-SELECT a.d AS day, a.n AS actual, h.sum3 AS forecast_x3,
-       ABS(3 * a.n - h.sum3) AS abs_err_x3
+SELECT a.d AS day, a.n AS actual, CAST(h.sum3 AS BIGINT) AS forecast_x3,
+       CAST(ABS(3 * a.n - h.sum3) AS BIGINT) AS abs_err_x3
 FROM actual a JOIN hist h ON h.dow = a.dow
 """,
 )
@@ -7473,8 +7481,8 @@ SELECT COUNT(*) AS n_docs,
        COUNT(*) - (SELECT COUNT(*) FROM g) AS n_dupes,
        ROUND(CAST(COUNT(*) - (SELECT COUNT(*) FROM g) AS DOUBLE)
              / COUNT(*), 6) AS dup_rate,
-       SUM(n_chars) AS total_chars,
-       SUM(n_chars) - (SELECT SUM(chars) FROM g) AS chars_saved
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) - (SELECT SUM(chars) FROM g) AS BIGINT) AS chars_saved
 FROM documents
 """,
 )
@@ -7591,8 +7599,9 @@ hot AS (
     FROM per p JOIN stats s ON s.key_col = p.key_col AND p.c = s.max_rows
     GROUP BY 1
 )
-SELECT s.key_col, s.n_keys, s.total_rows, s.max_rows, hot.hottest_key,
-       s.max_rows * s.n_keys * 1000 // s.total_rows AS skew_x1000
+SELECT s.key_col, s.n_keys, CAST(s.total_rows AS BIGINT) AS total_rows,
+       s.max_rows, hot.hottest_key,
+       CAST(s.max_rows * s.n_keys * 1000 // s.total_rows AS BIGINT) AS skew_x1000
 FROM stats s JOIN hot ON hot.key_col = s.key_col
 """,
 )
@@ -7655,8 +7664,8 @@ ranked AS (
 ),
 tot AS (SELECT SUM(c) AS total FROM vc)
 SELECT s.n AS vocab_size,
-       SUM(r.c) FILTER (r.rn <= s.n) AS covered,
-       ANY_VALUE(tot.total) AS total_tokens,
+       CAST(SUM(r.c) FILTER (r.rn <= s.n) AS BIGINT) AS covered,
+       CAST(ANY_VALUE(tot.total) AS BIGINT) AS total_tokens,
        ROUND(CAST(SUM(r.c) FILTER (r.rn <= s.n) AS DOUBLE)
              / ANY_VALUE(tot.total), 6) AS coverage
 FROM ranked r
@@ -7787,10 +7796,10 @@ WITH g AS (
     SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
     FROM customer GROUP BY 1, 2
 )
-SELECT SUM(sz) AS total_rows,
+SELECT CAST(SUM(sz) AS BIGINT) AS total_rows,
        COUNT(*) AS n_groups,
        COUNT(*) FILTER (sz < 5) AS risk_groups,
-       COALESCE(SUM(sz) FILTER (sz < 5), 0) AS risk_rows,
+       CAST(COALESCE(SUM(sz) FILTER (sz < 5), 0) AS BIGINT) AS risk_rows,
        MIN(sz) AS anonymity
 FROM g
 """,
@@ -7902,8 +7911,8 @@ per AS (
 ),
 tt AS (SELECT DISTINCT lt AS t FROM per)
 SELECT tt.t,
-       SUM(p.n_all) AS n_risk,
-       COALESCE(SUM(p.n_churn) FILTER (p.lt = tt.t), 0) AS n_churned,
+       CAST(SUM(p.n_all) AS BIGINT) AS n_risk,
+       CAST(COALESCE(SUM(p.n_churn) FILTER (p.lt = tt.t), 0) AS BIGINT) AS n_churned,
        ROUND(CAST(COALESCE(SUM(p.n_churn) FILTER (p.lt = tt.t), 0) AS DOUBLE)
              / SUM(p.n_all), 6) AS hazard
 FROM tt JOIN per p ON p.lt >= tt.t
@@ -8143,7 +8152,7 @@ scored AS (
 )
 SELECT r_score, f_score, m_score,
        COUNT(*) AS n_customers,
-       SUM(cents) AS total_cents
+       CAST(SUM(cents) AS BIGINT) AS total_cents
 FROM scored GROUP BY 1, 2, 3
 """,
 )
@@ -8220,8 +8229,8 @@ dense AS (
     FROM spine s LEFT JOIN per p ON p.user_id = s.user_id AND p.d = s.d
 )
 SELECT user_id, d AS day,
-       SUM(day_cents) OVER (PARTITION BY user_id ORDER BY d
-                            ROWS UNBOUNDED PRECEDING) AS balance_cents
+       CAST(SUM(day_cents) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS balance_cents
 FROM dense
 """,
 )
@@ -8350,7 +8359,7 @@ sq AS (
            SUM(per.cents) FILTER (per.cents > tot.p90) AS top_cents
     FROM per CROSS JOIN tot
 )
-SELECT tot.n AS n_customers, tot.t AS total_cents,
+SELECT tot.n AS n_customers, CAST(tot.t AS BIGINT) AS total_cents,
        ROUND(CAST(sq.s2 AS DOUBLE)
              / (CAST(tot.t AS DOUBLE) * tot.t), 6) AS hhi,
        sq.top_decile_customers,

@@ -47,13 +47,18 @@ def frame_signature(columns, rows) -> tuple[int, tuple[str, ...], str]:
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
-    """Returns a dict with per-aspect match booleans + diagnostics."""
+    """Returns a dict with per-aspect match booleans + diagnostics.
+
+    ``oracle_types`` carries the DuckDB result column types so callers
+    can reject version-sensitive emissions (see EXOTIC_ORACLE_TYPES).
+    """
     srows = [tuple(r) for r in spark_df.collect()]
     scols = spark_df.columns
     con = duck_connection(sf_dir)
-    res = con.execute(oracle_sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    rel = con.sql(oracle_sql)
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    orows = rel.fetchall()
     con.close()
     sn, sc, sh = frame_signature(scols, srows)
     on, oc, oh = frame_signature(ocols, orows)
@@ -63,9 +68,39 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
         "hash_match": sh == oh,
         "spark": {"rows": sn, "cols": sc, "hash": sh},
         "oracle": {"rows": on, "cols": oc, "hash": oh},
+        "oracle_types": dict(zip(ocols, otypes)),
         "spark_sample": srows[:3],
         "oracle_sample": orows[:3],
     }
+
+
+def exotic_oracle_columns(types: dict[str, str]) -> list[str]:
+    """Oracle output columns whose DuckDB type does not survive every
+    client conversion path identically.
+
+    This replica fetches via ``fetchall()`` (HUGEINT → Python int →
+    str(v) matches Spark's bigint), but the driver's compare converts
+    through pandas/arrow, where HUGEINT becomes float64 or
+    decimal128 depending on the DuckDB version — the round-3 class of
+    hash-red-with-green-rows failures (q_repetition, q_split_sample,
+    q_vocab_build, q_token_entropy, q_corpus_stats: each emitted a
+    bare ``SUM(bigint)``, which DuckDB widens to HUGEINT).  Oracles
+    must CAST every integer aggregate to BIGINT; DECIMAL is already
+    forbidden on the Spark side by assert_parity.
+    """
+    bad = []
+    for c, t in types.items():
+        u = t.upper()
+        if (
+            u in ("HUGEINT", "UHUGEINT")
+            or u.startswith("UINT")
+            or u.startswith("UTINYINT")
+            or u.startswith("USMALLINT")
+            or u.startswith("UBIGINT")
+            or u.startswith("DECIMAL")
+        ):
+            bad.append(f"{c}:{t}")
+    return bad
 
 
 def assert_parity(spark_df, oracle_sql: str, sf_dir: str) -> None:
@@ -80,6 +115,11 @@ def assert_parity(spark_df, oracle_sql: str, sf_dir: str) -> None:
     ]
     assert not decs, f"decimal-typed output columns {decs} — emit round(double, n) instead"
     r = compare(spark_df, oracle_sql, sf_dir)
+    exotic = exotic_oracle_columns(r["oracle_types"])
+    assert not exotic, (
+        f"oracle emits version-sensitive column types {exotic} — "
+        "CAST integer aggregates to BIGINT (driver hash-red class)"
+    )
     assert r["rows_match"], f"row count mismatch: {r['spark']['rows']} vs {r['oracle']['rows']}"
     assert r["schema_match"], f"schema mismatch: {r['spark']['cols']} vs {r['oracle']['cols']}"
     assert r["hash_match"], (

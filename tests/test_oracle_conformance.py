@@ -1,0 +1,63 @@
+"""Driver-compare contract conformance for every registered oracle.
+
+The driver's correctness gate hashes the DuckDB oracle result after a
+pandas/arrow conversion, while the local replica (tests/oracle.py)
+fetches native Python values.  Types whose client conversion differs by
+DuckDB version (HUGEINT/unsigned → float64 or decimal128) therefore
+pass locally and hash-red at the driver — the round-3 failure class
+(q_repetition, q_split_sample, q_vocab_build, q_token_entropy,
+q_corpus_stats, each emitting a bare SUM(bigint) = HUGEINT).
+
+This test mechanically rejects any registered oracle that EMITS such a
+type, so the failure class dies locally before a driver round ever
+sees it.  Normalization notes for the replica:
+
+- floats: repr() of the Python float (both engines emit IEEE doubles;
+  ROUND(x, 6) keeps cross-engine formatting stable — never hash a raw
+  transcendental),
+- NULL → "NULL"; bool → "0"/"1" (int-normalized),
+- integers: str(int) — requires the oracle side to be BIGINT-or-
+  narrower so every fetch path yields a Python int.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from opl_spark import workload
+from tests.oracle import exotic_oracle_columns
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    from opl_spark.sources.registry import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(SF_DIR, t + '.parquet')}')"
+        )
+    yield con
+    con.close()
+
+
+def test_no_oracle_emits_version_sensitive_types(duck):
+    oracles = workload.oracle_sql()
+    assert oracles, "no oracles registered"
+    offenders = {}
+    for name, sql in oracles.items():
+        rel = duck.sql(sql)
+        types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        bad = exotic_oracle_columns(types)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles emitting HUGEINT/unsigned/DECIMAL columns (driver "
+        f"hash-red class — CAST to BIGINT): {offenders}"
+    )
