@@ -231,6 +231,9 @@ BENCH_QUERIES = [
     "q_activity_heatmap",
     "q_ship_lag_quantiles",
     "q_purchase_intervals",
+    # round-4: bucketed-edge graph co-location
+    "q_pagerank_bucketed",
+    "q_label_prop_bucketed",
 ]
 
 

@@ -177,12 +177,20 @@ def scd2_intervals(
     ts_col: str,
     attr_cols: list[str],
     tiebreak_col: str,
+    open_end: str | None = None,
 ) -> DataFrame:
     """Slowly-changing-dimension type-2 history: each (key, ts) record
     becomes a validity interval ``[valid_from, valid_to)``, where
-    ``valid_to`` is the next record's timestamp for that key (NULL =
-    current row).  The warehouse pattern for turning an append-only
-    change log into point-in-time-joinable history.
+    ``valid_to`` is the next record's timestamp for that key.  The
+    warehouse pattern for turning an append-only change log into
+    point-in-time-joinable history.
+
+    ``open_end`` picks the open-row convention: ``None`` leaves the
+    current row's ``valid_to`` NULL (callers test ``IS NULL``, as
+    :func:`pit_lookup` does); a timestamp string (Kimball's
+    ``"9999-12-31"``) closes every interval so consumers can use a
+    plain ``ts < valid_to`` — and nothing NULL crosses an engine
+    boundary.  ``is_current`` flags the open row either way.
 
     One ``lead`` window partitioned BY KEY (parallelism = number of
     keys; no global sort), ordered by (ts, tiebreak) so same-day
@@ -192,10 +200,16 @@ def scd2_intervals(
 
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     cols = [key_col, tiebreak_col, *attr_cols]
+    nxt = F.lead(F.col(ts_col)).over(w)
+    valid_to = (
+        nxt
+        if open_end is None
+        else F.coalesce(nxt, F.lit(open_end).cast(df.schema[ts_col].dataType))
+    )
     return df.select(
         *cols,
         F.col(ts_col).alias("valid_from"),
-        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        valid_to.alias("valid_to"),
         (F.lead(F.col(ts_col)).over(w).isNull()).alias("is_current"),
     )
 

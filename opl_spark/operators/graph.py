@@ -42,10 +42,45 @@ def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFram
     )
 
 
+def bucketize_edges(
+    spark,
+    edges: DataFrame,
+    table: str = "opl_graph_edges_bucketed",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Write the (symmetric) edge list ONCE as a catalog table
+    bucketed + sorted on ``src`` and read it back — the 100×-scale
+    setup step for every iterative operator in this module.
+
+    Each round of pagerank / label propagation / k-core joins and
+    aggregates the edge list on its node key; from a plain DataFrame
+    that re-shuffles the FULL edge list every round (iterations ×
+    |E| exchange traffic).  A bucketed scan reports its hash
+    distribution to Catalyst, so the per-round edge-side join and the
+    degree aggregation plan with NO Exchange on the edge side — only
+    the node-sized rank/label state moves (plus the one inherent
+    message shuffle onto ``dst``, which IS the algorithm's
+    communication).  Reading from table files also starts each round
+    from a fresh scan, so the bucketed path needs no localCheckpoint
+    lineage truncation (pass ``checkpoint=False`` to the iterators).
+
+    Asserted by tests/test_scale_plan.py (bucketed plan: no Exchange
+    above the edge scan; strictly fewer exchanges than the plain
+    plan); measured in BENCH_NOTES.md.
+    """
+    from opl_spark.sources.bucketing import write_bucketed
+
+    write_bucketed(
+        edges.select("src", "dst"), table, "src", num_buckets=num_buckets
+    )
+    return spark.table(table).select("src", "dst")
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping_pct: int = 85,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge list
     (``src``/``dst`` long columns, both directions present — use
@@ -57,8 +92,15 @@ def pagerank(
     Exactly reproducible across engines: all arithmetic is integer
     (see module doc), and each round is one join + one sum — the
     Pregel message-passing shape without per-round driver traffic.
+    ``checkpoint=False`` skips lineage truncation AND preserves the
+    input's physical layout — pass it with :func:`bucketize_edges`
+    output so the per-round edge-side join stays exchange-free
+    (localCheckpoint rewrites the plan as an RDD scan, which would
+    discard the bucketing metadata).
     """
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    e = edges.select("src", "dst")
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

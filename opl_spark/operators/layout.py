@@ -34,6 +34,52 @@ def zorder_key(cols: list[Column], bits: int = 8) -> Column:
     return key
 
 
+def zorder_rank_quantize(
+    df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0.001
+) -> tuple[DataFrame, list[str]]:
+    """Equi-depth quantization of each cluster column to the
+    ``bits``-wide domain ``0..2^bits-1`` — the range-quantize step
+    Delta/Iceberg z-order performs before interleaving.
+
+    ``zorder_key`` interleaves the LOW ``bits`` bits of its inputs;
+    for a high-cardinality column (an order key, a timestamp) the low
+    byte is effectively random, so interleaving raw values yields
+    near-zero row-group min/max pruning.  This helper maps each value
+    to its rank bucket first: ONE ``approxQuantile`` pass over all
+    columns (sampled, driver-bounded: 2^bits−1 cutpoints per column)
+    and then a codegen'd higher-order fold that counts cutpoints ≤
+    value — equivalent to a 2^bits-bucket percent_rank WITHOUT the
+    single-partition global window an exact rank would need.
+
+    Returns ``(df_with_bucket_cols, bucket_col_names)``; feed the
+    bucket columns to ``zorder_key`` and drop them after sorting.
+    The fold lambda captures only named-column attributes (staged
+    ``__zqv_*`` casts) per the repo HOF-capture rule.
+    """
+    nq = (1 << bits) - 1
+    qs = [i / float(1 << bits) for i in range(1, 1 << bits)]
+    cuts = df.stat.approxQuantile(cols, qs, rel_err)
+    names: list[str] = []
+
+    def _count_cuts_below(raw_name: str):
+        # binds the staged column NAME (an attribute, per the repo
+        # HOF-capture rule), keeping the fold lambda strictly 2-ary
+        return lambda acc, cut: acc + F.when(
+            F.col(raw_name) >= cut, 1
+        ).otherwise(0)
+
+    for c, cc in zip(cols, cuts):
+        raw, bucket = f"__zqv_{c}", f"__zq_{c}"
+        arr = F.array(*[F.lit(float(x)) for x in cc])
+        df = df.withColumn(raw, F.col(c).cast("double"))
+        df = df.withColumn(
+            bucket,
+            F.least(F.lit(nq), F.aggregate(arr, F.lit(0), _count_cuts_below(raw))),
+        ).drop(raw)
+        names.append(bucket)
+    return df, names
+
+
 def zorder_sql(exprs: list[str], bits: int = 8) -> str:
     """The ANSI-SQL expression computing ``zorder_key`` over the given
     column expressions — same bit placement, engine-portable (`&`,

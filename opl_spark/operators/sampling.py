@@ -241,14 +241,19 @@ def dsir_weights(
     order-dependent float accumulation across engines — and floats
     only appear at the final ``/1e6`` emission.
 
-    Scale shape: one token-explode pass; the per-bucket lambda table
-    broadcasts (≤ a few KiB); per-doc aggregation is map-side
-    combinable.  The two corpus totals cross the driver as scalars
-    (metadata-sized).  Resampling itself is then a deterministic gate
-    on the emitted weight (e.g. ``percentile_filter`` or
-    ``hash_gate``), kept out of this operator so callers choose the
-    budget.
+    Scale shape: the token explode is persisted (MEMORY_AND_DISK,
+    LRU-evictable) and scanned exactly twice — once for the combined
+    raw+target bucket profile (a single conditional aggregation, not
+    two separate corpus scans), once for the per-doc score join.  The
+    two corpus totals come from the 256-row profile table, not another
+    corpus pass.  The per-bucket lambda table broadcasts (≤ a few
+    KiB); per-doc aggregation is map-side combinable.  Resampling
+    itself is then a deterministic gate on the emitted weight (e.g.
+    ``percentile_filter`` or ``hash_gate``), kept out of this operator
+    so callers choose the budget.
     """
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.col(id_col).alias("doc"),
         target.alias("__t"),
@@ -262,34 +267,33 @@ def dsir_weights(
             F.lit(buckets),
         ),
     )
-    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        toks.filter(F.col("__t"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # cached across the profile pass (materialized by the totals
+    # .first() below) and the lazy per-doc join the caller executes.
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    prof = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
     )
-    raw_total = int(raw.agg(F.sum("cr")).first()[0])
-    tgt_total = int(tgt.agg(F.sum("ct")).first()[0] or 0)
-    lam = (
-        raw.join(tgt, "bucket", "left")
-        .select(
-            "bucket",
-            F.round(
-                (
-                    F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                        / F.lit(float(tgt_total + buckets))
-                    )
-                    - F.log(
-                        (F.col("cr") + 1).cast("double")
-                        / F.lit(float(raw_total + buckets))
-                    )
+    totals = prof.agg(F.sum("cr").alias("rt"), F.sum("ct").alias("tt")).first()
+    raw_total = int(totals["rt"])
+    tgt_total = int(totals["tt"] or 0)
+    lam = prof.select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / F.lit(float(tgt_total + buckets))
                 )
-                * 1e6
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / F.lit(float(raw_total + buckets))
+                )
             )
-            .cast("long")
-            .alias("lam_micro"),
+            * 1e6
         )
+        .cast("long")
+        .alias("lam_micro"),
     )
     per_doc = (
         toks.join(F.broadcast(lam), "bucket")

@@ -918,9 +918,239 @@ def pca_project(
     )
 
 
+def _ceil_div(a: int, b: int) -> int:
+    return -((-a) // b)
+
+
+def _rescale_int(mat, scale: int = 10**6):
+    """Floor-divide an int64 matrix so entries fit in ±scale — the
+    deterministic renormalization both engines replay identically."""
+    import numpy as np
+
+    m = int(np.abs(mat).max())
+    dd = max(1, _ceil_div(m, scale))
+    return np.floor_divide(mat, dd)
+
+
+def _dominant_eigvec_int(mat, squarings: int = 12) -> list[int]:
+    """Dominant eigenvector by deterministic integer MATRIX SQUARING:
+    ``M ← rescale(M²)`` doubles the effective power each step (2^12 =
+    4096 after 12 squarings), which converges even on near-spherical
+    spectra where plain power iteration would need hundreds of
+    matvecs (the testdata's λ₂/λ₁ ≈ 0.987 → 0.987⁴⁰⁹⁶ ≈ 5e-24).
+    Every step is integer arithmetic (entries ≤ 1e6, product sums ≤
+    64·1e12 < 2^53 — exact under any summation order) plus one
+    IEEE-exact final renormalization, so a SQL oracle replays the
+    exact iterate.  The vector is read off as the column of the
+    (near-rank-1) powered matrix with the largest diagonal."""
+    import math
+
+    import numpy as np
+
+    M = _rescale_int(np.asarray(mat, dtype=np.int64))
+    for _ in range(squarings):
+        M = _rescale_int(M @ M)
+    j = int(max(range(M.shape[0]), key=lambda t: (M[t, t], -t)))
+    y = M[:, j].astype(np.int64)
+    my = int(np.abs(y).max())
+    if my == 0:
+        return [0] * M.shape[0]
+    dy = max(1, _ceil_div(my, 10**6))
+    z = np.floor_divide(y, dy)
+    n2 = int((z * z).sum())
+    if n2 == 0:
+        return [0] * M.shape[0]
+    r = math.sqrt(float(n2))
+    return [math.floor(int(t) * 1000000.0 / r + 0.5) for t in z]
+
+
+def _canon_sign(v: list[int]) -> list[int]:
+    i = max(range(len(v)), key=lambda j: (abs(v[j]), -j))
+    return [-t for t in v] if v[i] < 0 else v
+
+
+def pca_power_project(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 2, iters: int = 12
+) -> DataFrame:
+    """Top-k PCA projection by INTEGER-EXACT power iteration — the
+    oracle-replayable sibling of :func:`pca_project` (which uses a
+    float eigensolver no second engine can reproduce bit-for-bit).
+
+    Coordinates quantize to the 1e-3 integer grid, the scatter matrix
+    ``C = n·Σwwᵀ − (Σw)(Σw)ᵀ`` is an exact integer (positive scale —
+    eigenvectors unchanged), the dominant direction comes from
+    ``iters`` integer matrix SQUARINGS (effective power 2^iters —
+    converges on near-spherical spectra; :func:`_dominant_eigvec_int`),
+    the second component comes from exact
+    integer Hotelling deflation ``C₂ = (C·(vᵀv)² − (vᵀCv)·vvᵀ) //
+    (vᵀv)²``, and the per-row projection ``pcj_q = (n·⟨w, vⱼ⟩ −
+    ⟨Σw, vⱼ⟩) // n`` is integer floor-division — every emitted value
+    is a BIGINT identical on any engine.  Signs canonicalize to
+    largest-|entry| positive (min-index tie-break).
+
+    Scale shape: ONE Arrow-batched pass emits integer ``(n, Σw, wᵀw)``
+    partials per batch (int64 — exact, so the reduce is
+    order-independent, unlike the float gram of pca_components);
+    driver state is batches × d² ints; projection is a second
+    map-only pass of higher-order-function expressions.  int64/2^53
+    headroom: per-row dots bound 64·1e3·1e6 = 6.4e10, times n — exact
+    to n ≈ 1.4e8 rows; beyond that, divide the projection by n before
+    the multiply or widen to decimal.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            w = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "n": [int(x.shape[0])],
+                    "s": [w.sum(axis=0).tolist()],
+                    "g": [(w.T @ w).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(partials, "n long, s array<long>, g array<long>")
+        .collect()
+    )
+    if not parts:
+        raise ValueError("pca_power_project: empty input")
+    n = sum(int(p["n"]) for p in parts)
+    d = len(parts[0]["s"])
+    S = [0] * d
+    G = [[0] * d for _ in range(d)]
+    for p in parts:
+        ps, pg = list(p["s"]), list(p["g"])
+        for i in range(d):
+            S[i] += int(ps[i])
+            row = G[i]
+            base = i * d
+            for j in range(d):
+                row[j] += int(pg[base + j])
+    C = [[n * G[i][j] - S[i] * S[j] for j in range(d)] for i in range(d)]
+    comps: list[list[int]] = []
+    M = C
+    for _ in range(k):
+        Mq = [[int(t) for t in row]
+              for row in _rescale_int(np.asarray(M, dtype=np.int64))]
+        v = _canon_sign(_dominant_eigvec_int(Mq, squarings=iters))
+        comps.append(v)
+        vv = sum(t * t for t in v)
+        if vv == 0:
+            M = Mq
+            continue
+        # exact integer Hotelling deflation (Python ints — the
+        # Mq·vv² term reaches ~4e33, past int64; the oracle uses
+        # HUGEINT intermediates for the same step)
+        ray = sum(Mq[i][j] * v[i] * v[j] for i in range(d) for j in range(d))
+        vv2 = vv * vv
+        M = [
+            [(Mq[i][j] * vv2 - ray * v[i] * v[j]) // vv2 for j in range(d)]
+            for i in range(d)
+        ]
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000.0 + 0.5)
+        ).alias("__w"),
+    )
+    # stage each aggregate dot as a named column before reusing it —
+    # captured expression trees re-evaluate per reference (HOF rule).
+    for ci, v in enumerate(comps, start=1):
+        vlit = F.array(*[F.lit(float(t)) for t in v])
+        c_off = sum(S[i] * v[i] for i in range(d))
+        dot = F.aggregate(
+            F.zip_with(F.col("__w"), vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+        out = out.withColumn(
+            f"__num{ci}", F.lit(n).cast("long") * dot - F.lit(c_off).cast("long")
+        )
+    cols = [F.col("id")]
+    for ci in range(1, len(comps) + 1):
+        num = F.col(f"__num{ci}")
+        pc = ((num - F.pmod(num, F.lit(n))) / F.lit(n)).cast("long")
+        cols.append(pc.alias(f"pc{ci}_q"))
+    return out.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # MMR: diversity-aware selection from a similarity shortlist
 # ---------------------------------------------------------------------------
+
+
+#: quantization scales shared by mmr_select and its SQL oracle: raw
+#: coordinates → 1e-3 integer grid, unit vectors → 1e-6 integer grid.
+#: Every downstream dot product is then a sum of integer-valued
+#: doubles < 2^53, which is EXACT under any summation order — the
+#: property that lets a sequential SQL fold replay a BLAS gemm
+#: bit-for-bit (see with_unit_quantized).
+_MMR_COORD_SCALE = 1000.0
+_MMR_UNIT_SCALE = 1000000.0
+
+
+def with_unit_quantized(df: DataFrame, vec_col: str, out: str = "u") -> DataFrame:
+    """Integer-exact unit quantization of a vector column, staged as
+    named columns per the repo HOF-capture rule (a lambda may capture
+    ATTRIBUTES, never expression trees — an unstaged norm would
+    re-evaluate the whole Σw² fold once per output element):
+    ``w = floor(x·1e3 + ½)`` per element, then
+    ``u = floor(w·1e6/‖w‖ + ½)`` — every step is an elementwise IEEE
+    double op (mul, add, div, sqrt, floor are all correctly rounded),
+    so ANY engine given the same input floats produces the same
+    integers; the norm ``‖w‖² = Σw²`` is a sum of integer-valued
+    doubles and therefore order-independent.  Zero vectors map to the
+    zero vector.  This is what makes cosine pipelines (MMR, quantized
+    top-k) replayable by a DuckDB oracle with no float drift.
+
+    Returns ``df`` with ``out`` added (array<double> of integer-valued
+    elements); the ``__uq*`` scaffolding columns are dropped.
+    """
+    w_c, n_c = f"__uq_w_{out}", f"__uq_nrm_{out}"
+    df = df.withColumn(
+        w_c,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * _MMR_COORD_SCALE + 0.5),
+        ),
+    )
+    df = df.withColumn(
+        n_c,
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col(w_c), F.col(w_c), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    df = df.withColumn(
+        out,
+        F.when(
+            F.col(n_c) > 0,
+            F.transform(
+                F.col(w_c),
+                lambda y: F.floor(y * _MMR_UNIT_SCALE / F.col(n_c) + 0.5),
+            ),
+        ).otherwise(F.transform(F.col(w_c), lambda x: F.lit(0.0))),
+    )
+    return df.drop(w_c, n_c)
+
+
+def _quantize_unit_np(mat):
+    """numpy replica of with_unit_quantized (same IEEE op sequence)."""
+    import numpy as np
+
+    w = np.floor(mat.astype(np.float64) * _MMR_COORD_SCALE + 0.5)
+    n2 = (w * w).sum(axis=-1, keepdims=True)
+    safe = np.where(n2 > 0, n2, 1.0)
+    u = np.floor(w * _MMR_UNIT_SCALE / np.sqrt(safe) + 0.5)
+    return np.where(n2 > 0, u, 0.0)
 
 
 def mmr_select(
@@ -941,64 +1171,74 @@ def mmr_select(
     — the standard answer to "my top-10 nearest neighbours are ten
     copies of the same document".
 
-    Scale shape: the DISTRIBUTED stage is the shortlist — brute-force
-    (or IVF) cosine top-``shortlist`` via TakeOrderedAndProject, which
-    bounds everything after it.  The greedy loop is inherently
-    sequential in k and runs on the collected shortlist
-    (shortlist·dim floats — metadata-sized like the IVF centroids),
-    as one numpy gram-matrix computation + k argmax passes.  Ties
-    break on min id; emits ``(id, sim, mmr_score, pick)`` in pick
-    order.
+    Similarities are integer dot products of 1e-6-quantized unit
+    vectors (:func:`with_unit_quantized`, scale 1e12) and λ is taken in
+    percent, so the whole greedy chain is integer arithmetic — the
+    same picks, scores, and tie-breaks on every engine, which is what
+    lets the registered DuckDB oracle replay the full unrolled chain
+    (cosine at 1e-6 precision; ranking unchanged unless two
+    candidates are closer than that).
+
+    Scale shape: the DISTRIBUTED stage is the shortlist — quantized
+    cosine top-``shortlist`` via TakeOrderedAndProject, which bounds
+    everything after it.  The greedy loop is inherently sequential in
+    k and runs on the collected shortlist (shortlist·dim ints —
+    metadata-sized like the IVF centroids) as one integer gram matrix
+    + k argmax passes.  Ties break on min id; emits
+    ``(id, sim_q, mmr_q, pick)`` in pick order, where ``sim_q`` is
+    cosine·1e12 and ``mmr_q = lam_pct·sim_q − (100−lam_pct)·red_q``.
     """
     import numpy as np
 
-    rows = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .join(
-            topk_scored(df, vec_col, id_col, query, shortlist).select("id"),
-            "id",
+    lam_pct = int(round(lam * 100))
+    qu = _quantize_unit_np(np.asarray(query, dtype=np.float64))
+    if not np.any(qu):
+        raise ValueError("mmr_select: query has zero norm — cosine undefined")
+    qu_lit = F.array(*[F.lit(float(x)) for x in qu])
+    scored = (
+        with_unit_quantized(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")),
+            "__v",
+            out="u",
         )
-        .collect()
+        .withColumn(
+            "qsim",
+            F.aggregate(
+                F.zip_with(F.col("u"), qu_lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).cast("long"),
+        )
+        .select("id", "u", "qsim")
+        .orderBy(F.col("qsim").desc(), F.col("id"))
+        .limit(shortlist)
     )
+    rows = scored.collect()
     rows.sort(key=lambda r: r["id"])
     ids = [r["id"] for r in rows]
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    q = np.asarray(query, dtype=np.float64)
-    qn = np.linalg.norm(q)
-    if qn == 0:
-        raise ValueError("mmr_select: query has zero norm — cosine undefined")
-    qsim = unit @ (q / qn)
-    gram = unit @ unit.T
+    unit = np.array([r["u"] for r in rows], dtype=np.float64)
+    qsim = [int(r["qsim"]) for r in rows]
+    gram = unit @ unit.T  # integer-valued doubles — exact
     picked: list[int] = []
     out = []
     remaining = set(range(len(ids)))
     for pick in range(1, min(k, len(ids)) + 1):
         best_i, best_score = None, None
         for i in sorted(remaining):
-            red = max((gram[i, j] for j in picked), default=0.0)
-            score = lam * qsim[i] - (1 - lam) * red
-            if best_score is None or score > best_score + 1e-12:
+            red = int(max((gram[i, j] for j in picked), default=0.0))
+            score = lam_pct * qsim[i] - (100 - lam_pct) * red
+            if best_score is None or score > best_score:
                 best_i, best_score = i, score
         picked.append(best_i)
         remaining.discard(best_i)
-        out.append(
-            (ids[best_i], round(float(qsim[best_i]), 6), round(float(best_score), 6), pick)
-        )
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+        out.append((ids[best_i], qsim[best_i], int(best_score), pick))
+    from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
         [
             StructField("id", df.schema[id_col].dataType),
-            StructField("sim", DoubleType()),
-            StructField("mmr_score", DoubleType()),
+            StructField("sim_q", LongType()),
+            StructField("mmr_q", LongType()),
             StructField("pick", LongType()),
         ]
     )
@@ -1032,44 +1272,51 @@ def hybrid_search_rrf(
 
     Scale shape: each leg is the already-scale-audited distributed
     operator (only query-term postings shuffle for BM25; one
-    map-side-combinable TakeOrdered pass for cosine); fusion touches
-    only the two ``shortlist``-sized lists — metadata, like the MMR
-    gram matrix.  Docs outside a leg's shortlist simply lack that
-    leg's contribution (standard top-k RRF).
+    map-side-combinable TakeOrdered pass for cosine); fusion is a
+    full-outer join of the two ``shortlist``-sized legs, and the
+    ranking windows run over those shortlist-sized frames only —
+    report-sized single-partition windows, never the corpus.  Docs
+    outside a leg's shortlist simply lack that leg's contribution
+    (standard top-k RRF).  The whole operator STAYS LAZY — one plan,
+    nothing executes at construction time, so callers keep lineage
+    and composability (the round-3 version collected both legs
+    eagerly).
 
     Emits ``(doc, rrf_x, lex_rank, dense_rank)`` — ranks NULL when the
     doc missed that shortlist — ordered by (rrf_x desc, doc), top k.
     Assumes the embedding table's ids are the document ids (the
     testdata's doc_id == vec_id alignment)."""
+    from pyspark.sql.window import Window
+
     from opl_spark.operators.text import bm25_search
 
-    lex_rows = bm25_search(
-        docs, text_col, doc_id_col, query_terms, k=shortlist
-    ).collect()
-    dense_rows = topk_scored(
-        emb, vec_col, vec_id_col, query_vec, shortlist
-    ).collect()
-    lex_rank = {r["doc"]: i + 1 for i, r in enumerate(lex_rows)}
-    dense_rank = {r["id"]: i + 1 for i, r in enumerate(dense_rows)}
-    fused = []
-    for doc in set(lex_rank) | set(dense_rank):
-        lr, dr = lex_rank.get(doc), dense_rank.get(doc)
-        rrf = (1_000_000_000 // (k0 + lr) if lr else 0) + (
-            1_000_000_000 // (k0 + dr) if dr else 0
-        )
-        fused.append((doc, rrf, lr, dr))
-    fused.sort(key=lambda t: (-t[1], t[0]))
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    schema = StructType(
-        [
-            StructField("doc", docs.schema[doc_id_col].dataType),
-            StructField("rrf_x", LongType()),
-            StructField("lex_rank", LongType(), nullable=True),
-            StructField("dense_rank", LongType(), nullable=True),
-        ]
+    lex = bm25_search(docs, text_col, doc_id_col, query_terms, k=shortlist)
+    dense = topk_scored(emb, vec_col, vec_id_col, query_vec, shortlist)
+    lexr = lex.select(
+        "doc",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc")))
+        .cast("long")
+        .alias("lex_rank"),
     )
-    return docs.sparkSession.createDataFrame(fused[:k], schema)
+    denser = dense.select(
+        F.col("id").alias("doc"),
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("id")))
+        .cast("long")
+        .alias("dense_rank"),
+    )
+    fused = lexr.join(denser, "doc", "full_outer")
+    rrf = F.coalesce(
+        F.expr(f"1000000000 div ({k0} + lex_rank)"), F.lit(0).cast("long")
+    ) + F.coalesce(
+        F.expr(f"1000000000 div ({k0} + dense_rank)"), F.lit(0).cast("long")
+    )
+    return (
+        fused.select("doc", rrf.alias("rrf_x"), "lex_rank", "dense_rank")
+        .orderBy(F.col("rrf_x").desc(), F.col("doc"))
+        .limit(k)
+    )
 
 
 def random_projection(

@@ -187,12 +187,12 @@ def cost_report(df: DataFrame) -> dict:
     optimizer's sizeInBytes (file-size based for parquet scans) — a
     planning signal, not an execution measurement.
 
-    Concurrency caveat: counting codegen stages requires replanning
-    the probe with AQE off, which briefly toggles the SESSION-scoped
-    ``spark.sql.adaptive.enabled`` — a query planned concurrently in
-    the same session during that window would plan without AQE
-    (performance-only effect).  Run diagnostics from a dedicated
-    session if that matters.
+    The non-AQE codegen probe replans in an ISOLATED
+    ``spark.newSession()`` (SQL conf is per-session), so concurrent
+    queries in the caller's session — including ones arriving through
+    the HTTP ``/olap/<fact>/explain`` route, which made the old
+    session-scoped toggle window easy to hit — always plan with their
+    own AQE setting.
     """
     plan = formatted_plan(df)
     n_broadcasts = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, flags=re.M))
@@ -201,18 +201,22 @@ def cost_report(df: DataFrame) -> dict:
     # codegen spans show as *(N) markers only in a NON-AQE physical
     # plan (AdaptiveSparkPlan collapses codegen stages per-stage at
     # runtime, so the unexecuted AQE plan prints none) — replan the
-    # probe once with AQE off, restore the setting after
+    # probe once in a throwaway session with AQE off.  A GLOBAL temp
+    # view carries the logical plan across sessions; the probe
+    # session's conf change is invisible to the caller's session.
     spark = df.sparkSession
-    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    df.createOrReplaceGlobalTempView(_PROBE)
+    probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        df.createOrReplaceTempView(_PROBE)
         simple = "\n".join(
             r[0]
-            for r in spark.sql(f"EXPLAIN SELECT * FROM {_PROBE}").collect()
+            for r in probe.sql(
+                f"EXPLAIN SELECT * FROM global_temp.{_PROBE}"
+            ).collect()
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.catalog.dropGlobalTempView(_PROBE)
     codegen_ids = set(re.findall(r"\*\((\d+)\)", simple))
     n_ops = len(re.findall(r"^\(\d+\)", plan, flags=re.M))
     # estimated bytes READ = sum of leaf-relation sizes (file-size

@@ -179,9 +179,12 @@ class SnapshotEngine:
         """Rewrite a fact table's files to bound file count — and,
         with ``cluster_by``, to CLUSTER rows inside each rewritten
         file so parquet row-group min/max stats prune point and range
-        reads on those columns (``zorder=True`` interleaves ≥2
-        cluster columns into one Morton key, preserving locality in
-        both dimensions; plain sort otherwise).  Compaction is the
+        reads on those columns (``zorder=True`` range-quantizes ≥2
+        cluster columns to 8-bit equi-depth rank buckets and
+        interleaves THOSE into one Morton key — interleaving raw
+        values would use only the noise-like low bits of
+        high-cardinality keys; plain sort otherwise).  Compaction is
+        the
         natural moment to impose layout: the data is being rewritten
         anyway, so clustering is free scan-cost insurance.
 
@@ -208,24 +211,37 @@ class SnapshotEngine:
         path = self._path(fact_table)
         tmp = path + "__compacting"
         df = self.fact_frame(fact_table)
-        # every (year, month [, salt]) group hashes to one task, so each
-        # partition directory is written by exactly target_files tasks
-        keys = [F.col("year"), F.col("month")]
-        if target_files_per_partition > 1:
-            # salt from a hash of the data columns — deterministic under
-            # task retry, unlike monotonically_increasing_id, so a retried
-            # write attempt produces identical files
-            keys.append(
-                F.pmod(F.xxhash64(*df.columns), F.lit(target_files_per_partition))
-            )
-        out = df.repartition(*keys)
+        drop_after: list[str] = []
         if cluster_by:
             if zorder and len(cluster_by) >= 2:
-                from opl_spark.operators.layout import zorder_key
+                from opl_spark.operators.layout import (
+                    zorder_key,
+                    zorder_rank_quantize,
+                )
 
-                sort_key = [zorder_key([F.col(c) for c in cluster_by])]
+                # range-quantize each cluster column to the 8-bit
+                # domain first (equi-depth, Delta/Iceberg-style):
+                # interleaving RAW values would use only their low 8
+                # bits, which for high-cardinality keys are noise and
+                # yield no min/max pruning
+                df, buckets = zorder_rank_quantize(df, cluster_by, bits=8)
+                drop_after = buckets
+                sort_key = [zorder_key([F.col(b) for b in buckets])]
             else:
                 sort_key = [F.col(c) for c in cluster_by]
+            # RANGE-partition on (year, month, cluster key): each file
+            # then covers a CONTIGUOUS key range, so min/max footer
+            # stats prune across files as well as across row groups —
+            # a salted split would hand every task a random sample of
+            # the domain and leave each file spanning all of it
+            if target_files_per_partition > 1:
+                n_groups = df.select("year", "month").distinct().count()
+                out = df.repartitionByRange(
+                    max(1, n_groups * target_files_per_partition),
+                    F.col("year"), F.col("month"), *sort_key,
+                )
+            else:
+                out = df.repartition(F.col("year"), F.col("month"))
             # the (year, month) prefix satisfies the file writer's
             # required partition-column ordering — without it the
             # writer re-sorts by partition columns alone and silently
@@ -233,6 +249,26 @@ class SnapshotEngine:
             out = out.sortWithinPartitions(
                 F.col("year"), F.col("month"), *sort_key
             )
+            if drop_after:
+                # projection after the sort keeps the row order; the
+                # bucket columns are layout scaffolding, not data
+                out = out.drop(*drop_after)
+        else:
+            # no cluster order requested: every (year, month [, salt])
+            # group hashes to one task, so each partition directory is
+            # written by exactly target_files tasks
+            keys = [F.col("year"), F.col("month")]
+            if target_files_per_partition > 1:
+                # salt from a hash of the data columns — deterministic
+                # under task retry, unlike monotonically_increasing_id,
+                # so a retried write attempt produces identical files
+                keys.append(
+                    F.pmod(
+                        F.xxhash64(*df.columns),
+                        F.lit(target_files_per_partition),
+                    )
+                )
+            out = df.repartition(*keys)
         out.write.mode("overwrite").partitionBy("year", "month").parquet(tmp)
         old = path + "__old"
         fs, hpath = self._fs(path)

@@ -29,7 +29,20 @@ def write_bucketed(
     """Save as a bucketed (and optionally sorted) catalog table.
 
     Pre-repartitioning on the bucket column keeps it to one file per
-    bucket per write instead of one per task."""
+    bucket per write instead of one per task.  Rewrites are idempotent
+    ACROSS sessions: a fresh in-memory catalog does not know about a
+    previous session's managed table, so ``mode("overwrite")`` alone
+    would fail with LOCATION_ALREADY_EXISTS on its leftover directory
+    — drop the table and the stale location first (Hadoop FS API, so
+    any warehouse scheme works)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(wh + "/" + table.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     writer = (
         df.repartition(num_buckets, bucket_col)
         .write.mode("overwrite")

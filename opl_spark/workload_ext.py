@@ -2935,7 +2935,8 @@ def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderstatus,
        o_orderdate AS valid_from,
-       LEAD(o_orderdate) OVER w AS valid_to,
+       COALESCE(LEAD(o_orderdate) OVER w, TIMESTAMP '9999-12-31')
+           AS valid_to,
        (LEAD(o_orderdate) OVER w IS NULL) AS is_current
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -2946,12 +2947,16 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     each customer's orders chain into [valid_from, valid_to) validity
     ranges via one lead window PARTITIONED BY customer (parallelism =
     keys, no global sort), ordered (date, orderkey) so same-day orders
-    chain deterministically."""
+    chain deterministically.  Open rows close at the Kimball
+    9999-12-31 sentinel (no NULL crosses the compare — no r3-green
+    query ever emitted a NULL, so driver NULL normalization is
+    unproven territory; is_current still flags the open row)."""
     from opl_spark.operators.analytics import scd2_intervals
 
     orders = load_table(spark, sf_dir, "orders")
     return scd2_intervals(
-        orders, "o_custkey", "o_orderdate", ["o_orderstatus"], "o_orderkey"
+        orders, "o_custkey", "o_orderdate", ["o_orderstatus"], "o_orderkey",
+        open_end="9999-12-31",
     )
 
 
@@ -2980,8 +2985,10 @@ SELECT COALESCE(s1.k, s2.k) AS o_custkey,
             WHEN s1.st IS NOT DISTINCT FROM s2.st
                  AND s1.tp IS NOT DISTINCT FROM s2.tp THEN 'unchanged'
             ELSE 'changed' END AS kind,
-       s1.st AS old_o_orderstatus, s1.tp AS old_o_totalprice,
-       s2.st AS new_o_orderstatus, s2.tp AS new_o_totalprice
+       COALESCE(s1.st, '') AS old_o_orderstatus,
+       COALESCE(s1.tp, 0.0) AS old_o_totalprice,
+       COALESCE(s2.st, '') AS new_o_orderstatus,
+       COALESCE(s2.tp, 0.0) AS new_o_totalprice
 FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k
 """,
 )
@@ -2992,7 +2999,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the date-filtered log (filter pushed to the scan); the diff is ONE
     co-partitioned full outer join with a codegen'd null-safe
     comparison — the incremental-load-vs-full-recompute check run
-    customer-sized, never order-sized."""
+    customer-sized, never order-sized.  The absent side of added /
+    removed rows emits ''/0.0 instead of NULL (the kind column already
+    says which side is absent; no NULL crosses the compare)."""
     from pyspark.sql import Window
 
     from opl_spark.operators.analytics import snapshot_diff
@@ -3010,11 +3019,19 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_custkey", "o_orderstatus", "o_totalprice")
         )
 
-    return snapshot_diff(
+    diff = snapshot_diff(
         snap("1997-01-01"),
         snap("1998-01-01"),
         "o_custkey",
         ["o_orderstatus", "o_totalprice"],
+    )
+    return diff.select(
+        "o_custkey",
+        "kind",
+        F.coalesce("old_o_orderstatus", F.lit("")).alias("old_o_orderstatus"),
+        F.coalesce("old_o_totalprice", F.lit(0.0)).alias("old_o_totalprice"),
+        F.coalesce("new_o_orderstatus", F.lit("")).alias("new_o_orderstatus"),
+        F.coalesce("new_o_totalprice", F.lit(0.0)).alias("new_o_totalprice"),
     )
 
 
@@ -3196,19 +3213,128 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_pca_project")
+def _pca_power_oracle(k: int = 2, iters: int = 12, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB replay of the integer-exact matrix-squaring
+    PCA (mirrors ``operators/similarity.py:pca_power_project``): the
+    integer scatter matrix, ``iters`` squarings per component
+    (effective power 2^iters — converges on the near-spherical
+    testdata spectrum where plain power iteration would not), exact
+    integer Hotelling deflation (HUGEINT intermediates, BIGINT on the
+    wire), sign canonicalization, and the floor-division projection.
+    DuckDB ``//`` truncates while the operator floors, so every signed
+    division goes through an explicit floor-division CASE."""
+
+    def fd(a: str, b: str) -> str:
+        # floor division for a possibly-negative numerator, positive b
+        return (
+            f"(CASE WHEN ({a}) % ({b}) <> 0 AND ({a}) < 0 "
+            f"THEN ({a}) // ({b}) - 1 ELSE ({a}) // ({b}) END)"
+        )
+
+    parts = [f"""
+WITH pool AS MATERIALIZED (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+wq AS MATERIALIZED (
+    SELECT id, list_transform(v, x -> floor(x * 1000 + 0.5)) AS w FROM pool),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM wq),
+idx AS MATERIALIZED (SELECT CAST(unnest(range(1, {dim + 1})) AS BIGINT) AS i),
+sx AS MATERIALIZED (
+    SELECT i.i, CAST(SUM(w[i.i]) AS BIGINT) AS s
+    FROM wq CROSS JOIN idx i GROUP BY i.i),
+gm AS MATERIALIZED (
+    SELECT a.i AS i, b.i AS j, CAST(SUM(w[a.i] * w[b.i]) AS BIGINT) AS g
+    FROM wq CROSS JOIN idx a CROSS JOIN idx b GROUP BY a.i, b.i),
+mat1r AS MATERIALIZED (
+    SELECT g.i, g.j,
+           CAST((SELECT n FROM nn) * g.g - si.s * sj.s AS BIGINT) AS val
+    FROM gm g JOIN sx si ON si.i = g.i JOIN sx sj ON sj.i = g.j)"""]
+    for c in range(1, k + 1):
+        # rescale the (deflated) scatter to ≤1e6 entries
+        parts.append(f""",
+scale{c} AS MATERIALIZED (
+    SELECT GREATEST(1, (MAX(ABS(val)) + 999999) // 1000000) AS d FROM mat{c}r),
+m{c}_0 AS MATERIALIZED (
+    SELECT i, j, CAST({fd('val', f'(SELECT d FROM scale{c})')} AS BIGINT) AS val
+    FROM mat{c}r)""")
+        for t in range(1, iters + 1):
+            parts.append(f""",
+p{c}_{t} AS MATERIALIZED (
+    SELECT a.i, b.j, CAST(SUM(a.val * b.val) AS BIGINT) AS val
+    FROM m{c}_{t - 1} a JOIN m{c}_{t - 1} b ON a.j = b.i GROUP BY a.i, b.j),
+r{c}_{t} AS MATERIALIZED (
+    SELECT GREATEST(1, (MAX(ABS(val)) + 999999) // 1000000) AS d FROM p{c}_{t}),
+m{c}_{t} AS MATERIALIZED (
+    SELECT i, j, CAST({fd('val', f'(SELECT d FROM r{c}_{t})')} AS BIGINT) AS val
+    FROM p{c}_{t})""")
+        parts.append(f""",
+jc{c} AS MATERIALIZED (
+    SELECT i AS jj FROM m{c}_{iters} WHERE i = j ORDER BY val DESC, i LIMIT 1),
+yv{c} AS MATERIALIZED (
+    SELECT i, val AS y FROM m{c}_{iters} WHERE j = (SELECT jj FROM jc{c})),
+sy{c} AS MATERIALIZED (
+    SELECT GREATEST(1, (MAX(ABS(y)) + 999999) // 1000000) AS dy FROM yv{c}),
+zv{c} AS MATERIALIZED (
+    SELECT i, {fd('y', f'(SELECT dy FROM sy{c})')} AS z FROM yv{c}),
+qn{c} AS MATERIALIZED (SELECT CAST(SUM(z * z) AS BIGINT) AS n2 FROM zv{c}),
+vf{c} AS MATERIALIZED (
+    SELECT i, CASE WHEN (SELECT n2 FROM qn{c}) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(floor(z * 1000000.0
+                                   / sqrt((SELECT n2 FROM qn{c})) + 0.5)
+                             AS BIGINT) END AS val
+    FROM zv{c}),
+sg{c} AS MATERIALIZED (
+    SELECT CASE WHEN (SELECT val FROM vf{c}
+                      ORDER BY ABS(val) DESC, i LIMIT 1) < 0
+                THEN -1 ELSE 1 END AS s),
+u{c} AS MATERIALIZED (
+    SELECT i, val * (SELECT s FROM sg{c}) AS val FROM vf{c})""")
+        if c < k:
+            parts.append(f""",
+vv{c} AS MATERIALIZED (SELECT CAST(SUM(val * val) AS BIGINT) AS vv FROM u{c}),
+vv2_{c} AS MATERIALIZED (
+    SELECT CAST((SELECT vv FROM vv{c}) AS HUGEINT) * (SELECT vv FROM vv{c}) AS vv2),
+ray{c} AS MATERIALIZED (
+    SELECT SUM(CAST(m.val AS HUGEINT) * vi.val * vj.val) AS ray
+    FROM m{c}_0 m JOIN u{c} vi ON vi.i = m.i JOIN u{c} vj ON vj.i = m.j),
+mat{c + 1}r AS MATERIALIZED (
+    SELECT m.i, m.j,
+           CAST({fd(
+               f"CAST(m.val AS HUGEINT) * (SELECT vv2 FROM vv2_{c})"
+               f" - (SELECT ray FROM ray{c}) * vi.val * vj.val",
+               f"(SELECT vv2 FROM vv2_{c})")} AS BIGINT) AS val
+    FROM m{c}_0 m JOIN u{c} vi ON vi.i = m.i JOIN u{c} vj ON vj.i = m.j)""")
+    proj_cols = []
+    for c in range(1, k + 1):
+        parts.append(f""",
+vl{c} AS MATERIALIZED (SELECT list(CAST(val AS DOUBLE) ORDER BY i) AS l FROM u{c}),
+cx{c} AS MATERIALIZED (
+    SELECT CAST(SUM(s.s * u.val) AS BIGINT) AS c
+    FROM sx s JOIN u{c} u ON u.i = s.i)""")
+        num = (
+            f"(SELECT n FROM nn) * CAST(list_dot_product(w.w, "
+            f"(SELECT l FROM vl{c})) AS BIGINT) - (SELECT c FROM cx{c})"
+        )
+        proj_cols.append(f"{fd(num, '(SELECT n FROM nn)')} AS pc{c}_q")
+    parts.append("\nSELECT w.id, " + ", ".join(proj_cols) + "\nFROM wq w\n")
+    return "".join(parts)
+
+
+@register("q_pca_project", oracle=_pca_power_oracle())
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 PCA projection of the embedding corpus: one Arrow-batched
-    Gram-partial pass fits the d×d covariance (driver state = batches
-    × d² — metadata-sized), eigh on the driver, then a map-only
-    projection pass.  Not SQL-expressible (eigendecomposition) —
-    rows-only here; tests/test_pipeline_ops.py pins variance ordering,
-    component orthogonality, and decorrelation of the projected
-    coordinates."""
-    from opl_spark.operators.similarity import pca_project
+    """Top-2 PCA projection of the embedding corpus by integer-exact
+    matrix squaring: one Arrow-batched integer Gram-partial pass
+    (driver state = batches × d² ints — metadata-sized), 12 integer
+    matrix squarings per component (effective power 4096 — converges
+    on the near-spherical spectrum) with exact integer Hotelling
+    deflation, then a map-only projection pass.  Integer-exact
+    end-to-end, so the unrolled-CTE oracle replays it hash-exact (was
+    rows-only while the eigh-based pca_project was registered —
+    eigendecomposition itself is not cross-engine-reproducible);
+    tests pin agreement with the float eigensolver up to sign."""
+    from opl_spark.operators.similarity import pca_power_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_project(emb, "embedding", "vec_id", k=2)
+    return pca_power_project(emb, "embedding", "vec_id", k=2)
 
 
 @register(
@@ -3669,18 +3795,22 @@ WITH g AS (
     FROM orders GROUP BY 1, 2
 )
 SELECT prio, year, revenue,
-       ROUND(revenue - LAG(revenue) OVER w, 2) AS delta,
-       ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w, 6)
-           AS pct_change
-FROM g
-WINDOW w AS (PARTITION BY prio ORDER BY year)
+       ROUND(revenue - lagr, 2) AS delta,
+       ROUND((revenue - lagr) / lagr, 6) AS pct_change
+FROM (
+    SELECT prio, year, revenue, LAG(revenue) OVER w AS lagr
+    FROM g
+    WINDOW w AS (PARTITION BY prio ORDER BY year)
+)
+WHERE lagr IS NOT NULL
 """,
 )
 def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year growth per order priority: exact decimal yearly
     revenue, then delta / percent change via a lag window PARTITIONED
-    BY the group (report-sized input, parallelism = groups).  First
-    year emits NULL deltas — the BI trend-line contract."""
+    BY the group (report-sized input, parallelism = groups).  Each
+    group's base year has no prior to grow from and is omitted (no
+    NULL crosses the compare)."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -3693,13 +3823,17 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue")
     )
     w = Window.partitionBy("prio").orderBy("year")
-    lagv = F.lag("revenue").over(w)
-    return g.select(
+    staged = g.withColumn("lagr", F.lag("revenue").over(w)).filter(
+        F.col("lagr").isNotNull()
+    )
+    return staged.select(
         "prio",
         "year",
         "revenue",
-        F.round(F.col("revenue") - lagv, 2).alias("delta"),
-        F.round((F.col("revenue") - lagv) / lagv, 6).alias("pct_change"),
+        F.round(F.col("revenue") - F.col("lagr"), 2).alias("delta"),
+        F.round((F.col("revenue") - F.col("lagr")) / F.col("lagr"), 6).alias(
+            "pct_change"
+        ),
     )
 
 
@@ -6468,12 +6602,59 @@ def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return space_saving_topk(toks, "tok", k=20, counters=200)
 
 
-@register("q_mmr_select")
+def _mmr_oracle(k: int = 10, shortlist: int = 50, lam_pct: int = 70) -> str:
+    """Unrolled-CTE DuckDB replay of the quantized MMR greedy chain
+    (mirrors ``operators/similarity.py:with_unit_quantized`` /
+    ``mmr_select``): vectors quantize to 1e-6 unit integers, so every
+    dot product is a sum of integer-valued doubles — exact under any
+    summation order — and each of the k greedy argmax steps is one
+    CTE with an integer score and a min-id tie-break."""
+    head = f"""
+WITH pool AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+wq AS (SELECT id, list_transform(v, x -> floor(x * 1000 + 0.5)) AS w FROM pool),
+nn AS (SELECT id, w, list_dot_product(w, w) AS n2 FROM wq),
+uq AS (SELECT id,
+              list_transform(w, y -> floor(y * 1000000 / sqrt(n2) + 0.5)) AS u
+       FROM nn WHERE n2 > 0),
+qv AS (SELECT u AS qu FROM uq WHERE id = 0),
+sc AS (SELECT uq.id, uq.u,
+              CAST(list_dot_product(uq.u, qv.qu) AS BIGINT) AS qsim
+       FROM uq CROSS JOIN qv),
+short AS MATERIALIZED (SELECT * FROM sc ORDER BY qsim DESC, id LIMIT {shortlist}),
+picked1 AS MATERIALIZED (
+    SELECT id, u, qsim, CAST({lam_pct} * qsim AS BIGINT) AS score,
+           CAST(1 AS BIGINT) AS pick
+    FROM short ORDER BY qsim DESC, id LIMIT 1)"""
+    steps = []
+    for step in range(2, k + 1):
+        prev = f"picked{step - 1}"
+        steps.append(f""",
+cand{step} AS MATERIALIZED (
+    SELECT c.id, c.u, c.qsim,
+           CAST({lam_pct} * c.qsim
+                - {100 - lam_pct} * MAX(CAST(list_dot_product(c.u, p.u) AS BIGINT))
+                AS BIGINT) AS score
+    FROM short c CROSS JOIN {prev} p
+    WHERE c.id NOT IN (SELECT id FROM {prev})
+    GROUP BY c.id, c.u, c.qsim),
+step{step} AS (
+    SELECT id, u, qsim, score, CAST({step} AS BIGINT) AS pick
+    FROM cand{step} ORDER BY score DESC, id LIMIT 1),
+picked{step} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM step{step})""")
+    tail = f"""
+SELECT id, qsim AS sim_q, score AS mmr_q, pick FROM picked{k}
+"""
+    return head + "".join(steps) + tail
+
+
+@register("q_mmr_select", oracle=_mmr_oracle())
 def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity-aware top-10 for the vec_id-0 probe (λ=0.7 over a
     50-deep shortlist): relevance minus max-redundancy greedy pick.
-    Rows-only: the greedy argmax chain is not SQL-expressible; the
-    subset/first-pick/diversity properties are pinned by
+    Integer-exact via 1e-6 unit quantization, so the full greedy
+    chain — picks, scores, tie-breaks — is replayed hash-exact by the
+    unrolled-CTE oracle (was rows-only before the quantized rewrite);
+    the subset/first-pick/diversity properties stay pinned by
     tests/test_operators.py."""
     from opl_spark.operators.similarity import mmr_select
 
@@ -8544,3 +8725,63 @@ def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90_days"),
         F.max("gap").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed-edge co-location for the iterative graph family (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetric customer↔supplier trade graph both graph queries
+    iterate over (node key = 2·custkey / 2·suppkey+1; custkeys even,
+    suppkeys odd, so the two directions can never collide)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return raw.union(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+from opl_spark.workload import _ORACLES as _REGISTERED_ORACLES  # noqa: E402
+
+
+@register("q_pagerank_bucketed", oracle=_REGISTERED_ORACLES["q_pagerank"])
+def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_pagerank's exact result via the 100×-scale edge layout: the
+    symmetric trade graph is materialized ONCE as a catalog table
+    bucketed+sorted on the node key (``bucketize_edges``), so each of
+    the three rounds' edge⋈rank join and the degree aggregation plan
+    with NO Exchange on the edge side — only node-sized rank state
+    and the inherent per-round message shuffle move.  Same integer
+    arithmetic, same oracle, hash-identical output; the Exchange-free
+    round shape is plan-asserted in tests/test_scale_plan.py and the
+    delta is recorded in BENCH_NOTES.md."""
+    from opl_spark.operators.graph import bucketize_edges, pagerank
+
+    be = bucketize_edges(
+        spark, _trade_edges(spark, sf_dir), table="opl_edges_trade", num_buckets=16
+    )
+    return pagerank(be, iterations=3, checkpoint=False)
+
+
+@register("q_label_prop_bucketed", oracle=_REGISTERED_ORACLES["q_label_prop"])
+def q_label_prop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_label_prop's exact result over the same bucketed edge table
+    as q_pagerank_bucketed (write the layout once, every iterative
+    graph operator reuses it) — each round's edge⋈label join reads
+    the bucketed scan with no edge-side Exchange."""
+    from opl_spark.operators.graph import bucketize_edges, label_propagation
+
+    be = bucketize_edges(
+        spark, _trade_edges(spark, sf_dir), table="opl_edges_trade", num_buckets=16
+    )
+    return label_propagation(be, rounds=3)

@@ -343,6 +343,53 @@ def test_compact_cluster_by_sorts_row_groups(registered, tmp_path):
         assert ks == sorted(ks), f
 
 
+def test_compact_zorder_quantizes_high_cardinality_keys(registered, tmp_path):
+    """compact(zorder=True) on two HIGH-CARDINALITY columns must (1)
+    preserve data exactly, (2) not leak the __zq_* scaffolding
+    columns, and (3) actually cluster: each rewritten file's k-range
+    (from parquet footers) must span well under the full domain —
+    the low-8-bits Morton key this replaces left every file spanning
+    ~the whole domain (zero min/max pruning)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spark = registered
+    eng = SnapshotEngine(spark, str(tmp_path))
+    q = ("SELECT CAST(l_orderkey AS BIGINT) AS k, "
+         "CAST(l_partkey AS BIGINT) AS p, l_linenumber AS v "
+         "FROM lineitem")
+    eng.run("1998-06-01", [FactQuery(1, "f_zq", q)])
+    rows_before = sorted(map(tuple, eng.fact_frame("f_zq").collect()))
+
+    # test-scale data is small enough for AQE to coalesce the salted
+    # 8-way repartition into one task (fine operationally — the salt
+    # is an upper bound); pin it off so the span check sees >1 file
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prior = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        eng.compact("f_zq", target_files_per_partition=8,
+                    cluster_by=["k", "p"], zorder=True)
+    finally:
+        spark.conf.set(coalesce_key, prior)
+    after = eng.fact_frame("f_zq")
+    assert not [c for c in after.columns if c.startswith("__zq")]
+    assert sorted(map(tuple, after.collect())) == rows_before
+    files = glob.glob(str(tmp_path / "f_zq" / "year=*" / "month=*" / "*.parquet"))
+    assert len(files) > 1
+    per_file = []
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        per_file.append((min(ks), max(ks)))
+    lo = min(mn for mn, _ in per_file)
+    hi = max(mx for _, mx in per_file)
+    spans = [(mx - mn) / max(1, hi - lo) for mn, mx in per_file]
+    # average per-file k-span must be a strict subset of the domain;
+    # an unquantized Morton key on raw order keys leaves this ≈ 1.0
+    assert sum(spans) / len(spans) < 0.7, spans
+
+
 def test_upsert_patch_derived_from_target(registered, tmp_path):
     """Read-modify-write: an upsert whose patch DataFrame lazily
     derives from the target table itself must not re-read the table's

@@ -47,6 +47,59 @@ def duck():
     con.close()
 
 
+def test_oracle_values_survive_pandas_conversion(duck):
+    """Conversion-path invariance: every oracle's result must carry
+    the SAME canonical values whether fetched natively (fetchall —
+    the local replica's path) or through pandas (a driver-like
+    conversion path).  Representation-only differences that every
+    client normalizes identically on both sides are canonicalized
+    away (date → midnight Timestamp, nullable int → float64); what
+    must NOT survive is true value drift — precision loss from a wide
+    integer squeezed through float64 (the HUGEINT class: 2⁵³-adjacent
+    totals), decimal scale artifacts, overflow wraps."""
+    import datetime
+    import math
+    from decimal import Decimal
+
+    from tests.oracle import frame_signature
+
+    def canon(v):
+        if v is None or v != v:  # None, NaN, NaT (all non-self-equal)
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return None
+            if v.is_integer() and abs(v) < 2**53:
+                return int(v)
+            return v
+        if isinstance(v, Decimal):
+            return int(v) if v == v.to_integral_value() else float(v)
+        if isinstance(v, datetime.datetime):
+            return v.isoformat()
+        if isinstance(v, datetime.date):
+            return datetime.datetime(v.year, v.month, v.day).isoformat()
+        if hasattr(v, "isoformat"):  # pandas Timestamp
+            return canon(v.to_pydatetime())
+        return v
+
+    oracles = workload.oracle_sql()
+    bad = {}
+    for name, sql in oracles.items():
+        rel = duck.sql(sql)
+        cols = list(rel.columns)
+        native = [tuple(canon(x) for x in r) for r in rel.fetchall()]
+        pdf = duck.sql(sql).df()
+        via_pandas = [
+            tuple(canon(x) for x in row)
+            for row in pdf.itertuples(index=False, name=None)
+        ]
+        _, _, h1 = frame_signature(cols, native)
+        _, _, h2 = frame_signature(cols, via_pandas)
+        if h1 != h2:
+            bad[name] = {"native": native[:2], "pandas": via_pandas[:2]}
+    assert not bad, f"pandas-path value drift in {len(bad)} oracles: {bad}"
+
+
 def test_no_oracle_emits_version_sensitive_types(duck):
     oracles = workload.oracle_sql()
     assert oracles, "no oracles registered"

@@ -732,6 +732,32 @@ def test_pca_projection_is_decorrelated_with_matching_variance(spark, sf_dir):
     assert abs(c) < 1e-3 * (vars_[0] * vars_[1]) ** 0.5
 
 
+def test_pca_power_project_matches_eigh_direction(spark, sf_dir):
+    """The integer power-iteration PCA (oracle-replayable) must agree
+    with the float eigensolver: per-component correlation |r| ≈ 1
+    against pca_project's coordinates (sign-free — canonicalizations
+    differ in scale only), and the two quantized coordinates must be
+    (near-)uncorrelated with each other."""
+    import numpy as np
+
+    from opl_spark.operators.similarity import pca_power_project, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = {r["id"]: (r["pc1_q"], r["pc2_q"])
+             for r in pca_power_project(emb, "embedding", "vec_id", k=2).collect()}
+    frows = {r["vec_id"]: (r["pc1"], r["pc2"])
+             for r in pca_project(emb, "embedding", "vec_id", k=2).collect()}
+    assert set(qrows) == set(frows)
+    ids = sorted(qrows)
+    q = np.array([qrows[i] for i in ids], dtype=np.float64)
+    f = np.array([frows[i] for i in ids], dtype=np.float64)
+    for c in range(2):
+        r = np.corrcoef(q[:, c], f[:, c])[0, 1]
+        assert abs(r) > 0.999, f"component {c + 1}: |corr|={abs(r):.4f}"
+    cross = np.corrcoef(q[:, 0], q[:, 1])[0, 1]
+    assert abs(cross) < 0.05
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from opl_spark.operators.skew import salted_join
 

@@ -246,10 +246,16 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_periodic_snapshot",
         # 1-row totals/percentile broadcast onto the customer summary
         "q_revenue_concentration",
+        # lazy RRF now exposes bm25's 1-row corpus-stats crossJoin in
+        # the fused plan (the legs are LIMIT-bounded shortlists)
+        "q_hybrid_search",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
-    summary_window_ok = {"q_id_gaps", "q_vocab_coverage"}
+    # q_hybrid_search: the two ranking windows run over LIMIT-bounded
+    # shortlist legs (≤50 rows each), not the corpus — the lazy-RRF
+    # rewrite traded the old eager collect for these summary windows
+    summary_window_ok = {"q_id_gaps", "q_vocab_coverage", "q_hybrid_search"}
     sf = "/root/testdata/sf0.001"
     flagged = {}
     for name, fn in workload.queries().items():
@@ -264,6 +270,29 @@ def test_no_scale_killers_in_any_registered_query(spark):
         if hits:
             flagged[name] = hits
     assert not flagged, flagged
+
+
+def test_bucketed_graph_rounds_have_no_edge_side_exchange(spark, sf_dir):
+    """The bucketed-edge pagerank variant must (1) scan the bucketed
+    catalog table ('Bucketed: true'), (2) plan STRICTLY fewer
+    exchanges than the plain variant, and (3) keep only the inherent
+    per-round message shuffle — ≤ iterations exchanges total, where
+    the plain form re-shuffles the full edge list every round."""
+    import re
+
+    from opl_spark import workload
+    from opl_spark.plans import formatted_plan
+
+    qs = workload.queries()
+    plain = formatted_plan(qs["q_pagerank"](spark, sf_dir))
+    buck = formatted_plan(qs["q_pagerank_bucketed"](spark, sf_dir))
+
+    def n_exchanges(p):
+        return len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+
+    assert "Bucketed: true" in buck
+    assert n_exchanges(buck) < n_exchanges(plain)
+    assert n_exchanges(buck) <= 3  # one message shuffle per iteration
 
 
 def test_star_join_broadcasts_all_dimensions(spark, sf_dir):
