@@ -209,27 +209,81 @@ def contamination(
 # ---------------------------------------------------------------------------
 
 
+#: Mersenne prime 2³¹−1 — the modulus of the portable MinHash
+#: permutation family.  Products a·h stay < 2⁶² (int64-exact in both
+#: Spark and DuckDB), which is what makes the portable path
+#: oracle-replayable.
+MINHASH_PRIME = 2147483647
+
+
+def portable_hash32_col(c: Column) -> Column:
+    """Engine-portable 32-bit string hash: the first 8 hex chars of
+    md5 as an integer.  DuckDB replays it as
+    ``CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT)`` — the same
+    idiom the DSIR oracle uses for its hashed token buckets."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def minhash_permutation(i: int) -> tuple[int, int]:
+    """The (aᵢ, bᵢ) of portable permutation ``hᵢ(x) = (aᵢ·x + bᵢ) mod
+    P`` — Knuth-style multiplicative constants reduced mod P, with
+    aᵢ forced nonzero.  Shared verbatim by the SQL oracle."""
+    a = (i * 2654435761 + 1) % MINHASH_PRIME
+    b = (i * 40503 + 7) % MINHASH_PRIME
+    return (a if a else 1, b)
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash signature as an ``array<bigint>`` column.
 
-    Shape: explode shingles → string-hash each ONCE (``xxhash64``) →
-    groupBy(doc) with k ``min(xxhash64(h, i))`` aggregates → pack into
-    an array.  The k permutations are flat codegen'd aggregate
-    expressions over a long, not higher-order-function lambdas (which
-    Spark interprets per element, allocating a k-array per step).  The
-    groupBy is map-side combinable, so what crosses the shuffle is one
-    k-long row per document — at 100 TB that's the smallest possible
-    exchange for this op.
+    Shape: explode shingles → string-hash each ONCE → groupBy(doc)
+    with k per-permutation ``min`` aggregates → pack into an array.
+    The k permutations are flat codegen'd aggregate expressions over a
+    long, not higher-order-function lambdas (which Spark interprets
+    per element, allocating a k-array per step).  The groupBy is
+    map-side combinable, so what crosses the shuffle is one k-long row
+    per document — at 100 TB that's the smallest possible exchange for
+    this op.
+
+    ``portable=False`` (default) hashes with ``xxhash64`` — the fast
+    JVM path.  ``portable=True`` uses the md5-derived 32-bit hash and
+    the explicit ``(a·h + b) mod P`` permutation family
+    (:func:`minhash_permutation`), every step int64-exact — identical
+    signatures on any engine, which is what lets the registered DuckDB
+    oracle hash-check the full LSH pipeline (at the cost of md5 over
+    xxhash64 in the shingle hash).
     """
     ex = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles_col(F.col(text_col), n)).alias("s"),
-    ).select("doc", F.xxhash64("s").alias("h"))
-    sig = ex.groupBy("doc").agg(
-        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(num_hashes)]
     )
+    if portable:
+        ex = ex.select(
+            "doc",
+            F.pmod(portable_hash32_col(F.col("s")), F.lit(MINHASH_PRIME)).alias("h"),
+        )
+        aggs = []
+        for i in range(num_hashes):
+            a, b = minhash_permutation(i)
+            aggs.append(
+                F.min(
+                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+                ).alias(f"m{i}")
+            )
+    else:
+        ex = ex.select("doc", F.xxhash64("s").alias("h"))
+        aggs = [
+            F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    sig = ex.groupBy("doc").agg(*aggs)
     return sig.select(
         "doc", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -240,6 +294,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket: int | None = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of at least one band become
     candidate pairs.  The only shuffle is the groupable self-join on
@@ -253,17 +308,24 @@ def minhash_lsh_candidates(
     over-wide buckets are dropped before the self-join.  True
     near-dups that populate such a bucket agree on OTHER bands too
     (16 chances at 4-row agreement), so recall degrades gracefully
-    while the worst-case join fan-out becomes max_bucket² per key."""
+    while the worst-case join fan-out becomes max_bucket² per key.
+
+    ``portable=True`` keys buckets by the raw comma-joined band values
+    (a string) instead of their xxhash64 — identical buckets on any
+    engine, matching :func:`minhash_signatures`'s portable mode."""
+
+    def _band_key(b: int) -> Column:
+        joined = F.concat_ws(",", *[
+            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ])
+        return joined if portable else F.xxhash64(joined)
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[
-                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ])
-                ).alias("band_key"),
+                _band_key(b).alias("band_key"),
             )
             for b in range(bands)
         ]
@@ -302,13 +364,16 @@ def minhash_dedup_pairs(
     bands: int = 16,
     n: int = 3,
     max_bucket: int | None = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard on the shingle sets
     (candidate generation is approximate; the verify join makes the
-    output exact-above-threshold)."""
+    output exact-above-threshold).  ``portable=True`` selects the
+    md5-based engine-exact hash family so a SQL oracle can replay the
+    whole pipeline (see :func:`minhash_signatures`)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    cand = minhash_lsh_candidates(sigs, bands, rows, max_bucket)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, portable)
+    cand = minhash_lsh_candidates(sigs, bands, rows, max_bucket, portable)
     sh = df.select(
         F.col(id_col).alias("doc"), shingles_col(F.col(text_col), n).alias("sh")
     )
@@ -390,17 +455,36 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFrame:
-    """63-bit SimHash fingerprint per document.
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 63,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash fingerprint per document (63 bits by default).
 
-    Per token hash once (``xxhash64``), then for each bit position sum
-    ±1 votes across tokens; bit set where the vote is positive.  63
-    bits (not 64) so the packed value stays inside a signed BIGINT.
+    Per token hash once, then for each bit position sum ±1 votes
+    across tokens; bit set where the vote is positive.  At most 63
+    bits so the packed value stays inside a signed BIGINT.
+
+    ``portable=True`` hashes tokens with the md5-derived 60-bit hash
+    (15 hex chars — the widest prefix that stays signed-long-safe)
+    instead of ``xxhash64``, making the fingerprint engine-exact and
+    SQL-oracle-replayable; pass ``bits<=60`` with it.
     """
+    if portable and bits > 60:
+        raise ValueError("portable simhash carries 60 hash bits — pass bits<=60")
     ex = df.select(
         F.col(id_col).alias("doc"),
         F.explode(words_col(F.col(text_col))).alias("w"),
-    ).select("doc", F.xxhash64("w").alias("h"))
+    )
+    if portable:
+        ex = ex.select(
+            "doc", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+        )
+    else:
+        ex = ex.select("doc", F.xxhash64("w").alias("h"))
     # one codegen'd sum aggregate per bit position (±1 votes),
     # map-side combinable — one 63-long row per doc crosses the shuffle
     votes = ex.groupBy("doc").agg(

@@ -242,6 +242,153 @@ def kmeans_centroids(
     return cents
 
 
+def quantized_weights_col(vec: Column) -> Column:
+    """``floor(x·1e3 + ½)`` per element — integer-valued doubles, the
+    engine-exact coordinate grid shared with the SQL oracles."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * 1000.0 + 0.5))
+
+
+def assign_cells_quantized(
+    wdf: DataFrame, centroids: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Nearest-centroid assignment over INTEGER coordinates: per-cell
+    squared distances are staged as named columns (HOF-capture rule),
+    each a sum of integer-valued doubles < 2^53 — exact under any
+    summation order — and the argmin is ``array_min`` over
+    (d2, cell) structs, i.e. lexicographic (d2 asc, cell asc): the
+    same tie-break a SQL ``row_number() OVER (ORDER BY d2, cell)``
+    replays.  Input needs a ``w`` column from
+    :func:`quantized_weights_col`; adds ``cell``."""
+    staged = wdf
+    names = []
+    for cell, c in centroids:
+        clit = F.array(*[F.lit(float(v)) for v in c])
+        name = f"__d2_{cell}"
+        names.append((cell, name))
+        staged = staged.withColumn(
+            name,
+            F.aggregate(
+                F.zip_with(F.col("w"), clit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).cast("long"),
+        )
+    arr = F.array(
+        *[
+            F.struct(
+                F.col(name).alias("d2"), F.lit(cell).cast("long").alias("cell")
+            )
+            for cell, name in names
+        ]
+    )
+    return staged.withColumn("cell", F.array_min(arr)["cell"]).drop(
+        *[n for _, n in names]
+    )
+
+
+def kmeans_centroids_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> list[tuple[int, list[int]]]:
+    """Lloyd k-means in INTEGER arithmetic — the oracle-replayable
+    sibling of :func:`kmeans_centroids` (whose float means no second
+    engine reproduces bit-for-bit).
+
+    Coordinates quantize to the 1e-3 grid; seeds are the k lowest-id
+    vectors (cell id = id rank); each iteration is one exact integer
+    assignment pass (see :func:`assign_cells_quantized`) + one
+    per-(cell, dim) integer sum whose shuffle carries k×d scalars, and
+    the new centroid is the half-up rounded mean
+    ``(2·Σ + n) // (2n)`` (floor division — matches the SQL oracle's
+    explicit floor-div CASE), staying on the same integer grid.  Empty
+    cells keep their previous centroid.  Every step is a pure integer
+    function of the data — identical centroids on any engine, any
+    partitioning."""
+    wdf = df.select(
+        F.col(id_col).alias("id"), quantized_weights_col(F.col(vec_col)).alias("w")
+    )
+    seed_rows = wdf.orderBy("id").limit(k).collect()
+    seed_rows.sort(key=lambda r: r["id"])
+    cents = [(i, [int(v) for v in r["w"]]) for i, r in enumerate(seed_rows)]
+    d = len(cents[0][1])
+    for _ in range(iters):
+        assigned = assign_cells_quantized(wdf, cents)
+        sums = (
+            assigned.select("cell", F.posexplode("w").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # k×d rows — metadata-sized by construction
+        )
+        acc: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        new_cents = []
+        for cid, old in cents:
+            if cid in acc:
+                cell = acc[cid]
+                new_cents.append(
+                    (
+                        cid,
+                        [
+                            (2 * cell[i][0] + cell[i][1]) // (2 * cell[i][1])
+                            for i in range(d)
+                        ],
+                    )
+                )
+            else:
+                new_cents.append((cid, old))
+        cents = new_cents
+    return cents
+
+
+def ivf_topk_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    ncells: int = 8,
+    nprobe: int = 2,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF top-k over integer k-means cells: train
+    :func:`kmeans_centroids_quantized`, probe the ``nprobe`` cells
+    nearest the quantized query (integer distances, min-cell ties),
+    then brute-force the pooled cells with the standard round-6 cosine
+    ranking.  Training, probing, and cell membership are all
+    integer-exact, so the full pipeline is replayed by an unrolled SQL
+    oracle; only the final cosine uses floats, in the same round-6
+    form the brute-force oracle already hash-checks."""
+    import math
+
+    cents = kmeans_centroids_quantized(df, vec_col, id_col, k=ncells, iters=iters)
+    qw = [math.floor(float(x) * 1000.0 + 0.5) for x in query]
+    by_dist = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qw, c)), cid) for cid, c in cents
+    )
+    probe = [cid for _, cid in by_dist[:nprobe]]
+    wdf = df.select(
+        F.col(id_col).alias("__kid"),
+        F.col(vec_col).alias("__kvec"),
+        quantized_weights_col(F.col(vec_col)).alias("w"),
+    )
+    pool = (
+        assign_cells_quantized(wdf, cents)
+        .filter(F.col("cell").isin([int(c) for c in probe]))
+        .select(F.col("__kid").alias(id_col), F.col("__kvec").alias(vec_col))
+    )
+    return cosine_topk(pool, vec_col, id_col, query, k)
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str,

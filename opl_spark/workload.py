@@ -68,9 +68,16 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_drilldown_top", "q_drilldown_multi", "q_drilldown_cutlevel",
     "q_cron_gate", "q_idempotent_antijoin", "q_agg_median",
     "q_agg_extrema", "q_dedup_exact", "q_dedup_ngram",
-    "q_dedup_clusters", "q_dedup_ngram_capped", "q_dedup_minhash",
-    "q_simhash", "q_dedup_embedding", "q_similarity_topk",
-    "q_similarity_ivf", "q_similarity_ivf_kmeans", "q_knn_batch",
+    # (q_dedup_minhash was audited rows-only in r1; it re-enters the
+    # window in r4 because its check upgraded to a hash-checked oracle
+    # pair — the portable-hash LSH pipeline.)
+    # (q_simhash likewise re-enters in r4 — portable 60-bit hash
+    # family upgraded its rows-only check to a hash-checked oracle.)
+    "q_dedup_clusters", "q_dedup_ngram_capped",
+    "q_dedup_embedding", "q_similarity_topk",
+    # (q_similarity_ivf_kmeans re-enters the window in r4: rows-only
+    # check upgraded to a hash-checked oracle pair — integer k-means.)
+    "q_similarity_ivf", "q_knn_batch",
     "q_lang_id", "q_quality_score", "q_token_count", "q_fingerprint",
     "q_text_clean", "q_winnow",
     # round 3 (CORRECTNESS_r03.json) — the 45 hash-green ids ONLY.

@@ -217,20 +217,140 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=5)
 
 
-@register("q_dedup_minhash")  # xxhash64 signatures — not DuckDB-expressible
+def _minhash_chain(
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> str:
+    """The CTE chain of the PORTABLE MinHash-LSH pipeline (mirrors
+    ``operators/dedup.py:minhash_signatures`` /
+    ``minhash_lsh_candidates`` / ``minhash_dedup_pairs`` with
+    ``portable=True``): md5-derived 32-bit shingle hashes, the exact
+    ``(a·h + b) mod 2³¹−1`` permutation family (literal (i,a,b) rows
+    from ``minhash_permutation``), comma-joined band keys, the
+    width-capped bucket self-join, plus the shingle-set ``sizes`` /
+    ``ints`` tables the exact-Jaccard verify reads — every step
+    int64-exact.  Starts after the ``WITH`` keyword so callers can
+    prepend ``RECURSIVE`` and append further CTEs."""
+    from opl_spark.operators.dedup import MINHASH_PRIME, minhash_permutation
+
+    rows = num_hashes // bands
+    perm_rows = ",\n    ".join(
+        "({}, {}, {})".format(i, *minhash_permutation(i))
+        for i in range(num_hashes)
+    )
+    return f"""docs AS MATERIALIZED (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+    FROM documents
+),
+sh AS MATERIALIZED (
+    SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 2, 1) + 1),
+        i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS s
+    FROM docs
+),
+hs AS MATERIALIZED (
+    SELECT doc, CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT)
+                     % {MINHASH_PRIME} AS BIGINT) AS h
+    FROM sh
+),
+perm(i, a, b) AS MATERIALIZED (VALUES
+    {perm_rows}
+),
+mins AS MATERIALIZED (
+    SELECT hs.doc, p.i, MIN((p.a * hs.h + p.b) % {MINHASH_PRIME}) AS m
+    FROM hs CROSS JOIN perm p GROUP BY 1, 2
+),
+bnd AS MATERIALIZED (
+    SELECT doc, i // {rows} AS band,
+           string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_key
+    FROM mins GROUP BY doc, i // {rows}
+),
+capped AS MATERIALIZED (
+    SELECT doc, band, band_key FROM (
+        SELECT doc, band, band_key,
+               COUNT(*) OVER (PARTITION BY band, band_key) AS bn
+        FROM bnd) WHERE bn <= {max_bucket}
+),
+cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+),
+sizes AS MATERIALIZED (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+ints AS MATERIALIZED (
+    SELECT c.id_a, c.id_b, COUNT(*) AS i
+    FROM cand c
+    JOIN sh a ON a.doc = c.id_a
+    JOIN sh b ON b.doc = c.id_b AND b.s = a.s
+    GROUP BY 1, 2
+)"""
+
+
+def _minhash_oracle(threshold: float = 0.5) -> str:
+    """Verified-pairs form of the portable MinHash-LSH replay: the
+    :func:`_minhash_chain` candidates scored by exact Jaccard."""
+    return f"""
+WITH {_minhash_chain()}
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(COALESCE(ints.i, 0) AS DOUBLE)
+             / (za.n_sh + zb.n_sh - COALESCE(ints.i, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN ints ON ints.id_a = c.id_a AND ints.id_b = c.id_b
+JOIN sizes za ON za.doc = c.id_a
+JOIN sizes zb ON zb.doc = c.id_b
+WHERE ROUND(CAST(COALESCE(ints.i, 0) AS DOUBLE)
+            / (za.n_sh + zb.n_sh - COALESCE(ints.i, 0)), 6) >= {threshold}
+"""
+
+
+@register("q_dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard (the 100 TB
-    dedup path; rows-only check).  16 bands × 4 rows ⇒ LSH threshold
-    ≈ (1/16)^(1/4) ≈ 0.5, matching the verify threshold."""
+    dedup path).  16 bands × 4 rows ⇒ LSH threshold ≈ (1/16)^(1/4)
+    ≈ 0.5, matching the verify threshold.  Runs the PORTABLE hash
+    family (md5-derived 32-bit hashes, explicit mod-P permutations —
+    int64-exact on every engine), so the full pipeline — signatures,
+    banding, width cap, candidate join, Jaccard scores — is replayed
+    hash-exact by the DuckDB oracle (was rows-only when keyed by
+    xxhash64, which no second engine can reproduce); the xxhash64
+    fast path stays the operator default and powers
+    q_minhash_keep_best."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5, portable=True)
 
 
-@register("q_simhash")  # xxhash64-based — not DuckDB-expressible
+_SIMHASH_ORACLE = r"""
+WITH docs AS MATERIALIZED (
+    SELECT doc_id AS doc, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+toks AS MATERIALIZED (
+    SELECT doc, CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS h
+    FROM (SELECT doc, unnest(w) AS tok FROM docs)
+),
+bitsb AS MATERIALIZED (SELECT CAST(unnest(range(0, 60)) AS INTEGER) AS b),
+votes AS MATERIALIZED (
+    SELECT doc, b,
+           SUM(CAST((h >> b) & 1 AS BIGINT) * 2 - 1) AS v
+    FROM toks CROSS JOIN bitsb GROUP BY 1, 2
+)
+SELECT doc,
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc
+"""
+
+
+@register("q_simhash", oracle=_SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash fingerprints (rows-only check)."""
+    """60-bit SimHash fingerprints over the md5-derived portable token
+    hash — bit votes, packing, everything integer, so the oracle
+    replays the fingerprints hash-exact (was rows-only on xxhash64,
+    which no second engine reproduces); the xxhash64 63-bit fast path
+    remains the operator default."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs, "text", "doc_id")
+    return simhash(docs, "text", "doc_id", bits=60, portable=True)
 
 
 @register(
@@ -341,19 +461,100 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_similarity_ivf_kmeans")  # iterative Lloyd — not SQL-expressible
+def _ivf_kmeans_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, nprobe: int = 2, topk: int = 10
+) -> str:
+    """DuckDB replay of the integer k-means IVF pipeline (mirrors
+    ``operators/similarity.py:kmeans_centroids_quantized`` /
+    ``ivf_topk_quantized``): quantized coordinates, k lowest-id seeds,
+    ``iters`` unrolled Lloyd rounds (integer assignment with
+    (d2, cell) tie-break; half-up-rounded integer means via an
+    explicit floor-div CASE — DuckDB ``//`` truncates), integer cell
+    probing, then the same round-6 cosine ranking the brute-force
+    oracle hash-checks."""
+
+    def fd(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN ({a}) % ({b}) <> 0 AND ({a}) < 0 "
+            f"THEN ({a}) // ({b}) - 1 ELSE ({a}) // ({b}) END)"
+        )
+
+    parts = [f"""
+WITH pool AS MATERIALIZED (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+wq AS MATERIALIZED (
+    SELECT id, v, list_transform(v, x -> floor(x * 1000 + 0.5)) AS w FROM pool),
+idx AS MATERIALIZED (SELECT CAST(unnest(range(1, {dim + 1})) AS BIGINT) AS i),
+pts AS MATERIALIZED (
+    SELECT id, i.i AS pos, w[i.i] AS x FROM wq CROSS JOIN idx i),
+seeds AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS cell, id
+    FROM wq ORDER BY id LIMIT {k}),
+cent0 AS MATERIALIZED (
+    SELECT s.cell, p.pos, CAST(p.x AS BIGINT) AS c
+    FROM seeds s JOIN pts p ON p.id = s.id)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+d{t} AS MATERIALIZED (
+    SELECT p.id, c.cell, CAST(SUM((p.x - c.c) * (p.x - c.c)) AS BIGINT) AS d2
+    FROM pts p JOIN cent{t - 1} c ON c.pos = p.pos GROUP BY 1, 2),
+asg{t} AS MATERIALIZED (
+    SELECT id, cell FROM (
+        SELECT id, cell,
+               row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+        FROM d{t}) WHERE rn = 1),
+sums{t} AS MATERIALIZED (
+    SELECT a.cell, p.pos, CAST(SUM(p.x) AS BIGINT) AS s, COUNT(*) AS n
+    FROM asg{t} a JOIN pts p ON p.id = a.id GROUP BY 1, 2),
+cent{t} AS MATERIALIZED (
+    SELECT c.cell, c.pos,
+           CAST(COALESCE({fd('2 * s.s + s.n', '2 * s.n')}, c.c) AS BIGINT) AS c
+    FROM cent{t - 1} c
+    LEFT JOIN sums{t} s ON s.cell = c.cell AND s.pos = c.pos)""")
+    parts.append(f""",
+qd AS MATERIALIZED (
+    SELECT c.cell, CAST(SUM((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS d2
+    FROM cent{iters} c JOIN pts q ON q.pos = c.pos AND q.id = 0 GROUP BY 1),
+probe AS MATERIALIZED (SELECT cell FROM qd ORDER BY d2, cell LIMIT {nprobe}),
+dfin AS MATERIALIZED (
+    SELECT p.id, c.cell, CAST(SUM((p.x - c.c) * (p.x - c.c)) AS BIGINT) AS d2
+    FROM pts p JOIN cent{iters} c ON c.pos = p.pos GROUP BY 1, 2),
+members AS MATERIALIZED (
+    SELECT id FROM (
+        SELECT id, cell,
+               row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+        FROM dfin) WHERE rn = 1 AND cell IN (SELECT cell FROM probe)),
+qv AS MATERIALIZED (SELECT v AS qv FROM pool WHERE id = 0),
+scored AS MATERIALIZED (
+    SELECT e.id,
+           ROUND(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+    FROM wq e JOIN members m ON m.id = e.id CROSS JOIN qv q)
+SELECT id, sim,
+       CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank
+FROM scored ORDER BY sim DESC, id LIMIT {topk}
+""")
+    return "".join(parts)
+
+
+@register("q_similarity_ivf_kmeans", oracle=_ivf_kmeans_oracle())
 def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 probing k-means centroids (3 Lloyd iterations) —
-    the production centroid builder in place of deterministic seeding;
-    rows-only check (iterative), recall bounded vs brute force in
-    tests/test_operators.py."""
-    from opl_spark.operators.similarity import kmeans_centroids
+    the production centroid builder in place of deterministic seeding.
+    Training runs in INTEGER arithmetic (quantized coordinates,
+    integer assignment with min-cell ties, half-up integer means), so
+    centroids, cell membership, and probing replay hash-exact from
+    the unrolled DuckDB oracle (was rows-only while the float Lloyd
+    loop was registered); the final ranking is the same round-6
+    cosine the brute-force oracle hash-checks.  Recall vs brute force
+    stays bounded in tests/test_operators.py."""
+    from opl_spark.operators.similarity import ivf_topk_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, "embedding", "vec_id", k=8, iters=3)
-    return ivf_topk(
+    return ivf_topk_quantized(
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir),
-        k=10, nprobe=2, centroids=cents,
+        k=10, ncells=8, nprobe=2, iters=3,
     )
 
 
@@ -2111,16 +2312,60 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_minhash_keep_best")  # xxhash64 LSH candidates — not SQL-expressible
+def _minhash_keep_best_oracle(threshold: float = 0.2) -> str:
+    """The full-composition replay: portable MinHash-LSH candidates →
+    exact-Jaccard verify at ``threshold`` → min-label connected
+    components (recursive reach) → keep-the-longest rule (n_chars
+    desc, min-id ties) — the same CC/keep-best tail the hash-checked
+    q_keep_best oracle uses, fed by LSH pairs instead of the exact
+    inverted index."""
+    return f"""
+WITH RECURSIVE {_minhash_chain()},
+mhp AS MATERIALIZED (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    LEFT JOIN ints ON ints.id_a = c.id_a AND ints.id_b = c.id_b
+    JOIN sizes za ON za.doc = c.id_a
+    JOIN sizes zb ON zb.doc = c.id_b
+    WHERE ROUND(CAST(COALESCE(ints.i, 0) AS DOUBLE)
+                / (za.n_sh + zb.n_sh - COALESCE(ints.i, 0)), 6) >= {threshold}
+),
+kedges AS MATERIALIZED (
+    SELECT id_a AS a, id_b AS b FROM mhp
+    UNION ALL SELECT id_b, id_a FROM mhp
+),
+kreach(node, r) AS (
+    SELECT DISTINCT a, a FROM kedges
+    UNION
+    SELECT kreach.node, e.b FROM kreach JOIN kedges e ON e.a = kreach.r
+),
+comp AS MATERIALIZED (SELECT node AS doc, MIN(r) AS keeper FROM kreach GROUP BY node),
+kscored AS MATERIALIZED (
+    SELECT comp.doc, comp.keeper, d.n_chars
+    FROM comp JOIN documents d ON d.doc_id = comp.doc
+),
+kbest AS MATERIALIZED (
+    SELECT keeper AS cluster,
+           (list(doc ORDER BY n_chars DESC, doc))[1] AS best
+    FROM kscored GROUP BY keeper
+)
+SELECT s.doc, b.best AS keeper
+FROM kscored s JOIN kbest b ON b.cluster = s.keeper
+"""
+
+
+@register("q_minhash_keep_best", oracle=_minhash_keep_best_oracle())
 def q_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full 100 TB dedup composition in one plan: MinHash-LSH
     candidate generation (never all-pairs) → exact Jaccard verify →
-    connected components → quality-aware keep rule.  Rows-only check:
-    the same composition over exact n-gram pairs is the hash-checked
-    `q_keep_best`; here only candidate GENERATION differs (banded LSH
-    instead of the quadratic inverted index)."""
+    connected components → quality-aware keep rule.  Runs the
+    PORTABLE hash family end to end, so the ENTIRE composition —
+    LSH buckets, verified pairs, components, keepers — is replayed
+    hash-exact by the DuckDB oracle (was rows-only when candidates
+    came from xxhash64); q_keep_best remains the exact-inverted-index
+    twin of the same tail."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.2)
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.2, portable=True)
     return keep_best_dedup(
         pairs.select("id_a", "id_b"), docs, "doc_id", "n_chars"
     )
