@@ -30,6 +30,9 @@ from opl_spark.operators.dedup import (  # noqa: F401
     incremental_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
+    minhash_dedup_pairs,
+    minhash_permutation,
+    portable_hash32_col,
     fuzzy_pairs,
     mask_repeated_spans,
     ngram_jaccard_pairs,
@@ -43,6 +46,7 @@ from opl_spark.operators.layout import (  # noqa: F401
     write_with_bloom,
     zorder_key,
     zorder_layout,
+    zorder_rank_quantize,
     zorder_sql,
 )
 from opl_spark.operators.sampling import (  # noqa: F401
@@ -75,15 +79,24 @@ from opl_spark.operators.similarity import (  # noqa: F401
     ivf_assign,
     ivf_topk,
     kmeans_centroids,
+    kmeans_centroids_quantized,
+    assign_cells_quantized,
+    ivf_topk_quantized,
     knn_join,
     ivfpq_topk,
+    ivfpq_topk_quantized,
     pq_encode,
+    pq_encode_quantized,
     pq_topk,
+    pq_topk_quantized,
     pq_train,
+    pq_train_quantized,
     quantize_embeddings,
     quantized_topk,
     pca_components,
     pca_project,
+    pca_power_project,
+    with_unit_quantized,
     seed_centroids,
     semantic_dedup,
 )
@@ -94,6 +107,7 @@ from opl_spark.operators.skew import (  # noqa: F401
 )
 from opl_spark.operators.graph import (  # noqa: F401
     bfs_hops,
+    bucketize_edges,
     kcore,
     label_propagation,
     pagerank,

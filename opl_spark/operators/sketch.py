@@ -22,27 +22,45 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _cms_cells(col: Column, width: int, depth: int) -> Column:
-    """array<struct<row,bucket>> — the depth cells a value updates."""
+def _cms_cells(
+    col: Column, width: int, depth: int, portable: bool = False
+) -> Column:
+    """array<struct<row,bucket>> — the depth cells a value updates.
+
+    ``portable=True`` derives each row's bucket from the md5 prefix of
+    ``value || ':' || row`` instead of ``xxhash64`` — engine-exact, so
+    a SQL oracle can replay the sketch cell-for-cell (the same idiom
+    as the portable MinHash family)."""
+    def bucket(i: int) -> Column:
+        if portable:
+            h = F.conv(
+                F.substring(F.md5(F.concat(col, F.lit(f":{i}"))), 1, 8), 16, 10
+            ).cast("long")
+            return F.pmod(h, F.lit(width))
+        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width))
+
     return F.array(
         *[
-            F.struct(
-                F.lit(i).alias("row"),
-                F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width)).alias("bucket"),
-            )
+            F.struct(F.lit(i).alias("row"), bucket(i).alias("bucket"))
             for i in range(depth)
         ]
     )
 
 
 def count_min_build(
-    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Build the sketch: one explode of the depth cells per value, then
     one map-side-combinable count per (row, bucket).  The shuffle
     carries at most depth·width rows TOTAL regardless of input size —
     the sketch, not the data."""
-    cells = df.select(F.explode(_cms_cells(F.col(col), width, depth)).alias("cell"))
+    cells = df.select(
+        F.explode(_cms_cells(F.col(col), width, depth, portable)).alias("cell")
+    )
     return cells.groupBy(
         F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("c"))
@@ -59,7 +77,12 @@ def count_min_merge(*sketches: DataFrame) -> DataFrame:
 
 
 def count_min_estimate(
-    sketch: DataFrame, terms: DataFrame, col: str, width: int, depth: int
+    sketch: DataFrame,
+    terms: DataFrame,
+    col: str,
+    width: int,
+    depth: int,
+    portable: bool = False,
 ) -> DataFrame:
     """Estimate frequencies for the ``terms`` rows: probe the depth
     cells per term and take the MIN counter (absent cell = 0).  Join
@@ -74,7 +97,7 @@ def count_min_estimate(
     geometry metadata to validate against)."""
     probes = terms.select(
         F.col(col).alias("term"),
-        F.explode(_cms_cells(F.col(col), width, depth)).alias("cell"),
+        F.explode(_cms_cells(F.col(col), width, depth, portable)).alias("cell"),
     ).select("term", F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
     joined = probes.join(sketch, ["row", "bucket"], "left").na.fill({"c": 0})
     return joined.groupBy("term").agg(F.min("c").alias("est"))

@@ -2116,19 +2116,134 @@ def _pq_m(emb) -> int:
     return next(m for m in (8, 4, 2, 1) if d % m == 0)
 
 
-@register("q_pq_topk")  # Lloyd-trained codebook — not SQL-expressible
+def _pq_fd(a: str, b: str) -> str:
+    """Floor division CASE (DuckDB ``//`` truncates; the operators
+    floor)."""
+    return (
+        f"(CASE WHEN ({a}) % ({b}) <> 0 AND ({a}) < 0 "
+        f"THEN ({a}) // ({b}) - 1 ELSE ({a}) // ({b}) END)"
+    )
+
+
+def _pq_chain(
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    dim: int = 64,
+    sample: int = 2048,
+    members_cte: str | None = None,
+) -> str:
+    """CTE chain replaying the integer PQ pipeline (mirrors
+    ``operators/similarity.py:pq_train_quantized`` /
+    ``pq_encode_quantized`` / ``pq_topk_quantized``): quantized
+    coordinates, per-subspace first-k-distinct-by-id seeds, ``iters``
+    unrolled integer Lloyd rounds, integer ADC lookup tables, and the
+    fixed IEEE op sequence ``num / (sqrt(rn2)·sqrt(‖qw‖²))`` whose
+    inputs are all integers — bit-identical doubles on every engine.
+    Ends with a ``psim`` CTE of (id, psim); when ``members_cte`` is
+    given, encoding/scoring restricts to those ids (the IVF pool)."""
+    sub = dim // m
+    member_join = (
+        f"JOIN {members_cte} mm ON mm.id = p.id" if members_cte else ""
+    )
+    parts = [f"""pool AS MATERIALIZED (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+wq AS MATERIALIZED (
+    SELECT id, v, list_transform(v, x -> floor(x * 1000 + 0.5)) AS w FROM pool),
+idx AS MATERIALIZED (SELECT CAST(unnest(range(1, {dim + 1})) AS BIGINT) AS i),
+pts AS MATERIALIZED (
+    SELECT id, i.i AS pos, CAST(w[i.i] AS BIGINT) AS x,
+           CAST((i.i - 1) // {sub} AS BIGINT) AS sub
+    FROM wq CROSS JOIN idx i),
+samp AS MATERIALIZED (SELECT id FROM wq ORDER BY id LIMIT {sample}),
+spts AS MATERIALIZED (
+    SELECT p.id, p.pos, p.x, p.sub FROM pts p JOIN samp s ON s.id = p.id),
+subv AS MATERIALIZED (
+    SELECT id, sub, list(x ORDER BY pos) AS vec FROM spts GROUP BY id, sub),
+seedg AS MATERIALIZED (
+    SELECT sub, vec, MIN(id) AS mid FROM subv GROUP BY sub, vec),
+seedk AS MATERIALIZED (
+    SELECT sub, vec, cell FROM (
+        SELECT sub, vec,
+               row_number() OVER (PARTITION BY sub ORDER BY mid) - 1 AS cell
+        FROM seedg) WHERE cell < {k}),
+soff AS MATERIALIZED (SELECT CAST(unnest(range(1, {sub + 1})) AS BIGINT) AS o),
+cb0 AS MATERIALIZED (
+    SELECT s.sub, s.cell, s.sub * {sub} + o.o AS pos,
+           CAST(vec[o.o] AS BIGINT) AS c
+    FROM seedk s CROSS JOIN soff o)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+pa{t} AS MATERIALIZED (
+    SELECT p.id, p.sub, c.cell, CAST(SUM((p.x - c.c) * (p.x - c.c)) AS BIGINT) AS d2
+    FROM spts p JOIN cb{t - 1} c ON c.pos = p.pos GROUP BY 1, 2, 3),
+pg{t} AS MATERIALIZED (
+    SELECT id, sub, cell FROM (
+        SELECT id, sub, cell,
+               row_number() OVER (PARTITION BY id, sub ORDER BY d2, cell) AS rn
+        FROM pa{t}) WHERE rn = 1),
+ps{t} AS MATERIALIZED (
+    SELECT g.sub, g.cell, p.pos, CAST(SUM(p.x) AS BIGINT) AS s2, COUNT(*) AS n
+    FROM pg{t} g JOIN spts p ON p.id = g.id AND p.sub = g.sub GROUP BY 1, 2, 3),
+cb{t} AS MATERIALIZED (
+    SELECT c.sub, c.cell, c.pos,
+           CAST(COALESCE({_pq_fd('2 * s.s2 + s.n', '2 * s.n')}, c.c) AS BIGINT) AS c
+    FROM cb{t - 1} c
+    LEFT JOIN ps{t} s ON s.sub = c.sub AND s.cell = c.cell AND s.pos = c.pos)""")
+    parts.append(f""",
+ea AS MATERIALIZED (
+    SELECT p.id, p.sub, c.cell, CAST(SUM((p.x - c.c) * (p.x - c.c)) AS BIGINT) AS d2
+    FROM pts p {member_join} JOIN cb{iters} c ON c.pos = p.pos GROUP BY 1, 2, 3),
+codes AS MATERIALIZED (
+    SELECT id, sub, cell FROM (
+        SELECT id, sub, cell,
+               row_number() OVER (PARTITION BY id, sub ORDER BY d2, cell) AS rn
+        FROM ea) WHERE rn = 1),
+qn2 AS MATERIALIZED (SELECT CAST(SUM(x * x) AS BIGINT) AS v FROM pts WHERE id = 0),
+lut AS MATERIALIZED (
+    SELECT c.sub, c.cell,
+           CAST(SUM(q.x * c.c) AS BIGINT) AS dq,
+           CAST(SUM(c.c * c.c) AS BIGINT) AS n2
+    FROM cb{iters} c JOIN pts q ON q.pos = c.pos AND q.id = 0 GROUP BY 1, 2),
+adcs AS MATERIALIZED (
+    SELECT k.id, CAST(SUM(l.dq) AS BIGINT) AS num, CAST(SUM(l.n2) AS BIGINT) AS rn2
+    FROM codes k JOIN lut l ON l.sub = k.sub AND l.cell = k.cell GROUP BY 1),
+psim AS MATERIALIZED (
+    SELECT id,
+           CASE WHEN rn2 > 0
+                THEN ROUND(CAST(num AS DOUBLE)
+                           / (sqrt(CAST(rn2 AS DOUBLE))
+                              * sqrt(CAST((SELECT v FROM qn2) AS DOUBLE))), 6)
+                ELSE NULL END AS psim
+    FROM adcs)""")
+    return "".join(parts)
+
+
+def _pq_topk_oracle(topk: int = 10) -> str:
+    return f"""
+WITH {_pq_chain()}
+SELECT id, psim,
+       CAST(row_number() OVER (ORDER BY psim DESC, id) AS BIGINT) AS rank
+FROM psim ORDER BY psim DESC, id LIMIT {topk}
+"""
+
+
+@register("q_pq_topk", oracle=_pq_topk_oracle())
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10: m subspaces × 16 centroids
-    with m picked from the embedding dim by ``_pq_m`` (m=8 on the
-    64-dim testdata ⇒ 8-byte codes vs 256 B raw) and scoring is m
-    table lookups per row.  Rows-only check (iterative k-means
-    training); encode determinism and lossless-data recall pinned in
-    tests/test_pipeline_ops.py."""
-    from opl_spark.operators.similarity import pq_topk, pq_train
+    (m=8 on the 64-dim testdata ⇒ 8-byte codes vs 256 B raw) and
+    scoring is m table lookups per row.  Codebooks train in INTEGER
+    Lloyd rounds and the ADC lookup tables are exact integers, so
+    codes, scores, and ranking replay hash-exact from the unrolled
+    DuckDB oracle (was rows-only with float k-means); encode
+    determinism and recall stay pinned in tests/test_pipeline_ops.py."""
+    from opl_spark.operators.similarity import pq_topk_quantized, pq_train_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
-    book = pq_train(emb, "embedding", "vec_id", m=_pq_m(emb), k=16)
-    return pq_topk(emb, "embedding", "vec_id", _query_vec(spark, sf_dir), book, k=10)
+    book = pq_train_quantized(emb, "embedding", "vec_id", m=_pq_m(emb), k=16)
+    return pq_topk_quantized(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir), book, k=10
+    )
 
 
 @register(
@@ -2212,29 +2327,105 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(docs, "text", "doc_id")
 
 
-@register("q_ivfpq_topk")  # k-means + Lloyd codebooks — not SQL-expressible
+def _ivfpq_oracle(
+    ncells: int = 8, nprobe: int = 4, dim: int = 64, topk: int = 10
+) -> str:
+    """IVF-PQ replay: the quantized coarse inverted file (seed
+    centroids = the k lowest-id vectors on the integer grid; integer
+    cell assignment and probing — the iters=0 case of the k-means
+    oracle) feeding the integer-PQ ADC chain restricted to the probed
+    pool."""
+    coarse = f""",
+cseed AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS cell, id
+    FROM wq ORDER BY id LIMIT {ncells}),
+ccent AS MATERIALIZED (
+    SELECT s.cell, p.pos, p.x AS c
+    FROM cseed s JOIN pts p ON p.id = s.id),
+cq AS MATERIALIZED (
+    SELECT c.cell, CAST(SUM((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS d2
+    FROM ccent c JOIN pts q ON q.pos = c.pos AND q.id = 0 GROUP BY 1),
+cprobe AS MATERIALIZED (SELECT cell FROM cq ORDER BY d2, cell LIMIT {nprobe}),
+cd AS MATERIALIZED (
+    SELECT p.id, c.cell, CAST(SUM((p.x - c.c) * (p.x - c.c)) AS BIGINT) AS d2
+    FROM pts p JOIN ccent c ON c.pos = p.pos GROUP BY 1, 2),
+cmembers AS MATERIALIZED (
+    SELECT id FROM (
+        SELECT id, cell,
+               row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+        FROM cd) WHERE rn = 1 AND cell IN (SELECT cell FROM cprobe))"""
+    chain = _pq_chain(dim=dim, members_cte="cmembers")
+    # the coarse CTEs reference wq/pts, so splice them right after pts
+    head, tail = chain.split("samp AS MATERIALIZED", 1)
+    return f"""
+WITH {head.rstrip().rstrip(',')}{coarse},
+samp AS MATERIALIZED{tail}
+SELECT id, psim,
+       CAST(row_number() OVER (ORDER BY psim DESC, id) AS BIGINT) AS rank
+FROM psim ORDER BY psim DESC, id LIMIT {topk}
+"""
+
+
+@register("q_ivfpq_topk", oracle=_ivfpq_oracle())
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-10: coarse 8-cell inverted file (probe 4) over
-    ``_pq_m``×16 PQ codes (m=8 on the 64-dim testdata) — the composed
-    billion-scale ANN path; rows-only check, recall pinned vs brute
-    force in tests."""
-    from opl_spark.operators.similarity import ivfpq_topk, pq_train, seed_centroids
+    8×16 PQ codes — the composed billion-scale ANN path, with BOTH
+    stages in integer arithmetic (quantized seed centroids + integer
+    Lloyd codebooks + integer ADC), so the whole composition replays
+    hash-exact from the unrolled oracle (was rows-only with the float
+    stages); recall stays pinned vs brute force in tests."""
+    from opl_spark.operators.similarity import ivfpq_topk_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = seed_centroids(emb, "embedding", "vec_id", ncells=8)
-    book = pq_train(emb, "embedding", "vec_id", m=_pq_m(emb), k=16)
-    return ivfpq_topk(
-        emb, "embedding", "vec_id", _query_vec(spark, sf_dir), cents, book,
-        k=10, nprobe=4,
+    return ivfpq_topk_quantized(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir),
+        k=10, ncells=8, nprobe=4, m=_pq_m(emb), codebook_k=16,
     )
 
 
-@register("q_cms_counts")  # xxhash64 rows — not DuckDB-expressible
+_CMS_ORACLE = r"""
+WITH toks AS MATERIALIZED (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+rows4 AS MATERIALIZED (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS row),
+sk AS MATERIALIZED (
+    SELECT r.row,
+           CAST(CAST(('0x' || substr(md5(t.tok || ':' || r.row), 1, 8))
+                     AS UBIGINT) % 2048 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks t CROSS JOIN rows4 r GROUP BY 1, 2),
+pd AS MATERIALIZED (
+    SELECT term, doc, COUNT(*) AS c FROM (
+        SELECT doc_id AS doc,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents) GROUP BY 1, 2),
+top AS MATERIALIZED (
+    SELECT term, CAST(SUM(c) AS BIGINT) AS corpus_freq
+    FROM pd GROUP BY term ORDER BY corpus_freq DESC, term LIMIT 20),
+probes AS MATERIALIZED (
+    SELECT t.term, r.row,
+           CAST(CAST(('0x' || substr(md5(t.term || ':' || r.row), 1, 8))
+                     AS UBIGINT) % 2048 AS BIGINT) AS bucket
+    FROM top t CROSS JOIN rows4 r),
+est AS MATERIALIZED (
+    SELECT p.term, CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS est
+    FROM probes p LEFT JOIN sk ON sk.row = p.row AND sk.bucket = p.bucket
+    GROUP BY 1)
+SELECT t.term, t.corpus_freq, e.est
+FROM top t JOIN est e ON e.term = t.term
+"""
+
+
+@register("q_cms_counts", oracle=_CMS_ORACLE)
 def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch demo: estimated vs exact corpus frequency for
     the top-20 vocabulary terms.  The sketch is depth*width counters
-    TOTAL (mergeable across shards/streams); rows-only check —
-    est >= true is asserted in tests/test_pipeline_ops.py."""
+    TOTAL (mergeable across shards/streams).  Cells hash with the
+    md5-derived portable family, so sketch contents, probes, and
+    estimates replay hash-exact from the SQL oracle (was rows-only on
+    xxhash64 cells); est >= true stays asserted in
+    tests/test_pipeline_ops.py."""
     from opl_spark.operators.sketch import count_min_build, count_min_estimate
     from opl_spark.operators.text import build_vocab
 
@@ -2242,24 +2433,51 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
     )
-    sketch = count_min_build(toks, "tok", width=2048, depth=4)
+    sketch = count_min_build(toks, "tok", width=2048, depth=4, portable=True)
     top = build_vocab(docs, "text", "doc_id", top_n=20).select(
         F.col("term"), F.col("corpus_freq")
     )
-    est = count_min_estimate(sketch, top.select("term"), "term", width=2048, depth=4)
+    est = count_min_estimate(
+        sketch, top.select("term"), "term", width=2048, depth=4, portable=True
+    )
     return top.join(est, "term").select("term", "corpus_freq", "est")
 
 
-@register("q_pq_rerank")  # Lloyd codebooks — not SQL-expressible
+def _pq_rerank_oracle(rerank: int = 16, topk: int = 10) -> str:
+    """ADC shortlist (integer-exact ordering) reranked by the exact
+    round-6 cosine — the same scoring tail the brute-force oracle
+    hash-checks."""
+    return f"""
+WITH {_pq_chain()},
+short AS MATERIALIZED (
+    SELECT id FROM psim ORDER BY psim DESC, id LIMIT {rerank * topk}),
+qv AS MATERIALIZED (SELECT v AS qv FROM pool WHERE id = 0),
+rscored AS MATERIALIZED (
+    SELECT e.id,
+           ROUND(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS psim
+    FROM wq e JOIN short s ON s.id = e.id CROSS JOIN qv q)
+SELECT id, psim,
+       CAST(row_number() OVER (ORDER BY psim DESC, id) AS BIGINT) AS rank
+FROM rscored ORDER BY psim DESC, id LIMIT {topk}
+"""
+
+
+@register("q_pq_rerank", oracle=_pq_rerank_oracle())
 def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ top-10 with exact reranking of an ADC shortlist (x16) — the
-    production recall remedy over raw ADC ordering; rows-only check,
-    full-shortlist==exact equality pinned in tests."""
-    from opl_spark.operators.similarity import pq_topk, pq_train
+    """PQ top-10 with exact reranking of an ADC shortlist (×16) — the
+    production recall remedy over raw ADC ordering.  The shortlist
+    ordering is integer-exact (quantized codebooks + integer lookup
+    tables) and the rerank is the proven round-6 cosine, so the whole
+    two-stage retrieval replays hash-exact (was rows-only with float
+    codebooks); full-shortlist==exact equality stays pinned in
+    tests."""
+    from opl_spark.operators.similarity import pq_topk_quantized, pq_train_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
-    book = pq_train(emb, "embedding", "vec_id", m=_pq_m(emb), k=16)
-    return pq_topk(
+    book = pq_train_quantized(emb, "embedding", "vec_id", m=_pq_m(emb), k=16)
+    return pq_topk_quantized(
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir), book, k=10, rerank=16
     )
 
@@ -2371,14 +2589,74 @@ def q_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bpe_merges")  # learned merge table — not SQL-expressible
+def _bpe_chain(num_merges: int = 10) -> str:
+    """CTE chain replaying BPE merge learning (mirrors
+    ``operators/bpe.py:_learn_merges_local``, whose incremental
+    pair-count heap is count-for-count equivalent to a full recount
+    per step): each word's symbol state is a comma-WRAPPED string
+    (``the`` → ``,t,,h,,e,``), so one greedy left-to-right merge pass
+    is exactly one global ``regexp_replace`` — leftmost-non-overlap
+    semantics match ``_merge_word``, and the double-comma separator
+    keeps adjacent pair occurrences and multi-char symbol boundaries
+    unambiguous.  Winner selection is SUM(freq) desc, (l, r) asc, with
+    the trainer's count≥2 stopping rule.  Assumes symbols free of
+    regex metacharacters and commas — true of the a–z corpus; a
+    general-text oracle would regexp-escape the pair.  Ends with
+    ``st{num_merges}`` (word, freq, state) and ``win1..winN``."""
+    parts = [r"""wv AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents) WHERE w <> '' GROUP BY w),
+st0 AS MATERIALIZED (
+    SELECT w, freq,
+           ',' || array_to_string(string_split_regex(w, ''), ',,') || ',' AS state
+    FROM wv)"""]
+    for t in range(1, num_merges + 1):
+        parts.append(f""",
+px{t} AS MATERIALIZED (
+    SELECT l, r, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        SELECT freq, syms[i] AS l, syms[i + 1] AS r FROM (
+            SELECT freq, syms, unnest(range(1, greatest(len(syms), 1))) AS i
+            FROM (SELECT freq, string_split(trim(state, ','), ',,') AS syms
+                  FROM st{t - 1})))
+    GROUP BY 1, 2),
+win{t} AS MATERIALIZED (
+    SELECT l, r, c FROM px{t} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+st{t} AS MATERIALIZED (
+    SELECT w, freq,
+           CASE WHEN (SELECT l FROM win{t}) IS NULL THEN state
+                ELSE regexp_replace(state,
+                         ',' || (SELECT l FROM win{t}) || ',,'
+                             || (SELECT r FROM win{t}) || ',',
+                         ',' || (SELECT l FROM win{t})
+                             || (SELECT r FROM win{t}) || ',',
+                         'g') END AS state
+    FROM st{t - 1})""")
+    return "".join(parts)
+
+
+def _bpe_merges_oracle(num_merges: int = 10) -> str:
+    steps = "\nUNION ALL ".join(
+        f'SELECT CAST({t - 1} AS INTEGER) AS rank, l AS "left", r AS "right", '
+        f"c AS count FROM win{t}"
+        for t in range(1, num_merges + 1)
+    )
+    return f"""
+WITH {_bpe_chain(num_merges)}
+{steps}
+"""
+
+
+@register("q_bpe_merges", oracle=_bpe_merges_oracle())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training: the first 10 learned merges (rank, left,
     right, weighted count).  ONE distributed distinct-word count; all
     merges learned driver-side over the vocab-sized table with an
     incremental pair heap (the corpus-scale recipe — no per-merge Spark
-    job).  Rows-only check; hand-computed merges and the one-job shape
-    pinned in tests/test_pipeline_ops.py."""
+    job).  The heap is count-equivalent to a per-step recount, so the
+    unrolled regexp-replace oracle replays every merge hash-exact (was
+    rows-only); hand-computed merges and the one-job shape stay pinned
+    in tests/test_pipeline_ops.py."""
     from opl_spark.operators.bpe import learn_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2415,14 +2693,40 @@ def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bpe_segment")  # replays learned merges — rows-only
+def _bpe_segment_oracle(num_merges: int = 10) -> str:
+    """Apply-side replay: per-word token counts read straight off the
+    trained chain's final states (``len(symbols)`` of ``stN``), then
+    the per-doc ``Σ cnt·w_tokens`` join — encode_vocab's rank-order
+    merge replay equals the training states by construction."""
+    return f"""
+WITH {_bpe_chain(num_merges)},
+wtok AS MATERIALIZED (
+    SELECT w, len(string_split(trim(state, ','), ',,')) AS wt
+    FROM st{num_merges}),
+dwc AS MATERIALIZED (
+    SELECT doc, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id AS doc,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents) WHERE w <> '' GROUP BY 1, 2),
+dt AS MATERIALIZED (
+    SELECT dwc.doc, CAST(SUM(dwc.cnt * wtok.wt) AS BIGINT) AS n_tokens
+    FROM dwc JOIN wtok ON wtok.w = dwc.w GROUP BY 1)
+SELECT d.doc_id AS doc,
+       CAST(COALESCE(dt.n_tokens, 0) AS INTEGER) AS n_tokens,
+       CAST(length(d.text) AS INTEGER) AS n_chars
+FROM documents d LEFT JOIN dt ON dt.doc = d.doc_id
+"""
+
+
+@register("q_bpe_segment", oracle=_bpe_segment_oracle())
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply side of BPE: token counts per document under the first 10
     learned merges — the compression measurement a tokenizer-training
     run reports.  Per-TYPE encoding: each distinct word is encoded once
     and token lengths hash-join back to documents, so Python-side work
-    is vocab-sized, not corpus-sized.  Rows-only (merge table comes
-    from the trainer); equality with the per-occurrence reference is
+    is vocab-sized, not corpus-sized.  The oracle reads per-word token
+    counts off the replayed training chain's final states (was
+    rows-only); equality with the per-occurrence reference stays
     pinned in tests/test_pipeline_ops.py."""
     from opl_spark.operators.bpe import bpe_segment, learn_bpe_merges
 
@@ -8841,12 +9145,36 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bpe_fertility")
+def _bpe_fertility_oracle(num_merges: int = 10) -> str:
+    return f"""
+WITH {_bpe_chain(num_merges)},
+wtok AS MATERIALIZED (
+    SELECT w, len(string_split(trim(state, ','), ',,')) AS wt
+    FROM st{num_merges}),
+lwc AS MATERIALIZED (
+    SELECT lang, w, COUNT(*) AS cnt FROM (
+        SELECT lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents) WHERE w <> '' GROUP BY 1, 2),
+per AS MATERIALIZED (
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * wt) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * length(lwc.w)) AS BIGINT) AS n_chars
+    FROM lwc JOIN wtok ON wtok.w = lwc.w GROUP BY 1)
+SELECT lang, n_words, n_tokens, n_chars,
+       CAST(n_tokens * 1000000 // n_words AS BIGINT) AS fertility_x1e6,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+FROM per
+"""
+
+
+@register("q_bpe_fertility", oracle=_bpe_fertility_oracle())
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility under the corpus-learned BPE
     merge table (tokens/word ×1e6 exact, chars/token) — the fairness
-    audit run before accepting a tokenizer.  Rows-only (the merge
-    table is learned state); tests pin fertility bounds and the
+    audit run before accepting a tokenizer.  Oracled via the replayed
+    merge chain (was rows-only); tests pin fertility bounds and the
     exact-identity `n_tokens == Σ per-doc bpe_segment tokens`."""
     from opl_spark.operators.bpe import bpe_fertility, learn_bpe_merges
 
