@@ -49,14 +49,20 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# MAINTENANCE (each round): extend this tuple with the ids the driver
-# checked last round (the keys of the newest CORRECTNESS_r*.json), so
-# the next 50 never-audited ids rotate into the driver's window.
-# Ids that already hold a driver CORRECTNESS row (rounds 1-2).  The
-# driver audits the first 50 ids in ``queries()`` order each round, so
-# never-yet-audited ids must come first or they never receive the hard
-# signal.  Within the unaudited block, oracled queries precede
-# rows-only ones (an oracle row is the stronger check).
+# MAINTENANCE (each round):
+#  1. extend this tuple with the GREEN ids of the newest
+#     CORRECTNESS_r*.json (hash_match true), so the next
+#     never-audited ids rotate into the driver's 50-id window;
+#  2. move any hash-RED ids into _RETRY_FIRST below instead — they
+#     stay at the head of queries() until a driver round confirms
+#     their fix, then graduate into this tuple;
+#  3. if an already-audited id's CHECK TYPE upgrades (rows-only →
+#     oracled), REMOVE it from this tuple so it re-enters the window
+#     under the stronger check (see the r4 comments inline).
+# The driver audits the first 50 ids in ``queries()`` order each
+# round; never-yet-audited ids must come first or they never receive
+# the hard signal.  Within the unaudited block, oracled queries
+# precede rows-only ones (an oracle row is the stronger check).
 _DRIVER_AUDITED: tuple[str, ...] = (
     "q_source_scan", "q_json_rows", "q_type_cast", "q_audit_columns",
     "q_output_table", "q_projection", "q_case_bucket", "q_date_arith",
