@@ -936,11 +936,23 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(with_media_column(docs, "text", "doc_id"))
 
 
-@register("q_multimodal_decode")  # Pandas-UDF stub decode — rows-only
+@register(
+    "q_multimodal_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       CAST((length(text) % 64) + 1 AS INTEGER) AS width,
+       CAST((length(text) % 48) + 1 AS INTEGER) AS height
+FROM documents
+""",
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing with the deterministic fake codec
     (codec="real" decodes via Pillow where installed — optional
-    import, same plan; tests/test_operators.py)."""
+    import, same plan; tests/test_operators.py).  The emitted columns
+    are pure integer functions of the payload length, so the oracle
+    replays the stub exactly (was rows-only — the Pandas-UDF shape is
+    what the query exercises, not non-determinism)."""
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_column(docs, "text", "doc_id")
     return decode_images(media, codec="fake").select(
@@ -4230,15 +4242,59 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_audio_energy")
+_AUDIO_ENERGY_ORACLE = """
+WITH m AS MATERIALIZED (
+    SELECT doc_id AS media_id, text, len(text) AS n FROM documents
+),
+fr AS MATERIALIZED (
+    SELECT media_id, text, n,
+           unnest(range(0, 1 + (greatest(n, 256) - 256) // 128)) AS frame
+    FROM m
+),
+pos AS MATERIALIZED (
+    SELECT media_id, frame, text, n,
+           frame * 128 + unnest(range(1, 257)) AS p
+    FROM fr
+),
+sq AS MATERIALIZED (
+    SELECT media_id, frame,
+           CAST(SUM(CASE WHEN p <= n
+                THEN (ascii(substr(text, CAST(p AS INTEGER), 1)) - 128)
+                     * (ascii(substr(text, CAST(p AS INTEGER), 1)) - 128)
+                ELSE 0 END) AS BIGINT) AS k
+    FROM pos GROUP BY 1, 2
+),
+-- energy = mean square = k/256; at 6 decimals that is the exact
+-- quarter-integer (k·15625)/4 micro-units, so numpy's banker's
+-- rounding (.round(6) → scale, rint-ties-to-even, unscale) emulates
+-- in integers: rem 0/1 → down, 3 → up, 2 (an exact .5) → to even
+re AS MATERIALIZED (
+    SELECT media_id, frame,
+           (k * 15625) // 4
+           + CASE WHEN (k * 15625) % 4 > 2 THEN 1
+                  WHEN (k * 15625) % 4 < 2 THEN 0
+                  ELSE ((k * 15625) // 4) % 2 END AS e6
+    FROM sq
+)
+SELECT media_id, CAST(frame AS INTEGER) AS frame,
+       CAST(e6 AS DOUBLE) / 1000000.0 AS energy,
+       (e6 < 1000000) AS is_silence
+FROM re
+"""
+
+
+@register("q_audio_energy", oracle=_AUDIO_ENERGY_ORACLE)
 def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Framed short-time audio energy over the opaque media payload
     (byte-level stand-in codec; real PCM decode is the documented
     integration point).  Framing fan-out happens inside the Arrow
     batch with numpy stride indexing — frame-granular rows out, zero
-    per-frame Python.  Not SQL-expressible (mapInPandas) — rows-only;
-    tests/test_operators.py pins the energies against a local numpy
-    reference."""
+    per-frame Python.  Oracled (was rows-only): the stand-in samples
+    are the UTF-8 bytes of ASCII text, so per-frame sums replay from
+    ``ascii()`` and the exact dyadic energies — including numpy's
+    banker's rounding — emulate in integer arithmetic;
+    tests/test_operators.py still pins the energies against a local
+    numpy reference."""
     from opl_spark.operators.multimodal import audio_frame_energy, with_media_column
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4896,30 +4952,256 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_unigram_train")
+def _unigram_chain(iters: int, max_word: int = 8, max_piece: int = 4) -> str:
+    """CTE chain replaying unigram-LM hard-EM training (mirrors
+    ``operators/unigram.py:unigram_train``): substring seed counts,
+    then per-iteration Viterbi E-steps as an unrolled forward DP
+    (positions 1..max_word; candidate pieces of length 1..max_piece;
+    argmax with the decoder's (score desc, plen desc) tie-break) plus
+    an unrolled backtrace emitting one piece per word per step, and
+    the survivors-with-kept-singles M-step.  Every logprob is
+    ``ln(c/tot)`` of integer counts — the trainer computes it with
+    glibc's log on the driver and DuckDB calls the same libm, and
+    every DP sum replays in the identical order, so even the float
+    comparisons inside the argmax match bit-for-bit.  Corpus words
+    are ≤ {max_word} chars (asserted by the wlen guard: longer words
+    would silently truncate the DP).  Ends with ``sc{iters}v`` (the
+    post-EM scores) and the ``uf*`` final-count Viterbi chain."""
+
+    def viterbi(tag: str, scores: str) -> str:
+        # forward DP + backtrace + freq-weighted piece counts
+        s = [f""",
+{tag}b0 AS MATERIALIZED (
+    SELECT w, CAST(0.0 AS DOUBLE) AS sc FROM wv)"""]
+        for i in range(1, max_word + 1):
+            cands = []
+            for L in range(1, min(max_piece, i) + 1):
+                cands.append(f"""
+    SELECT p.w, p.sc + s.s AS cand, CAST({L} AS BIGINT) AS plen
+    FROM {tag}b{i - L} p
+    JOIN wv wd ON wd.w = p.w AND len(wd.w) >= {i}
+    JOIN {scores} s ON s.piece = substr(p.w, {i - L + 1}, {L})""")
+            union = "\n    UNION ALL".join(cands)
+            s.append(f""",
+{tag}c{i} AS MATERIALIZED ({union}),
+{tag}b{i} AS MATERIALIZED (
+    SELECT w, sc, plen FROM (
+        SELECT w, cand AS sc, plen,
+               row_number() OVER (PARTITION BY w ORDER BY cand DESC, plen DESC) AS rn
+        FROM {tag}c{i}) WHERE rn = 1)""")
+        union_b = "\n    UNION ALL ".join(
+            f"SELECT w, CAST({i} AS BIGINT) AS i, plen FROM {tag}b{i}"
+            for i in range(1, max_word + 1)
+        )
+        s.append(f""",
+{tag}B AS MATERIALIZED ({union_b}),
+{tag}r0 AS MATERIALIZED (
+    SELECT w, freq, CAST(len(w) AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS piece
+    FROM wv)""")
+        for j in range(1, max_word + 1):
+            s.append(f""",
+{tag}r{j} AS MATERIALIZED (
+    SELECT r.w, r.freq, r.pos - b.plen AS pos,
+           substr(r.w, CAST(r.pos - b.plen + 1 AS INTEGER),
+                  CAST(b.plen AS INTEGER)) AS piece
+    FROM {tag}r{j - 1} r JOIN {tag}B b ON b.w = r.w AND b.i = r.pos
+    WHERE r.pos > 0)""")
+        union_r = "\n    UNION ALL ".join(
+            f"SELECT freq, piece FROM {tag}r{j}" for j in range(1, max_word + 1)
+        )
+        s.append(f""",
+{tag}cnt AS MATERIALIZED (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS c
+    FROM ({union_r}) WHERE piece IS NOT NULL GROUP BY 1)""")
+        return "".join(s)
+
+    parts = [f"""wv AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents) WHERE w <> '' GROUP BY w),
+wlen AS MATERIALIZED (
+    SELECT CASE WHEN MAX(len(w)) <= {max_word} THEN 1
+                ELSE CAST(NULL AS INTEGER) END AS ok FROM wv),
+sseed AS MATERIALIZED (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        SELECT v.freq, substr(v.w, CAST(s.i AS INTEGER), CAST(l.l AS INTEGER)) AS piece
+        FROM wv v
+        CROSS JOIN (SELECT unnest(range(1, {max_word + 1})) AS i) s
+        CROSS JOIN (SELECT unnest(range(1, {max_piece + 1})) AS l) l
+        WHERE s.i + l.l - 1 <= len(v.w)
+          AND (SELECT ok FROM wlen) = 1)
+    GROUP BY 1),
+p0 AS MATERIALIZED (
+    SELECT piece, c FROM sseed WHERE c >= 2 OR len(piece) = 1),
+t0 AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM p0),
+sc0v AS MATERIALIZED (
+    SELECT piece, ln(CAST(c AS DOUBLE) / (SELECT tot FROM t0)) AS s FROM p0)"""]
+    for k in range(1, iters + 1):
+        parts.append(viterbi(f"u{k}", f"sc{k - 1}v"))
+        parts.append(f""",
+surv{k} AS MATERIALIZED (
+    SELECT piece, c FROM u{k}cnt WHERE c > 0
+    UNION ALL
+    SELECT s.piece, CAST(1 AS BIGINT) FROM sc{k - 1}v s
+    WHERE len(s.piece) = 1
+      AND s.piece NOT IN (SELECT piece FROM u{k}cnt WHERE c > 0)),
+t{k} AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM surv{k}),
+sc{k}v AS MATERIALIZED (
+    SELECT piece, ln(CAST(c AS DOUBLE) / (SELECT tot FROM t{k})) AS s
+    FROM surv{k})""")
+    parts.append(viterbi("uf", f"sc{iters}v"))
+    return "".join(parts)
+
+
+def _unigram_vocab_tail(iters: int, vocab_size: int = 64) -> str:
+    """Pruning tail shared by the train/tokenize oracles: all single
+    chars + top multi-char pieces by (final count desc, piece asc),
+    kept counts floored at 1, logprobs re-estimated over the kept
+    total.  Ends with ``vocabf`` (piece, lp)."""
+    return f""",
+singles AS MATERIALIZED (
+    SELECT piece FROM sc{iters}v WHERE len(piece) = 1),
+nmulti AS MATERIALIZED (
+    SELECT {vocab_size} - COUNT(*) AS n FROM singles),
+multik AS MATERIALIZED (
+    SELECT piece FROM (
+        SELECT s.piece,
+               row_number() OVER (
+                   ORDER BY COALESCE(c.c, 0) DESC, s.piece) AS rn
+        FROM sc{iters}v s LEFT JOIN ufcnt c ON c.piece = s.piece
+        WHERE len(s.piece) > 1)
+    WHERE rn <= GREATEST(0, (SELECT n FROM nmulti))),
+keepp AS MATERIALIZED (
+    SELECT piece FROM singles UNION ALL SELECT piece FROM multik),
+keptc AS MATERIALIZED (
+    SELECT k.piece, GREATEST(COALESCE(c.c, 0), 1) AS c
+    FROM keepp k LEFT JOIN ufcnt c ON c.piece = k.piece),
+kt AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM keptc),
+vocabf AS MATERIALIZED (
+    SELECT piece, ln(CAST(c AS DOUBLE) / (SELECT tot FROM kt)) AS lp
+    FROM keptc)"""
+
+
+def _unigram_train_oracle(iters: int = 3, vocab_size: int = 64) -> str:
+    return f"""
+WITH {_unigram_chain(iters)}{_unigram_vocab_tail(iters, vocab_size)}
+SELECT piece, ROUND(lp, 6) AS logprob FROM vocabf
+"""
+
+
+@register("q_unigram_train", oracle=_unigram_train_oracle())
 def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer training: one
     corpus pass for distinct-word counts, hard-EM Viterbi iterations
     as ONE Spark job each over the word-TYPE table, driver state
-    vocab-sized throughout.  Not SQL-expressible (iterative EM) —
-    rows-only; tests pin loss monotonicity, determinism, and piece
-    recovery on a hand corpus."""
+    vocab-sized throughout.  Oracled via an unrolled Viterbi-DP
+    replay (was rows-only): every logprob is ln(count/total) of
+    integer counts computed by the same libm on both sides, and the
+    DP argmax replays with identical float values, so the trained
+    vocabulary hash-matches.  Tests pin loss monotonicity,
+    determinism, and piece recovery on a hand corpus."""
+    import math
+
     from opl_spark.operators.unigram import unigram_train
 
     docs = load_table(spark, sf_dir, "documents")
     vocab, _ = unigram_train(docs, "text", vocab_size=64, iters=3)
+
+    def half_away(x: float, nd: int = 6) -> float:
+        # SQL ROUND is half-away-from-zero; Python round() is banker's
+        s = 10.0**nd
+        return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
     return spark.createDataFrame(
-        [(p, round(lp, 6)) for p, lp in vocab], "piece string, logprob double"
+        [(p, half_away(lp)) for p, lp in vocab], "piece string, logprob double"
     )
 
 
-@register("q_unigram_tokenize")
+def _unigram_tokenize_oracle(iters: int = 2, max_word: int = 8) -> str:
+    """Apply-side replay: train (2 EM rounds) + prune as in the train
+    oracle, then one more unrolled Viterbi under the pruned vocab;
+    per-word piece counts come from the backtrace rows and join back
+    to the per-document token stream."""
+    npieces = "\n    UNION ALL ".join(
+        f"SELECT w, freq, piece FROM ugr{j}" for j in range(1, max_word + 1)
+    )
+    chain = _unigram_chain(iters) + _unigram_vocab_tail(iters)
+    # rebuild the viterbi helper inline for the pruned vocab: reuse by
+    # aliasing vocabf to the scores shape the chain generator emits
+    return f"""
+WITH {chain},
+vocabfv AS MATERIALIZED (SELECT piece, lp AS s FROM vocabf)
+{_unigram_apply_cte(max_word)}
+,
+wnp AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n_p
+    FROM ({npieces}) WHERE piece IS NOT NULL GROUP BY w),
+dtoks AS MATERIALIZED (
+    SELECT doc, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id AS doc,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents) WHERE w <> '' GROUP BY 1, 2)
+SELECT d.doc,
+       CAST(SUM(d.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(d.cnt * n.n_p) AS BIGINT) AS n_pieces
+FROM dtoks d JOIN wnp n ON n.w = d.w
+GROUP BY d.doc
+"""
+
+
+def _unigram_apply_cte(max_word: int = 8, max_piece: int = 4) -> str:
+    """The forward-DP + backtrace CTEs of one Viterbi pass under
+    ``vocabfv`` (tag ``ug``) — same structure the training chain
+    unrolls, emitted as a bare fragment appended after the vocab
+    tail."""
+    s = [""",
+ugb0 AS MATERIALIZED (
+    SELECT w, CAST(0.0 AS DOUBLE) AS sc FROM wv)"""]
+    for i in range(1, max_word + 1):
+        cands = []
+        for L in range(1, min(max_piece, i) + 1):
+            cands.append(f"""
+    SELECT p.w, p.sc + s.s AS cand, CAST({L} AS BIGINT) AS plen
+    FROM ugb{i - L} p
+    JOIN wv wd ON wd.w = p.w AND len(wd.w) >= {i}
+    JOIN vocabfv s ON s.piece = substr(p.w, {i - L + 1}, {L})""")
+        union = "\n    UNION ALL".join(cands)
+        s.append(f""",
+ugc{i} AS MATERIALIZED ({union}),
+ugb{i} AS MATERIALIZED (
+    SELECT w, sc, plen FROM (
+        SELECT w, cand AS sc, plen,
+               row_number() OVER (PARTITION BY w ORDER BY cand DESC, plen DESC) AS rn
+        FROM ugc{i}) WHERE rn = 1)""")
+    union_b = "\n    UNION ALL ".join(
+        f"SELECT w, CAST({i} AS BIGINT) AS i, plen FROM ugb{i}"
+        for i in range(1, max_word + 1)
+    )
+    s.append(f""",
+ugB AS MATERIALIZED ({union_b}),
+ugr0 AS MATERIALIZED (
+    SELECT w, freq, CAST(len(w) AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS piece
+    FROM wv)""")
+    for j in range(1, max_word + 1):
+        s.append(f""",
+ugr{j} AS MATERIALIZED (
+    SELECT r.w, r.freq, r.pos - b.plen AS pos,
+           substr(r.w, CAST(r.pos - b.plen + 1 AS INTEGER),
+                  CAST(b.plen AS INTEGER)) AS piece
+    FROM ugr{j - 1} r JOIN ugB b ON b.w = r.w AND b.i = r.pos
+    WHERE r.pos > 0)""")
+    return "".join(s)
+
+
+@register("q_unigram_tokenize", oracle=_unigram_tokenize_oracle())
 def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply side of the unigram tokenizer: Viterbi decode per
     DISTINCT word (Arrow-batched, closure-broadcast vocab), piece
     counts hash-joined back to the token stream — per-TYPE Python
-    cost, the bpe_segment discipline.  Rows-only (Viterbi isn't SQL);
-    a test pins doc piece counts against a local decode."""
+    cost, the bpe_segment discipline.  Oracled by replaying training,
+    pruning, AND the apply-side Viterbi as unrolled DP CTEs (was
+    rows-only); a test pins doc piece counts against a local
+    decode."""
     from opl_spark.operators.unigram import unigram_segment, unigram_train
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6157,24 +6439,77 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3)
 
 
-@register("q_image_phash")  # Pandas-UDF grid hash — rows-only
+_PHASH_CTE = """
+WITH m AS MATERIALIZED (
+    SELECT doc_id AS media_id, text, len(text) AS n FROM documents
+),
+cells AS MATERIALIZED (
+    SELECT media_id, (p - 1) % 64 AS cell,
+           ascii(substr(text, CAST(p AS INTEGER), 1)) AS v
+    FROM (SELECT media_id, text, unnest(range(1, n + 1)) AS p FROM m)
+),
+g AS MATERIALIZED (
+    SELECT media_id, cell, CAST(SUM(v) AS BIGINT) AS gv
+    FROM cells GROUP BY 1, 2
+),
+tot AS MATERIALIZED (
+    SELECT media_id, CAST(SUM(gv) AS BIGINT) AS t FROM g GROUP BY 1
+),
+spine AS MATERIALIZED (SELECT CAST(unnest(range(0, 63)) AS BIGINT) AS cell),
+ph AS MATERIALIZED (
+    -- aHash bit b set where cell b's fold exceeds the 64-cell mean;
+    -- the float `g > mean` compare clears exactly to 64·g > Σg
+    SELECT m.media_id,
+           CAST(SUM(CASE WHEN 64 * COALESCE(g.gv, 0) > tt.t
+                         THEN CAST(1 AS BIGINT) << CAST(s.cell AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS phash
+    FROM m CROSS JOIN spine s
+    LEFT JOIN g ON g.media_id = m.media_id AND g.cell = s.cell
+    JOIN tot tt ON tt.media_id = m.media_id
+    GROUP BY 1
+)"""
+
+
+@register("q_image_phash", oracle=_PHASH_CTE + "\nSELECT media_id, phash FROM ph\n")
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit perceptual hash (average-hash) per media payload via the
     stub pixel grid — the image twin of text SimHash; codec="real"
     swaps in an 8×8 Pillow thumbnail over the same plan (pinned by
-    tests/test_operators.py numpy reference + Pillow-optional test)."""
+    tests/test_operators.py numpy reference + Pillow-optional test).
+    Oracled (was rows-only): the fake grid is a position-mod-64 byte
+    fold of ASCII text, so the fold, the mean threshold (cleared to
+    an integer cross-multiplication), and the bit packing all replay
+    in SQL."""
     from opl_spark.operators.multimodal import image_phash
 
     docs = load_table(spark, sf_dir, "documents")
     return image_phash(with_media_column(docs, "text", "doc_id"))
 
 
-@register("q_image_dedup")  # banded hamming candidates — rows-only
+_IMAGE_DEDUP_ORACLE = _PHASH_CTE + """,
+chunks AS MATERIALIZED (
+    SELECT media_id, phash, c AS chunk,
+           (phash >> CAST(c * 16 AS INTEGER)) & 65535 AS ck
+    FROM ph CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS c)
+),
+pairs AS MATERIALIZED (
+    SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.ck = b.ck AND a.media_id < b.media_id
+)
+SELECT media_a, media_b, hamming FROM pairs WHERE hamming <= 8
+"""
+
+
+@register("q_image_dedup", oracle=_IMAGE_DEDUP_ORACLE)
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup IMAGE pairs: perceptual hashes banded into 16-bit
     chunks (pigeonhole join bound), exact hamming ≤ 8 verification —
     the multimodal reuse of the text dedup scale path.  Exact byte
-    copies always land at hamming 0."""
+    copies always land at hamming 0.  Oracled (was rows-only) on top
+    of the replayable fake-grid phash — banding, candidate join, and
+    hamming verify are all integer SQL."""
     from opl_spark.operators.multimodal import image_phash, phash_dup_candidates
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6182,13 +6517,52 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dup_candidates(hashes, max_hamming=8)
 
 
-@register("q_scene_change")  # Pandas-UDF framing — rows-only
+_SCENE_CHANGE_ORACLE = """
+WITH m AS MATERIALIZED (
+    SELECT doc_id AS media_id, text, len(text) AS n
+    FROM documents WHERE len(text) > 0
+),
+fr AS MATERIALIZED (
+    SELECT media_id, text, n, unnest(range(0, (n + 63) // 64)) AS frame FROM m
+),
+-- luma·1e6 = (Σ bytes)·15625 EXACTLY (frame_bytes=64 divides 1e6),
+-- so the lag-threshold compare is pure integer arithmetic
+lk AS MATERIALIZED (
+    SELECT media_id, frame,
+           CAST(SUM(CASE WHEN p <= n
+                         THEN ascii(substr(text, CAST(p AS INTEGER), 1))
+                         ELSE 0 END) AS BIGINT) * 15625 AS l6
+    FROM (SELECT media_id, text, n, frame,
+                 frame * 64 + unnest(range(1, 65)) AS p FROM fr)
+    GROUP BY 1, 2
+),
+cuts AS MATERIALIZED (
+    SELECT media_id, frame,
+           CASE WHEN ABS(l6 - LAG(l6) OVER w) > 4000000 THEN 1 ELSE 0 END AS is_cut
+    FROM lk WINDOW w AS (PARTITION BY media_id ORDER BY frame)
+),
+shots AS MATERIALIZED (
+    SELECT media_id, frame,
+           CAST(SUM(is_cut) OVER (PARTITION BY media_id ORDER BY frame
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot_no
+    FROM cuts
+)
+SELECT media_id, shot_no,
+       CAST(MIN(frame) AS INTEGER) AS start_frame,
+       COUNT(*) AS n_frames
+FROM shots GROUP BY 1, 2
+"""
+
+
+@register("q_scene_change", oracle=_SCENE_CHANGE_ORACLE)
 def q_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary detection over video-payload stand-ins: per-frame
     luma means framed inside Arrow batches, lag-window cut threshold,
     island cumsum → one row per (media, shot) with start frame and
-    length.  Real-codec integration point documented in
-    operators/multimodal.py."""
+    length.  Oracled (was rows-only): the 64-byte frame means are
+    exact micro-integers (1e6/64 = 15625), so the lag compare and
+    shot numbering replay as integer SQL.  Real-codec integration
+    point documented in operators/multimodal.py."""
     from opl_spark.operators.multimodal import video_scene_changes
 
     docs = load_table(spark, sf_dir, "documents")
