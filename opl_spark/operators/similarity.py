@@ -959,6 +959,207 @@ def ivfpq_topk(
     return pq_topk(pool, vec_col, id_col, query, codebook, k)
 
 
+def pq_train_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+) -> list[list[list[int]]]:
+    """Product-quantization codebook trained in INTEGER arithmetic —
+    the oracle-replayable sibling of :func:`pq_train`.
+
+    Coordinates quantize to the 1e-3 grid; per subspace the seeds are
+    the first ``k`` DISTINCT quantized subvectors in id order (== the
+    min-id representative of each distinct subvector, ordered by that
+    min id — the grouping a SQL oracle replays), and each Lloyd round
+    is an exact integer argmin (first-lowest-cell ties) plus the
+    half-up integer mean ``(2·Σ + n) // (2n)``.  Only the
+    deterministic ``orderBy(id).limit(sample)`` sample crosses the
+    driver.  Returns ``codebook[m][k'][d/m]`` integer lists."""
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample)
+        .collect()
+    )
+    x = np.floor(
+        np.array([r["v"] for r in rows], dtype=np.float64) * 1000.0 + 0.5
+    ).astype(np.int64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dims ({d}) not divisible by m ({m})")
+    sub = d // m
+    book: list[list[list[int]]] = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        seen: dict[tuple, np.ndarray] = {}
+        for row in xs:
+            key = tuple(int(t) for t in row)
+            if key not in seen:
+                seen[key] = row
+            if len(seen) == k:
+                break
+        cents = np.array(list(seen.values()), dtype=np.int64)
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first occurrence = lowest cell
+            new = cents.copy()
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    n = len(members)
+                    s = members.sum(axis=0)
+                    new[c] = (2 * s + n) // (2 * n)
+            cents = new
+        book.append([[int(t) for t in row] for row in cents])
+    return book
+
+
+def pq_encode_quantized(
+    df: DataFrame, vec_col: str, id_col: str, codebook: list[list[list[int]]]
+) -> DataFrame:
+    """PQ encoding against an INTEGER codebook: quantize the row, then
+    per subspace take the argmin-distance codeword (lowest index on
+    ties) — all int64 numpy, bit-identical to the SQL replay."""
+    cb = [np.asarray(c, dtype=np.int64) for c in codebook]
+    sub = cb[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        a = np.floor(
+            np.stack(vs.to_numpy()).astype(np.float64, copy=False) * 1000.0 + 0.5
+        ).astype(np.int64)
+        codes = np.empty((len(a), len(cb)), dtype=np.int32)
+        for j, cents in enumerate(cb):
+            xs = a[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col).alias("id"), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    codebook: list[list[list[int]]],
+    k: int = 10,
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance top-k over INTEGER PQ codes.  The lookup
+    tables (per-subspace query·codeword dots and codeword norms) are
+    exact integers, so ``psim = num / (sqrt(rn2) · ‖qw‖)`` is a fixed
+    IEEE op sequence over integer inputs — bit-identical doubles on
+    every engine, which makes both the emitted round-6 scores AND the
+    (psim desc, id) ranking oracle-replayable.  ``rerank > 0`` takes
+    the ``rerank·k`` ADC shortlist and reranks with the exact round-6
+    cosine (the construct the brute-force oracle hash-checks)."""
+    import math
+
+    cb = [np.asarray(c, dtype=np.int64) for c in codebook]
+    sub = cb[0].shape[1]
+    qw = np.floor(np.asarray(query, dtype=np.float64) * 1000.0 + 0.5).astype(
+        np.int64
+    )
+    qn = math.sqrt(float(int((qw * qw).sum())))
+    if qn == 0.0:
+        raise ValueError("pq_topk_quantized: query has zero norm")
+    dots = [
+        (cb[j] @ qw[j * sub : (j + 1) * sub]).astype(np.int64)
+        for j in range(len(cb))
+    ]
+    n2s = [(cb[j] * cb[j]).sum(axis=1).astype(np.int64) for j in range(len(cb))]
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        c = np.stack(codes.to_numpy()).astype(np.int64, copy=False)
+        num = np.zeros(len(c), dtype=np.int64)
+        rn2 = np.zeros(len(c), dtype=np.int64)
+        for j in range(c.shape[1]):
+            num += dots[j][c[:, j]]
+            rn2 += n2s[j][c[:, j]]
+        numf = num.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = numf / (np.sqrt(rn2.astype(np.float64)) * qn)
+        return pd.Series(np.where(rn2 > 0, out, -np.inf))
+
+    scored = pq_encode_quantized(df, vec_col, id_col, codebook).select(
+        "id", F.round(adc(F.col("codes")), 6).alias("psim")
+    )
+    if rerank > 0:
+        short = (
+            scored.orderBy(F.col("psim").desc(), F.col("id"))
+            .limit(rerank * k)
+            .select("id")
+        )
+        pool = df.join(F.broadcast(short), df[id_col] == short.id, "left_semi")
+        return cosine_topk(pool, vec_col, id_col, query, k).select(
+            "id", F.col("sim").alias("psim"), "rank"
+        )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    rows = scored.orderBy(F.col("psim").desc(), F.col("id")).limit(k).collect()
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("psim", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [(r["id"], r["psim"], i + 1) for i, r in enumerate(rows)], schema
+    )
+
+
+def ivfpq_topk_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    ncells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    codebook_k: int = 16,
+) -> DataFrame:
+    """IVF-PQ with BOTH stages integer-exact: the coarse inverted file
+    uses quantized seed centroids (the k lowest-id vectors on the
+    integer grid — :func:`kmeans_centroids_quantized` with zero Lloyd
+    rounds, matching the float path's deterministic seeding) with
+    integer cell assignment/probing, and the fine stage is the
+    integer-PQ ADC scan of the probed pool — the whole composition
+    replayable by one unrolled SQL oracle."""
+    import math
+
+    cents = kmeans_centroids_quantized(df, vec_col, id_col, k=ncells, iters=0)
+    qw = [math.floor(float(x) * 1000.0 + 0.5) for x in query]
+    by_dist = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qw, c)), cid) for cid, c in cents
+    )
+    probe = [cid for _, cid in by_dist[:nprobe]]
+    wdf = df.select(
+        F.col(id_col).alias("__kid"),
+        F.col(vec_col).alias("__kvec"),
+        quantized_weights_col(F.col(vec_col)).alias("w"),
+    )
+    pool = (
+        assign_cells_quantized(wdf, cents)
+        .filter(F.col("cell").isin([int(c) for c in probe]))
+        .select(F.col("__kid").alias(id_col), F.col("__kvec").alias(vec_col))
+    )
+    book = pq_train_quantized(df, vec_col, id_col, m=m, k=codebook_k)
+    return pq_topk_quantized(pool, vec_col, id_col, query, book, k=k)
+
+
 def ivf_index_append(
     df: DataFrame,
     vec_col: str,
