@@ -45,6 +45,29 @@ def _distinct_words(df: DataFrame, text_col: str) -> DataFrame:
 #: exceeds the training corpus would leave unreachable DP states.
 UNK_LOGPROB = -100.0
 
+#: DP scores are integer MICRO-UNITS stored in doubles: ln() is not an
+#: IEEE correctly-rounded op, so raw libm logprobs can differ by 1 ulp
+#: between engines (Python libm vs DuckDB) and flip near-tie Viterbi
+#: argmax picks — the oracle replays this DP in SQL.  Quantizing each
+#: logprob to floor(lp·1e6 + 0.5) makes every DP sum an exact integer
+#: (< 2^53), so comparisons and tie-breaks are engine-portable; the
+#: only residual sensitivity is ln landing within 1 ulp of a .5
+#: micro-boundary (~1e-10 per piece vs near-certain DP near-ties).
+LOG_SCALE = 1_000_000.0
+
+
+def _qlog(c: int, tot: int) -> float:
+    """ln(c/tot) in integer micro-units (as an exact double)."""
+    return float(math.floor(math.log(c / tot) * LOG_SCALE + 0.5))
+
+
+def quantize_scores(scores: dict[str, float]) -> dict[str, float]:
+    """Quantize fractional logprobs to integer micro-units — the form
+    every Viterbi DP consumes (see LOG_SCALE)."""
+    return {
+        p: float(math.floor(lp * LOG_SCALE + 0.5)) for p, lp in scores.items()
+    }
+
 
 def _make_viterbi(scores: dict[str, float], max_len: int, unk: float = UNK_LOGPROB):
     """Build a self-contained Viterbi decoder CLOSURE.
@@ -148,8 +171,9 @@ def unigram_train(
 ) -> tuple[list[tuple[str, float]], list[float]]:
     """Train a unigram piece vocabulary.  Returns ``(vocab, losses)``
     where ``vocab`` is ``[(piece, logprob)]`` sorted by (-logprob,
-    piece) and ``losses`` the per-iteration corpus Viterbi loss
-    (non-increasing during EM — asserted in tests).
+    piece) and ``losses`` the per-iteration corpus Viterbi loss in
+    LOG_SCALE micro-units (non-increasing during EM — asserted in
+    tests; only the scale changed when DP scores went micro-unit).
 
     Spark-job budget: 1 (distinct-word count) + ``iters`` E-steps +
     1 final count after pruning — independent of vocab size and corpus
@@ -170,7 +194,8 @@ def unigram_train(
         p: c for p, c in seed_counts.items() if c >= min_count or len(p) == 1
     }
     total = sum(pieces.values())
-    scores = {p: math.log(c / total) for p, c in pieces.items()}
+    # micro-unit DP scores (engine-portable argmax — see LOG_SCALE)
+    scores = {p: _qlog(c, total) for p, c in pieces.items()}
 
     losses: list[float] = []
     for _ in range(iters):
@@ -184,7 +209,7 @@ def unigram_train(
         for ch in {p for p in scores if len(p) == 1}:
             survivors.setdefault(ch, 1)
         tot = sum(survivors.values())
-        scores = {p: math.log(c / tot) for p, c in survivors.items()}
+        scores = {p: _qlog(c, tot) for p, c in survivors.items()}
 
     # prune to vocab_size: keep all single chars + the highest-count
     # multi-char pieces (ties by piece string — deterministic)
@@ -218,8 +243,12 @@ def unigram_segment(
     the document token stream — Python cost is vocabulary-sized."""
     import pandas as pd
 
-    scores = dict(vocab)
-    viterbi = _make_viterbi(scores, max_piece_len)  # pickles by value
+    # decode under micro-unit scores so the apply-side DP replays
+    # engine-portably too (the oracle quantizes vocabf identically)
+    scores = quantize_scores(dict(vocab))
+    viterbi = _make_viterbi(
+        scores, max_piece_len, unk=UNK_LOGPROB * LOG_SCALE
+    )  # pickles by value
 
     toks = df.select(
         F.col(id_col).alias("doc"),

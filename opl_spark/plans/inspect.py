@@ -10,16 +10,30 @@ no JVM internals.
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame
 
-_PROBE = "_opl_plan_probe"
+
+def _probe_name() -> str:
+    # Unique per call: the probe views live in shared catalog state
+    # (session-local for temp views, cross-session for global temp
+    # views), so concurrent inspections — e.g. two in-flight HTTP
+    # /olap/<fact>/explain requests — must never share a view name or
+    # one call's createOrReplace/drop stomps the other's probe.
+    return f"_opl_plan_probe_{uuid.uuid4().hex}"
 
 
 def formatted_plan(df: DataFrame) -> str:
     """The EXPLAIN FORMATTED text of a DataFrame's plan."""
-    df.createOrReplaceTempView(_PROBE)
-    rows = df.sparkSession.sql(f"EXPLAIN FORMATTED SELECT * FROM {_PROBE}").collect()
+    probe = _probe_name()
+    df.createOrReplaceTempView(probe)
+    try:
+        rows = df.sparkSession.sql(
+            f"EXPLAIN FORMATTED SELECT * FROM {probe}"
+        ).collect()
+    finally:
+        df.sparkSession.catalog.dropTempView(probe)
     return "\n".join(r[0] for r in rows)
 
 
@@ -204,19 +218,22 @@ def cost_report(df: DataFrame) -> dict:
     # probe once in a throwaway session with AQE off.  A GLOBAL temp
     # view carries the logical plan across sessions; the probe
     # session's conf change is invisible to the caller's session.
+    # The view name is unique per call (global temp views are shared
+    # across ALL sessions, so a fixed name races concurrent reports).
     spark = df.sparkSession
-    df.createOrReplaceGlobalTempView(_PROBE)
+    gprobe = _probe_name()
+    df.createOrReplaceGlobalTempView(gprobe)
     probe = spark.newSession()
     probe.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         simple = "\n".join(
             r[0]
             for r in probe.sql(
-                f"EXPLAIN SELECT * FROM global_temp.{_PROBE}"
+                f"EXPLAIN SELECT * FROM global_temp.{gprobe}"
             ).collect()
         )
     finally:
-        spark.catalog.dropGlobalTempView(_PROBE)
+        spark.catalog.dropGlobalTempView(gprobe)
     codegen_ids = set(re.findall(r"\*\((\d+)\)", simple))
     n_ops = len(re.findall(r"^\(\d+\)", plan, flags=re.M))
     # estimated bytes READ = sum of leaf-relation sizes (file-size

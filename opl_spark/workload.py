@@ -107,6 +107,26 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_heavy_hitters", "q_chunk_docs", "q_keep_best", "q_ccnet_bucket",
     "q_budget_sample", "q_bigram_logprob", "q_dup_weights",
     "q_winnow_pairs",
+    # round 4 (CORRECTNESS_r04.json) — the 49 green ids.  The five r3
+    # retries (q_repetition .. q_corpus_stats) graduated here: the
+    # HUGEINT-emission fix went driver-green in r4.  q_scd2 is the one
+    # r4 red (pandas OutOfBoundsDatetime on the 9999-12-31 sentinel);
+    # it moves to _RETRY_FIRST with an in-ns-bounds sentinel fix.
+    "q_repetition", "q_split_sample", "q_vocab_build",
+    "q_token_entropy", "q_corpus_stats",
+    "q_dedup_minhash", "q_simhash", "q_similarity_ivf_kmeans",
+    "q_multimodal_decode", "q_pq_topk", "q_ivfpq_topk", "q_cms_counts",
+    "q_pq_rerank", "q_minhash_keep_best", "q_bpe_merges",
+    "q_bpe_segment", "q_funnel", "q_retention", "q_zscore_outliers",
+    "q_bm25_search", "q_soft_dedup_sample", "q_embedding_norms",
+    "q_props_extract", "q_source_overlap", "q_cube_topk", "q_date_spine",
+    "q_substring_dup", "q_event_transitions", "q_correlation",
+    "q_asof_forward", "q_cube_having", "q_temperature_mix",
+    "q_histogram", "q_rolling_active", "q_new_returning",
+    "q_snapshot_diff", "q_phrase_search", "q_pmi", "q_gopher_rules",
+    "q_quality_calibrate", "q_salted_join", "q_pca_project", "q_kfold",
+    "q_weighted_sample", "q_regional_revenue", "q_top_unshipped",
+    "q_fuzzy_pairs", "q_exact_n_sample", "q_profile",
 )
 
 # Ids that failed a driver hash check and carry a fix awaiting driver
@@ -114,8 +134,9 @@ _DRIVER_AUDITED: tuple[str, ...] = (
 # 50-id audit window next round.  Remove an id once its
 # CORRECTNESS_r*.json row is green (then add it to _DRIVER_AUDITED).
 _RETRY_FIRST: tuple[str, ...] = (
-    "q_repetition", "q_split_sample", "q_vocab_build",
-    "q_token_entropy", "q_corpus_stats",
+    # r4 red: driver's pandas compare path overflows ns timestamps on
+    # the 9999-12-31 Kimball sentinel; re-issued with 2200-01-01.
+    "q_scd2",
 )
 
 

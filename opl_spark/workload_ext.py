@@ -2222,11 +2222,15 @@ adcs AS MATERIALIZED (
     FROM codes k JOIN lut l ON l.sub = k.sub AND l.cell = k.cell GROUP BY 1),
 psim AS MATERIALIZED (
     SELECT id,
+           -- zero-norm reconstruction → -infinity, matching
+           -- pq_topk_quantized's np.where(rn2 > 0, out, -inf): both
+           -- conventions sort last under DESC, but only a shared one
+           -- hash-matches if such a code ever reaches the top-k
            CASE WHEN rn2 > 0
                 THEN ROUND(CAST(num AS DOUBLE)
                            / (sqrt(CAST(rn2 AS DOUBLE))
                               * sqrt(CAST((SELECT v FROM qn2) AS DOUBLE))), 6)
-                ELSE NULL END AS psim
+                ELSE CAST('-infinity' AS DOUBLE) END AS psim
     FROM adcs)""")
     return "".join(parts)
 
@@ -3496,7 +3500,7 @@ def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderstatus,
        o_orderdate AS valid_from,
-       COALESCE(LEAD(o_orderdate) OVER w, TIMESTAMP '9999-12-31')
+       COALESCE(LEAD(o_orderdate) OVER w, TIMESTAMP '2200-01-01')
            AS valid_to,
        (LEAD(o_orderdate) OVER w IS NULL) AS is_current
 FROM orders
@@ -3508,16 +3512,18 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     each customer's orders chain into [valid_from, valid_to) validity
     ranges via one lead window PARTITIONED BY customer (parallelism =
     keys, no global sort), ordered (date, orderkey) so same-day orders
-    chain deterministically.  Open rows close at the Kimball
-    9999-12-31 sentinel (no NULL crosses the compare — no r3-green
-    query ever emitted a NULL, so driver NULL normalization is
-    unproven territory; is_current still flags the open row)."""
+    chain deterministically.  Open rows close at a 2200-01-01 sentinel
+    (no NULL crosses the compare; is_current still flags the open
+    row).  NOT the Kimball 9999-12-31: the driver's compare path runs
+    oracle results through pandas, whose ns-resolution timestamps max
+    out at 2262-04-11 — 9999-12-31 raised OutOfBoundsDatetime and was
+    the sole r4 driver red."""
     from opl_spark.operators.analytics import scd2_intervals
 
     orders = load_table(spark, sf_dir, "orders")
     return scd2_intervals(
         orders, "o_custkey", "o_orderdate", ["o_orderstatus"], "o_orderkey",
-        open_end="9999-12-31",
+        open_end="2200-01-01",
     )
 
 
@@ -4959,13 +4965,15 @@ def _unigram_chain(iters: int, max_word: int = 8, max_piece: int = 4) -> str:
     (positions 1..max_word; candidate pieces of length 1..max_piece;
     argmax with the decoder's (score desc, plen desc) tie-break) plus
     an unrolled backtrace emitting one piece per word per step, and
-    the survivors-with-kept-singles M-step.  Every logprob is
-    ``ln(c/tot)`` of integer counts — the trainer computes it with
-    glibc's log on the driver and DuckDB calls the same libm, and
-    every DP sum replays in the identical order, so even the float
-    comparisons inside the argmax match bit-for-bit.  Corpus words
-    are ≤ {max_word} chars (asserted by the wlen guard: longer words
-    would silently truncate the DP).  Ends with ``sc{iters}v`` (the
+    the survivors-with-kept-singles M-step.  DP scores are integer
+    MICRO-UNITS: ``floor(ln(c/tot)·1e6 + 0.5)`` per piece (mirroring
+    ``operators/unigram.py:LOG_SCALE``) — ln is not IEEE
+    correctly-rounded, so raw libm logprobs can differ by ulps between
+    engines and flip near-tie argmax picks; integer-valued doubles
+    sum exactly under any order, so the DP compares are portable.
+    Corpus words are ≤ {max_word} chars — the wlen guard raises a
+    DuckDB error() (LOUD: a silent empty-CTE guard produced a
+    confusing zero-row mismatch).  Ends with ``sc{iters}v`` (the
     post-EM scores) and the ``uf*`` final-count Viterbi chain."""
 
     def viterbi(tag: str, scores: str) -> str:
@@ -5020,8 +5028,13 @@ def _unigram_chain(iters: int, max_word: int = 8, max_piece: int = 4) -> str:
         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
         FROM documents) WHERE w <> '' GROUP BY w),
 wlen AS MATERIALIZED (
+    -- FAIL LOUDLY on a too-long corpus word: the unrolled DP covers
+    -- positions 1..{max_word} only, and a silent NULL guard would
+    -- empty every downstream CTE into a confusing zero-row mismatch
     SELECT CASE WHEN MAX(len(w)) <= {max_word} THEN 1
-                ELSE CAST(NULL AS INTEGER) END AS ok FROM wv),
+                ELSE CAST(error('unigram oracle: corpus word longer than '
+                                || '{max_word} chars — unrolled DP bound '
+                                || 'exceeded') AS INTEGER) END AS ok FROM wv),
 sseed AS MATERIALIZED (
     SELECT piece, CAST(SUM(freq) AS BIGINT) AS c FROM (
         SELECT v.freq, substr(v.w, CAST(s.i AS INTEGER), CAST(l.l AS INTEGER)) AS piece
@@ -5035,7 +5048,12 @@ p0 AS MATERIALIZED (
     SELECT piece, c FROM sseed WHERE c >= 2 OR len(piece) = 1),
 t0 AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM p0),
 sc0v AS MATERIALIZED (
-    SELECT piece, ln(CAST(c AS DOUBLE) / (SELECT tot FROM t0)) AS s FROM p0)"""]
+    -- DP scores in integer micro-units (exact-double sums): raw libm
+    -- ln differs by ulps across engines and flips near-tie argmax
+    -- picks; mirrors operators/unigram.py LOG_SCALE
+    SELECT piece,
+           CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT tot FROM t0))
+                      * 1000000 + 0.5) AS DOUBLE) AS s FROM p0)"""]
     for k in range(1, iters + 1):
         parts.append(viterbi(f"u{k}", f"sc{k - 1}v"))
         parts.append(f""",
@@ -5047,7 +5065,9 @@ surv{k} AS MATERIALIZED (
       AND s.piece NOT IN (SELECT piece FROM u{k}cnt WHERE c > 0)),
 t{k} AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM surv{k}),
 sc{k}v AS MATERIALIZED (
-    SELECT piece, ln(CAST(c AS DOUBLE) / (SELECT tot FROM t{k})) AS s
+    SELECT piece,
+           CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT tot FROM t{k}))
+                      * 1000000 + 0.5) AS DOUBLE) AS s
     FROM surv{k})""")
     parts.append(viterbi("uf", f"sc{iters}v"))
     return "".join(parts)
@@ -5095,9 +5115,9 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass for distinct-word counts, hard-EM Viterbi iterations
     as ONE Spark job each over the word-TYPE table, driver state
     vocab-sized throughout.  Oracled via an unrolled Viterbi-DP
-    replay (was rows-only): every logprob is ln(count/total) of
-    integer counts computed by the same libm on both sides, and the
-    DP argmax replays with identical float values, so the trained
+    replay (was rows-only): DP scores are logprobs quantized to
+    integer micro-units on BOTH engines (LOG_SCALE — near-tie argmax
+    picks are not portable under raw libm ln), so the trained
     vocabulary hash-matches.  Tests pin loss monotonicity,
     determinism, and piece recovery on a hand corpus."""
     import math
@@ -5130,7 +5150,10 @@ def _unigram_tokenize_oracle(iters: int = 2, max_word: int = 8) -> str:
     # aliasing vocabf to the scores shape the chain generator emits
     return f"""
 WITH {chain},
-vocabfv AS MATERIALIZED (SELECT piece, lp AS s FROM vocabf)
+vocabfv AS MATERIALIZED (
+    -- apply-side DP consumes micro-unit scores (unigram_segment
+    -- quantizes the trained vocab identically — see LOG_SCALE)
+    SELECT piece, CAST(floor(lp * 1000000 + 0.5) AS DOUBLE) AS s FROM vocabf)
 {_unigram_apply_cte(max_word)}
 ,
 wnp AS MATERIALIZED (
@@ -6458,16 +6481,30 @@ tot AS MATERIALIZED (
 spine AS MATERIALIZED (SELECT CAST(unnest(range(0, 63)) AS BIGINT) AS cell),
 ph AS MATERIALIZED (
     -- aHash bit b set where cell b's fold exceeds the 64-cell mean;
-    -- the float `g > mean` compare clears exactly to 64·g > Σg
+    -- the float `g > mean` compare clears exactly to 64·g > Σg.
+    -- tot joins LEFT (COALESCE 0): an empty payload has no cells and
+    -- no tot row, but image_phash still emits phash=0 for it — an
+    -- inner join would drop the doc and rows-mismatch.
     SELECT m.media_id,
-           CAST(SUM(CASE WHEN 64 * COALESCE(g.gv, 0) > tt.t
+           CAST(SUM(CASE WHEN 64 * COALESCE(g.gv, 0) > COALESCE(tt.t, 0)
                          THEN CAST(1 AS BIGINT) << CAST(s.cell AS INTEGER)
                          ELSE 0 END) AS BIGINT) AS phash
     FROM m CROSS JOIN spine s
     LEFT JOIN g ON g.media_id = m.media_id AND g.cell = s.cell
-    JOIN tot tt ON tt.media_id = m.media_id
+    LEFT JOIN tot tt ON tt.media_id = m.media_id
     GROUP BY 1
 )"""
+
+# The fake-codec multimodal oracles (_PHASH_CTE, _SCENE_CHANGE_ORACLE,
+# and the waveform/ocr CTEs below) equate one DuckDB CHARACTER with one
+# UTF-8 BYTE (len(text) = payload length, ascii(ch) = byte value).
+# That holds ONLY for an ASCII corpus — the operators run on the
+# UTF-8-encoded media bytes, where a non-ASCII char is >1 byte and
+# ascii() returns a codepoint, not a byte.  The synthetic documents
+# tables are pure ASCII at every SF (asserted by
+# tests/test_oracle_conformance.py::test_documents_corpus_is_ascii);
+# a non-ASCII corpus needs byte-based oracle rewrites (encode/
+# octet_length) before these four queries can be trusted.
 
 
 @register("q_image_phash", oracle=_PHASH_CTE + "\nSELECT media_id, phash FROM ph\n")

@@ -8,11 +8,35 @@ driver's gate runs.
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import math
 import os
 
 import duckdb
+
+# pandas Timestamp (ns resolution) bounds: the driver's compare path
+# converts oracle results through pandas, so any datetime outside
+# [1677-09-21, 2262-04-11] raises OutOfBoundsDatetime there even though
+# fetchall() handles it fine here (the r4 q_scd2 red: a 9999-12-31
+# Kimball sentinel).  Screen values, not types — the type is innocent.
+_NS_MIN = datetime.datetime(1677, 9, 22)
+_NS_MAX = datetime.datetime(2262, 4, 11)
+
+
+def out_of_ns_bounds_columns(columns, rows) -> list[str]:
+    bad = set()
+    for r in rows:
+        for c, v in zip(columns, r):
+            if c in bad:
+                continue
+            if isinstance(v, datetime.datetime):
+                if not (_NS_MIN <= v.replace(tzinfo=None) <= _NS_MAX):
+                    bad.add(c)
+            elif isinstance(v, datetime.date):
+                if not (_NS_MIN.date() <= v <= _NS_MAX.date()):
+                    bad.add(c)
+    return sorted(bad)
 
 from opl_spark.sources.registry import TABLES
 
@@ -71,6 +95,8 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
         "oracle_types": dict(zip(ocols, otypes)),
         "spark_sample": srows[:3],
         "oracle_sample": orows[:3],
+        "out_of_ns_bounds": out_of_ns_bounds_columns(ocols, orows)
+        + out_of_ns_bounds_columns(scols, srows),
     }
 
 
@@ -119,6 +145,11 @@ def assert_parity(spark_df, oracle_sql: str, sf_dir: str) -> None:
     assert not exotic, (
         f"oracle emits version-sensitive column types {exotic} — "
         "CAST integer aggregates to BIGINT (driver hash-red class)"
+    )
+    assert not r["out_of_ns_bounds"], (
+        f"datetime values outside pandas ns bounds in {r['out_of_ns_bounds']} — "
+        "the driver's pandas compare raises OutOfBoundsDatetime (r4 q_scd2 red); "
+        "use a sentinel within [1677-09-22, 2262-04-11]"
     )
     assert r["rows_match"], f"row count mismatch: {r['spark']['rows']} vs {r['oracle']['rows']}"
     assert r["schema_match"], f"schema mismatch: {r['spark']['cols']} vs {r['oracle']['cols']}"

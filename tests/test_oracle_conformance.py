@@ -100,6 +100,46 @@ def test_oracle_values_survive_pandas_conversion(duck):
     assert not bad, f"pandas-path value drift in {len(bad)} oracles: {bad}"
 
 
+def test_documents_corpus_is_ascii(duck):
+    """The fake-codec multimodal oracles (phash / scene-change /
+    waveform / ocr in workload_ext.py) equate DuckDB characters with
+    UTF-8 bytes (len(text), ascii()); the operators run on encoded
+    media BYTES.  Parity therefore assumes an ASCII-only corpus —
+    assert it loudly so a corpus change fails here, not as a silent
+    driver hash-red."""
+    n = duck.sql(
+        "SELECT count(*) FROM documents "
+        "WHERE text IS NULL OR octet_length(encode(text)) <> len(text)"
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{n} non-ASCII/null documents — the multimodal char=byte "
+        "oracle assumption is broken; rewrite those oracles byte-based"
+    )
+
+
+def test_no_oracle_emits_out_of_ns_bounds_datetimes(duck):
+    """The driver's compare path converts oracle results through
+    pandas ns-resolution Timestamps (bounds 1677-09-22 .. 2262-04-11).
+    duckdb's own .df() conversion tolerates wider values, so the
+    pandas-drift test above cannot catch them — the r4 q_scd2 red (a
+    9999-12-31 Kimball sentinel → OutOfBoundsDatetime at the driver,
+    green locally).  Screen raw values per oracle."""
+    from tests.oracle import out_of_ns_bounds_columns
+
+    oracles = workload.oracle_sql()
+    offenders = {}
+    for name, sql in oracles.items():
+        rel = duck.sql(sql)
+        cols = list(rel.columns)
+        bad = out_of_ns_bounds_columns(cols, rel.fetchall())
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles emitting datetimes outside pandas ns bounds (driver "
+        f"OutOfBoundsDatetime class — use an in-bounds sentinel): {offenders}"
+    )
+
+
 def test_no_oracle_emits_version_sensitive_types(duck):
     oracles = workload.oracle_sql()
     assert oracles, "no oracles registered"

@@ -846,8 +846,11 @@ def test_unigram_segment_counts_per_type(spark, sf_dir):
     out = unigram_segment(docs, "text", "doc_id", vocab)
     rows = out.collect()
     assert rows and all(r["n_pieces"] >= r["n_words"] >= 1 for r in rows)
-    # spot-check one doc against a local Viterbi decode
-    scores = dict(vocab)
+    # spot-check one doc against a local Viterbi decode — under the
+    # SAME micro-unit scores the operator decodes with (LOG_SCALE)
+    from opl_spark.operators.unigram import quantize_scores
+
+    scores = quantize_scores(dict(vocab))
     first = docs.orderBy("doc_id").first()
     words = first["text"].lower().strip().split()
     want = sum(len(_viterbi(w, scores, 4)[0]) for w in words)
