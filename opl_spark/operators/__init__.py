@@ -52,9 +52,16 @@ from opl_spark.operators.layout import (  # noqa: F401
 from opl_spark.operators.sampling import (  # noqa: F401
     copies_col,
     budget_sample,
+    curriculum_interleave,
     hash_gate,
     mix_sources,
     stratified_sample,
+)
+from opl_spark.operators.evaluate import (  # noqa: F401
+    cohens_kappa,
+    ndcg_weight_micro,
+    retrieval_eval,
+    roc_auc_binned,
 )
 from opl_spark.operators.multimodal import (  # noqa: F401
     audio_frame_energy,
@@ -99,6 +106,7 @@ from opl_spark.operators.similarity import (  # noqa: F401
     with_unit_quantized,
     seed_centroids,
     semantic_dedup,
+    label_centroid_outliers,
 )
 from opl_spark.operators.skew import (  # noqa: F401
     salted_distinct_count,
@@ -151,5 +159,8 @@ from opl_spark.operators.text import (  # noqa: F401
     pmi_bigrams,
     positional_postings,
     quantile_buckets,
+    kneser_ney_logprob,
+    readability_scores,
     unigram_logprob,
+    zipf_slope,
 )

@@ -1,0 +1,224 @@
+"""Model-/data-quality evaluation metrics over distributed tables —
+the scoring half of a training-data pipeline: once filters, dedup and
+retrieval indexes exist, the pipeline needs ROC-AUC for its quality
+classifiers, agreement statistics between labelling heuristics, and
+retrieval-quality metrics (precision@k / nDCG@k) for its embedding
+indexes.  Reference parity: the reference engine (OLAP.php) has no
+evaluation surface — these extend the training-data tier the way
+operators/sampling.py and operators/text.py do.
+
+Engine-portability discipline (the repo's oracle contract): every
+metric here reduces to BIGINT sums of integer-valued terms —
+histogram-binned rank statistics for AUC, confusion-count
+cross-multiplications for kappa, micro-unit quantized log-discounts
+for nDCG — with one final cross-multiplied division rounded(6) on the
+wire.  No transcendental ever crosses an aggregation un-quantized.
+
+Scale discipline: AUC is the HISTOGRAM algorithm (bin scores, one
+cumulative pass over the bounded bin table — never a global sort of
+the fact stream); kappa reduces a labels²-sized confusion matrix;
+retrieval metrics rank only per-query top-k shortlists.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def roc_auc_binned(
+    df: DataFrame,
+    score_col: Column,
+    label_col: Column,
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """ROC-AUC of ``score_col`` against binary ``label_col`` via the
+    histogram-binned Mann-Whitney U statistic.
+
+    Scores are quantized to ``floor(s·scale + 0.5)`` integer bins, the
+    bin table (bounded by the score range × scale, NOT the row count)
+    gets one cumulative pass, and
+
+        U·2 = Σ_bins 2·pos_b·neg_below_b + pos_b·neg_b   (ties = ½)
+        AUC = U·2 / (2·n_pos·n_neg)
+
+    — all-BIGINT until the single final division.  This is the
+    100 TB-shaped AUC: the only shuffle is the bin aggregation
+    (map-side combinable), and the ordered window runs over the
+    BIN SUMMARY, not the fact stream.  Emits one row
+    ``(n_pos, n_neg, auc)``.
+    """
+    bins = (
+        df.select(
+            F.floor(score_col.cast("double") * F.lit(scale) + F.lit(0.5))
+            .cast("long")
+            .alias("qs"),
+            label_col.cast("long").alias("y"),
+        )
+        .groupBy("qs")
+        .agg(
+            F.sum("y").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+        )
+    )
+    w = Window.orderBy("qs").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bins.withColumn("neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    return cum.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.round(
+            F.sum(2 * F.col("pos") * F.col("neg_below") + F.col("pos") * F.col("neg"))
+            .cast("double")
+            / (2 * F.sum("pos") * F.sum("neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+def cohens_kappa(df: DataFrame, rater_a: Column, rater_b: Column) -> DataFrame:
+    """Cohen's kappa between two categorical raters (e.g. a labelled
+    column vs a heuristic classifier) — chance-corrected agreement:
+
+        kappa = (N·D − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l)
+
+    with D the diagonal count and row/col the marginals.  Everything
+    up to the final division is BIGINT over the labels²-sized
+    confusion matrix (one map-side-combinable aggregate; marginal
+    joins are label-count-sized).  Emits one row
+    ``(n, n_agree, po, pe, kappa)`` with po/pe the observed/expected
+    agreement rates.
+    """
+    conf = (
+        df.select(rater_a.alias("a"), rater_b.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = conf.groupBy("a").agg(F.sum("c").alias("row_c"))
+    cols = conf.groupBy("b").agg(F.sum("c").alias("col_c"))
+    # Σ row_l·col_l over labels present in BOTH marginals (absent in
+    # either ⇒ the product term is 0 — inner join is exact)
+    s = (
+        rows.join(cols, rows["a"] == cols["b"])
+        .agg(F.sum(F.col("row_c") * F.col("col_c")).alias("s"))
+    )
+    totals = conf.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(F.lit(0))).alias(
+            "d"
+        ),
+    )
+    out = totals.crossJoin(F.broadcast(s))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("d").cast("long").alias("n_agree"),
+        F.round(F.col("d").cast("double") / F.col("n").cast("double"), 6).alias("po"),
+        F.round(
+            F.col("s").cast("double") / (F.col("n") * F.col("n")).cast("double"), 6
+        ).alias("pe"),
+        F.round(
+            (F.col("n") * F.col("d") - F.col("s")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("s")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+#: nDCG position discounts in integer micro-units:
+#: w_i = floor(1e6 / log2(i+1) + 0.5).  Computed ONCE here with
+#: Python's log2 and replayed as literals in both engines — a
+#: transcendental evaluated per-rank at runtime would re-open the
+#: ulp-portability hole the quantization exists to close.
+def ndcg_weight_micro(rank: int) -> int:
+    return int(math.floor(1_000_000.0 / math.log2(rank + 1) + 0.5))
+
+
+def retrieval_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    n_queries: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Label-based retrieval quality for an embedding index: for each
+    of the ``n_queries`` lowest-id vectors, take its top-``k`` cosine
+    neighbors (self excluded) and score how many share the query's
+    label — precision@k and nDCG@k with binary gains.
+
+    Scale shape: neighbor generation is :func:`knn_join` (per-batch
+    gemm, per-query shortlist shuffle — never corpus×queries rows);
+    ranking/metric windows run per query over k-sized shortlists.
+    nDCG discounts are the micro-unit literals of
+    :func:`ndcg_weight_micro`, so DCG/IDCG are exact BIGINT sums and
+    the single final division is the only float op.  Emits one row per
+    query: ``(qid, label, n_hits, precision, ndcg)``.
+    """
+    from opl_spark.operators.similarity import knn_join
+
+    qrows = (
+        df.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .orderBy(id_col)
+        .limit(n_queries)
+        .collect()
+    )  # queries ≪ corpus: metadata-sized driver state, the knn_join regime
+    queries = [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in qrows]
+    qlabels = df.sparkSession.createDataFrame(
+        [(int(r[id_col]), r[label_col]) for r in qrows], ["qid", "qlabel"]
+    )
+
+    # k+1 then drop self: the query vector itself always ranks first
+    nn = knn_join(df, vec_col, id_col, queries, k=k + 1).filter(
+        F.col("id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "id")
+    ranked = nn.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+
+    pool_labels = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("nlabel")
+    )
+    weights = F.create_map(
+        *[x for i in range(1, k + 1) for x in (F.lit(i), F.lit(ndcg_weight_micro(i)))]
+    )
+    scored = (
+        ranked.join(pool_labels, "id")
+        .join(F.broadcast(qlabels), "qid")
+        .select(
+            "qid",
+            "qlabel",
+            "r",
+            (F.col("nlabel") == F.col("qlabel")).cast("long").alias("rel"),
+            weights[F.col("r")].alias("w_micro"),
+        )
+    )
+    per_q = scored.groupBy("qid", "qlabel").agg(
+        F.sum("rel").alias("n_hits"),
+        F.sum(F.col("rel") * F.col("w_micro")).alias("dcg_micro"),
+    )
+    # IDCG = the hits packed into the best ranks — a prefix sum of the
+    # weight literals, selected by n_hits (0 hits ⇒ ndcg 0 by definition)
+    prefix = [0]
+    for i in range(1, k + 1):
+        prefix.append(prefix[-1] + ndcg_weight_micro(i))
+    idcg = F.create_map(
+        *[x for h in range(0, k + 1) for x in (F.lit(h), F.lit(prefix[h]))]
+    )
+    return per_q.select(
+        "qid",
+        F.col("qlabel").alias("label"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits").cast("double") / F.lit(float(k)), 6).alias(
+            "precision"
+        ),
+        F.when(F.col("n_hits") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("dcg_micro").cast("double")
+                / idcg[F.col("n_hits")].cast("double"),
+                6,
+            )
+        )
+        .alias("ndcg"),
+    )

@@ -308,3 +308,56 @@ def dsir_weights(
         "n_tokens",
         (F.col("__s").cast("double") / 1e6).alias("log_weight"),
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    max_weight: int = 4,
+    base: int = 840,
+) -> DataFrame:
+    """Deterministic weighted interleaving of source domains into one
+    training order: a domain with weight ``w`` contributes one example
+    every ``base/w`` schedule ticks, so heavier domains appear
+    proportionally more often and every prefix of the schedule holds
+    (approximately) the target mixture — the data-ORDERING half of
+    weighted mixing (``mix_sources`` decides how much; this decides
+    when).
+
+    The schedule key is the exact rational "r-th item of a rate-w
+    stream plays at (2r−1)/(2w)" cleared to integers:
+    ``sched_key = (2·r − 1) · (base / w)`` with ``base`` divisible by
+    every weight (840 covers 1..8) — no float ever enters the
+    ordering.  Weights derive from the engine-portable md5 hash of the
+    group name (``1 + h mod max_weight``); within a group, rank r
+    orders by the md5 of the id (a deterministic shuffle, so the
+    interleave never replays ingest order).
+
+    Scale shape: one per-GROUP ranking window (partitioned) + map-only
+    key arithmetic.  The GLOBAL order is carried by the key, not
+    materialized — writers range-partition / sortWithinPartitions on
+    ``(sched_key, grp, id)`` (the writer-ordering rule), so no global
+    sort happens here.  Emits ``(id, grp, weight, r, sched_key)``.
+    """
+    from pyspark.sql.window import Window
+
+    assert all(base % w == 0 for w in range(1, max_weight + 1)), (
+        f"base {base} must be divisible by every weight 1..{max_weight}"
+    )
+    grp_h = F.conv(F.substring(F.md5(F.col(group_col)), 1, 8), 16, 10).cast("long")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        (grp_h % max_weight + 1).alias("weight"),
+        F.md5(F.col(id_col).cast("string")).alias("__ord"),
+    )
+    w = Window.partitionBy("grp").orderBy("__ord", "id")
+    return (
+        staged.withColumn("r", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "sched_key",
+            ((2 * F.col("r") - 1) * (F.lit(base) / F.col("weight")).cast("long")),
+        )
+        .drop("__ord")
+    )

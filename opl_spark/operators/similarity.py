@@ -1724,3 +1724,72 @@ def random_projection(
             F.transform(F.sequence(F.lit(1), F.lit(out_dim)), proj)
         ).alias("pos", "value"),
     ).select("id", (F.col("pos") + 1).alias("dim"), "value")
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    scale: float = 1000.0,
+    topk: int = 3,
+) -> DataFrame:
+    """Per-class embedding outliers: the ``topk`` vectors farthest
+    (squared L2) from their own label's centroid — the mislabeled /
+    corrupt-embedding screen a labeled corpus runs before training
+    (an embedding-space cousin of the z-score/MAD outlier gates).
+
+    Integer-exact end to end (the k-means discipline): coordinates
+    quantize to ``floor(x·scale + 0.5)``, the per-label centroid is
+    the half-up integer mean ``(2·Σ + n) // (2n)`` (Python floor-div —
+    the oracle replays it with the explicit DuckDB floor-div CASE),
+    and distances are BIGINT sums of squared integer gaps, so ranking
+    never touches a float.
+
+    Scale shape: one (label, dim)-keyed combinable aggregate for the
+    centroid sums (labels×dims rows — metadata-sized driver state,
+    the k-means-centroid rule), one broadcast join of the centroid
+    table back onto the corpus with a staged-column ``zip_with`` gemm
+    (no posexplode of the corpus), and a per-LABEL ranking window.
+    Emits ``(label, id, d2, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        ).alias("wq"),
+    )
+    sums = (
+        staged.select("label", F.posexplode("wq").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in sums:
+        by_label.setdefault(r["label"], {})[r["pos"]] = (2 * r["s"] + r["n"]) // (
+            2 * r["n"]
+        )
+    cent_rows = [
+        (lab, [pos_map[p] for p in sorted(pos_map)]) for lab, pos_map in by_label.items()
+    ]
+    cent = df.sparkSession.createDataFrame(
+        cent_rows, "label int, cent array<long>"
+    ).withColumn("label", F.col("label").cast(df.schema[label_col].dataType))
+
+    joined = staged.join(F.broadcast(cent), "label")
+    d2 = F.aggregate(
+        F.zip_with(F.col("wq"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), "id")
+    return (
+        joined.select("label", "id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )

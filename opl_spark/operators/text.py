@@ -1203,3 +1203,189 @@ def cdc_chunks(
         F.substring(F.md5(F.col("chunk")), 1, 16).alias("chunk_hash"),
         F.array_size(F.split(F.col("chunk"), " ")).cast("long").alias("n_words"),
     )
+
+
+def readability_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document readability: Flesch reading-ease and
+    Flesch-Kincaid grade level from three integer counts — sentences
+    (non-empty ``[.!?]+`` segments), whitespace words, and syllables
+    (vowel-group runs ``[aeiouy]+``, the standard heuristic).  A
+    quality-filter signal one tier above raw length/punct ratios:
+    token-soup and run-on boilerplate score far off the prose band.
+
+    Map-only (three regex passes per row, no shuffle at all); the two
+    scores are fixed-sequence float expressions over the integer
+    counts — ``(206.835 - 1.015·(W/S)) - 84.6·(SY/W)`` — so the
+    round(6) emissions replay bit-identically from any engine fed the
+    same integers.  Docs with zero words or sentences are dropped
+    (the formula is undefined; emit them from a separate length gate).
+    """
+    lowered = F.lower(F.col(text_col))
+    out = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]+"),
+                lambda s: F.trim(s) != F.lit(""),
+            )
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.size(
+            F.filter(
+                F.split(F.trim(lowered), r"\s+"), lambda w: w != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all(lowered, F.lit("[aeiouy]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_syllables"),
+    ).filter((F.col("n_words") > 0) & (F.col("n_sentences") > 0))
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return out.select(
+        "doc",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round((F.lit(206.835) - F.lit(1.015) * wps) - F.lit(84.6) * spw, 6).alias(
+            "fre"
+        ),
+        F.round((F.lit(0.39) * wps + F.lit(11.8) * spw) - F.lit(15.59), 6).alias(
+            "grade"
+        ),
+    )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str, group_col: str, top_ranks: int = 50
+) -> DataFrame:
+    """Zipf's-law fit per group: least-squares slope of
+    ``ln(freq) ~ ln(rank)`` over each group's ``top_ranks`` most
+    frequent tokens.  Natural corpora slope near −1; template spam and
+    tag soup flatten or steepen it — a cheap distribution-shape
+    filter signal (and a drift monitor between ingest batches).
+
+    Exactness: ``ln(rank)`` / ``ln(freq)`` are quantized per element
+    to MILLI-units (×1e3 — products then stay ≪ 2^53 across the sum,
+    unlike micro-units whose squares would overflow the exact-double
+    range), all five regression sums are BIGINT, and the slope is one
+    final cross-multiplied division rounded(6):
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``.
+
+    Shape: one combinable (group, token) count, a per-GROUP ranking
+    window (partitioned — each group ranks on its own executors),
+    then a group-keyed reduce of five sums.  Emits
+    ``(grp, n_ranks, slope)`` for groups with ≥ 2 ranks.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("grp").orderBy(F.col("c").desc(), "tok")
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= top_ranks)
+        .select(
+            "grp",
+            F.floor(F.log(F.col("r").cast("double")) * 1000 + 0.5)
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("c").cast("double")) * 1000 + 0.5)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return agg.filter(F.col("n") >= 2).select(
+        "grp",
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("slope"),
+    )
+
+
+def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document (discount
+    D = 3/4) — the smoothing that made n-gram LMs competitive
+    (Kneser & Ney 1995), one tier above the raw-MLE
+    :func:`bigram_logprob`: rare continuations are backed off to the
+    CONTINUATION unigram (how many distinct contexts a word follows)
+    rather than raw frequency, so boilerplate tokens that appear often
+    but in one fixed context stop looking probable.
+
+        p(w₂|w₁) = (c₁₂ − D)/c₁ + (D·N₁₊(w₁·)/c₁) · N₁₊(·w₂)/N₁₊(··)
+
+    Exactness contract: D = 3/4 clears to the integer form
+    ``(4·c₁₂ − 3)/(4·c₁)`` and every factor is a ratio of BIGINTs
+    evaluated in one FIXED float sequence (div, div-mul, add) that is
+    bit-identical across engines; ``ln(p)`` is then quantized per
+    element to micro-units so the per-doc sums are exact integers.
+
+    Shape: corpus stats are three combinable aggregates over the
+    bigram stream (bigram count, prefix fan-out, suffix fan-in) plus
+    one 1-row bigram-type total broadcast; scoring is three hash
+    joins back onto the stream.  Emits
+    ``(doc, n_bigrams, sum_nll_micro, avg_nll)`` for docs with ≥ 2
+    tokens.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    ).filter(F.size("w") >= 2)
+    bg = words.select(
+        "doc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"
+            )
+        ).alias("b"),
+    )
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
+    pre = cb.groupBy(F.split(F.col("b"), " ")[0].alias("p")).agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fw")
+    )
+    suf = cb.groupBy(F.split(F.col("b"), " ")[1].alias("s")).agg(
+        F.count(F.lit(1)).alias("n1bw")
+    )
+    nb = cb.agg(F.count(F.lit(1)).alias("nb"))
+
+    scored = (
+        bg.join(cb, "b")
+        .join(pre, F.split(bg["b"], " ")[0] == pre["p"])
+        .join(suf, F.split(bg["b"], " ")[1] == suf["s"])
+        .crossJoin(F.broadcast(nb))
+    )
+    # the FIXED evaluation sequence both engines replay verbatim
+    term1 = (4 * F.col("c12") - 3).cast("double") / (4 * F.col("c1")).cast("double")
+    term2 = (
+        (3 * F.col("n1fw")).cast("double") / (4 * F.col("c1")).cast("double")
+    ) * (F.col("n1bw").cast("double") / F.col("nb").cast("double"))
+    q = F.floor(F.log(term1 + term2) * 1000000 + 0.5).cast("long")
+    per_doc = scored.select("doc", q.alias("q")).groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("q").alias("sq")
+    )
+    return per_doc.select(
+        "doc",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        (-F.col("sq")).cast("long").alias("sum_nll_micro"),
+        F.round(
+            (-F.col("sq")).cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_nll"),
+    )

@@ -9769,3 +9769,360 @@ def q_label_prop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _trade_edges(spark, sf_dir), table="opl_edges_trade", num_buckets=16
     )
     return label_propagation(be, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# round 5: evaluation metrics, LM smoothing, curriculum ordering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_readability",
+    oracle=r"""
+WITH m AS (
+    SELECT doc_id AS doc,
+           CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+           CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                w -> w <> '')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+    FROM documents
+)
+SELECT doc, n_sentences, n_words, n_syllables,
+       ROUND((206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+                                 / CAST(n_sentences AS DOUBLE)))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             6) AS fre,
+       ROUND((0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+              + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+             - 15.59, 6) AS grade
+FROM m WHERE n_words > 0 AND n_sentences > 0
+""",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document from
+    three integer regex counts (sentences / words / vowel-group
+    syllables) — map-only, no shuffle; the scores are fixed-sequence
+    float expressions over the integers so round(6) replays
+    bit-identically (see operators/text.py:readability_scores)."""
+    from opl_spark.operators.text import readability_scores
+
+    return readability_scores(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q_zipf_fit",
+    oracle=r"""
+WITH toks AS (
+    SELECT source AS grp,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+t AS (SELECT grp, tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2),
+r AS (
+    SELECT grp, c,
+           row_number() OVER (PARTITION BY grp ORDER BY c DESC, tok) AS r
+    FROM t
+),
+q AS (
+    SELECT grp,
+           CAST(floor(ln(CAST(r AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS x,
+           CAST(floor(ln(CAST(c AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS y
+    FROM r WHERE r <= 50
+),
+a AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM q GROUP BY 1
+)
+SELECT grp, n AS n_ranks,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+FROM a WHERE n >= 2
+""",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope (ln freq ~ ln rank least squares over the
+    top-50 ranks): distribution-shape spam/drift signal.  Logs are
+    MILLI-quantized per element so the five regression sums are exact
+    BIGINTs and the slope is one cross-multiplied division — the
+    ranking window is per-SOURCE (partitioned)."""
+    from opl_spark.operators.text import zipf_slope
+
+    return zipf_slope(load_table(spark, sf_dir, "documents"), "text", "source")
+
+
+@register(
+    "q_kneser_ney",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id AS doc, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+bg AS (
+    SELECT doc, unnest(list_transform(
+        range(2, len(w) + 1), i -> w[i-1] || ' ' || w[i])) AS b
+    FROM docs WHERE len(w) >= 2
+),
+cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1),
+pre AS (
+    SELECT split_part(b, ' ', 1) AS p, CAST(SUM(c12) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS n1fw
+    FROM cb GROUP BY 1
+),
+suf AS (
+    SELECT split_part(b, ' ', 2) AS s, CAST(COUNT(*) AS BIGINT) AS n1bw
+    FROM cb GROUP BY 1
+),
+nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM cb),
+sc AS (
+    -- the FIXED float sequence the Spark operator replays verbatim:
+    -- term1 = (4c12-3)/(4c1); term2 = (3n1fw)/(4c1) * (n1bw/nb)
+    SELECT g.doc,
+           CAST(floor(ln(
+               (CAST(4 * c.c12 - 3 AS DOUBLE) / CAST(4 * p.c1 AS DOUBLE))
+               + (CAST(3 * p.n1fw AS DOUBLE) / CAST(4 * p.c1 AS DOUBLE))
+                 * (CAST(s.n1bw AS DOUBLE)
+                    / CAST((SELECT nb FROM nbt) AS DOUBLE))
+           ) * 1000000 + 0.5) AS BIGINT) AS q
+    FROM bg g
+    JOIN cb c ON c.b = g.b
+    JOIN pre p ON p.p = split_part(g.b, ' ', 1)
+    JOIN suf s ON s.s = split_part(g.b, ' ', 2)
+)
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(-SUM(q) AS BIGINT) AS sum_nll_micro,
+       ROUND(CAST(-SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6)
+           AS avg_nll
+FROM sc GROUP BY doc
+""",
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document (D = 3/4 —
+    clears to integer ratios; logprobs micro-quantized per element so
+    doc sums are exact).  The continuation-unigram backoff is the
+    boilerplate detector raw bigram MLE isn't (see
+    operators/text.py:kneser_ney_logprob)."""
+    from opl_spark.operators.text import kneser_ney_logprob
+
+    return kneser_ney_logprob(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q_auc",
+    oracle="""
+WITH b AS (
+    SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS qs,
+           CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+    FROM embeddings
+),
+bins AS (
+    SELECT qs, CAST(SUM(y) AS BIGINT) AS pos,
+           CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+    FROM b GROUP BY 1
+),
+c AS (
+    SELECT qs, pos, neg,
+           CAST(COALESCE(SUM(neg) OVER (
+               ORDER BY qs ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS neg_below
+    FROM bins
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+       ROUND(CAST(SUM(2 * pos * neg_below + pos * neg) AS DOUBLE)
+             / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE), 6) AS auc
+FROM c
+""",
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-binned ROC-AUC of embedding dim 0 as a classifier for
+    label < 5 — the Mann-Whitney U over micro-quantized score bins:
+    one combinable bin aggregate, one cumulative pass over the BIN
+    summary (never a global sort of the fact stream), all-BIGINT until
+    the final division (see operators/evaluate.py:roc_auc_binned)."""
+    from opl_spark.operators.evaluate import roc_auc_binned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return roc_auc_binned(
+        emb, F.col("embedding")[0], (F.col("label") < 5).cast("long")
+    )
+
+
+@register(
+    "q_cohens_kappa",
+    oracle="WITH scored AS (SELECT lang, "
+    + ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS_DESC)
+    + f" FROM documents),\nconf AS (SELECT lang AS a, {_LANG_CASE} AS b, "
+    + """CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY 1, 2),
+rows_ AS (SELECT a, CAST(SUM(c) AS BIGINT) AS rc FROM conf GROUP BY 1),
+cols_ AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cc FROM conf GROUP BY 1),
+s AS (SELECT CAST(SUM(r.rc * c2.cc) AS BIGINT) AS s
+      FROM rows_ r JOIN cols_ c2 ON c2.b = r.a),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS d
+      FROM conf)
+SELECT n, d AS n_agree,
+       ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       ROUND(CAST((SELECT s FROM s) AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+       ROUND(CAST(n * d - (SELECT s FROM s) AS DOUBLE)
+             / CAST(n * n - (SELECT s FROM s) AS DOUBLE), 6) AS kappa
+FROM t
+""",
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the labeled corpus language and the
+    marker-heuristic detector — the chance-corrected scalar summary of
+    q_lang_confusion's matrix, all-BIGINT cross-multiplied to the
+    final division (see operators/evaluate.py:cohens_kappa)."""
+    from opl_spark.operators.evaluate import cohens_kappa
+    from opl_spark.operators.text import lang_id_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cohens_kappa(docs, F.col("lang"), lang_id_col(F.col("text")))
+
+
+def _retrieval_eval_oracle(n_queries: int = 20, k: int = 10) -> str:
+    from opl_spark.operators.evaluate import ndcg_weight_micro
+
+    wts = ", ".join(f"({i}, {ndcg_weight_micro(i)})" for i in range(1, k + 1))
+    prefix, acc = ["(0, 0)"], 0
+    for i in range(1, k + 1):
+        acc += ndcg_weight_micro(i)
+        prefix.append(f"({i}, {acc})")
+    return f"""
+WITH pool AS MATERIALIZED (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+q AS MATERIALIZED (
+    SELECT id AS qid, v AS qv, label AS qlabel FROM pool ORDER BY id LIMIT {n_queries}
+),
+scored AS MATERIALIZED (
+    SELECT q.qid, q.qlabel, p.id, p.label,
+           ROUND(list_dot_product(p.v, q.qv)
+                 / (sqrt(list_dot_product(p.v, p.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+    FROM pool p CROSS JOIN q WHERE p.id <> q.qid
+),
+ranked AS (
+    SELECT qid, qlabel, label,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS r
+    FROM scored
+),
+rel AS (
+    SELECT qid, qlabel, r,
+           CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+    FROM ranked WHERE r <= {k}
+),
+wts(r, w) AS (VALUES {wts}),
+idcg(h, s) AS (VALUES {", ".join(prefix)}),
+perq AS (
+    SELECT rel.qid, rel.qlabel, CAST(SUM(rel.rel) AS BIGINT) AS n_hits,
+           CAST(SUM(rel.rel * w.w) AS BIGINT) AS dcg
+    FROM rel JOIN wts w ON w.r = rel.r GROUP BY 1, 2
+)
+SELECT qid, qlabel AS label, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / {float(k)}, 6) AS precision,
+       CASE WHEN n_hits = 0 THEN 0.0
+            ELSE ROUND(CAST(dcg AS DOUBLE) / CAST(i.s AS DOUBLE), 6) END AS ndcg
+FROM perq JOIN idcg i ON i.h = n_hits
+"""
+
+
+@register("q_retrieval_eval", oracle=_retrieval_eval_oracle())
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report for the embedding index: precision@10
+    and binary-gain nDCG@10 (micro-unit literal discounts — exact
+    BIGINT DCG sums) of each of the 20 lowest-id vectors' cosine
+    neighbors against label agreement.  Neighbor generation is the
+    knn_join batch gemm; every window is per-query over a k-sized
+    shortlist (see operators/evaluate.py:retrieval_eval)."""
+    from opl_spark.operators.evaluate import retrieval_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval_eval(emb, "embedding", "vec_id", "label", n_queries=20, k=10)
+
+
+@register(
+    "q_embedding_outliers",
+    oracle=f"""
+WITH wq AS MATERIALIZED (
+    SELECT vec_id AS id, label,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> floor(x * 1000 + 0.5)) AS w
+    FROM embeddings
+),
+idx AS MATERIALIZED (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS i),
+pts AS MATERIALIZED (
+    SELECT id, label, i.i AS pos, CAST(w[i.i] AS BIGINT) AS x
+    FROM wq CROSS JOIN idx i
+),
+sums AS (
+    SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pts GROUP BY 1, 2
+),
+cent AS (
+    -- half-up integer mean, floor-div semantics (DuckDB // truncates)
+    SELECT label, pos, CAST({_pq_fd("2 * s + n", "2 * n")} AS BIGINT) AS c
+    FROM sums
+),
+d AS (
+    SELECT p.id, p.label, CAST(SUM((p.x - c.c) * (p.x - c.c)) AS BIGINT) AS d2
+    FROM pts p JOIN cent c ON c.label = p.label AND c.pos = p.pos
+    GROUP BY 1, 2
+)
+SELECT label, id, d2, rank FROM (
+    SELECT label, id, d2,
+           CAST(row_number() OVER (
+               PARTITION BY label ORDER BY d2 DESC, id) AS BIGINT) AS rank
+    FROM d
+) WHERE rank <= 3
+""",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 farthest vectors from their own label's centroid
+    (squared L2 over milli-quantized integer coordinates, half-up
+    integer centroid means) — the mislabel / corrupt-embedding screen,
+    integer-exact end to end (see
+    operators/similarity.py:label_centroid_outliers)."""
+    from opl_spark.operators.similarity import label_centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb, "embedding", "vec_id", "label", topk=3)
+
+
+@register(
+    "q_curriculum_order",
+    oracle="""
+WITH staged AS (
+    SELECT doc_id AS id, source AS grp,
+           CAST('0x' || substr(md5(source), 1, 8) AS UBIGINT) % 4 + 1 AS weight,
+           md5(CAST(doc_id AS VARCHAR)) AS ord
+    FROM documents
+),
+ranked AS (
+    SELECT id, grp, CAST(weight AS BIGINT) AS weight,
+           CAST(row_number() OVER (
+               PARTITION BY grp ORDER BY ord, id) AS BIGINT) AS r
+    FROM staged
+)
+SELECT id, grp, weight, r,
+       CAST((2 * r - 1) * (840 // weight) AS BIGINT) AS sched_key
+FROM ranked
+""",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave of source domains into one
+    training order: exact rational schedule keys
+    ``(2r−1)·(base/w)`` (no float ordering), portable-md5 weights and
+    within-domain shuffle — the data-ORDERING half of weighted mixing.
+    The global order rides in the key (writers range-partition on it);
+    the only window is per-SOURCE (see
+    operators/sampling.py:curriculum_interleave)."""
+    from opl_spark.operators.sampling import curriculum_interleave
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_interleave(docs, "doc_id", "source")

@@ -1,0 +1,272 @@
+"""Evaluation-metric operators (operators/evaluate.py) plus the
+round-5 text/sampling/similarity additions — property tests against
+hand-computable references, independent of the DuckDB oracle pairs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC (histogram-binned Mann-Whitney)
+# ---------------------------------------------------------------------------
+
+
+def _auc_of(spark, rows):
+    from opl_spark.operators.evaluate import roc_auc_binned
+
+    df = spark.createDataFrame(rows, "score double, y long")
+    return roc_auc_binned(df, F.col("score"), F.col("y")).collect()[0]
+
+
+def test_auc_perfect_separation(spark):
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    r = _auc_of(spark, rows)
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (50, 50, 1.0)
+
+
+def test_auc_inverted_separation_is_zero(spark):
+    rows = [(float(i), 0 if i >= 50 else 1) for i in range(100)]
+    assert _auc_of(spark, rows)["auc"] == 0.0
+
+
+def test_auc_ties_count_half(spark):
+    # all scores identical: every pos/neg pair is a tie -> AUC = 0.5
+    rows = [(1.0, i % 2) for i in range(40)]
+    assert _auc_of(spark, rows)["auc"] == 0.5
+
+
+def test_auc_matches_quadratic_reference(spark):
+    # deterministic interleaved scores; reference = O(n^2) pair count
+    rows = [(math.sin(i * 0.7) * 10, (i * 7) % 3 == 0) for i in range(200)]
+    rows = [(s, 1 if y else 0) for s, y in rows]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    want = round(u / (len(pos) * len(neg)), 6)
+    got = _auc_of(spark, rows)["auc"]
+    assert abs(got - want) <= 2e-6, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_perfect_agreement(spark):
+    from opl_spark.operators.evaluate import cohens_kappa
+
+    df = spark.createDataFrame([(c, c) for c in "ababab"], "a string, b string")
+    r = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert r["kappa"] == 1.0 and r["po"] == 1.0
+
+
+def test_kappa_hand_example(spark):
+    """Classic 2x2: a=yes/no rater pair with known kappa.
+    conf = [[20, 5], [10, 15]]: po = 35/50, pe = (30*25 + 20*25)/2500,
+    kappa = (po - pe) / (1 - pe) = 0.4."""
+    from opl_spark.operators.evaluate import cohens_kappa
+
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert r["n"] == 50 and r["n_agree"] == 35
+    assert r["po"] == 0.7 and r["pe"] == 0.5 and r["kappa"] == 0.4
+
+
+def test_kappa_chance_only_is_zero(spark):
+    # rater b constant: pe == po -> kappa 0 (independence degenerate)
+    from opl_spark.operators.evaluate import cohens_kappa
+
+    rows = [("y", "y")] * 30 + [("n", "y")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    assert cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]["kappa"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# retrieval eval (precision@k / nDCG@k)
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_eval_planted_clusters(spark):
+    """Two orthogonal label clusters with tiny deterministic jitter:
+    every neighbor shares the query's label -> precision = ndcg = 1."""
+    from opl_spark.operators.evaluate import retrieval_eval
+
+    rows = []
+    for i in range(24):
+        lab = i % 2
+        base = [1.0, 0.0] if lab == 0 else [0.0, 1.0]
+        rows.append((i, [base[0] + 0.001 * i, base[1] + 0.0005 * i, 0.01], lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = retrieval_eval(df, "embedding", "vec_id", "label", n_queries=4, k=5)
+    got = out.collect()
+    assert len(got) == 4
+    for r in got:
+        assert r["n_hits"] == 5 and r["precision"] == 1.0 and r["ndcg"] == 1.0
+
+
+def test_retrieval_eval_zero_hits_ndcg_zero(spark):
+    from opl_spark.operators.evaluate import retrieval_eval
+
+    # each label appears once: no neighbor can share the query label
+    rows = [(i, [1.0, float(i) * 0.01], i) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = retrieval_eval(df, "embedding", "vec_id", "label", n_queries=3, k=4).collect()
+    assert all(r["n_hits"] == 0 and r["ndcg"] == 0.0 for r in out)
+
+
+def test_ndcg_weights_are_monotone_micro_units(spark):
+    from opl_spark.operators.evaluate import ndcg_weight_micro
+
+    ws = [ndcg_weight_micro(i) for i in range(1, 11)]
+    assert ws[0] == 1_000_000  # log2(2) = 1
+    assert all(a > b for a, b in zip(ws, ws[1:]))
+    assert all(isinstance(w, int) for w in ws)
+
+
+# ---------------------------------------------------------------------------
+# readability / zipf / kneser-ney
+# ---------------------------------------------------------------------------
+
+
+def test_readability_hand_counts(spark):
+    from opl_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "no sentence marker here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc"]: r for r in readability_scores(df, "text", "doc_id").collect()}
+    r1 = rows[1]
+    # sentences: "The cat sat" / " The dog ran" ; words 6; syllables:
+    # e|a|a|e|o|a vowel runs = 6
+    assert r1["n_sentences"] == 2 and r1["n_words"] == 6 and r1["n_syllables"] == 6
+    wps, spw = 6 / 2, 6 / 6
+    assert r1["fre"] == round((206.835 - 1.015 * wps) - 84.6 * spw, 6)
+    # doc 2 has one [.!?]-free "sentence" (whole text) and still emits
+    assert rows[2]["n_sentences"] == 1
+
+
+def test_zipf_slope_near_minus_one_on_zipf_corpus(spark):
+    """Corpus drawn exactly from a Zipf distribution (freq_r = 120/r)
+    must fit slope ~ -1; a uniform corpus must fit slope ~ 0."""
+    from opl_spark.operators.text import zipf_slope
+
+    zipf_words = []
+    for r in range(1, 21):
+        zipf_words += [f"w{r:02d}"] * (120 // r)
+    uni_words = [f"u{r:02d}" for r in range(1, 21)] * 6
+    df = spark.createDataFrame(
+        [(1, "zipf", " ".join(zipf_words)), (2, "flat", " ".join(uni_words))],
+        "doc_id long, source string, text string",
+    )
+    out = {r["grp"]: r for r in zipf_slope(df, "text", "source").collect()}
+    assert abs(out["zipf"]["slope"] + 1.0) < 0.05, out["zipf"]["slope"]
+    assert abs(out["flat"]["slope"]) < 0.01, out["flat"]["slope"]
+
+
+def test_kneser_ney_matches_local_reference(spark):
+    """Spark KN scores == a direct Python implementation of the same
+    quantized formula on a hand corpus."""
+    from opl_spark.operators.text import kneser_ney_logprob
+
+    texts = {1: "a b a b a c", 2: "a b a b a b", 3: "c a b c"}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    # local reference
+    bigrams = []
+    for doc, t in texts.items():
+        w = t.split()
+        bigrams += [(doc, (w[i - 1], w[i])) for i in range(1, len(w))]
+    from collections import Counter
+
+    c12 = Counter(b for _, b in bigrams)
+    c1 = Counter()
+    n1fw = Counter()
+    n1bw = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1fw[w1] += 1
+        n1bw[w2] += 1
+    nb = len(c12)
+    want = {}
+    for doc, t in texts.items():
+        qs = []
+        for _, (w1, w2) in [x for x in bigrams if x[0] == doc]:
+            t1 = (4 * c12[(w1, w2)] - 3) / (4 * c1[w1])
+            t2 = (3 * n1fw[w1]) / (4 * c1[w1]) * (n1bw[w2] / nb)
+            qs.append(math.floor(math.log(t1 + t2) * 1e6 + 0.5))
+        want[doc] = (len(qs), -sum(qs))
+    got = {
+        r["doc"]: (r["n_bigrams"], r["sum_nll_micro"])
+        for r in kneser_ney_logprob(df, "text", "doc_id").collect()
+    }
+    assert got == want
+
+
+def test_kneser_ney_prefers_seen_transitions(spark):
+    """A document of high-frequency transitions must score a lower
+    avg_nll than one stitched from rare transitions."""
+    from opl_spark.operators.text import kneser_ney_logprob
+
+    common = "the cat sat on the mat " * 10
+    df = spark.createDataFrame(
+        [(1, common), (2, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r["avg_nll"] for r in kneser_ney_logprob(df, "text", "doc_id").collect()}
+    assert out[1] < out[2]
+
+
+# ---------------------------------------------------------------------------
+# curriculum interleave / embedding outliers
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_interleave_respects_weights(spark):
+    """In any schedule prefix, a weight-w domain appears ~w times as
+    often as a weight-1 domain; keys are exact integers and the op is
+    deterministic."""
+    from opl_spark.operators.sampling import curriculum_interleave
+
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curriculum_interleave(df, "doc_id", "source")
+    got = out.orderBy("sched_key", "grp", "id").collect()
+    assert len(got) == 300 and len({r["id"] for r in got}) == 300
+    weights = {r["grp"]: r["weight"] for r in got}
+    # prefix mixture: first 120 scheduled items per-domain counts track
+    # the weight ratio within rounding
+    prefix = got[:120]
+    from collections import Counter
+
+    cnt = Counter(r["grp"] for r in prefix)
+    wsum = sum(weights.values())
+    for g, w in weights.items():
+        expect = 120 * w / wsum
+        assert abs(cnt[g] - expect) <= 2, (g, cnt[g], expect, weights)
+    # determinism
+    again = curriculum_interleave(df, "doc_id", "source").orderBy(
+        "sched_key", "grp", "id"
+    ).collect()
+    assert [r["id"] for r in again] == [r["id"] for r in got]
+
+
+def test_label_centroid_outliers_finds_planted_outlier(spark):
+    from opl_spark.operators.similarity import label_centroid_outliers
+
+    rows = [(i, [0.1 + 0.001 * i, 0.2], 0) for i in range(10)]
+    rows.append((99, [5.0, -5.0], 0))  # planted far point
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = label_centroid_outliers(df, "embedding", "vec_id", "label", topk=2).collect()
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["id"] == 99 and top["d2"] > 0

@@ -249,13 +249,19 @@ def test_no_scale_killers_in_any_registered_query(spark):
         # lazy RRF now exposes bm25's 1-row corpus-stats crossJoin in
         # the fused plan (the legs are LIMIT-bounded shortlists)
         "q_hybrid_search",
+        # 1-row bigram-type total broadcast onto the scored stream
+        "q_kneser_ney",
+        # 1-row confusion totals x 1-row marginal-product broadcast
+        "q_cohens_kappa",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
     # q_hybrid_search: the two ranking windows run over LIMIT-bounded
     # shortlist legs (≤50 rows each), not the corpus — the lazy-RRF
     # rewrite traded the old eager collect for these summary windows
-    summary_window_ok = {"q_id_gaps", "q_vocab_coverage", "q_hybrid_search"}
+    # q_auc: the cumulative pass of histogram AUC runs over the score
+    # BIN table (bounded by score range x quantization, not row count)
+    summary_window_ok = {"q_id_gaps", "q_vocab_coverage", "q_hybrid_search", "q_auc"}
     sf = "/root/testdata/sf0.001"
     flagged = {}
     for name, fn in workload.queries().items():
