@@ -234,6 +234,19 @@ BENCH_QUERIES = [
     # round-4: bucketed-edge graph co-location
     "q_pagerank_bucketed",
     "q_label_prop_bucketed",
+    # round-5: evaluation metrics, LM smoothing, curriculum ordering
+    "q_readability",
+    "q_zipf_fit",
+    "q_kneser_ney",
+    "q_auc",
+    "q_cohens_kappa",
+    "q_retrieval_eval",
+    "q_embedding_outliers",
+    "q_curriculum_order",
+    "q_mrr",
+    "q_ece",
+    "q_psi_drift",
+    "q_l_diversity",
 ]
 
 

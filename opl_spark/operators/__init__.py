@@ -59,7 +59,11 @@ from opl_spark.operators.sampling import (  # noqa: F401
 )
 from opl_spark.operators.evaluate import (  # noqa: F401
     cohens_kappa,
+    ece_binned,
+    mrr_eval,
+    mrr_weight_micro,
     ndcg_weight_micro,
+    psi_drift,
     retrieval_eval,
     roc_auc_binned,
 )

@@ -222,3 +222,179 @@ def retrieval_eval(
         )
         .alias("ndcg"),
     )
+
+
+def mrr_weight_micro(rank: int) -> int:
+    """Reciprocal-rank in integer micro-units: floor(1e6/r + 0.5) —
+    literal per shortlist position, same portability rationale as
+    :func:`ndcg_weight_micro`."""
+    return int(math.floor(1_000_000.0 / rank + 0.5))
+
+
+def mrr_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    n_queries: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Mean-reciprocal-rank inputs for the embedding index: for each
+    query (lowest ``n_queries`` ids), the rank of the FIRST top-``k``
+    cosine neighbor sharing its label, and the micro-unit reciprocal
+    rank (0 when no neighbor hits).  ``AVG(rr)`` over the output is
+    the index's MRR@k; per-query rows are emitted so misses are
+    attributable (the eval-report shape, like :func:`retrieval_eval`).
+
+    Same scale shape as retrieval_eval: knn_join shortlists, per-query
+    k-sized windows, BIGINT micro-units until the final division.
+    Emits ``(qid, label, first_hit_rank, rr)`` — first_hit_rank 0 on
+    miss.
+    """
+    from opl_spark.operators.similarity import knn_join
+
+    qrows = (
+        df.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .orderBy(id_col)
+        .limit(n_queries)
+        .collect()
+    )
+    queries = [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in qrows]
+    qlabels = df.sparkSession.createDataFrame(
+        [(int(r[id_col]), r[label_col]) for r in qrows], ["qid", "qlabel"]
+    )
+    nn = knn_join(df, vec_col, id_col, queries, k=k + 1).filter(
+        F.col("id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "id")
+    ranked = nn.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    pool_labels = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("nlabel"))
+    rrs = F.create_map(
+        *[x for i in range(1, k + 1) for x in (F.lit(i), F.lit(mrr_weight_micro(i)))]
+    )
+    hits = (
+        ranked.join(pool_labels, "id")
+        .join(F.broadcast(qlabels), "qid")
+        .filter(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("qid", "qlabel")
+        .agg(F.min("r").alias("first_hit_rank"))
+    )
+    return (
+        F.broadcast(qlabels)
+        .join(hits.select("qid", "first_hit_rank"), "qid", "left")
+        .select(
+            "qid",
+            F.col("qlabel").alias("label"),
+            F.coalesce(F.col("first_hit_rank"), F.lit(0))
+            .cast("long")
+            .alias("first_hit_rank"),
+            F.round(
+                F.coalesce(
+                    rrs[F.col("first_hit_rank")], F.lit(0)
+                ).cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("rr"),
+        )
+    )
+
+
+def ece_binned(
+    df: DataFrame,
+    prob_col: Column,
+    label_col: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error of a probabilistic classifier:
+    predictions micro-quantized, cut into ``n_bins`` equal-width
+    probability bins, and
+
+        ECE = Σ_b (n_b/N)·|acc_b − conf_b|
+            = Σ_b |pos_b·1e6 − Σ_b q_pred| / (N·1e6)
+
+    — the common-denominator form keeps the whole sum BIGINT (each
+    bin's |accuracy − confidence| clears against the same 1e6 scale),
+    so the only float op is the final division.  One combinable bin
+    aggregate + a one-row reduce; emits ``(n, ece)`` plus the worst
+    bin's index and gap for triage.
+    """
+    q = F.floor(prob_col.cast("double") * 1000000 + F.lit(0.5)).cast("long")
+    staged = df.select(
+        q.alias("qp"), label_col.cast("long").alias("y")
+    ).select(
+        F.least(
+            F.floor(F.col("qp") * n_bins / 1000000).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        "qp",
+        "y",
+    )
+    bins = staged.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("y").alias("pos_b"),
+        F.sum("qp").alias("conf_b"),
+    )
+    gap = F.abs(F.col("pos_b") * 1000000 - F.col("conf_b"))
+    per_bin = bins.select("bin", "n_b", gap.alias("gap"))
+    return per_bin.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.round(
+            F.sum("gap").cast("double") / (F.sum("n_b") * 1000000).cast("double"),
+            6,
+        ).alias("ece"),
+        F.max(F.struct(F.col("gap"), F.col("bin"))).getField("bin").alias(
+            "worst_bin"
+        ),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: Column,
+    split_col: Column,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Population-stability index between the two sides of a boolean
+    split (reference = false, current = true) over fixed-width value
+    bins — the standard feature-drift monitor between ingest batches:
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    with add-one smoothed bin counts (both sides always positive).
+    Each bin's term is computed from BIGINT counts in one fixed float
+    sequence and quantized to NANO-units before the cross-engine sum
+    (the per-element quantization rule — bins are few, terms are
+    tiny).  One combinable (bin, side) count + a bins-sized reduce.
+    Emits one row ``(n_ref, n_cur, psi)``.
+    """
+    staged = df.select(
+        F.least(
+            F.floor(value_col.cast("double") / F.lit(bin_width)).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        split_col.cast("long").alias("cur"),
+    )
+    bins = staged.groupBy("bin").agg(
+        (F.sum(1 - F.col("cur")) + 1).alias("a"),  # ref, add-one smoothed
+        (F.sum("cur") + 1).alias("b"),  # current
+    )
+    tot = bins.agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    # FIXED sequence: diff = a/ta − b/tb; l = ln((a·tb)/(b·ta));
+    # term quantized to nano-units so the engine-side sum is exact
+    diff = F.col("a").cast("double") / F.col("ta").cast("double") - F.col(
+        "b"
+    ).cast("double") / F.col("tb").cast("double")
+    lg = F.log(
+        (F.col("a") * F.col("tb")).cast("double")
+        / (F.col("b") * F.col("ta")).cast("double")
+    )
+    termq = F.floor(diff * lg * 1000000000 + F.lit(0.5)).cast("long")
+    return j.select("a", "b", termq.alias("t")).agg(
+        (F.sum("a") - F.count(F.lit(1))).cast("long").alias("n_ref"),
+        (F.sum("b") - F.count(F.lit(1))).cast("long").alias("n_cur"),
+        F.round(F.sum("t").cast("double") / F.lit(1000000000.0), 6).alias("psi"),
+    )

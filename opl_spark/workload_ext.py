@@ -10126,3 +10126,177 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curriculum_interleave(docs, "doc_id", "source")
+
+
+def _mrr_oracle(n_queries: int = 20, k: int = 10) -> str:
+    from opl_spark.operators.evaluate import mrr_weight_micro
+
+    rrs = ", ".join(f"({i}, {mrr_weight_micro(i)})" for i in range(1, k + 1))
+    return f"""
+WITH pool AS MATERIALIZED (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+q AS MATERIALIZED (
+    SELECT id AS qid, v AS qv, label AS qlabel FROM pool ORDER BY id LIMIT {n_queries}
+),
+scored AS MATERIALIZED (
+    SELECT q.qid, q.qlabel, p.id, p.label,
+           ROUND(list_dot_product(p.v, q.qv)
+                 / (sqrt(list_dot_product(p.v, p.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+    FROM pool p CROSS JOIN q WHERE p.id <> q.qid
+),
+ranked AS (
+    SELECT qid, qlabel, label,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS r
+    FROM scored
+),
+hit AS (
+    SELECT qid, CAST(MIN(r) AS BIGINT) AS fr
+    FROM ranked WHERE r <= {k} AND label = qlabel GROUP BY 1
+),
+rrs(r, w) AS (VALUES {rrs})
+SELECT q.qid, q.qlabel AS label,
+       CAST(COALESCE(h.fr, 0) AS BIGINT) AS first_hit_rank,
+       ROUND(CAST(COALESCE(w.w, 0) AS DOUBLE) / 1000000.0, 6) AS rr
+FROM q LEFT JOIN hit h ON h.qid = q.qid LEFT JOIN rrs w ON w.r = h.fr
+"""
+
+
+@register("q_mrr", oracle=_mrr_oracle())
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank report for the embedding index (first top-10
+    cosine neighbor sharing each query's label; AVG(rr) = MRR@10) —
+    micro-unit literal reciprocal ranks, per-query rows so misses are
+    attributable (see operators/evaluate.py:mrr_eval)."""
+    from opl_spark.operators.evaluate import mrr_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mrr_eval(emb, "embedding", "vec_id", "label", n_queries=20, k=10)
+
+
+@register(
+    "q_ece",
+    oracle="""
+WITH staged AS (
+    SELECT CAST(floor(least(greatest(CAST(embedding[1] AS DOUBLE) + 0.5, 0.0),
+                            1.0) * 1000000 + 0.5) AS BIGINT) AS qp,
+           CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+    FROM embeddings
+),
+binned AS (
+    SELECT least(CAST(floor(CAST(qp * 10 AS DOUBLE) / 1000000.0) AS BIGINT),
+                 9) AS bin, qp, y
+    FROM staged
+),
+bins AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(y) AS BIGINT) AS pos_b,
+           CAST(SUM(qp) AS BIGINT) AS conf_b
+    FROM binned GROUP BY 1
+),
+per_bin AS (
+    SELECT bin, n_b, abs(pos_b * 1000000 - conf_b) AS gap FROM bins
+)
+SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / CAST(SUM(n_b) * 1000000 AS DOUBLE), 6)
+           AS ece,
+       (SELECT bin FROM per_bin ORDER BY gap DESC, bin DESC LIMIT 1)
+           AS worst_bin
+FROM per_bin
+""",
+)
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the clamp(dim0 + 0.5) pseudo-
+    probability against label < 5, over 10 equal-width bins — the
+    common-denominator BIGINT form (each bin's |accuracy − confidence|
+    clears against the shared 1e6 scale), one combinable bin aggregate
+    + a one-row reduce (see operators/evaluate.py:ece_binned)."""
+    from opl_spark.operators.evaluate import ece_binned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prob = F.least(
+        F.greatest(F.col("embedding")[0].cast("double") + F.lit(0.5), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    return ece_binned(emb, prob, (F.col("label") < 5).cast("long"), n_bins=10)
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+WITH staged AS (
+    SELECT least(CAST(floor(CAST(value AS DOUBLE) / 25.0) AS BIGINT), 19) AS bin,
+           CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                THEN 1 ELSE 0 END AS cur
+    FROM events
+),
+bins AS (
+    SELECT bin, CAST(SUM(1 - cur) + 1 AS BIGINT) AS a,
+           CAST(SUM(cur) + 1 AS BIGINT) AS b
+    FROM staged GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb FROM bins),
+t AS (
+    -- FIXED sequence: (a/ta - b/tb) * ln((a*tb)/(b*ta)), nano-quantized
+    -- per bin so the cross-engine sum is exact
+    SELECT a, b,
+           CAST(floor((CAST(a AS DOUBLE) / CAST(tt.ta AS DOUBLE)
+                       - CAST(b AS DOUBLE) / CAST(tt.tb AS DOUBLE))
+                      * ln(CAST(a * tt.tb AS DOUBLE)
+                           / CAST(b * tt.ta AS DOUBLE))
+                      * 1000000000 + 0.5) AS BIGINT) AS q
+    FROM bins CROSS JOIN tot tt
+)
+SELECT CAST(SUM(a) - COUNT(*) AS BIGINT) AS n_ref,
+       CAST(SUM(b) - COUNT(*) AS BIGINT) AS n_cur,
+       ROUND(CAST(SUM(q) AS DOUBLE) / 1000000000.0, 6) AS psi
+FROM t
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of the event value distribution,
+    first half of the month vs second (20 fixed 25-unit bins, add-one
+    smoothing) — the standard between-batch feature-drift monitor;
+    per-bin terms nano-quantized from BIGINT counts so the sum
+    replays exactly (see operators/evaluate.py:psi_drift)."""
+    from opl_spark.operators.evaluate import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(
+        ev,
+        F.col("value"),
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        bin_width=25.0,
+        n_bins=20,
+    )
+
+
+@register(
+    "q_l_diversity",
+    oracle="""
+WITH g AS (
+    SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS sz,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, sz, n_sensitive
+FROM g WHERE n_sensitive < 3
+""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l = 3) over the (event_type, day)
+    quasi-identifier: equivalence classes whose SENSITIVE attribute
+    (user) takes fewer than l distinct values — the disclosure-risk
+    complement of q_k_anonymity (a k-anonymous group can still leak
+    if everyone in it shares the sensitive value).  One combinable
+    group aggregate, output risk-group-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.count_distinct("user_id").alias("n_sensitive"),
+    )
+    return g.filter(F.col("n_sensitive") < 3)

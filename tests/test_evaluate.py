@@ -270,3 +270,66 @@ def test_label_centroid_outliers_finds_planted_outlier(spark):
     out = label_centroid_outliers(df, "embedding", "vec_id", "label", topk=2).collect()
     top = [r for r in out if r["rank"] == 1][0]
     assert top["id"] == 99 and top["d2"] > 0
+
+
+# ---------------------------------------------------------------------------
+# MRR / ECE / PSI
+# ---------------------------------------------------------------------------
+
+
+def test_mrr_planted_clusters(spark):
+    from opl_spark.operators.evaluate import mrr_eval
+
+    rows = []
+    for i in range(24):
+        lab = i % 2
+        base = [1.0, 0.0] if lab == 0 else [0.0, 1.0]
+        rows.append((i, [base[0] + 0.001 * i, base[1] + 0.0005 * i, 0.01], lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = mrr_eval(df, "embedding", "vec_id", "label", n_queries=4, k=5).collect()
+    assert len(out) == 4
+    # nearest neighbor always shares the cluster -> first hit at rank 1
+    assert all(r["first_hit_rank"] == 1 and r["rr"] == 1.0 for r in out)
+
+
+def test_mrr_miss_emits_zero(spark):
+    from opl_spark.operators.evaluate import mrr_eval
+
+    rows = [(i, [1.0, float(i) * 0.01], i) for i in range(8)]  # unique labels
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = mrr_eval(df, "embedding", "vec_id", "label", n_queries=3, k=4).collect()
+    assert all(r["first_hit_rank"] == 0 and r["rr"] == 0.0 for r in out)
+
+
+def test_ece_perfectly_calibrated_and_miscalibrated(spark):
+    from opl_spark.operators.evaluate import ece_binned
+
+    # prediction 0.75 in a bin where 75% of rows are positive -> gap 0
+    rows = [(0.75, 1)] * 3 + [(0.75, 0)]
+    df = spark.createDataFrame(rows, "p double, y long")
+    r = ece_binned(df, F.col("p"), F.col("y")).collect()[0]
+    assert r["n"] == 4 and r["ece"] == 0.0
+    # prediction 0.9 but nothing positive -> ECE = 0.9
+    df2 = spark.createDataFrame([(0.9, 0)] * 5, "p double, y long")
+    r2 = ece_binned(df2, F.col("p"), F.col("y")).collect()[0]
+    assert r2["ece"] == 0.9 and r2["worst_bin"] == 9
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from opl_spark.operators.evaluate import psi_drift
+
+    rows = [(float(v), s) for v in range(0, 100, 5) for s in (0, 1)]
+    df = spark.createDataFrame(rows, "value double, cur long")
+    r = psi_drift(df, F.col("value"), F.col("cur") == 1, 25.0, 4).collect()[0]
+    assert r["n_ref"] == r["n_cur"] == 20
+    assert abs(r["psi"]) < 1e-9
+
+
+def test_psi_shifted_distribution_is_positive(spark):
+    from opl_spark.operators.evaluate import psi_drift
+
+    ref = [(float(v % 50), 0) for v in range(100)]
+    cur = [(float(50 + v % 50), 1) for v in range(100)]
+    df = spark.createDataFrame(ref + cur, "value double, cur long")
+    r = psi_drift(df, F.col("value"), F.col("cur") == 1, 25.0, 4).collect()[0]
+    assert r["psi"] > 1.0  # full mass shift -> huge PSI

@@ -253,6 +253,8 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_kneser_ney",
         # 1-row confusion totals x 1-row marginal-product broadcast
         "q_cohens_kappa",
+        # 1-row bin-total broadcast onto the 20-row bin table
+        "q_psi_drift",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
