@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "q_ece",
     "q_psi_drift",
     "q_l_diversity",
+    "q_bitmap_count",
+    "q_rollup_route",
 ]
 
 

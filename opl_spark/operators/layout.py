@@ -150,3 +150,52 @@ def write_with_bloom(
             f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
         )
     w.parquet(path)
+
+
+#: Bits per bitmap word.  62, not 64: DuckDB raises on a BIGINT left
+#: shift past bit 62 (1 << 63 overflows the signed range), so a
+#: 62-bit word keeps every shift — and every OR/AND result — valid
+#: and positive in BOTH engines, which is what lets the oracle replay
+#: bitmaps value-for-value.
+BITMAP_WORD_BITS = 62
+
+
+def bitmap_index(df: DataFrame, id_col: str, predicate: Column) -> DataFrame:
+    """Word-bucketed bitmap of the ids satisfying ``predicate``:
+    one ``(word, bits)`` row per 62-id block with any member — the
+    classic low-cardinality OLAP index shape (one bitmap per dimension
+    value; set algebra instead of row scans).
+
+    Shape: map-only bit math (literal-width shifts, codegen'd) + one
+    combinable ``bit_or`` aggregate keyed on the word — the index is
+    ~|ids|/62 rows and unions/intersections of MANY predicates become
+    word-keyed joins over it.  Ids must be non-negative.
+    """
+    return (
+        df.filter(predicate)
+        .select(
+            F.expr(f"{id_col} DIV {BITMAP_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({id_col} % {BITMAP_WORD_BITS} AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+
+
+def bitmap_and(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Intersection of two bitmap indexes: word-keyed inner join +
+    per-word AND, empty words dropped.  Emits
+    ``(word, bits, n_bits)`` — ``SUM(n_bits)`` is the predicate
+    conjunction's exact count without touching the base table."""
+    bj = a.select("word", F.col("bits").alias("ba")).join(
+        b.select("word", F.col("bits").alias("bb")), "word"
+    )
+    anded = bj.select(
+        "word", (F.col("ba").bitwiseAND(F.col("bb"))).alias("bits")
+    ).filter(F.col("bits") != 0)
+    return anded.select(
+        "word", "bits", F.expr("CAST(bit_count(bits) AS BIGINT)").alias("n_bits")
+    )

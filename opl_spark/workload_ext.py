@@ -10300,3 +10300,86 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_sensitive"),
     )
     return g.filter(F.col("n_sensitive") < 3)
+
+
+@register(
+    "q_bitmap_count",
+    oracle="""
+WITH seg AS (
+    SELECT c_custkey // 62 AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(c_custkey % 62 AS INTEGER)) AS bits
+    FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1
+),
+nat AS (
+    SELECT c_custkey // 62 AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(c_custkey % 62 AS INTEGER)) AS bits
+    FROM customer WHERE c_nationkey < 10 GROUP BY 1
+),
+j AS (
+    SELECT s.word, s.bits & n.bits AS bits
+    FROM seg s JOIN nat n ON n.word = s.word
+)
+SELECT word, bits, CAST(bit_count(bits) AS BIGINT) AS n_bits
+FROM j WHERE bits <> 0
+""",
+)
+def q_bitmap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index predicate intersection: 62-bit word bitmaps of
+    segment='BUILDING' and nationkey<10 customers, ANDed word-by-word
+    — SUM(n_bits) is the conjunction count with zero base-table
+    re-scans (the low-cardinality OLAP index; see
+    operators/layout.py:bitmap_index).  Emitting the per-word bitmaps
+    makes the whole index oracle-replayable, not just the count."""
+    from opl_spark.operators.layout import bitmap_and, bitmap_index
+
+    cust = load_table(spark, sf_dir, "customer")
+    seg = bitmap_index(cust, "c_custkey", F.col("c_mktsegment") == "BUILDING")
+    nat = bitmap_index(cust, "c_custkey", F.col("c_nationkey") < 10)
+    return bitmap_and(seg, nat)
+
+
+@register(
+    "q_rollup_route",
+    oracle="""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS bucket,
+       l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS revenue
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def q_rollup_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grain-routed cube query: monthly revenue by returnflag answered
+    from the materialized DAY-grain rollup (built once as a bucketed
+    catalog table; |days x flags| rows re-aggregate instead of the
+    fact stream — the materialized-view accelerator the reference's
+    one-grain-per-fact cubes imply at 100 TB).  DECIMAL partials
+    re-sum exactly, so routing is invisible to the oracle (the direct
+    fact aggregation).  Routing policy + exactness are pinned by
+    tests/test_rollup_router.py."""
+    from opl_spark.rollup import build_time_rollup, rollup_answer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    build_time_rollup(
+        li.withColumn("ship_ts", F.col("l_shipdate").cast("timestamp")),
+        "ship_ts",
+        ["l_returnflag"],
+        {"revenue_dec": F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))},
+        table="opl_rollup_lineitem_day",
+        grain="day",
+    )
+    out = rollup_answer(
+        spark,
+        {"day": "opl_rollup_lineitem_day"},
+        "month",
+        ["l_returnflag"],
+        ["revenue_dec"],
+    )
+    return out.select(
+        "bucket",
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("revenue_dec").cast("double"), 2).alias("revenue"),
+    )

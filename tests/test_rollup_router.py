@@ -1,0 +1,126 @@
+"""Materialized time-grain rollup routing (opl_spark/rollup.py) and
+the bitmap index (operators/layout.py) — routing policy, exactness
+against the direct fact aggregation, and the routed plan's scan
+source."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opl_spark.rollup import GRAINS, build_time_rollup, grain_col, route, rollup_answer
+from opl_spark.sources import load_table
+
+
+def test_route_picks_coarsest_servable_grain():
+    assert route("month", ["day"]) == "day"
+    assert route("month", ["day", "month"]) == "month"
+    assert route("year", ["day", "month", "quarter"]) == "quarter"
+    assert route("day", ["day"]) == "day"
+    # everything materialized is too coarse -> fact fallback
+    assert route("day", ["month", "year"]) is None
+    assert route("month", ["quarter"]) is None
+    with pytest.raises(ValueError):
+        route("week", ["day"])
+
+
+def test_grain_lattice_is_finest_first():
+    assert GRAINS == ("day", "month", "quarter", "year")
+
+
+def test_routed_answer_equals_direct_fact_aggregation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_ts", F.col("l_shipdate").cast("timestamp")
+    )
+    build_time_rollup(
+        li,
+        "ship_ts",
+        ["l_returnflag"],
+        {"revenue_dec": F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))},
+        table="opl_rollup_test_day",
+        grain="day",
+    )
+    for requested in ("month", "quarter", "year"):
+        routed = rollup_answer(
+            spark,
+            {"day": "opl_rollup_test_day"},
+            requested,
+            ["l_returnflag"],
+            ["revenue_dec"],
+        )
+        direct = li.groupBy(
+            grain_col(F.col("ship_ts"), requested).alias("bucket"), "l_returnflag"
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "revenue_dec"
+            ),
+        )
+        key = lambda r: (str(r["bucket"]), r["l_returnflag"])
+        got = {key(r): (r["n_rows"], r["revenue_dec"]) for r in routed.collect()}
+        want = {key(r): (r["n_rows"], r["revenue_dec"]) for r in direct.collect()}
+        assert got == want, requested
+
+
+def test_routed_plan_scans_rollup_not_fact(spark, sf_dir):
+    """The whole point: the routed query's scan reads the summary
+    table, not the lineitem fact files."""
+    from opl_spark.plans import formatted_plan
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_ts", F.col("l_shipdate").cast("timestamp")
+    )
+    build_time_rollup(
+        li,
+        "ship_ts",
+        ["l_returnflag"],
+        {"revenue_dec": F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))},
+        table="opl_rollup_test_day2",
+        grain="day",
+    )
+    routed = rollup_answer(
+        spark, {"day": "opl_rollup_test_day2"}, "month",
+        ["l_returnflag"], ["revenue_dec"],
+    )
+    plan = formatted_plan(routed)
+    assert "opl_rollup_test_day2" in plan
+    assert "lineitem" not in plan.lower()
+
+
+def test_rollup_answer_raises_without_servable_grain(spark):
+    with pytest.raises(ValueError, match="no materialization"):
+        rollup_answer(spark, {"month": "t"}, "day", [], [])
+
+
+# ---------------------------------------------------------------------------
+# bitmap index
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_and_counts_match_direct_predicate(spark, sf_dir):
+    from opl_spark.operators.layout import bitmap_and, bitmap_index
+
+    cust = load_table(spark, sf_dir, "customer")
+    seg = bitmap_index(cust, "c_custkey", F.col("c_mktsegment") == "BUILDING")
+    nat = bitmap_index(cust, "c_custkey", F.col("c_nationkey") < 10)
+    both = bitmap_and(seg, nat)
+    got = both.agg(F.sum("n_bits")).collect()[0][0] or 0
+    want = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") < 10)
+    ).count()
+    assert got == want and want > 0
+
+
+def test_bitmap_words_stay_positive(spark):
+    """62-bit words: no shift ever reaches the sign bit, so bitmap
+    values replay in DuckDB (which raises on BIGINT << 63)."""
+    from opl_spark.operators.layout import BITMAP_WORD_BITS, bitmap_index
+
+    assert BITMAP_WORD_BITS == 62
+    df = spark.range(200).select(F.col("id"))
+    bm = bitmap_index(df, "id", F.lit(True))
+    rows = bm.collect()
+    assert all(r["bits"] > 0 for r in rows)
+    # every id accounted for exactly once
+    total = sum(bin(r["bits"]).count("1") for r in rows)
+    assert total == 200
