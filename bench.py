@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "q_l_diversity",
     "q_bitmap_count",
     "q_rollup_route",
+    "q_vad_segments",
 ]
 
 

@@ -72,6 +72,7 @@ from opl_spark.operators.multimodal import (  # noqa: F401
     decode_images,
     media_metadata,
     resize_images,
+    vad_segments,
     with_media_column,
 )
 from opl_spark.operators.sketch import (  # noqa: F401

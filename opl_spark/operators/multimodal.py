@@ -484,3 +484,52 @@ def video_scene_changes(
             F.count(F.lit(1)).alias("n_frames"),
         )
     )
+
+
+def vad_segments(
+    frames: DataFrame, threshold: float = 1.0, id_col: str = "media_id"
+) -> DataFrame:
+    """Voice-activity segments from framed energies: consecutive
+    frames at-or-above ``threshold`` merge into one segment per run
+    (gaps-and-islands: ``frame − row_number`` is constant within a
+    run) — the silence-trimming step an audio training pipeline runs
+    between feature extraction and chunking.  Input is
+    :func:`audio_frame_energy` output (or any ``(id, frame, energy)``
+    frame table, batch or foreachBatch micro-batch).
+
+    Exactness: energies arrive round-6 quantized, so re-quantizing to
+    micro-units makes per-segment sums exact BIGINTs; the mean is one
+    fixed-sequence division.  The only window is per-MEDIA (partitioned
+    ranking, island arithmetic is map-side).  Emits
+    ``(media_id, seg_start, seg_end, n_frames, mean_energy)``.
+    """
+    from pyspark.sql.window import Window
+
+    act = frames.filter(F.col("energy") >= threshold).select(
+        F.col(id_col),
+        F.col("frame"),
+        F.floor(F.col("energy") * 1000000 + F.lit(0.5)).cast("long").alias("e6"),
+    )
+    w = Window.partitionBy(id_col).orderBy("frame")
+    isl = act.withColumn("g", F.col("frame") - F.row_number().over(w))
+    segs = isl.groupBy(id_col, "g").agg(
+        F.min("frame").cast("int").alias("seg_start"),
+        F.max("frame").cast("int").alias("seg_end"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("e6").alias("se6"),
+    )
+    # mean at 6 decimals via integer HALF-UP division — a float
+    # `round(sum/n, 6)` sits exactly on the .5 boundary whenever n∤sum
+    # by a half and the two engines' round() disagree there (observed:
+    # 2092.9042965 → …297 vs …296); (2s+n)//(2n) on positive BIGINTs
+    # is boundary-free and identical everywhere
+    return segs.select(
+        id_col,
+        "seg_start",
+        "seg_end",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        (
+            F.expr("(2 * se6 + n_frames) DIV (2 * n_frames)").cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_energy"),
+    )

@@ -4248,7 +4248,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AUDIO_ENERGY_ORACLE = """
+_AUDIO_FRAMES_CTE = """
 WITH m AS MATERIALIZED (
     SELECT doc_id AS media_id, text, len(text) AS n FROM documents
 ),
@@ -4281,7 +4281,9 @@ re AS MATERIALIZED (
                   WHEN (k * 15625) % 4 < 2 THEN 0
                   ELSE ((k * 15625) // 4) % 2 END AS e6
     FROM sq
-)
+)"""
+
+_AUDIO_ENERGY_ORACLE = _AUDIO_FRAMES_CTE + """
 SELECT media_id, CAST(frame AS INTEGER) AS frame,
        CAST(e6 AS DOUBLE) / 1000000.0 AS energy,
        (e6 < 1000000) AS is_silence
@@ -10383,3 +10385,45 @@ def q_rollup_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.round(F.col("revenue_dec").cast("double"), 2).alias("revenue"),
     )
+
+
+@register(
+    "q_vad_segments",
+    oracle=_AUDIO_FRAMES_CTE + """,
+act AS (SELECT media_id, frame, e6 FROM re WHERE e6 >= 1000000),
+isl AS (
+    SELECT media_id, frame, e6,
+           frame - row_number() OVER (PARTITION BY media_id ORDER BY frame) AS g
+    FROM act
+),
+seg AS (
+    SELECT media_id,
+           CAST(MIN(frame) AS INTEGER) AS seg_start,
+           CAST(MAX(frame) AS INTEGER) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(e6) AS BIGINT) AS se6
+    FROM isl GROUP BY media_id, g
+)
+-- integer half-up mean (positive, so // == floor): float round(x, 6)
+-- lands exactly on .5 half the time n=2 and the engines disagree there
+SELECT media_id, seg_start, seg_end, n_frames,
+       CAST((2 * se6 + n_frames) // (2 * n_frames) AS DOUBLE) / 1000000.0
+           AS mean_energy
+FROM seg
+""",
+)
+def q_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments over the framed stand-in audio:
+    consecutive non-silence frames merge into (start, end, mean
+    energy) runs — silence trimming as gaps-and-islands over the
+    frame table, per-media windows only (see
+    operators/multimodal.py:vad_segments)."""
+    from opl_spark.operators.multimodal import (
+        audio_frame_energy,
+        vad_segments,
+        with_media_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = audio_frame_energy(with_media_column(docs, "text", "doc_id"))
+    return vad_segments(frames)

@@ -228,3 +228,36 @@ def test_sentence_dedup_drops_boilerplate_keeps_order(spark):
     assert out[2]["clean_text"] == "delta point"
     assert out[3]["n_dropped"] == 0
     assert out[3]["clean_text"] == "entirely unique document text"
+
+
+def test_vad_segments_islands_and_half_up_mean(spark):
+    from opl_spark.operators.multimodal import vad_segments
+
+    rows = [
+        # media 1: frames 0-1 active, 2 silent, 3 active
+        (1, 0, 2.0), (1, 1, 3.0), (1, 2, 0.5), (1, 3, 5.0),
+        # media 2: all silent
+        (2, 0, 0.1), (2, 1, 0.2),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, frame int, energy double")
+    out = {
+        (r["media_id"], r["seg_start"]): r
+        for r in vad_segments(df, threshold=1.0).collect()
+    }
+    assert set(out) == {(1, 0), (1, 3)}
+    seg = out[(1, 0)]
+    assert seg["seg_end"] == 1 and seg["n_frames"] == 2
+    assert seg["mean_energy"] == 2.5
+    assert out[(1, 3)]["n_frames"] == 1 and out[(1, 3)]["mean_energy"] == 5.0
+
+
+def test_vad_segment_mean_is_half_up_at_boundary(spark):
+    from opl_spark.operators.multimodal import vad_segments
+
+    # two frames summing to an ODD micro total -> mean sits exactly on
+    # the .5 micro boundary; the integer half-up division must round UP
+    rows = [(1, 0, 1.000001), (1, 1, 2.000002)]
+    df = spark.createDataFrame(rows, "media_id long, frame int, energy double")
+    r = vad_segments(df, threshold=1.0).collect()[0]
+    # (1000001 + 2000002) / 2 = 1500001.5 micro -> 1500002
+    assert r["mean_energy"] == 1.500002
