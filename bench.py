@@ -250,6 +250,9 @@ BENCH_QUERIES = [
     "q_bitmap_count",
     "q_rollup_route",
     "q_vad_segments",
+    "q_feature_hash",
+    "q_heldout_perplexity",
+    "q_label_noise",
 ]
 
 

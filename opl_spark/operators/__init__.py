@@ -60,6 +60,7 @@ from opl_spark.operators.sampling import (  # noqa: F401
 from opl_spark.operators.evaluate import (  # noqa: F401
     cohens_kappa,
     ece_binned,
+    label_noise,
     mrr_eval,
     mrr_weight_micro,
     ndcg_weight_micro,
@@ -164,6 +165,8 @@ from opl_spark.operators.text import (  # noqa: F401
     pmi_bigrams,
     positional_postings,
     quantile_buckets,
+    feature_hash,
+    heldout_perplexity,
     kneser_ney_logprob,
     readability_scores,
     unigram_logprob,

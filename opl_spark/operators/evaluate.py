@@ -398,3 +398,59 @@ def psi_drift(
         (F.sum("b") - F.count(F.lit(1))).cast("long").alias("n_cur"),
         F.round(F.sum("t").cast("double") / F.lit(1000000000.0), 6).alias("psi"),
     )
+
+
+def label_noise(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    n_queries: int = 100,
+    k: int = 5,
+    min_disagree: int = 4,
+) -> DataFrame:
+    """Neighborhood-vote mislabel screen (the confident-learning
+    heuristic): a vector whose ``k`` nearest neighbors mostly carry a
+    DIFFERENT label is a labeling-error candidate — the complement of
+    :func:`label_centroid_outliers` (far-from-own-class vs
+    surrounded-by-other-classes; a point can be either without the
+    other).
+
+    Same scale machinery as the retrieval metrics: knn_join shortlists
+    for the ``n_queries`` lowest ids, per-query k-sized windows, all
+    integer counts.  Emits ``(vec_id, label, n_disagree)`` for
+    candidates with ≥ ``min_disagree`` disagreeing neighbors.
+    """
+    from opl_spark.operators.similarity import knn_join
+
+    qrows = (
+        df.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .orderBy(id_col)
+        .limit(n_queries)
+        .collect()
+    )
+    queries = [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in qrows]
+    qlabels = df.sparkSession.createDataFrame(
+        [(int(r[id_col]), r[label_col]) for r in qrows], ["qid", "qlabel"]
+    )
+    nn = knn_join(df, vec_col, id_col, queries, k=k + 1).filter(
+        F.col("id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "id")
+    ranked = nn.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    pool_labels = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("nlabel"))
+    votes = (
+        ranked.join(pool_labels, "id")
+        .join(F.broadcast(qlabels), "qid")
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum((F.col("nlabel") != F.col("qlabel")).cast("long")).alias(
+                "n_disagree"
+            )
+        )
+    )
+    return votes.filter(F.col("n_disagree") >= min_disagree).select(
+        F.col("qid").alias("vec_id"),
+        F.col("qlabel").alias("label"),
+        F.col("n_disagree").cast("long").alias("n_disagree"),
+    )

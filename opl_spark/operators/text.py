@@ -1389,3 +1389,89 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             6,
         ).alias("avg_nll"),
     )
+
+
+def feature_hash(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 64
+) -> DataFrame:
+    """Hashing-trick text features (Weinberger et al. 2009): each
+    token hashes to one of ``dim`` buckets with a ±1 sign from an
+    independent hash bit, and a document's feature value is the signed
+    count sum — fixed-width model inputs with no vocabulary state at
+    all (the property that matters at 100 TB: no fit step, no
+    dictionary broadcast, new tokens never resize anything).
+
+    Portable-md5 hash family (the oracle-replayable choice — xxhash64
+    stays the default elsewhere for speed): bucket = h % dim, sign =
+    bit 6+ of the same hash.  Map-only + one combinable (doc, bucket)
+    aggregate; emits sparse ``(doc, bucket, v)`` rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    hashed = toks.select("doc", h.alias("h"))  # stage once (HOF/CSE rule)
+    staged = hashed.select(
+        "doc",
+        (F.col("h") % dim).alias("bucket"),
+        F.when(F.expr(f"(h DIV {dim}) % 2") == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    return staged.groupBy("doc", "bucket").agg(
+        F.sum("s").cast("long").alias("v")
+    )
+
+
+def heldout_perplexity(
+    df: DataFrame, text_col: str, id_col: str, train_mod: int = 10, train_lt: int = 8
+) -> DataFrame:
+    """Held-out LM evaluation with proper train/test discipline: an
+    add-one-smoothed unigram model fits on the TRAIN split
+    (``id % train_mod < train_lt``) and scores the VAL split — the
+    corpus-self LM scores (unigram_logprob etc.) flatter themselves;
+    this is the number a data-quality gate should threshold on.
+
+        nll(tok) = −ln((c_train + 1) / (tot_train + V_train))
+
+    with V the train vocabulary size (unseen val tokens get the c=0
+    mass).  Exactness: the probability is one fixed division of
+    BIGINTs, each token's nll is micro-quantized before the per-doc
+    sum.  Shape: one train vocab count, a 1-row (tot, V) broadcast,
+    one LEFT hash join of val tokens onto the vocab.  Emits
+    ``(doc, n_tokens, n_unseen, avg_nll)`` for val docs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    train = toks.filter((F.col("doc") % train_mod) < train_lt)
+    val = toks.filter((F.col("doc") % train_mod) >= train_lt)
+    vocab = train.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("v")
+    )
+    scored = val.join(vocab, "tok", "left").crossJoin(F.broadcast(totals))
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (
+        F.col("tot") + F.col("v")
+    ).cast("double")
+    q = F.floor(F.log(p) * 1000000 + F.lit(0.5)).cast("long")
+    per_doc = scored.select(
+        "doc", q.alias("q"), F.col("c").isNull().cast("long").alias("unseen")
+    ).groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("unseen").alias("n_unseen"),
+        F.sum("q").alias("sq"),
+    )
+    return per_doc.select(
+        "doc",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unseen").cast("long").alias("n_unseen"),
+        F.round(
+            (-F.col("sq")).cast("double")
+            / F.col("n_tokens").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_nll"),
+    )

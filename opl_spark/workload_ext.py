@@ -10427,3 +10427,124 @@ def q_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     frames = audio_frame_energy(with_media_column(docs, "text", "doc_id"))
     return vad_segments(frames)
+
+
+@register(
+    "q_feature_hash",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS doc,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc,
+           CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS BIGINT) AS h
+    FROM toks WHERE tok <> ''
+)
+SELECT doc, CAST(h % 64 AS BIGINT) AS bucket,
+       CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+FROM hashed GROUP BY 1, 2
+""",
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick features: 64 signed-count buckets per document
+    from the portable md5 hash — fixed-width model inputs with ZERO
+    vocabulary state (no fit step, no dictionary broadcast; the
+    feature extractor that still works when the corpus is 100 TB and
+    streaming).  Map-only + one combinable aggregate (see
+    operators/text.py:feature_hash)."""
+    from opl_spark.operators.text import feature_hash
+
+    return feature_hash(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q_heldout_perplexity",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS doc,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+),
+tk AS (SELECT doc, tok FROM toks WHERE tok <> ''),
+vocab AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tk WHERE doc % 10 < 8 GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS v
+    FROM vocab
+),
+scored AS (
+    SELECT t.doc,
+           CAST(floor(ln(CAST(COALESCE(vo.c, 0) + 1 AS DOUBLE)
+                         / CAST(tt.tot + tt.v AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS q,
+           CASE WHEN vo.c IS NULL THEN 1 ELSE 0 END AS unseen
+    FROM tk t
+    LEFT JOIN vocab vo ON vo.tok = t.tok
+    CROSS JOIN tot tt
+    WHERE t.doc % 10 >= 8
+)
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+       ROUND(CAST(-SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6)
+           AS avg_nll
+FROM scored GROUP BY doc
+""",
+)
+def q_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation: add-one unigram model fit on the
+    doc_id%10<8 TRAIN split scores the VAL split — the quality-gate
+    number corpus-self scores flatter (train/test discipline inside
+    one query; see operators/text.py:heldout_perplexity)."""
+    from opl_spark.operators.text import heldout_perplexity
+
+    return heldout_perplexity(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def _label_noise_oracle(n_queries: int = 100, k: int = 5, min_disagree: int = 4) -> str:
+    return f"""
+WITH pool AS MATERIALIZED (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+q AS MATERIALIZED (
+    SELECT id AS qid, v AS qv, label AS qlabel FROM pool ORDER BY id LIMIT {n_queries}
+),
+scored AS MATERIALIZED (
+    SELECT q.qid, q.qlabel, p.id, p.label,
+           ROUND(list_dot_product(p.v, q.qv)
+                 / (sqrt(list_dot_product(p.v, p.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+    FROM pool p CROSS JOIN q WHERE p.id <> q.qid
+),
+ranked AS (
+    SELECT qid, qlabel, label,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS r
+    FROM scored
+),
+votes AS (
+    SELECT qid, qlabel,
+           CAST(SUM(CASE WHEN label <> qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_disagree
+    FROM ranked WHERE r <= {k} GROUP BY 1, 2
+)
+SELECT qid AS vec_id, qlabel AS label, n_disagree
+FROM votes WHERE n_disagree >= {min_disagree}
+"""
+
+
+@register("q_label_noise", oracle=_label_noise_oracle())
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel candidates by neighborhood vote: the 100 lowest-id
+    vectors whose top-5 cosine neighbors mostly carry a DIFFERENT
+    label (≥ 4/5 disagreement) — the confident-learning screen,
+    complementing q_embedding_outliers (see
+    operators/evaluate.py:label_noise)."""
+    from opl_spark.operators.evaluate import label_noise
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_noise(emb, "embedding", "vec_id", "label")

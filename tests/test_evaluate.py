@@ -333,3 +333,57 @@ def test_psi_shifted_distribution_is_positive(spark):
     df = spark.createDataFrame(ref + cur, "value double, cur long")
     r = psi_drift(df, F.col("value"), F.col("cur") == 1, 25.0, 4).collect()[0]
     assert r["psi"] > 1.0  # full mass shift -> huge PSI
+
+
+# ---------------------------------------------------------------------------
+# feature hashing / held-out perplexity / label noise
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hash_fixed_width_and_signed(spark):
+    from opl_spark.operators.text import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")], "doc_id long, text string"
+    )
+    rows = feature_hash(df, "text", "doc_id", dim=8).collect()
+    assert all(0 <= r["bucket"] < 8 for r in rows)
+    # 'alpha' appears twice -> its bucket's |v| for doc 1 is 2 (same sign)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc"], []).append(abs(r["v"]))
+    assert 2 in by_doc[1]
+    # deterministic across calls
+    again = feature_hash(df, "text", "doc_id", dim=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_heldout_perplexity_scores_only_val_and_penalizes_unseen(spark):
+    from opl_spark.operators.text import heldout_perplexity
+
+    rows = [(i, "common words here") for i in range(8)]  # train: ids 0-7
+    rows += [(8, "common words here"), (9, "xylophone quux")]  # val
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in heldout_perplexity(df, "text", "doc_id").collect()}
+    assert set(out) == {8, 9}
+    assert out[8]["n_unseen"] == 0 and out[9]["n_unseen"] == 2
+    # unseen-token doc must score strictly worse
+    assert out[9]["avg_nll"] > out[8]["avg_nll"]
+
+
+def test_label_noise_flags_planted_mislabel(spark):
+    from opl_spark.operators.evaluate import label_noise
+
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]
+        lab = i % 2
+        if i == 0:
+            lab = 1  # planted wrong label inside cluster 0
+        rows.append((i, [base[0] + 0.001 * i, base[1], 0.01], lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = label_noise(df, "embedding", "vec_id", "label", n_queries=20, k=5)
+    flagged = {r["vec_id"] for r in out.collect()}
+    assert 0 in flagged
+    # correctly-labeled cluster cores are not flagged
+    assert 4 not in flagged and 5 not in flagged

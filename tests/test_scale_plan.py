@@ -255,6 +255,8 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_cohens_kappa",
         # 1-row bin-total broadcast onto the 20-row bin table
         "q_psi_drift",
+        # 1-row train-vocab (tot, V) broadcast onto the val token stream
+        "q_heldout_perplexity",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
