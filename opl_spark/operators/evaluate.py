@@ -118,11 +118,20 @@ def cohens_kappa(df: DataFrame, rater_a: Column, rater_b: Column) -> DataFrame:
         F.round(
             F.col("s").cast("double") / (F.col("n") * F.col("n")).cast("double"), 6
         ).alias("pe"),
-        F.round(
-            (F.col("n") * F.col("d") - F.col("s")).cast("double")
-            / (F.col("n") * F.col("n") - F.col("s")).cast("double"),
-            6,
-        ).alias("kappa"),
+        # degenerate pe == 1 (both raters constant): kappa is 0/0 —
+        # define it as perfect agreement ? 1 : 0 instead of dividing
+        F.when(
+            F.col("n") * F.col("n") == F.col("s"),
+            F.when(F.col("d") == F.col("n"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        .otherwise(
+            F.round(
+                (F.col("n") * F.col("d") - F.col("s")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("s")).cast("double"),
+                6,
+            )
+        )
+        .alias("kappa"),
     )
 
 

@@ -9969,8 +9969,11 @@ t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
 SELECT n, d AS n_agree,
        ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
        ROUND(CAST((SELECT s FROM s) AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
-       ROUND(CAST(n * d - (SELECT s FROM s) AS DOUBLE)
-             / CAST(n * n - (SELECT s FROM s) AS DOUBLE), 6) AS kappa
+       CASE WHEN n * n = (SELECT s FROM s)
+            THEN CASE WHEN d = n THEN 1.0 ELSE 0.0 END
+            ELSE ROUND(CAST(n * d - (SELECT s FROM s) AS DOUBLE)
+                       / CAST(n * n - (SELECT s FROM s) AS DOUBLE), 6)
+       END AS kappa
 FROM t
 """,
 )

@@ -131,3 +131,106 @@ def test_pack_sequences_contiguous_and_ordered(spark, n_tok, budget):
     for seqs in per_shard.values():
         assert seqs[0] == 0
         assert all(a <= b for a, b in zip(seqs, seqs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# round-5 metric invariants (evaluate.py / sampling.py)
+# ---------------------------------------------------------------------------
+
+_scored_rows = st.lists(
+    st.tuples(st.integers(-50, 50), st.booleans()), min_size=4, max_size=30
+).filter(lambda rs: any(y for _, y in rs) and any(not y for _, y in rs))
+
+
+@settings(**_SETTINGS)
+@given(rows=_scored_rows)
+def test_auc_invariant_under_monotone_affine_rescale(spark, rows):
+    """Rank statistics see only the ORDER of scores: AUC(2s+3) == AUC(s).
+    (Integer scores, so quantization preserves ties exactly.)"""
+    from opl_spark.operators.evaluate import roc_auc_binned
+
+    base = [(float(s), int(y)) for s, y in rows]
+    moved = [(2.0 * s + 3.0, y) for s, y in base]
+    a1 = roc_auc_binned(
+        spark.createDataFrame(base, "s double, y long"), F.col("s"), F.col("y")
+    ).collect()[0]["auc"]
+    a2 = roc_auc_binned(
+        spark.createDataFrame(moved, "s double, y long"), F.col("s"), F.col("y")
+    ).collect()[0]["auc"]
+    assert a1 == a2
+
+
+@settings(**_SETTINGS)
+@given(rows=_scored_rows)
+def test_auc_of_flipped_labels_complements_to_one(spark, rows):
+    """AUC(s, y) + AUC(s, ¬y) == 1 — midrank tie handling keeps the
+    identity exact, not just approximate."""
+    from opl_spark.operators.evaluate import roc_auc_binned
+
+    base = [(float(s), int(y)) for s, y in rows]
+    flip = [(s, 1 - y) for s, y in base]
+    a = roc_auc_binned(
+        spark.createDataFrame(base, "s double, y long"), F.col("s"), F.col("y")
+    ).collect()[0]["auc"]
+    b = roc_auc_binned(
+        spark.createDataFrame(flip, "s double, y long"), F.col("s"), F.col("y")
+    ).collect()[0]["auc"]
+    assert abs(a + b - 1.0) <= 2e-6, (a, b)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abc")),
+        min_size=3,
+        max_size=30,
+    )
+)
+def test_kappa_is_symmetric_in_raters(spark, rows):
+    from opl_spark.operators.evaluate import cohens_kappa
+
+    df = spark.createDataFrame(rows, "a string, b string")
+    k_ab = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]["kappa"]
+    k_ba = cohens_kappa(df, F.col("b"), F.col("a")).collect()[0]["kappa"]
+    assert k_ab == k_ba
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 99), st.booleans()), min_size=4, max_size=40
+    ).filter(lambda rs: any(y for _, y in rs) and any(not y for _, y in rs))
+)
+def test_psi_is_symmetric_under_side_swap(spark, rows):
+    """(p−q)·ln(p/q) is symmetric in (p, q): swapping which side is
+    'reference' must not change PSI (up to the nano quantization)."""
+    from opl_spark.operators.evaluate import psi_drift
+
+    df = spark.createDataFrame(
+        [(float(v), bool(y)) for v, y in rows], "value double, cur boolean"
+    )
+    p1 = psi_drift(df, F.col("value"), F.col("cur"), 25.0, 4).collect()[0]["psi"]
+    p2 = psi_drift(df, F.col("value"), ~F.col("cur"), 25.0, 4).collect()[0]["psi"]
+    assert abs(p1 - p2) <= 2e-9, (p1, p2)
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(5, 40),
+    n_domains=st.integers(1, 4),
+)
+def test_curriculum_keys_strictly_increase_within_domain(spark, n, n_domains):
+    from opl_spark.operators.sampling import curriculum_interleave
+
+    rows = [(i, f"dom{i % n_domains}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curriculum_interleave(df, "doc_id", "source").collect()
+    assert len(out) == n
+    assert all(1 <= r["weight"] <= 4 and r["sched_key"] > 0 for r in out)
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["grp"], []).append((r["r"], r["sched_key"]))
+    for seq in by_dom.values():
+        seq.sort()
+        keys = [k for _, k in seq]
+        assert keys == sorted(keys) and len(set(keys)) == len(keys)
