@@ -66,15 +66,23 @@ def roc_auc_binned(
     )
     w = Window.orderBy("qs").rowsBetween(Window.unboundedPreceding, -1)
     cum = bins.withColumn("neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    # Degenerate single-class guard: with n_pos*n_neg = 0 the
+    # Mann-Whitney denominator vanishes; emit the chance value 0.5
+    # (defined, visible) rather than a silent NULL.
     return cum.agg(
         F.sum("pos").alias("n_pos"),
         F.sum("neg").alias("n_neg"),
-        F.round(
-            F.sum(2 * F.col("pos") * F.col("neg_below") + F.col("pos") * F.col("neg"))
-            .cast("double")
-            / (2 * F.sum("pos") * F.sum("neg")).cast("double"),
-            6,
-        ).alias("auc"),
+        F.when(F.sum("pos") * F.sum("neg") == 0, F.lit(0.5))
+        .otherwise(
+            F.round(
+                F.sum(
+                    2 * F.col("pos") * F.col("neg_below") + F.col("pos") * F.col("neg")
+                ).cast("double")
+                / (2 * F.sum("pos") * F.sum("neg")).cast("double"),
+                6,
+            )
+        )
+        .alias("auc"),
     )
 
 
@@ -331,9 +339,14 @@ def ece_binned(
     staged = df.select(
         q.alias("qp"), label_col.cast("long").alias("y")
     ).select(
-        F.least(
-            F.floor(F.col("qp") * n_bins / 1000000).cast("long"),
-            F.lit(n_bins - 1),
+        # clamp BOTH ends so out-of-range probabilities (p<0 or p>1)
+        # land in the edge bins and the declared n_bins bound holds
+        F.greatest(
+            F.least(
+                F.floor(F.col("qp") * n_bins / 1000000).cast("long"),
+                F.lit(n_bins - 1),
+            ),
+            F.lit(0).cast("long"),
         ).alias("bin"),
         "qp",
         "y",
@@ -378,9 +391,14 @@ def psi_drift(
     Emits one row ``(n_ref, n_cur, psi)``.
     """
     staged = df.select(
-        F.least(
-            F.floor(value_col.cast("double") / F.lit(bin_width)).cast("long"),
-            F.lit(n_bins - 1),
+        # two-sided clamp: negative values land in bin 0 instead of
+        # spawning bins below the declared [0, n_bins) range
+        F.greatest(
+            F.least(
+                F.floor(value_col.cast("double") / F.lit(bin_width)).cast("long"),
+                F.lit(n_bins - 1),
+            ),
+            F.lit(0).cast("long"),
         ).alias("bin"),
         split_col.cast("long").alias("cur"),
     )

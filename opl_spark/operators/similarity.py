@@ -1777,9 +1777,15 @@ def label_centroid_outliers(
     cent_rows = [
         (lab, [pos_map[p] for p in sorted(pos_map)]) for lab, pos_map in by_label.items()
     ]
-    cent = df.sparkSession.createDataFrame(
-        cent_rows, "label int, cent array<long>"
-    ).withColumn("label", F.col("label").cast(df.schema[label_col].dataType))
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    cent_schema = StructType(
+        [
+            StructField("label", df.schema[label_col].dataType),
+            StructField("cent", ArrayType(LongType())),
+        ]
+    )
+    cent = df.sparkSession.createDataFrame(cent_rows, cent_schema)
 
     joined = staged.join(F.broadcast(cent), "label")
     d2 = F.aggregate(

@@ -1441,7 +1441,22 @@ def heldout_perplexity(
     sum.  Shape: one train vocab count, a 1-row (tot, V) broadcast,
     one LEFT hash join of val tokens onto the vocab.  Emits
     ``(doc, n_tokens, n_unseen, avg_nll)`` for val docs.
+
+    ``id_col`` must be NUMERIC (the split is ``id % train_mod``, the
+    oracle-replayable gate); a non-numeric id raises loudly here
+    rather than failing with an opaque cast error at analysis time —
+    hash string ids to a long first (the ``curriculum_interleave``
+    portable-md5 pattern) if needed.
     """
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"heldout_perplexity requires a numeric id_col for the "
+            f"'id % {train_mod}' train/val split; got "
+            f"{df.schema[id_col].dataType.simpleString()!r} for {id_col!r} — "
+            "hash string ids to a long (portable md5) before calling."
+        )
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),

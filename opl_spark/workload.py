@@ -127,6 +127,24 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_quality_calibrate", "q_salted_join", "q_pca_project", "q_kfold",
     "q_weighted_sample", "q_regional_revenue", "q_top_unshipped",
     "q_fuzzy_pairs", "q_exact_n_sample", "q_profile",
+    # round 5 (CORRECTNESS_r05.json) — 50/50 green, the first fully
+    # clean driver window.  q_scd2 graduated here (the 2200-01-01
+    # sentinel fix went driver-green) and leaves _RETRY_FIRST.
+    "q_scd2", "q_mask_spans", "q_entity_resolution", "q_audio_energy",
+    "q_peak_concurrency", "q_cube_share", "q_yoy_growth",
+    "q_hopping_window", "q_data_checks", "q_pricing_summary",
+    "q_triangles", "q_winsorized", "q_mode", "q_id_gaps",
+    "q_attribution", "q_ks_drift", "q_benford", "q_variant_extract",
+    "q_unigram_train", "q_unigram_tokenize", "q_negative_pairs",
+    "q_hard_negatives", "q_drill_across", "q_mad_outliers",
+    "q_lang_confusion", "q_temporal_split", "q_class_separation",
+    "q_session_stats", "q_conversion_time", "q_bootstrap_mean",
+    "q_ab_zstat", "q_value_deciles", "q_pit_lookup", "q_basket_rules",
+    "q_moving_avg", "q_cusum_shift", "q_attribution_linear",
+    "q_drill_across_cut", "q_order_priority", "q_customer_distribution",
+    "q_parts_supplier", "q_big_orders", "q_min_cost_supplier",
+    "q_pagerank", "q_image_phash", "q_image_dedup", "q_scene_change",
+    "q_embedding_standardize", "q_kcore", "q_pareto_customers",
 )
 
 # Ids that failed a driver hash check and carry a fix awaiting driver
@@ -134,9 +152,7 @@ _DRIVER_AUDITED: tuple[str, ...] = (
 # 50-id audit window next round.  Remove an id once its
 # CORRECTNESS_r*.json row is green (then add it to _DRIVER_AUDITED).
 _RETRY_FIRST: tuple[str, ...] = (
-    # r4 red: driver's pandas compare path overflows ns timestamps on
-    # the 9999-12-31 Kimball sentinel; re-issued with 2200-01-01.
-    "q_scd2",
+    # (empty — no outstanding driver reds after round 5's 50/50 green.)
 )
 
 

@@ -9934,8 +9934,10 @@ c AS (
     FROM bins
 )
 SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
-       ROUND(CAST(SUM(2 * pos * neg_below + pos * neg) AS DOUBLE)
-             / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE), 6) AS auc
+       CASE WHEN SUM(pos) * SUM(neg) = 0 THEN 0.5
+            ELSE ROUND(CAST(SUM(2 * pos * neg_below + pos * neg) AS DOUBLE)
+                       / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE), 6)
+       END AS auc
 FROM c
 """,
 )
@@ -10190,8 +10192,9 @@ WITH staged AS (
     FROM embeddings
 ),
 binned AS (
-    SELECT least(CAST(floor(CAST(qp * 10 AS DOUBLE) / 1000000.0) AS BIGINT),
-                 9) AS bin, qp, y
+    SELECT greatest(least(CAST(floor(CAST(qp * 10 AS DOUBLE) / 1000000.0)
+                               AS BIGINT),
+                          9), 0) AS bin, qp, y
     FROM staged
 ),
 bins AS (
@@ -10231,7 +10234,8 @@ def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_psi_drift",
     oracle="""
 WITH staged AS (
-    SELECT least(CAST(floor(CAST(value AS DOUBLE) / 25.0) AS BIGINT), 19) AS bin,
+    SELECT greatest(least(CAST(floor(CAST(value AS DOUBLE) / 25.0) AS BIGINT),
+                          19), 0) AS bin,
            CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
                 THEN 1 ELSE 0 END AS cur
     FROM events

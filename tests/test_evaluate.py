@@ -387,3 +387,64 @@ def test_label_noise_flags_planted_mislabel(spark):
     assert 0 in flagged
     # correctly-labeled cluster cores are not flagged
     assert 4 not in flagged and 5 not in flagged
+
+
+# ---------------------------------------------------------------------------
+# round-6 ADVICE guards: degenerate inputs and generic label types
+# ---------------------------------------------------------------------------
+
+
+def test_auc_single_class_emits_half_not_null(spark):
+    # one-class scoring batch: Mann-Whitney denominator is zero; the
+    # guard emits the defined chance value 0.5 instead of a silent NULL
+    r = _auc_of(spark, [(float(i), 1) for i in range(10)])
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (10, 0, 0.5)
+    r2 = _auc_of(spark, [(float(i), 0) for i in range(10)])
+    assert (r2["n_pos"], r2["n_neg"], r2["auc"]) == (0, 10, 0.5)
+
+
+def test_label_centroid_outliers_string_labels(spark):
+    from opl_spark.operators.similarity import label_centroid_outliers
+
+    rows = [(i, [0.1, 0.2], "en") for i in range(6)]
+    rows += [(10 + i, [0.9, -0.3], "it") for i in range(6)]
+    rows.append((99, [7.0, 7.0], "en"))  # planted outlier in class "en"
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = label_centroid_outliers(df, "embedding", "vec_id", "label", topk=1)
+    got = {r["label"]: r["id"] for r in out.collect()}
+    assert got["en"] == 99 and set(got) == {"en", "it"}
+
+
+def test_ece_out_of_range_probability_clamps_to_edge_bins(spark):
+    from opl_spark.operators.evaluate import ece_binned
+
+    # p > 1 and p < 0 must land in bins 9 / 0, never outside [0, n_bins)
+    rows = [(1.7, 1), (-0.4, 0), (0.5, 1), (0.5, 0)]
+    df = spark.createDataFrame(rows, "p double, y long")
+    r = ece_binned(df, F.col("p"), F.col("y")).collect()[0]
+    assert r["n"] == 4 and 0 <= r["worst_bin"] <= 9
+
+
+def test_psi_negative_values_clamp_to_bin_zero(spark):
+    from opl_spark.operators.evaluate import psi_drift
+
+    # identical ref/cur distributions that include negative values:
+    # without the lower clamp these spawn bins below 0 and distort PSI;
+    # with it they fold into bin 0 and PSI stays ~0
+    rows = [(float(v), s) for v in range(-50, 50, 5) for s in (0, 1)]
+    df = spark.createDataFrame(rows, "value double, cur long")
+    r = psi_drift(df, F.col("value"), F.col("cur") == 1, 25.0, 4).collect()[0]
+    assert r["n_ref"] == r["n_cur"] == 20
+    assert abs(r["psi"]) < 1e-9
+
+
+def test_heldout_perplexity_rejects_string_ids_loudly(spark):
+    from opl_spark.operators.text import heldout_perplexity
+
+    df = spark.createDataFrame(
+        [("d1", "hello world"), ("d2", "more text")], "doc_id string, text string"
+    )
+    with pytest.raises(TypeError, match="numeric id_col"):
+        heldout_perplexity(df, "text", "doc_id")

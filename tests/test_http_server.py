@@ -193,3 +193,43 @@ def test_explain_over_http(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(server, "/olap/no_such_fact/explain", {"measure": "value"})
     assert exc.value.code == 404
+
+
+def test_explain_concurrent_requests_get_their_own_plans(server):
+    """Regression for the r4 probe-view race (plans/inspect.py uses a
+    per-call uuid view name): 8 concurrent /explain requests with
+    distinct query shapes must each come back with exactly the report
+    the same request produces sequentially — no cross-talk, no
+    view-stomp errors."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    shapes = [
+        ("loans2", {"drilldown": "organization_level", "measure": "value"}),
+        ("loans2", {"drilldown": "date", "measure": "value",
+                    "cut": "date:2016"}),
+        ("loans2", {"measure": "value", "top_n": "3",
+                    "drilldown": "library_id"}),
+        ("general_indexes", {"drilldown": "library_class",
+                             "measure": "apertura_mattutina"}),
+    ]
+    sequential = []
+    for fact, params in shapes:
+        status, body = _get(server, f"/olap/{fact}/explain", params)
+        assert status == 200
+        sequential.append(json.loads(body))
+    # distinct shapes should differ somewhere, or equality proves nothing
+    assert len({json.dumps(r, sort_keys=True) for r in sequential}) > 1
+
+    jobs = [shapes[i % len(shapes)] for i in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(
+            pool.map(
+                lambda fp: _get(server, f"/olap/{fp[0]}/explain", fp[1]), jobs
+            )
+        )
+    for i, (status, body) in enumerate(results):
+        assert status == 200
+        assert json.loads(body) == sequential[i % len(shapes)], (
+            "concurrent /explain response diverged from its sequential "
+            f"reference for shape {i % len(shapes)}"
+        )
