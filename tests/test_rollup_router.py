@@ -194,3 +194,30 @@ def test_refresh_with_empty_delta_is_noop(spark, sf_dir, tmp_path):
         spark, li.filter(F.lit(False)), "ship_ts", ["l_returnflag"], sums, p
     ) == []
     assert spark.read.parquet(p).count() == before
+
+
+def test_rollup_route_query_memoizes_build_per_data_dir(spark, sf_dir):
+    """q_rollup_route is a STEADY-STATE routed read: the day-grain
+    rollup builds once per data directory (the materialized-view
+    refresh cycle), later calls skip straight to the routed scan, and
+    switching data directories forces a rebuild instead of serving
+    stale partials."""
+    from opl_spark import workload_ext as wx
+
+    wx._ROLLUP_BUILT.clear()
+    q = wx._QUERIES["q_rollup_route"] if hasattr(wx, "_QUERIES") else None
+    if q is None:  # registered into workload's registry
+        from opl_spark import workload
+
+        q = workload.queries()["q_rollup_route"]
+    first = q(spark, sf_dir).collect()
+    assert wx._ROLLUP_BUILT.get("opl_rollup_lineitem_day") == sf_dir
+    # same dir: memo holds, result identical (routed read only)
+    assert sorted(map(tuple, q(spark, sf_dir).collect())) == sorted(
+        map(tuple, first)
+    )
+    # simulate a stale memo pointing elsewhere: the query must rebuild
+    wx._ROLLUP_BUILT["opl_rollup_lineitem_day"] = "/some/other/dir"
+    again = q(spark, sf_dir).collect()
+    assert wx._ROLLUP_BUILT.get("opl_rollup_lineitem_day") == sf_dir
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
