@@ -995,15 +995,26 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     stays the cheaper choice for the tiny pair/triangle components
     near-dup text produces.
 
-    Each round is two combinable aggregations + one key-partitioned
-    join over the current edge set; edges ``localCheckpoint`` per
-    round (iterative-plan lineage truncation) and the driver only
-    compares a (count, hash-sum) convergence signature — never data.
-
     large-star(u): every neighbor v > u re-links to m(u) = min(N(u) ∪ {u})
     small-star(u): every neighbor v ≤ u (and u itself) links to m(u)
     At the fixpoint every component is a star centered on its min.
+
+    Execution shape — 3 shuffles per round, not 7: each half-round
+    computes m(u) as a WINDOW min over the symmetric edge explode
+    (``min(v) over (partition by u)`` — one exchange; the old
+    groupBy-min + re-join paid the nb exchange twice and the join a
+    third time, and a broadcast of m would cap V at driver memory,
+    which a 100 TB linkage graph exceeds).  The large-star output
+    feeds small-star WITHOUT an intermediate distinct — duplicates
+    don't change a min and the round's closing ``canon`` removes them
+    (large-star emits no self-loops at all: a = v > u ≥ m = b).
+    Small-star's per-node self-link ``(u, m)`` reuses the window
+    stage's partitioning (a groupBy on the window's own key plans no
+    exchange).  Edges ``localCheckpoint`` per round (iterative-plan
+    lineage truncation) and the driver only compares a (count,
+    hash-sum) convergence signature — never data.
     """
+    from pyspark.sql import Window
     undirected = (
         pairs.select(
             F.least(F.col("id_a"), F.col("id_b")).alias("lo"),
@@ -1030,9 +1041,13 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             ).alias("p")
         ).select("p.u", "p.v")
 
-    def mins(nb: DataFrame) -> DataFrame:
-        return nb.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+    _w_u = Window.partitionBy("u")
+
+    def with_min(nb: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u}) attached to every (u, v) row in ONE
+        # exchange (window min — no join back)
+        return nb.withColumn(
+            "m", F.least(F.min("v").over(_w_u), F.col("u"))
         )
 
     def canon(e: DataFrame) -> DataFrame:
@@ -1055,24 +1070,29 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     sig = signature(undirected)
     edges = undirected
     for _ in range(max_iter):
-        nb = nbrs(edges)
-        m = mins(nb)
-        large = (
-            nb.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        nb = with_min(nbrs(edges))
+        # large-star: a = v > u ≥ m = b, so no self-loops and no need
+        # to canonicalize before small-star (dups can't change a min)
+        large = nb.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
         )
-        # the large-star result feeds small-star WITHOUT a checkpoint
-        # of its own — lineage depth 2 per round is safe, and halving
-        # the checkpoint actions halves the per-round fixed cost
-        edges = canon(large)
-        nb = nbrs(edges)
-        m = mins(nb)
+        nb2 = with_min(
+            large.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                    )
+                ).alias("p")
+            ).select("p.u", "p.v")
+        )
+        # the per-node self-link rides the window's partitioning: a
+        # groupBy on the window key plans NO extra exchange
+        selfs = nb2.groupBy("u").agg(F.min("m").alias("m"))
         small = (
-            nb.join(m, "u")
-            .filter(F.col("v") <= F.col("u"))
+            nb2.filter(F.col("v") <= F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .union(selfs.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
         edges = canon(small).localCheckpoint()
         new_sig = signature(edges)
