@@ -2,12 +2,16 @@
 metadata, processed through Arrow-batched ``mapInPandas`` pipelines.
 
 The Spark-side plumbing — schemas, batch iteration, partitioning — is
-real and tested.  Decoding has two codecs: ``codec="real"`` decodes
+real and tested.  Decoding has three codecs: ``codec="real"`` decodes
 actual images through Pillow when it is installed (optional import —
 in environments without Pillow it raises ``NotImplementedError``
-loudly rather than faking success), and the default deterministic
-``"fake"`` codec derives metadata purely from the bytes so the
-distributed path stays exercised everywhere.  Both run the IDENTICAL
+loudly rather than faking success); ``codec="bmp"`` is a dependency-
+free pure-numpy decoder for uncompressed 24/32-bit BMP payloads (a
+REAL bytes→pixels decode — header dims, BGR(A) unpadding, row-order —
+so the real-decode pipeline is exercised in CI even where Pillow is
+absent); and the default deterministic ``"fake"`` codec derives
+metadata purely from the bytes so the distributed path stays
+exercised on arbitrary payloads.  All three run the IDENTICAL
 mapInPandas plan; only the per-record decode function differs.
 Audio/video (ffmpeg) remain stub-only.
 
@@ -75,6 +79,100 @@ def media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
 
 
+def _bmp_tools():
+    """Pure-numpy BMP codec, packaged as closure-local functions.
+
+    Returned as locals (not module-level defs) so that capturing them
+    inside a ``mapInPandas`` batch closure makes cloudpickle ship them
+    BY VALUE to executor Python workers — same self-containment rule
+    as the decode closures below (workers may not have this module
+    importable).  Returns ``(decode, encode, area_resize)``:
+
+    - ``decode(by) -> (width, height, rgba uint8 [h,w,4])`` for
+      uncompressed (BI_RGB) 24/32-bit BMPs, bottom-up or top-down;
+    - ``encode(arr) -> bytes`` writes a 24-bit bottom-up BMP from an
+      RGB(A) uint8 array (alpha dropped — BMP24 has none);
+    - ``area_resize(img, oh, ow)`` deterministic box-filter resize
+      (nearest-neighbor duplication first when upscaling) — the
+      library-free stand-in for Pillow's thumbnail filter.
+    """
+    import struct
+
+    import numpy as np
+
+    def decode(by: bytes):
+        if by[:2] != b"BM":
+            raise ValueError("not a BMP payload (missing 'BM' magic)")
+        data_off = struct.unpack_from("<I", by, 10)[0]
+        hdr_size = struct.unpack_from("<I", by, 14)[0]
+        if hdr_size < 40:
+            raise ValueError("unsupported BMP core header")
+        w = struct.unpack_from("<i", by, 18)[0]
+        h = struct.unpack_from("<i", by, 22)[0]
+        bpp = struct.unpack_from("<H", by, 28)[0]
+        comp = struct.unpack_from("<I", by, 30)[0]
+        if comp not in (0, 3) or bpp not in (24, 32):
+            raise ValueError(
+                f"unsupported BMP variant bpp={bpp} compression={comp}"
+            )
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h == 0:
+            raise ValueError("degenerate BMP dimensions")
+        nch = bpp // 8
+        stride = ((w * nch) + 3) & ~3
+        px = np.frombuffer(by, dtype=np.uint8, count=stride * h, offset=data_off)
+        px = px.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+        if not top_down:
+            px = px[::-1]
+        rgba = np.empty((h, w, 4), dtype=np.uint8)
+        rgba[..., 0] = px[..., 2]
+        rgba[..., 1] = px[..., 1]
+        rgba[..., 2] = px[..., 0]
+        rgba[..., 3] = px[..., 3] if nch == 4 else 255
+        return w, h, rgba
+
+    def encode(arr) -> bytes:
+        a = np.asarray(arr, dtype=np.uint8)
+        if a.ndim != 3 or a.shape[2] not in (3, 4):
+            raise ValueError("expected [h,w,3|4] uint8 array")
+        h, w = a.shape[:2]
+        bgr = a[..., (2, 1, 0)]
+        stride = ((w * 3) + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr[::-1].reshape(h, w * 3)
+        size = 14 + 40 + rows.size
+        hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, rows.size, 2835, 2835, 0, 0
+        )
+        return hdr + dib + rows.tobytes()
+
+    def area_resize(img, oh: int, ow: int):
+        a = np.asarray(img, dtype=np.float64)
+        h, w = a.shape[:2]
+        if h < oh:  # nearest-duplicate up so every output bin is fed
+            a = a[(np.arange(oh) * h) // oh]
+            h = oh
+        if w < ow:
+            a = a[:, (np.arange(ow) * w) // ow]
+            w = ow
+        ri = (np.arange(h) * oh) // h
+        ci = (np.arange(w) * ow) // w
+        out = np.zeros((oh, ow) + a.shape[2:], dtype=np.float64)
+        cnt = np.zeros((oh, ow), dtype=np.float64)
+        np.add.at(out, (ri[:, None], ci[None, :]), a)
+        np.add.at(cnt, (ri[:, None], ci[None, :]), 1.0)
+        return out / (cnt[..., None] if out.ndim == 3 else cnt)
+
+    return decode, encode, area_resize
+
+
+#: Driver-side aliases (tests, fixtures).  Executor closures call
+#: ``_bmp_tools()`` themselves — see the NOTE in ``decode_images``.
+bmp_decode, bmp_encode, bmp_area_resize = _bmp_tools()
+
+
 def _fake_decode(media_bytes: bytes) -> tuple[int, int, list[float]]:
     """Deterministic stand-in decoder: dimensions and a feature vector
     derived from the raw bytes (NOT a real codec — see module doc)."""
@@ -96,8 +194,10 @@ def decode_images(
 
     ``codec="real"`` decodes through Pillow (optional import; raises
     ``NotImplementedError`` where Pillow is absent — never a silent
-    fake).  ``codec="fake"`` exercises the identical mapInPandas
-    plumbing with the deterministic stub.
+    fake).  ``codec="bmp"`` is the dependency-free real decode for
+    uncompressed BMP payloads (pure numpy — see ``_bmp_tools``).
+    ``codec="fake"`` exercises the identical mapInPandas plumbing
+    with the deterministic stub.
     """
     if codec == "real":
         try:
@@ -105,9 +205,12 @@ def decode_images(
         except ImportError as exc:
             raise NotImplementedError(
                 "codec='real' requires Pillow, which is not installed in "
-                "this environment; use codec='fake' for the plumbing path"
+                "this environment; use codec='fake' for the plumbing path "
+                "or codec='bmp' for the dependency-free real decode"
             ) from exc
         return _decode_images_real(df, media_col)
+    if codec == "bmp":
+        return _decode_images_bmp(df, media_col)
     if codec != "fake":
         raise ValueError(f"unknown codec {codec!r}")
 
@@ -194,13 +297,60 @@ def _decode_images_real(df: DataFrame, media_col: str) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+def _decode_images_bmp(df: DataFrame, media_col: str) -> DataFrame:
+    """Dependency-free real decode over the same mapInPandas plan:
+    true (width, height) from the BMP header and the same 8-dim
+    channel-statistics feature as the Pillow codec — per-channel mean
+    + std of RGBA/255, computed over the FULL pixel array (exact,
+    where the Pillow path approximates via a 16×16 thumbnail)."""
+    cols = [f.name for f in DECODED_SCHEMA.fields]
+    decode, _encode, _resize = _bmp_tools()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for rec in pdf[media_col]:
+                by = bytes(rec["media_bytes"])
+                width, height, rgba = decode(by)
+                a = rgba.astype(_np.float64) / 255.0
+                feat = [
+                    round(float(x), 6)
+                    for x in (*a.mean(axis=(0, 1)), *a.std(axis=(0, 1)))
+                ]
+                rows.append(
+                    {
+                        "media_id": rec["media_id"],
+                        "mime": rec["mime"],
+                        "byte_len": len(by),
+                        "width": width,
+                        "height": height,
+                        "feature": feat,
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
 def resize_images(
-    df: DataFrame, media_col: str = "media", max_dim: int = 32
+    df: DataFrame, media_col: str = "media", max_dim: int = 32,
+    codec: str = "fake",
 ) -> DataFrame:
-    """Resize stage stand-in: recomputes target dimensions with aspect
-    preserved and re-emits the payload (a real codec would transcode
-    the bytes; the Spark shape — map-only mapInPandas, media bytes
-    never touching the driver — is identical)."""
+    """Resize stage.  ``codec="fake"`` (default) recomputes target
+    dimensions with aspect preserved and re-emits the payload
+    unchanged (shape-only stand-in).  ``codec="bmp"`` is a TRUE
+    transcode for BMP payloads: decode → box-filter downscale with
+    aspect preserved (no-op when already within ``max_dim``) →
+    re-encode as 24-bit BMP.  Either way the Spark shape is the real
+    one — map-only mapInPandas, media bytes never touching the
+    driver."""
+    if codec == "bmp":
+        return _resize_images_bmp(df, media_col, max_dim)
+    if codec != "fake":
+        raise ValueError(f"unknown codec {codec!r}")
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -226,6 +376,56 @@ def resize_images(
                         "media_id": rec["media_id"],
                         "width": max(1, int(w * scale)),
                         "height": max(1, int(h * scale)),
+                        "media_bytes": by,
+                    }
+                )
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "media_bytes"]
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def _resize_images_bmp(
+    df: DataFrame, media_col: str, max_dim: int
+) -> DataFrame:
+    """True BMP transcode twin of the fake resize: same output schema,
+    but ``media_bytes`` really are the resized image re-encoded."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("media_bytes", T.BinaryType()),
+        ]
+    )
+    cap = int(max_dim)
+    decode, encode, area_resize = _bmp_tools()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for rec in pdf[media_col]:
+                by = bytes(rec["media_bytes"])
+                w, h, rgba = decode(by)
+                scale = min(1.0, cap / max(w, h))
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                if (ow, oh) != (w, h):
+                    resized = area_resize(rgba[..., :3], oh, ow)
+                    by = encode(
+                        _np.clip(_np.rint(resized), 0, 255).astype(_np.uint8)
+                    )
+                else:
+                    ow, oh = w, h
+                rows.append(
+                    {
+                        "media_id": rec["media_id"],
+                        "width": ow,
+                        "height": oh,
                         "media_bytes": by,
                     }
                 )
@@ -336,9 +536,13 @@ def image_phash(
     ``codec="fake"`` derives the 64-cell grid deterministically from
     the payload bytes (position-mod-64 byte fold — the stand-in
     "image"); ``codec="real"`` builds it from an 8×8 grayscale Pillow
-    thumbnail.  Identical mapInPandas plan either way; identical
-    downstream banding/hamming machinery as text SimHash — near-dup
-    *image* dedup reuses the text dedup scale path unchanged.
+    thumbnail; ``codec="bmp"`` builds it dependency-free from a real
+    BMP decode — BT.601 luma, box-filtered to 8×8 (scale-invariant:
+    an area-downscaled copy of an image box-filters to the same 8×8
+    grid, so its aHash matches — pinned by test).  Identical
+    mapInPandas plan all three ways; identical downstream
+    banding/hamming machinery as text SimHash — near-dup *image*
+    dedup reuses the text dedup scale path unchanged.
     """
     if codec == "real":
         try:
@@ -346,14 +550,19 @@ def image_phash(
         except ImportError as exc:
             raise NotImplementedError(
                 "codec='real' requires Pillow; use codec='fake' for the "
-                "plumbing path"
+                "plumbing path or codec='bmp' for the dependency-free "
+                "real decode"
             ) from exc
 
     out_schema = "media_id long, phash long"
     use_real = codec == "real"
-    if codec not in ("fake", "real"):
+    use_bmp = codec == "bmp"
+    if codec not in ("fake", "real", "bmp"):
         raise ValueError(f"unknown codec {codec!r}")
     n_bits = int(bits)
+    bmp_decode_fn, _enc, bmp_resize_fn = _bmp_tools() if use_bmp else (
+        None, None, None,
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -367,6 +576,14 @@ def image_phash(
 
                 img = Image.open(io.BytesIO(by)).convert("L").resize((8, 8))
                 return _np.asarray(img, dtype=_np.float64).reshape(64)
+            if use_bmp:
+                _w, _h, rgba = bmp_decode_fn(by)
+                luma = (
+                    0.299 * rgba[..., 0]
+                    + 0.587 * rgba[..., 1]
+                    + 0.114 * rgba[..., 2]
+                )
+                return bmp_resize_fn(luma, 8, 8).reshape(64)
             x = _np.frombuffer(by, dtype=_np.uint8).astype(_np.float64)
             if len(x) == 0:
                 return _np.zeros(64)

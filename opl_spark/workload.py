@@ -155,15 +155,36 @@ _RETRY_FIRST: tuple[str, ...] = (
     # (empty — no outstanding driver reds after round 5's 50/50 green.)
 )
 
+# Never-audited ids whose implementation OR oracle changed since the
+# last clean local sweep: they jump to the head of the unaudited block
+# so the driver's 50-id window reaches them before unchanged backlog.
+# Clear an id once its CORRECTNESS row is green (and it moves to
+# _DRIVER_AUDITED like any other id).  Round-6 entries: the r5 ADVICE
+# hardening (roc_auc 0.5-on-degenerate, two-sided bin clamps, typed
+# centroid schema, perplexity id check — commit 1c748de) and the
+# steady-state rollup-route memoization (commit 9a9e6b4).
+_AUDIT_PRIORITY: tuple[str, ...] = (
+    "q_auc", "q_ece", "q_psi_drift", "q_rollup_route",
+    "q_heldout_perplexity", "q_embedding_outliers", "q_curriculum_order",
+    "q_cohens_kappa", "q_retrieval_eval", "q_mrr", "q_label_noise",
+    "q_kneser_ney", "q_readability", "q_zipf_fit", "q_l_diversity",
+    "q_bitmap_count", "q_feature_hash", "q_vad_segments",
+    "q_label_prop_bucketed",
+)
+
 
 def _audit_order(names) -> list[str]:
     audited = set(_DRIVER_AUDITED)
     retry = [n for n in _RETRY_FIRST if n in names]
-    skip = audited | set(retry)
+    prio = [
+        n for n in _AUDIT_PRIORITY
+        if n in names and n not in audited and n not in retry
+    ]
+    skip = audited | set(retry) | set(prio)
     fresh_oracled = [n for n in names if n not in skip and n in _ORACLES]
     fresh_rowsonly = [n for n in names if n not in skip and n not in _ORACLES]
     tail = [n for n in names if n in audited]
-    return retry + fresh_oracled + fresh_rowsonly + tail
+    return retry + prio + fresh_oracled + fresh_rowsonly + tail
 
 
 def queries() -> dict[str, QueryFn]:
