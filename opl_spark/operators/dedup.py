@@ -72,7 +72,38 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _shingle_index(
+def bucket_pairs(buckets: DataFrame, docs_col: str = "ds") -> DataFrame:
+    """Per-key candidate-pair expansion: ``(…, ds sorted array<doc>)``
+    → one row per unordered pair ``(id_a < id_b)`` within each key's
+    bucket, all other columns dropped.
+
+    This replaces the classic inverted-index SELF-JOIN.  The join
+    plans the whole postings build twice (one scan per alias — Spark
+    does not CSE self-join branches) and shuffles the postings stream
+    twice; grouping once and expanding pairs map-side plans the
+    upstream ONCE and shuffles it once.  Measured at sf0.1 on the
+    ngram pipeline: 4.3 s → ~2 s, identical output.
+
+    Scale: per-key work and memory are O(bucket²) / O(bucket) — the
+    same d² candidate blowup the self-join has for a key shared by d
+    docs, so the stop-key caps (``max_doc_freq`` / ``max_bucket``)
+    remain the 100 TB requirement; the d-sized array buffer OOMs far
+    later than the d² pair stream becomes infeasible, so the array is
+    never the binding constraint.  The expansion is two map-side
+    generators (posexplode, then a 1-based ``slice`` from i+2), not a
+    nested higher-order build of the full pair array — peak row width
+    stays O(bucket), and both generators pipeline inside the same
+    stage as the upstream aggregation."""
+    ds = F.col(docs_col)
+    return buckets.select(ds.alias("__ds"), F.posexplode(docs_col).alias("__i", "id_a")).select(
+        "id_a",
+        F.explode(
+            F.slice(F.col("__ds"), F.col("__i") + F.lit(2), F.size("__ds"))
+        ).alias("id_b"),
+    )
+
+
+def _shingle_buckets(
     df: "DataFrame",
     text_col: str,
     id_col: str,
@@ -80,20 +111,28 @@ def _shingle_index(
     max_doc_freq: int | None,
 ):
     """Shared inverted-index build for the shingle-pair family
-    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): the
-    (doc, shingle-hash) postings plus per-doc set sizes, with the
-    optional ``max_doc_freq`` stop-shingle cap applied to BOTH (so
-    sizes always reflect the surviving shingles — the documented
-    approximation)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
-    ).select("doc", F.xxhash64("s").alias("sh"))
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): per
+    shingle-hash the SORTED bucket of doc ids holding it, plus per-doc
+    set sizes, with the optional ``max_doc_freq`` stop-shingle cap
+    applied to BOTH (so sizes always reflect the surviving shingles —
+    the documented approximation).  The cap is a bucket-size filter on
+    the grouped index — one exchange, no frequency side-table join."""
+    buckets = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+        )
+        .select("doc", F.xxhash64("s").alias("sh"))
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+    )
     if max_doc_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        keep = freq.filter(F.col("df_") <= max_doc_freq).select("sh")
-        sh = sh.join(F.broadcast(keep), "sh")
-        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        buckets = buckets.filter(F.size("ds") <= max_doc_freq)
+        sizes = (
+            buckets.select(F.explode("ds").alias("doc"))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
     else:
         # map-only: |shingle set| = array_size of the distinct-shingle
         # array — no explode, no shuffle for the size side
@@ -101,7 +140,7 @@ def _shingle_index(
             F.col(id_col).alias("doc"),
             F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
         )
-    return sh, sizes
+    return buckets, sizes
 
 
 def ngram_jaccard_pairs(
@@ -130,14 +169,16 @@ def ngram_jaccard_pairs(
     Jaccard is emitted rounded(6) from exact integer counts —
     cross-engine stable.
     """
-    # join key is the 64-bit shingle hash, not the shingle string —
+    # index key is the 64-bit shingle hash, not the shingle string —
     # the shuffle moves 8-byte longs instead of variable-width text
-    # (collision odds over distinct shingles are ~|S|²/2⁶⁴ ≈ 0)
-    sh, sizes = _shingle_index(df, text_col, id_col, n, max_doc_freq)
-    a, b = sh.alias("a"), sh.alias("b")
+    # (collision odds over distinct shingles are ~|S|²/2⁶⁴ ≈ 0);
+    # intersection counts come from grouped-bucket pair expansion
+    # (one postings pass), not a postings self-join (two) — see
+    # :func:`bucket_pairs`
+    buckets, sizes = _shingle_buckets(df, text_col, id_col, n, max_doc_freq)
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        bucket_pairs(buckets)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
@@ -297,9 +338,9 @@ def minhash_lsh_candidates(
     portable: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of at least one band become
-    candidate pairs.  The only shuffle is the groupable self-join on
-    ``(band, band_key)`` — the signature matrix never leaves the
-    executors, and bucket sizes (not corpus size²) bound the join.
+    candidate pairs.  The only shuffle is the groupBy on ``(band,
+    band_key)`` — the signature matrix never leaves the executors, and
+    bucket sizes (not corpus size²) bound the pair expansion.
 
     ``max_bucket`` is the hot-bucket guard, the LSH mirror of
     ``ngram_jaccard_pairs``'s ``max_doc_freq`` stop-shingles: a band
@@ -330,29 +371,19 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select("doc", F.explode(band_structs).alias("bk")).select(
-        "doc", "bk.band", "bk.band_key"
+    # group each (band, band_key) bucket once and expand pairs in-row
+    # (see bucket_pairs) — ONE exchange of the band stream, where the
+    # old window-count guard + self-join shuffled it three times
+    # (window sort, then both join aliases); the hot-bucket guard is
+    # now just a size filter on the grouped bucket, same semantics
+    buckets = (
+        sigs.select("doc", F.explode(band_structs).alias("bk"))
+        .groupBy("bk.band", "bk.band_key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
     )
     if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        bw = Window.partitionBy("band", "band_key")
-        buckets = (
-            buckets.withColumn("bucket_n", F.count(F.lit(1)).over(bw))
-            .filter(F.col("bucket_n") <= max_bucket)
-            .drop("bucket_n")
-        )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
-    )
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    return bucket_pairs(buckets).distinct()
 
 
 def minhash_dedup_pairs(
@@ -374,8 +405,16 @@ def minhash_dedup_pairs(
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, portable)
     cand = minhash_lsh_candidates(sigs, bands, rows, max_bucket, portable)
+    # verify over HASHED shingle arrays (8-byte longs, not variable-
+    # width strings): the intersection COUNT is what matters and it is
+    # hash-invariant (collision odds ~|S|²/2⁶⁴ ≈ 0), so this stays
+    # engine-portable even in portable mode — only the signature/
+    # bucket structure needs the portable hash family
     sh = df.select(
-        F.col(id_col).alias("doc"), shingles_col(F.col(text_col), n).alias("sh")
+        F.col(id_col).alias("doc"),
+        F.transform(
+            shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     )
     a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -1385,23 +1424,37 @@ def containment_pairs(
     distinction (SEQUENCES '97).
 
     Same inverted-index scale shape as :func:`ngram_jaccard_pairs`
-    (8-byte shingle-hash join keys, optional ``max_doc_freq``
-    stop-shingle cap bounding per-key fan-out), but the co-occurrence
-    join keeps BOTH directions (a ≠ b), since containment is
-    directional.  The threshold test is integer cross-multiplied
-    (``inter · den ≥ |A| · num``) so boundary pairs can't flip across
-    engines; the reported score is round(6) from exact counts.
+    (8-byte shingle-hash index keys, optional ``max_doc_freq``
+    stop-shingle cap bounding per-key fan-out), but containment is
+    directional, so the intersection count — computed ONCE per
+    unordered pair via grouped-bucket expansion (:func:`bucket_pairs`)
+    — is mirrored into both orientations after the pair aggregation
+    (half the pair-stream shuffle of the old a ≠ b self-join).  The
+    threshold test is integer cross-multiplied (``inter · den ≥ |A| ·
+    num``) so boundary pairs can't flip across engines; the reported
+    score is round(6) from exact counts.
 
     Emits ``(id_a, id_b, containment)`` = fraction of A's shingles
     also in B.
     """
-    sh, sizes = _shingle_index(df, text_col, id_col, n, max_doc_freq)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") != F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+    buckets, sizes = _shingle_buckets(df, text_col, id_col, n, max_doc_freq)
+    und = (
+        bucket_pairs(buckets)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    inter = und.select(
+        F.explode(
+            F.array(
+                F.struct("id_a", "id_b", "inter"),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("inter"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.inter")
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
     return (
         inter.join(sa, "id_a")
