@@ -562,22 +562,22 @@ def simhash_candidates(sim: DataFrame, chunks: int = 4) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc", "simhash", "c.chunk", "c.ck")
-    a, b = chunked.alias("a"), chunked.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .distinct()
+    # grouped-bucket pair expansion (see bucket_pairs): each (chunk,
+    # ck) bucket holds one (doc, simhash) struct per doc — sort_array
+    # orders by doc, so expansion yields doc_a < doc_b directly and
+    # both fingerprints travel with the pair for the hamming compute
+    buckets = chunked.groupBy("chunk", "ck").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "simhash"))).alias("ds")
     )
+    pairs = bucket_pairs(buckets)
+    ham = F.bit_count(
+        F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
+    )
+    return pairs.select(
+        F.col("id_a.doc").alias("id_a"),
+        F.col("id_b.doc").alias("id_b"),
+        ham.alias("hamming"),
+    ).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -811,24 +811,25 @@ def source_overlap(
         .select("src", F.xxhash64("s").alias("sh"))
         .distinct()
     )
+    # grouped-bucket index (see bucket_pairs): the stop-shingle guard
+    # becomes a bucket-size filter, and sizes are derived from the
+    # SURVIVING buckets — intersection and set sizes must describe the
+    # same (filtered) shingle sets or the Jaccard is the ratio of two
+    # different universes (the same documented approximation as
+    # ngram_jaccard_pairs' max_doc_freq)
+    buckets = sh.groupBy("sh").agg(
+        F.sort_array(F.collect_list("src")).alias("ds")
+    )
     if max_group_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("gf"))
-        sh = sh.join(
-            freq.filter(F.col("gf") <= max_group_freq).select("sh"), "sh"
-        )
-    # sizes AFTER the stop-shingle filter: intersection and set sizes
-    # must describe the same (surviving) shingle sets or the Jaccard is
-    # the ratio of two different universes — with the cap on, the
-    # matrix is over surviving shingles (the same documented
-    # approximation as ngram_jaccard_pairs' max_doc_freq)
-    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+        buckets = buckets.filter(F.size("ds") <= max_group_freq)
+    sizes = (
+        buckets.select(F.explode("ds").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.src") < F.col("b.src")),
-        )
-        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        bucket_pairs(buckets)
+        .groupBy(F.col("id_a").alias("src_a"), F.col("id_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("src").alias("src_a"), F.col("n_sh").alias("na"))
@@ -937,19 +938,25 @@ def fuzzy_pairs(
             )
         ).alias("p"),
     ).select("w", F.col("p.pos").alias("pos"), F.xxhash64("p.k").alias("k"))
-    a = keyed.select(F.col("w").alias("a"), F.col("pos").alias("pa"), "k")
-    b = keyed.select(F.col("w").alias("b"), F.col("pos").alias("pb"), "k")
+    # grouped-bucket pair expansion on the delete-key (see
+    # bucket_pairs): sort by (w, pos) so expansion yields w_a <= w_b;
+    # same-w entries (one word producing the same delete key at two
+    # positions) are excluded by the strict a < b filter exactly as in
+    # the old self-join
+    buckets = keyed.groupBy("k").agg(
+        F.sort_array(F.collect_list(F.struct("w", "pos"))).alias("ds")
+    )
     return (
-        a.join(b, "k")
+        bucket_pairs(buckets)
         .filter(
-            (F.col("a") < F.col("b"))
+            (F.col("id_a.w") < F.col("id_b.w"))
             & (
-                (F.col("pa") == F.col("pb"))
-                | (F.col("pa") == 0)
-                | (F.col("pb") == 0)
+                (F.col("id_a.pos") == F.col("id_b.pos"))
+                | (F.col("id_a.pos") == 0)
+                | (F.col("id_b.pos") == 0)
             )
         )
-        .select("a", "b")
+        .select(F.col("id_a.w").alias("a"), F.col("id_b.w").alias("b"))
         .distinct()
     )
 

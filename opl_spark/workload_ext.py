@@ -2785,12 +2785,16 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup but over the SPARSE winnowed fingerprint set (~1/window of
     the shingles), which is what makes the exact pair pass affordable
     — the trade the winnowing paper is about."""
+    from opl_spark.operators.dedup import bucket_pairs
+
     docs = load_table(spark, sf_dir, "documents")
     fp = winnow_fingerprints(docs, "text", "doc_id", n=3, window=4)
-    a, b = fp.alias("a"), fp.alias("b")
+    buckets = fp.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc")).alias("ds")
+    )
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        bucket_pairs(buckets)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= 10)
     )
