@@ -402,3 +402,58 @@ def test_scale_lint_catches_expression_sort_keys(spark, sf_dir):
         ),
     )
     assert scale_lint(good) == []
+
+
+def test_candidate_generation_plans_no_self_join(spark, sf_dir):
+    """The grouped-bucket pair expansion (operators/dedup.py:
+    bucket_pairs) exists to remove the postings SELF-JOIN from every
+    candidate generator — Spark plans each self-join alias as its own
+    postings build, doubling upstream work.  Pin it at the plan level:
+    candidate generation up to the pair stream must contain ZERO join
+    nodes and exactly the documented exchanges (index groupBy, plus
+    the pair-count groupBy where the operator aggregates pairs)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.dedup import (
+        bucket_pairs,
+        fuzzy_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        simhash,
+        simhash_candidates,
+    )
+    from opl_spark.plans import formatted_plan
+    from opl_spark.sources import load_table
+
+    def joins(df) -> int:
+        return len(
+            re.findall(
+                r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+                r"|BroadcastNestedLoopJoin|CartesianProduct)",
+                formatted_plan(df),
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cust = load_table(spark, sf_dir, "customer")
+
+    sigs = minhash_signatures(docs, "text", "doc_id", 16, 3)
+    assert joins(minhash_lsh_candidates(sigs, 4, 4)) == 0
+    sim = simhash(docs, "text", "doc_id")
+    assert joins(simhash_candidates(sim)) == 0
+    assert joins(fuzzy_pairs(cust, "c_name")) == 0
+
+    # the raw expansion itself is generator-only: one exchange for the
+    # index groupBy, none for the pair stream
+    postings = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.split("text", r"\s+")).alias("w"),
+    )
+    buckets = postings.groupBy("w").agg(
+        F.sort_array(F.collect_list("doc")).alias("ds")
+    )
+    pairs = bucket_pairs(buckets)
+    assert joins(pairs) == 0
+    assert _exchanges(pairs) == 1
