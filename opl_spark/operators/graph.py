@@ -178,7 +178,11 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
 
 
 def label_propagation(
-    edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al.,
     arXiv:0709.2938) for community detection: every node starts as its
@@ -195,8 +199,19 @@ def label_propagation(
     state is node-sized and never collected; ties resolve via
     ``max(struct(count, -label))`` instead of a ranking window, so no
     per-node sort materializes.
+
+    ``checkpoint=True`` (default) lazily ``localCheckpoint``s the edge
+    list so the unrolled k-round plan computes the upstream edge build
+    ONCE — each round's join otherwise re-plans it (an orders⋈lineitem
+    edge derivation would run k times).  Pass ``checkpoint=False``
+    with :func:`bucketize_edges` output: checkpointing rewrites the
+    plan as an RDD scan, which would discard the bucketing metadata
+    that keeps the per-round edge side exchange-free (same contract as
+    :func:`pagerank`).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
     labels = e.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

@@ -9774,7 +9774,9 @@ def q_label_prop_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     be = bucketize_edges(
         spark, _trade_edges(spark, sf_dir), table="opl_edges_trade", num_buckets=16
     )
-    return label_propagation(be, rounds=3)
+    # checkpoint=False: the bucketed scan IS the materialization, and
+    # checkpointing would discard the bucketing metadata (see pagerank)
+    return label_propagation(be, rounds=3, checkpoint=False)
 
 
 # ---------------------------------------------------------------------------
