@@ -278,13 +278,27 @@ def main() -> None:
     # (codegen cache warm, shuffle files local) rather than first-touch
     # noise — run-to-run variance on a shared host is ±30%.
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    import gc
+
+    for i, name in enumerate(BENCH_QUERIES):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        # session hygiene, OUTSIDE the timers: dead DataFrame refs keep
+        # localCheckpoint RDD blocks pinned until both Python and JVM
+        # GCs run (ContextCleaner is GC-driven), and 200 queries of
+        # accumulated blocks measurably slow later table writes/scans —
+        # the in-process twin of BENCH_NOTES' concurrent-run rule.
+        # Python GC per query (frees the py4j refs immediately); the
+        # JVM full GC only every 25th — a per-query System.gc() pause
+        # bleeds into the NEXT query's timed runs and taxes every
+        # sub-second id by ~0.5-1 s (measured).
+        gc.collect()
+        if (i + 1) % 25 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
     detail_path = os.path.join(

@@ -1140,7 +1140,10 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .union(selfs.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        edges = canon(small).localCheckpoint()
+        # LAZY checkpoint + the signature action = ONE pass per round
+        # (an eager checkpoint would materialize the round's edges and
+        # the signature agg would then re-read them — two jobs)
+        edges = canon(small).localCheckpoint(eager=False)
         new_sig = signature(edges)
         if new_sig == sig:
             break
