@@ -73,7 +73,9 @@ def main(sf_dir: str) -> None:
     for r in top:
         print(f"  {r['node']:>6}  {r['pr'] / 1e12:.4f}")
 
-    comms = label_propagation(be, rounds=3)
+    # checkpoint=False: `be` is a bucketed catalog table — keep its
+    # scan metadata so the per-round edge side stays exchange-free
+    comms = label_propagation(be, rounds=3, checkpoint=False)
     sizes = (
         comms.groupBy("label").count().orderBy(F.col("count").desc()).limit(3)
     )
