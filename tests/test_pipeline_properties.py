@@ -234,3 +234,44 @@ def test_curriculum_keys_strictly_increase_within_domain(spark, n, n_domains):
         seq.sort()
         keys = [k for _, k in seq]
         assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+
+@settings(**_SETTINGS)
+@given(
+    postings=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 14)),  # (key, doc)
+        min_size=0,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_bucket_pairs_equals_self_join_reference(spark, postings):
+    """bucket_pairs (grouped-key expansion) must emit EXACTLY the
+    multiset the classic postings self-join emits: one (id_a < id_b)
+    row per key both docs share — the contract every candidate
+    generator now leans on."""
+    from collections import Counter
+    from itertools import combinations
+
+    from opl_spark.operators.dedup import bucket_pairs
+
+    df = spark.createDataFrame(
+        postings or [(0, 0)], "k int, doc int"
+    )
+    if not postings:
+        df = df.limit(0)
+    buckets = df.groupBy("k").agg(
+        F.sort_array(F.collect_list("doc")).alias("ds")
+    )
+    got = Counter(
+        (r["id_a"], r["id_b"]) for r in bucket_pairs(buckets).collect()
+    )
+    by_key: dict[int, list[int]] = {}
+    for k, doc in postings:
+        by_key.setdefault(k, []).append(doc)
+    want = Counter(
+        (a, b)
+        for docs in by_key.values()
+        for a, b in combinations(sorted(docs), 2)
+    )
+    assert got == want
