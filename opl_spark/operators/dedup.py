@@ -458,12 +458,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -480,7 +480,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 ),
                 F.col("label").alias("old_label"),
             )
-            .localCheckpoint()
+            # LAZY: the changed-count action materializes the round's
+            # labels INTO the checkpoint in one pass (an eager
+            # checkpoint would run the round twice — once to persist,
+            # once for the count; same trick as dedup_clusters_star)
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("new_label") != F.col("old_label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
@@ -1068,13 +1072,17 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the opening signature() action materializes it
+        .localCheckpoint(eager=False)
     )
     members = (
         undirected.select(F.col("lo").alias("doc"))
         .union(undirected.select("hi"))
         .distinct()
-        .localCheckpoint()
+        # lazy: derives from the checkpointed edge blocks and is only
+        # consumed by the closing join — eager would schedule an extra
+        # upfront job for data not needed until the loop ends
+        .localCheckpoint(eager=False)
     )
 
     def nbrs(e: DataFrame) -> DataFrame:
