@@ -1197,7 +1197,8 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the first of the consuming actions materializes it
+        .localCheckpoint(eager=False)
     )
     nbr = e.select(
         F.explode(

@@ -179,7 +179,7 @@ def unigram_train(
     1 final count after pruning — independent of vocab size and corpus
     size, the same one-job-per-round shape as the BPE trainer.
     """
-    words = _distinct_words(df, text_col).localCheckpoint()
+    words = _distinct_words(df, text_col).localCheckpoint(eager=False)
 
     # seed inventory: every substring up to max_piece_len with corpus
     # frequency >= min_count, plus ALL single chars (decodability)
