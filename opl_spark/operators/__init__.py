@@ -19,6 +19,7 @@ from opl_spark.operators.analytics import (  # noqa: F401
 )
 from opl_spark.operators.dedup import (  # noqa: F401
     bloom_contamination,
+    bucket_pairs,
     containment_pairs,
     build_bloom,
     bloom_might_contain,
