@@ -153,15 +153,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
-    Inverted-index join: explode distinct shingles, self-join on the
-    shingle, count co-occurrences (= intersection size), then
-    ``|A∩B| / (|A| + |B| - |A∩B|)``.  The join key is the shingle, so
-    common-shingle skew is the scale hazard: a shingle in d docs emits
-    d² join rows.  ``max_doc_freq`` is the stop-shingle mitigation —
-    shingles appearing in more docs are dropped from the INDEX side
-    (they carry little similarity signal but dominate the join), which
-    bounds per-key fan-out at max_doc_freq²; set it at 100 TB, leave
-    ``None`` for the exact semantics, or use
+    Inverted index via grouped buckets: explode distinct shingles,
+    group each shingle's doc bucket once, expand co-occurring pairs
+    map-side (:func:`bucket_pairs`), count per pair (= intersection
+    size), then ``|A∩B| / (|A| + |B| - |A∩B|)``.  The index key is the
+    shingle, so common-shingle skew is the scale hazard: a shingle in
+    d docs expands d² pair rows.  ``max_doc_freq`` is the stop-shingle
+    mitigation — over-shared shingles are dropped from the index (they
+    carry little similarity signal but dominate the pair stream),
+    which bounds per-key fan-out at max_doc_freq²; set it at 100 TB,
+    leave ``None`` for the exact semantics, or use
     :func:`minhash_lsh_candidates` instead.  NOTE: with the filter on,
     intersection counts (and so Jaccard) are computed over the
     surviving shingles only — a documented approximation.
@@ -346,10 +347,10 @@ def minhash_lsh_candidates(
     ``ngram_jaccard_pairs``'s ``max_doc_freq`` stop-shingles: a band
     key shared by more than ``max_bucket`` docs (boilerplate-heavy
     near-identical signatures) would contribute O(bucket²) pairs, so
-    over-wide buckets are dropped before the self-join.  True
+    over-wide buckets are dropped before the pair expansion.  True
     near-dups that populate such a bucket agree on OTHER bands too
     (16 chances at 4-row agreement), so recall degrades gracefully
-    while the worst-case join fan-out becomes max_bucket² per key.
+    while the worst-case expansion fan-out becomes max_bucket² per key.
 
     ``portable=True`` keys buckets by the raw comma-joined band values
     (a string) instead of their xxhash64 — identical buckets on any
@@ -797,8 +798,9 @@ def source_overlap(
     before they double-weight the training mix.
 
     Shape: distinct (source, shingle) postings (combinable distinct),
-    per-source set sizes, then a shingle-keyed self-join whose fan-out
-    is bounded by sources-per-shingle², NOT docs² — the output is the
+    per-source set sizes, then shingle-keyed grouped-bucket pair
+    expansion (:func:`bucket_pairs`) whose fan-out is bounded by
+    sources-per-shingle², NOT docs² — the output is the
     source×source triangle.  ``max_group_freq`` drops shingles present
     in more than that many sources (the stop-shingle guard for corpora
     with thousands of sources, mirroring ``ngram_jaccard_pairs``'s
@@ -908,7 +910,8 @@ def fuzzy_pairs(
     fuzzy join scans.
 
     One distinct (vocabulary-sized) pass, a map-only HOF variant
-    explode (``len+1`` keys per value), and a self-join ON THE KEY.
+    explode (``len+1`` keys per value), and grouped-bucket pair
+    expansion ON THE KEY (:func:`bucket_pairs`).
     Carrying the DELETION POSITION with each key makes the blocking
     EXACT for distance 1 — no verify step at all:
 

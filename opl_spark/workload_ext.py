@@ -228,7 +228,7 @@ def _minhash_chain(
     ``portable=True``): md5-derived 32-bit shingle hashes, the exact
     ``(a·h + b) mod 2³¹−1`` permutation family (literal (i,a,b) rows
     from ``minhash_permutation``), comma-joined band keys, the
-    width-capped bucket self-join, plus the shingle-set ``sizes`` /
+    width-capped bucket pair expansion, plus the shingle-set ``sizes`` /
     ``ints`` tables the exact-Jaccard verify reads — every step
     int64-exact.  Starts after the ``WITH`` keyword so callers can
     prepend ``RECURSIVE`` and append further CTEs."""
