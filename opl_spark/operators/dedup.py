@@ -5,14 +5,15 @@ Scale design (the point of each variant):
 - **exact**       — one hash-partitioned groupBy on the key; the only
   full-shuffle pass, and it's map-side combinable.
 - **n-gram Jaccard** — exact pairwise similarity via a shingle
-  inverted index (explode → join on shingle → count). Quadratic in the
-  worst case; the reference implementation for verifying candidates.
+  inverted index (explode → grouped-bucket pair expansion → count;
+  see :func:`bucket_pairs`). Quadratic in the worst case; the
+  reference implementation for verifying candidates.
 - **MinHash-LSH** — the 100 TB path: fixed-width signatures (k
-  hashes), banded into buckets; only docs sharing a band bucket are
-  joined.  Cost is O(docs × k) map work + one shuffle on band keys —
+  hashes), banded into buckets; only docs sharing a band bucket pair
+  up.  Cost is O(docs × k) map work + one shuffle on band keys —
   no all-pairs comparison ever materializes.
-- **SimHash**     — 63-bit fingerprint; near-dup candidates via the
-  pigeonhole chunk join (hamming ≤ 3 ⇒ at least one of 4 16-bit
+- **SimHash**     — 63-bit fingerprint; near-dup candidates via
+  pigeonhole chunk banding (hamming ≤ 3 ⇒ at least one of 4 16-bit
   chunks equal).
 
 Everything is built-in column expressions (xxhash64, transform,
