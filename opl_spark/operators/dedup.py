@@ -417,7 +417,13 @@ def minhash_dedup_pairs(
         F.transform(
             shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s)
         ).alias("sh"),
-    )
+    # checkpoint (lazily) because BOTH verify sides read this frame —
+    # Spark plans each join alias as its own scan+shingle build, so
+    # without it the hashed-shingle corpus is computed twice.  The
+    # persist is corpus-sized (doc id + hashed shingle array, spilling
+    # to local disk), bought back by skipping a full second pass over
+    # the text
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
