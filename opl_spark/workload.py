@@ -145,6 +145,25 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_parts_supplier", "q_big_orders", "q_min_cost_supplier",
     "q_pagerank", "q_image_phash", "q_image_dedup", "q_scene_change",
     "q_embedding_standardize", "q_kcore", "q_pareto_customers",
+    # round 6 (CORRECTNESS_r06.json) — 50/50 green, the second fully
+    # clean driver window: the whole r5 evaluation tier plus the r6
+    # _AUDIT_PRIORITY hardening set got their first hard signal.
+    "q_auc", "q_ece", "q_psi_drift", "q_rollup_route",
+    "q_heldout_perplexity", "q_embedding_outliers", "q_curriculum_order",
+    "q_cohens_kappa", "q_retrieval_eval", "q_mrr", "q_label_noise",
+    "q_kneser_ney", "q_readability", "q_zipf_fit", "q_l_diversity",
+    "q_bitmap_count", "q_feature_hash", "q_vad_segments",
+    "q_label_prop_bucketed", "q_cluster_terms", "q_sentence_dedup",
+    "q_volume_shipping", "q_market_share", "q_product_profit",
+    "q_returned_items", "q_late_lines", "q_promo_effect",
+    "q_top_supplier", "q_small_qty_revenue", "q_waiting_suppliers",
+    "q_sales_opportunity", "q_dsir_weights", "q_spend_trend",
+    "q_mmr_select", "q_label_prop", "q_seasonal_naive",
+    "q_forecast_revenue", "q_important_stock", "q_discounted_revenue",
+    "q_dominant_suppliers", "q_hybrid_search", "q_containment_pairs",
+    "q_ewma_daily", "q_stupid_backoff", "q_random_projection",
+    "q_bfs_hops", "q_user_journey", "q_naive_bayes", "q_pr_curve",
+    "q_line_dedup",
 )
 
 # Ids that failed a driver hash check and carry a fix awaiting driver
@@ -159,18 +178,12 @@ _RETRY_FIRST: tuple[str, ...] = (
 # last clean local sweep: they jump to the head of the unaudited block
 # so the driver's 50-id window reaches them before unchanged backlog.
 # Clear an id once its CORRECTNESS row is green (and it moves to
-# _DRIVER_AUDITED like any other id).  Round-6 entries: the r5 ADVICE
-# hardening (roc_auc 0.5-on-degenerate, two-sided bin clamps, typed
-# centroid schema, perplexity id check — commit 1c748de) and the
-# steady-state rollup-route memoization (commit 9a9e6b4).
-_AUDIT_PRIORITY: tuple[str, ...] = (
-    "q_auc", "q_ece", "q_psi_drift", "q_rollup_route",
-    "q_heldout_perplexity", "q_embedding_outliers", "q_curriculum_order",
-    "q_cohens_kappa", "q_retrieval_eval", "q_mrr", "q_label_noise",
-    "q_kneser_ney", "q_readability", "q_zipf_fit", "q_l_diversity",
-    "q_bitmap_count", "q_feature_hash", "q_vad_segments",
-    "q_label_prop_bucketed",
-)
+# _DRIVER_AUDITED like any other id).  Round-7 state: empty — the
+# r6 window went 50/50 green and every entry graduated into
+# _DRIVER_AUDITED above, so the 24 never-audited ids (the r4/r5
+# analytics tail + the 5 rows-only DataSketches ids) lead the r7
+# window purely by fresh-oracled-first ordering.
+_AUDIT_PRIORITY: tuple[str, ...] = ()
 
 
 def _audit_order(names) -> list[str]:
