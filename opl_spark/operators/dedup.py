@@ -78,6 +78,16 @@ def bucket_pairs(buckets: DataFrame, docs_col: str = "ds") -> DataFrame:
     → one row per unordered pair ``(id_a < id_b)`` within each key's
     bucket, all other columns dropped.
 
+    Precondition: entries within each bucket must be DISTINCT.  The
+    positional slice emits every pair of positions ``i < j``, so a doc
+    appearing twice in one bucket yields an ``id_a == id_b`` self-pair
+    that the classic self-join's strict ``a < b`` predicate would have
+    excluded.  Every in-repo caller builds buckets with
+    ``collect_list`` over per-doc DISTINCT feature sets (so a doc
+    appears at most once per key); external callers with multiset
+    postings must dedupe first or filter ``id_a != id_b`` after
+    (pinned by ``test_bucket_pairs_duplicate_postings_emit_self_pairs``).
+
     This replaces the classic inverted-index SELF-JOIN.  The join
     plans the whole postings build twice (one scan per alias — Spark
     does not CSE self-join branches) and shuffles the postings stream
@@ -398,12 +408,25 @@ def minhash_dedup_pairs(
     n: int = 3,
     max_bucket: int | None = 1000,
     portable: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard on the shingle sets
     (candidate generation is approximate; the verify join makes the
     output exact-above-threshold).  ``portable=True`` selects the
     md5-based engine-exact hash family so a SQL oracle can replay the
-    whole pipeline (see :func:`minhash_signatures`)."""
+    whole pipeline (see :func:`minhash_signatures`).
+
+    Resource note: ``checkpoint=True`` (default) lazily
+    ``localCheckpoint``s the hashed-shingle frame so the verify join's
+    two aliases compute it once instead of twice.  The checkpointed
+    blocks are corpus-sized and stay pinned until BOTH the Python
+    DataFrame objects are garbage-collected AND the JVM GC runs
+    (Spark's ContextCleaner frees checkpoint blocks on RDD
+    finalization) — a long-lived session calling this repeatedly will
+    accumulate them between GC cycles (see BENCH_NOTES.md for the
+    measured effect and bench.py for the explicit-GC mitigation).
+    Pass ``checkpoint=False`` to trade one extra text-scan pass for
+    zero retained blocks."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, portable)
     cand = minhash_lsh_candidates(sigs, bands, rows, max_bucket, portable)
@@ -422,8 +445,10 @@ def minhash_dedup_pairs(
     # without it the hashed-shingle corpus is computed twice.  The
     # persist is corpus-sized (doc id + hashed shingle array, spilling
     # to local disk), bought back by skipping a full second pass over
-    # the text
-    ).localCheckpoint(eager=False)
+    # the text; retention contract in the docstring above
+    )
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=False)
     a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.array_size(F.array_intersect("sh_a", "sh_b"))

@@ -115,6 +115,29 @@ def _bmp_tools():
             raise ValueError(
                 f"unsupported BMP variant bpp={bpp} compression={comp}"
             )
+        if comp == 3:
+            # BI_BITFIELDS: the channel masks live at absolute offset
+            # 54 whether the DIB is BITMAPINFOHEADER (masks follow the
+            # 40-byte header) or V4/V5 (masks at DIB offset 40).  The
+            # decode below assumes little-endian BGR(A) memory layout,
+            # i.e. R=0xFF0000 G=0xFF00 B=0xFF (A=0xFF000000 or absent);
+            # any other mask set would silently swap channels, so the
+            # fail-loud policy rejects it instead of decoding wrong.
+            rm, gm, bm = struct.unpack_from("<III", by, 54)
+            am = (
+                struct.unpack_from("<I", by, 66)[0]
+                if hdr_size >= 56 and data_off >= 70
+                else 0
+            )
+            if (rm, gm, bm) != (0xFF0000, 0xFF00, 0xFF) or am not in (
+                0,
+                0xFF000000,
+            ):
+                raise ValueError(
+                    "BI_BITFIELDS masks "
+                    f"r={rm:#x} g={gm:#x} b={bm:#x} a={am:#x} "
+                    "do not match the BGRA layout this codec assumes"
+                )
         top_down = h < 0
         h = abs(h)
         if w <= 0 or h == 0:

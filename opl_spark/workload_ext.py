@@ -7693,7 +7693,10 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = raw.union(
         raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct()
+    # label_propagation(checkpoint=True) lazily localCheckpoints the
+    # edge frame itself — no caller-side checkpoint, or the same
+    # corpus-sized edge RDD would persist twice.
     return label_propagation(edges, rounds=3)
 
 

@@ -84,6 +84,46 @@ def test_bmp_decode_rejects_garbage_loudly():
         bmp_decode(b"\x89PNG\r\n\x1a\nnot a bmp")
 
 
+def _bitfields_bmp(rm, gm, bm, am=0):
+    """Hand-build a 1×1 32-bit BI_BITFIELDS BMP with the given channel
+    masks (BITMAPINFOHEADER + 3 mask DWORDs, alpha via a V3-sized
+    header when am is nonzero)."""
+    import struct
+
+    raw = struct.pack("<4B", 1, 2, 3, 4)  # one BGRA pixel
+    # V3 header (hdr_size=56) embeds the 4 masks inside the header;
+    # a plain 40-byte header is followed by exactly 3 mask DWORDs.
+    # Either way the masks sit at absolute offset 54.
+    if am:
+        hdr_size, masks = 56, struct.pack("<IIII", rm, gm, bm, am)
+    else:
+        hdr_size, masks = 40, struct.pack("<III", rm, gm, bm)
+    data_off = 14 + 40 + len(masks)
+    dib = struct.pack(
+        "<IiiHHIIiiII", hdr_size, 1, -1, 1, 32, 3, len(raw), 0, 0, 0, 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(raw), 0, 0, data_off)
+    return hdr + dib + masks + raw
+
+
+def test_bmp_bitfields_standard_masks_decode():
+    # BGRA-layout masks (the only set the codec's channel order is
+    # correct for) must decode, with and without an alpha mask
+    for am in (0, 0xFF000000):
+        w, h, rgba = bmp_decode(_bitfields_bmp(0xFF0000, 0xFF00, 0xFF, am))
+        assert (w, h) == (1, 1)
+        assert rgba[0, 0].tolist() == [3, 2, 1, 4]
+
+
+def test_bmp_bitfields_swapped_masks_fail_loudly():
+    # RGBA-order masks would silently swap channels if decoded with
+    # the assumed BGRA layout — the codec must reject, not guess
+    with pytest.raises(ValueError, match="masks"):
+        bmp_decode(_bitfields_bmp(0xFF, 0xFF00, 0xFF0000))
+    with pytest.raises(ValueError, match="masks"):
+        bmp_decode(_bitfields_bmp(0xFF0000, 0xFF00, 0xFF, 0x000000FF))
+
+
 def test_area_resize_box_means():
     img = np.arange(16, dtype=np.float64).reshape(4, 4)
     out = bmp_area_resize(img, 2, 2)

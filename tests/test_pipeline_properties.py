@@ -275,3 +275,22 @@ def test_bucket_pairs_equals_self_join_reference(spark, postings):
         for a, b in combinations(sorted(docs), 2)
     )
     assert got == want
+
+
+def test_bucket_pairs_duplicate_postings_emit_self_pairs(spark):
+    """bucket_pairs' documented DISTINCT-entries precondition: a doc
+    appearing twice in one bucket yields an id_a == id_b self-pair
+    (positional i < j slice), unlike the self-join's strict a < b.
+    Pins the hazard the docstring states so external callers with
+    multiset postings know to dedupe or filter id_a != id_b."""
+    from collections import Counter
+
+    from opl_spark.operators.dedup import bucket_pairs
+
+    buckets = spark.createDataFrame(
+        [(0, [3, 3, 7]), (1, [5, 5])], "k int, ds array<int>"
+    )
+    got = Counter(
+        (r["id_a"], r["id_b"]) for r in bucket_pairs(buckets).collect()
+    )
+    assert got == Counter({(3, 3): 1, (3, 7): 2, (5, 5): 1})
