@@ -35,6 +35,7 @@ from opl_spark.operators.dedup import (  # noqa: F401
     minhash_permutation,
     portable_hash32_col,
     fuzzy_pairs,
+    fuzzy_link_edges,
     mask_repeated_spans,
     ngram_jaccard_pairs,
     simhash,

@@ -4233,17 +4233,24 @@ SELECT node AS name, MIN(r) AS canonical FROM reach GROUP BY node
 """,
 )
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution end-to-end: symmetric-delete fuzzy pairs over
-    customer names -> connected components -> lexicographic-min
-    canonical name.  The digit-substitution linkage graph is one giant
-    HIGH-DIAMETER component — exactly the case min-label propagation
-    (O(diameter) rounds) handles poorly — so components run as
-    alternating large-star/small-star rounds (Kiveris et al. 2014),
-    which converge in O(log n) rounds regardless of diameter."""
-    from opl_spark.operators.dedup import dedup_clusters_star, fuzzy_pairs
+    """Entity resolution end-to-end: symmetric-delete (SymSpell)
+    linkage edges over customer names -> connected components ->
+    lexicographic-min canonical name.  The digit-substitution linkage
+    graph is one giant HIGH-DIAMETER component — exactly the case
+    min-label propagation (O(diameter) rounds) handles poorly — so
+    components run as alternating large-star/small-star rounds
+    (Kiveris et al. 2014), which converge in O(log n) rounds
+    regardless of diameter.  The CC input is fuzzy_link_edges' star
+    subset (O(bucket) edges, components provably identical to the full
+    fuzzy_pairs graph), not the O(bucket²) pair list the oracle
+    enumerates."""
+    from opl_spark.operators.dedup import dedup_clusters_star, fuzzy_link_edges
 
     cust = load_table(spark, sf_dir, "customer")
-    pairs = fuzzy_pairs(cust, "c_name").select(
+    # connectivity-equivalent SymSpell star edges, NOT the full pair
+    # list — components (and thus canonicals) are identical, but the
+    # CC stage shuffles O(bucket) instead of O(bucket²) edges
+    pairs = fuzzy_link_edges(cust, "c_name").select(
         F.col("a").alias("id_a"), F.col("b").alias("id_b")
     )
     comp = dedup_clusters_star(pairs)

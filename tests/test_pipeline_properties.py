@@ -277,6 +277,52 @@ def test_bucket_pairs_equals_self_join_reference(spark, postings):
     assert got == want
 
 
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=4),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_fuzzy_link_edges_connectivity_equals_fuzzy_pairs(spark, words):
+    """fuzzy_link_edges must (a) emit only true distance-≤1 pairs and
+    (b) span exactly the connected components of the full fuzzy_pairs
+    graph — the contract that lets entity resolution feed the O(bucket)
+    edge set to CC instead of the O(bucket²) pair list."""
+    from opl_spark.operators.dedup import fuzzy_link_edges, fuzzy_pairs
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    pairs = {
+        (r["a"], r["b"]) for r in fuzzy_pairs(df, "w").collect()
+    }
+    links = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in fuzzy_link_edges(df, "w").collect()
+    }
+    assert links <= pairs, "every link edge must be a real distance-1 pair"
+
+    def components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp = {}
+        for x in list(parent):
+            comp.setdefault(find(x), set()).add(x)
+        return {frozenset(v) for v in comp.values()}
+
+    assert components(links) == components(pairs)
+
+
 def test_bucket_pairs_duplicate_postings_emit_self_pairs(spark):
     """bucket_pairs' documented DISTINCT-entries precondition: a doc
     appearing twice in one bucket yields an id_a == id_b self-pair
