@@ -195,6 +195,79 @@ def test_explain_over_http(server):
     assert exc.value.code == 404
 
 
+@pytest.fixture(scope="module")
+def routed_server(spark, sf_dir, tmp_path_factory):
+    """An OlapApi WITH a rollup lattice behind it — the steady-state
+    serving configuration the reference architecture implies (OLAP DB
+    = materialized query results; reference README.md:4)."""
+    from opl_spark.rollups import RollupStore
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    store = RollupStore(spark, str(tmp_path_factory.mktemp("latency_lattice")))
+    store.materialize(
+        engine,
+        "loans2",
+        [["year", "month"], ["year", "month", "day", "loan_type"]],
+    )
+    api = OlapApi(engine, rollups=store)
+    with OlapHttpServer(api) as srv:
+        yield api, store, srv
+
+
+AGG_PARAMS = {"cut": "date:1996", "drilldown": "date", "measure": "value"}
+
+
+def test_aggregate_routes_through_lattice_and_breaking_it_shows(routed_server):
+    """The routedness pin behind the latency guard: a core aggregate's
+    plan must scan the materialized lattice parquet, NOT the base
+    fact; with routing deliberately broken the lattice scan disappears
+    — proving the assertion actually trips on a routing regression."""
+    from opl_spark.plans.inspect import formatted_plan
+
+    api, store, _ = routed_server
+    df = api._build_aggregate_df("loans2", dict(AGG_PARAMS))
+    assert "latency_lattice" in formatted_plan(df), (
+        "core aggregate did not route through the rollup lattice"
+    )
+    orig = store.route
+    try:
+        store.route = lambda *a, **k: None  # deliberately broken routing
+        broken = api._build_aggregate_df("loans2", dict(AGG_PARAMS))
+        assert "latency_lattice" not in formatted_plan(broken)
+    finally:
+        store.route = orig
+
+
+def test_http_aggregate_latency_guard(routed_server):
+    """Latency guard for the interactive surface (the reference's
+    /olap/<fact>/aggregate, api-library-olap/README.md:16-19): the
+    routed round trip must stay interactive.  Bounds are generous
+    (host-jitter-safe) — a plan regression that turns the routed
+    rollup read back into per-request fact aggregation or loses the
+    scan pruning shows up as a multiple, not a percentage: cold
+    (first-touch parquet footer + codegen) < 10 s, warm median of 5
+    < 1.5 s."""
+    import statistics
+    import time
+
+    _, _, srv = routed_server
+    t0 = time.perf_counter()
+    status, body = _get(srv, "/olap/loans2/aggregate", AGG_PARAMS)
+    cold = time.perf_counter() - t0
+    assert status == 200 and json.loads(body)["data"]
+    assert cold < 10.0, f"cold routed aggregate took {cold:.2f}s"
+
+    warm = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        status, body = _get(srv, "/olap/loans2/aggregate", AGG_PARAMS)
+        warm.append(time.perf_counter() - t0)
+        assert status == 200 and json.loads(body)["data"]
+    med = statistics.median(warm)
+    assert med < 1.5, f"warm routed aggregate median {med:.2f}s ({warm})"
+
+
 def test_explain_concurrent_requests_get_their_own_plans(server):
     """Regression for the r4 probe-view race (plans/inspect.py uses a
     per-call uuid view name): 8 concurrent /explain requests with
