@@ -253,6 +253,9 @@ BENCH_QUERIES = [
     "q_feature_hash",
     "q_heldout_perplexity",
     "q_label_noise",
+    # round-7: real-decode multimodal tier (dependency-free BMP codec
+    # — full container parse + pixel statistics, not stub passthrough)
+    "q_bmp_decode",
 ]
 
 

@@ -210,6 +210,48 @@ def _fake_decode(media_bytes: bytes) -> tuple[int, int, list[float]]:
     return width, height, [round(f / total, 6) for f in feat]
 
 
+def synthetic_bmp_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic synthetic BMP corpus: one REAL 24-bit BMP payload
+    per row in the canonical media layout — solid color keyed off the
+    id, dimensions keyed off the text byte length with the same
+    ``(n % 64) + 1`` / ``(n % 48) + 1`` rule as the stub codec (so
+    oracles share the formula).  This is the bench/test feed for the
+    dependency-free real-decode path: the payloads are real BMP
+    containers, so ``decode_images(codec='bmp')`` does full header
+    parsing + pixel-array statistics, not stub passthrough.
+
+    Scale shape: map-only — one Arrow-batched pandas UDF pass, no
+    shuffle; payload size is bounded by the dim rule (≤ 64×48×3 B
+    plus headers), so batch memory stays O(batch × 9 KiB)."""
+    encode = _bmp_tools()[1]
+
+    def make(ids: pd.Series, ns: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        out = []
+        for i, n in zip(ids, ns):
+            w, h = int(n % 64) + 1, int(n % 48) + 1
+            rgb = _np.empty((h, w, 3), _np.uint8)
+            rgb[..., 0] = i % 256
+            rgb[..., 1] = (i * 7) % 256
+            rgb[..., 2] = (i * 13) % 256
+            out.append(encode(rgb))
+        return _pd.Series(out)
+
+    make_udf = F.pandas_udf(make, T.BinaryType())
+    ident = F.col(id_col).cast("long")
+    return df.select(
+        F.struct(
+            make_udf(ident, F.octet_length(F.col(text_col)).cast("long")).alias(
+                "media_bytes"
+            ),
+            F.lit("image/bmp").alias("mime"),
+            ident.alias("media_id"),
+        ).alias("media")
+    )
+
+
 def decode_images(
     df: DataFrame, media_col: str = "media", codec: str = "fake"
 ) -> DataFrame:

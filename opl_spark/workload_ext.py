@@ -961,6 +961,43 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bmp_decode",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id AS media_id,
+           (octet_length(encode(text)) % 64) + 1 AS w,
+           (octet_length(encode(text)) % 48) + 1 AS h
+    FROM documents
+)
+SELECT media_id,
+       CAST(54 + h * (((w * 3 + 3) // 4) * 4) AS BIGINT) AS byte_len,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height
+FROM dims
+""",
+)
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end without any optional dependency:
+    synthesize a true 24-bit BMP per document (solid color keyed off
+    the id, dims off the text byte length — operators/multimodal.py
+    synthetic_bmp_media), then run the dependency-free numpy BMP
+    decoder over the same mapInPandas plan the Pillow codec uses.
+    Unlike q_multimodal_decode (stub codec — plumbing only), this row
+    measures full container parsing + per-pixel channel statistics.
+    The oracle replays the BMP geometry exactly: width/height from the
+    dim rule, byte_len = 54-byte headers + 4-aligned row stride ×
+    height.  Decoded features (channel means/stds) are pinned
+    separately by tests/test_bmp_codec.py."""
+    from opl_spark.operators.multimodal import decode_images, synthetic_bmp_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_bmp_media(docs, "text", "doc_id")
+    return decode_images(media, codec="bmp").select(
+        "media_id", "byte_len", "width", "height"
+    )
+
+
+@register(
     "q_multimodal_resize",
     oracle="""
 WITH dims AS (
