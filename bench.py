@@ -258,6 +258,26 @@ BENCH_QUERIES = [
     "q_bmp_decode",
 ]
 
+#: Host-speed calibration control set (BENCH_NOTES.md protocol, now
+#: emitted in the closing JSON instead of prose): shuffle-heavy ids
+#: whose reference times below come from the committed round-6 closing
+#: recording (BENCH_DETAIL.json at commit f15f989, idle guest).  The
+#: emitted ``calibration`` field is the MEDIAN of (this run's time /
+#: reference time) over the set — ~1.0 means the host matches the
+#: reference day; >1 means this host/day is proportionally slower and
+#: cross-round totals should be read against it.  MAINTENANCE: if a
+#: control id's implementation changes, re-pin its reference from the
+#: first clean recording after the change (a code delta would
+#: otherwise masquerade as host speed).
+CALIBRATION_REF = {
+    "q_dedup_ngram": 2.101,
+    "q_winnow_pairs": 1.577,
+    "q_ivfpq_topk": 1.797,
+    "q_containment_pairs": 2.360,
+    "q_simhash": 1.699,
+    "q_bigram_logprob": 1.060,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -304,6 +324,23 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
+    ratios = sorted(
+        times[q] / ref
+        for q, ref in CALIBRATION_REF.items()
+        if q in times and ref > 0
+    )
+    calibration = (
+        round(
+            (
+                ratios[len(ratios) // 2]
+                if len(ratios) % 2
+                else (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
+            ),
+            3,
+        )
+        if ratios
+        else None
+    )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -315,6 +352,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "calibration": calibration,
+                "calibration_ref": CALIBRATION_REF,
             },
             fh,
             indent=1,
@@ -329,6 +368,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(times),
                 "sf": sf,
+                "calibration": calibration,
                 "detail": "BENCH_DETAIL.json",
             }
         )
