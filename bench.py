@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     # round-7: real-decode multimodal tier (dependency-free BMP codec
     # — full container parse + pixel statistics, not stub passthrough)
     "q_bmp_decode",
+    # round-7: prefix-filtered exact set-similarity join (PPJoin)
+    "q_setsim_join",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

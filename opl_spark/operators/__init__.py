@@ -38,6 +38,7 @@ from opl_spark.operators.dedup import (  # noqa: F401
     fuzzy_link_edges,
     mask_repeated_spans,
     ngram_jaccard_pairs,
+    setsim_join,
     simhash,
     span_duplication_profile,
     triangle_count,

@@ -1010,6 +1010,124 @@ def fuzzy_pairs(
     )
 
 
+def setsim_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact set-similarity self-join — all unordered doc pairs whose
+    DISTINCT word ``n``-gram shingle sets have Jaccard ≥ ``threshold``
+    — via PREFIX FILTERING (Chaudhuri et al., ICDE 2006; PPJoin, Xiao
+    et al., WWW 2008): ``(id_a, id_b, jaccard)``.
+
+    Where the full inverted index (:func:`ngram_jaccard_pairs`)
+    generates a candidate from EVERY shared shingle, prefix filtering
+    orders each set by GLOBAL shingle frequency (rarest first, ties by
+    shingle) and indexes only the first ``|S| - ceil(t·|S|) + 1``
+    elements: two sets with Jaccard ≥ t must share at least one
+    prefix element under a common total order (sharing none leaves
+    the maximum possible overlap below t·|A∪B|), so recall is exactly
+    1 while the candidate space shrinks to collisions on RARE
+    shingles.  That is the 100 TB story: posting buckets are keyed by
+    the corpus's rare tail instead of its boilerplate, so the
+    O(bucket²) pair expansion concentrates where buckets are
+    naturally tiny, WITHOUT the ``max_doc_freq`` recall trade the
+    capped full index makes; ``max_bucket`` stays available as a
+    belt-and-braces cap but is not load-bearing.  (Set elements must
+    come from a large sparse vocabulary for the frequency skew to
+    exist — shingles, not raw words; ``n=1`` degenerates exactly the
+    way a stop-word-only corpus would.)
+
+    Execution shape: shingles hash to 8-byte longs at the source (the
+    output is ORDER-INDEPENDENT — any common total order yields the
+    same verified pairs at recall 1, so (freq, hash) is as valid an
+    order as (freq, shingle) and nothing string-width ever shuffles);
+    corpus frequency attaches as ONE unordered window count over the
+    hash (no agg + join-back — the mask_spans shape, measured 2x);
+    prefixes explode from the doc-grouped (freq, hash) struct sort (no
+    global rank window), pairs expand via grouped buckets
+    (:func:`bucket_pairs`), and the exact verify joins hashed shingle
+    arrays (intersection COUNTS are hash-invariant, same convention
+    as the MinHash verify)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    # lazy-checkpoint the hashed-shingle frame: it feeds the prefix
+    # build and BOTH verify aliases — three plan branches that would
+    # otherwise each re-scan and re-tokenize
+    tok = tok.localCheckpoint(eager=False)
+    posts = tok.select("doc", F.explode("hs").alias("h"))
+    keyed = posts.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    ordered = keyed.groupBy("doc").agg(
+        F.sort_array(F.collect_list(F.struct("c", "h"))).alias("ts")
+    )
+    sz = F.size("ts")
+    plen = sz - F.ceil(F.lit(float(threshold)) * sz).cast("int") + 1
+    # prefix postings carry (doc, 1-based prefix position, set size):
+    # the PPJoin candidate filters below need both
+    prefix = ordered.select(
+        "doc",
+        F.size("ts").alias("sz"),
+        F.posexplode(
+            F.transform(
+                F.slice("ts", 1, F.greatest(plen, F.lit(1))), lambda s: s["h"]
+            )
+        ).alias("pos", "h"),
+    )
+    buckets = prefix.groupBy("h").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc", (F.col("pos") + 1).alias("pos"), "sz"))
+        ).alias("ds")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    t = float(threshold)
+    pa, pb = F.col("id_a"), F.col("id_b")
+    # PPJoin candidate filters, applied BEFORE the distinct and the
+    # verify join — each discards pairs that provably cannot reach t:
+    # length filter: |B| ≥ t·|A| (Jaccard ≥ t bounds the size ratio);
+    # positional filter: tokens before this shared prefix position
+    # are all distinct across the pair, so the best remaining overlap
+    # min(|A|-i, |B|-j) + 1 must reach the required α = ⌈t/(1+t)·
+    # (|A|+|B|)⌉ (a pair may pass via a different, earlier collision —
+    # per-collision filtering + distinct keeps recall exactly 1)
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (pa["sz"] + pb["sz"]))
+    cand = (
+        bucket_pairs(buckets)
+        .filter(
+            (pb["sz"] >= F.ceil(F.lit(t) * pa["sz"]))
+            & (pa["sz"] >= F.ceil(F.lit(t) * pb["sz"]))
+            & (
+                F.least(pa["sz"] - pa["pos"], pb["sz"] - pb["pos"]) + 1
+                >= alpha
+            )
+        )
+        .select(pa["doc"].alias("id_a"), pb["doc"].alias("id_b"))
+        .distinct()
+    )
+    a = tok.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = tok.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.array_size(F.array_intersect("hs_a", "hs_b"))
+    union = F.array_size("hs_a") + F.array_size("hs_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def fuzzy_link_edges(df: DataFrame, str_col: str, max_dist: int = 1) -> DataFrame:
     """Connectivity-preserving SymSpell linkage edges: a SUBSET of
     :func:`fuzzy_pairs` with identical connected components but

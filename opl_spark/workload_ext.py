@@ -165,6 +165,34 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_setsim_join",
+    oracle=_SHINGLE_CTE
+    + """
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.5
+""",
+)
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join by PREFIX FILTERING (Chaudhuri
+    2006 / PPJoin, Xiao 2008) at Jaccard ≥ 0.5 over 3-gram shingle
+    sets — the cap-free exact scale path next to the full inverted
+    index (q_dedup_ngram) and LSH (q_dedup_minhash): candidates come
+    only from collisions on each set's rarest-first frequency prefix,
+    pruned further by the PPJoin length and positional filters, with
+    recall exactly 1 by construction (no max_doc_freq approximation).
+    The oracle is the full-index enumeration at the same threshold —
+    identical output IS the prefix-filter correctness theorem."""
+    from opl_spark.operators.dedup import setsim_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return setsim_join(docs, "text", "doc_id", threshold=0.5)
+
+
+@register(
     "q_dedup_clusters",
     oracle=_COMPONENTS_CTE + "SELECT doc, keeper FROM comp",
 )

@@ -279,6 +279,42 @@ def test_bucket_pairs_equals_self_join_reference(spark, postings):
 
 @settings(**_SETTINGS)
 @given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "fox", "dog", "run", "sit"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_setsim_join_equals_full_index_enumeration(spark, texts, threshold):
+    """The prefix-filter correctness theorem, property-tested: the
+    PPJoin path (rarest-first prefixes + length/positional filters +
+    exact verify) must emit EXACTLY the pairs the full inverted index
+    emits at the same threshold — recall 1, no cap approximation."""
+    from opl_spark.operators.dedup import ngram_jaccard_pairs, setsim_join
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in setsim_join(df, "text", "doc_id", threshold=threshold).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=threshold
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
     words=st.lists(
         st.text(alphabet="ab", min_size=0, max_size=4),
         min_size=1,
