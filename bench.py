@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "q_bmp_decode",
     # round-7: prefix-filtered exact set-similarity join (PPJoin)
     "q_setsim_join",
+    # round-7: pooled-marginal reliability companion to cohens_kappa
+    "q_krippendorff_alpha",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

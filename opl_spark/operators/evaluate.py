@@ -143,6 +143,69 @@ def cohens_kappa(df: DataFrame, rater_a: Column, rater_b: Column) -> DataFrame:
     )
 
 
+def krippendorff_alpha(
+    df: DataFrame, rater_a: Column, rater_b: Column
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric, two raters, no missing
+    values) — the reliability companion to :func:`cohens_kappa` that
+    corrects chance agreement by the POOLED value distribution instead
+    of per-rater marginals.  With N units, D agreements, and pooled
+    label counts n_c = (#a=c) + (#b=c):
+
+        alpha = 1 − 2·(N−D)·(2N−1) / (4N² − Σ_c n_c²)
+
+    (the coincidence-matrix form collapsed for m=2 raters).  Integer
+    BIGINT arithmetic to the single final division, over one
+    labels²-sized confusion aggregate plus label-count-sized marginal
+    joins — the same scale shape as kappa.  Emits one row
+    ``(n_units, n_agree, do_rate, de_rate, alpha)``; the degenerate
+    constant-label case (4N² = Σn_c²) is defined as 1 on full
+    agreement else 0, mirroring the kappa guard."""
+    conf = (
+        df.select(rater_a.alias("a"), rater_b.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = conf.groupBy("a").agg(F.sum("c").alias("row_c"))
+    cols = conf.groupBy("b").agg(F.sum("c").alias("col_c"))
+    # pooled marginal n_c needs labels present in EITHER rater — full
+    # outer join, unlike kappa's product-exact inner join
+    marg = rows.join(cols, rows["a"] == cols["b"], "full_outer").select(
+        (F.coalesce(F.col("row_c"), F.lit(0)) + F.coalesce(F.col("col_c"), F.lit(0))).alias("nc")
+    )
+    s2 = marg.agg(F.sum(F.col("nc") * F.col("nc")).alias("s2"))
+    totals = conf.agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(F.lit(0))
+        ).alias("d"),
+    )
+    out = totals.crossJoin(F.broadcast(s2))
+    n, d, ss = F.col("n"), F.col("d"), F.col("s2")
+    de_num = 4 * n * n - ss
+    return out.select(
+        n.cast("long").alias("n_units"),
+        d.cast("long").alias("n_agree"),
+        F.round((n - d).cast("double") / n.cast("double"), 6).alias("do_rate"),
+        F.round(
+            de_num.cast("double") / (2 * n * (2 * n - 1)).cast("double"), 6
+        ).alias("de_rate"),
+        F.when(
+            de_num == 0,
+            F.when(d == n, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - (2 * (n - d) * (2 * n - 1)).cast("double")
+                / de_num.cast("double"),
+                6,
+            )
+        )
+        .alias("alpha"),
+    )
+
+
 #: nDCG position discounts in integer micro-units:
 #: w_i = floor(1e6 / log2(i+1) + 0.5).  Computed ONCE here with
 #: Python's log2 and replayed as literals in both engines — a

@@ -10072,6 +10072,45 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(docs, F.col("lang"), lang_id_col(F.col("text")))
 
 
+@register(
+    "q_krippendorff_alpha",
+    oracle="WITH scored AS (SELECT lang, "
+    + ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS_DESC)
+    + f" FROM documents),\nconf AS (SELECT lang AS a, {_LANG_CASE} AS b, "
+    + """CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY 1, 2),
+rows_ AS (SELECT a AS l, CAST(SUM(c) AS BIGINT) AS rc FROM conf GROUP BY 1),
+cols_ AS (SELECT b AS l, CAST(SUM(c) AS BIGINT) AS cc FROM conf GROUP BY 1),
+marg AS (SELECT COALESCE(r.rc, 0) + COALESCE(c2.cc, 0) AS nc
+         FROM rows_ r FULL OUTER JOIN cols_ c2 ON r.l = c2.l),
+s2 AS (SELECT CAST(SUM(nc * nc) AS BIGINT) AS s2 FROM marg),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS d
+      FROM conf)
+SELECT n AS n_units, d AS n_agree,
+       ROUND(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS do_rate,
+       ROUND(CAST(4 * n * n - (SELECT s2 FROM s2) AS DOUBLE)
+             / CAST(2 * n * (2 * n - 1) AS DOUBLE), 6) AS de_rate,
+       CASE WHEN 4 * n * n = (SELECT s2 FROM s2)
+            THEN CASE WHEN d = n THEN 1.0 ELSE 0.0 END
+            ELSE ROUND(1.0 - CAST(2 * (n - d) * (2 * n - 1) AS DOUBLE)
+                       / CAST(4 * n * n - (SELECT s2 FROM s2) AS DOUBLE), 6)
+       END AS alpha
+FROM t
+""",
+)
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over the same (labeled lang, marker
+    detector) rater pair as q_cohens_kappa — the reliability
+    coefficient that pools both raters' value distributions for the
+    chance correction, integer-exact to the single final division
+    (see operators/evaluate.py:krippendorff_alpha)."""
+    from opl_spark.operators.evaluate import krippendorff_alpha
+    from opl_spark.operators.text import lang_id_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return krippendorff_alpha(docs, F.col("lang"), lang_id_col(F.col("text")))
+
+
 def _retrieval_eval_oracle(n_queries: int = 20, k: int = 10) -> str:
     from opl_spark.operators.evaluate import ndcg_weight_micro
 

@@ -90,6 +90,33 @@ def test_kappa_chance_only_is_zero(spark):
     assert cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]["kappa"] == 0.0
 
 
+def test_krippendorff_alpha_hand_example(spark):
+    """4 units, 1 disagreement: pooled counts n_x=3, n_y=5 →
+    Do = 2/8, De = 2·3·5/(8·7) = 30/56, alpha = 1 − 14/30."""
+    from opl_spark.operators.evaluate import krippendorff_alpha
+
+    rows = [("x", "x"), ("x", "y"), ("y", "y"), ("y", "y")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = krippendorff_alpha(df, F.col("a"), F.col("b")).collect()[0]
+    assert (r["n_units"], r["n_agree"]) == (4, 3)
+    assert r["do_rate"] == 0.25
+    assert r["de_rate"] == round(30 / 56, 6)
+    assert r["alpha"] == round(1 - 14 / 30, 6)
+
+
+def test_krippendorff_alpha_degenerate_and_perfect(spark):
+    from opl_spark.operators.evaluate import krippendorff_alpha
+
+    # constant label, full agreement: De = 0 -> defined as 1
+    df = spark.createDataFrame([("y", "y")] * 5, "a string, b string")
+    assert krippendorff_alpha(df, F.col("a"), F.col("b")).collect()[0]["alpha"] == 1.0
+    # perfect two-label agreement: alpha 1 via the regular branch
+    df2 = spark.createDataFrame(
+        [("y", "y")] * 3 + [("n", "n")] * 3, "a string, b string"
+    )
+    assert krippendorff_alpha(df2, F.col("a"), F.col("b")).collect()[0]["alpha"] == 1.0
+
+
 # ---------------------------------------------------------------------------
 # retrieval eval (precision@k / nDCG@k)
 # ---------------------------------------------------------------------------
