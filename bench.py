@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "q_setsim_join",
     # round-7: pooled-marginal reliability companion to cohens_kappa
     "q_krippendorff_alpha",
+    # round-7: distinct-n diversity ratios per source
+    "q_distinct_n",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

@@ -208,6 +208,55 @@ def repetition_profile(
     )
 
 
+def distinct_ngram_ratios(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Corpus-diversity report per group: distinct-n ratios (Li et
+    al. 2016, "A Diversity-Promoting Objective Function") — for each
+    n, total positional n-grams, distinct n-grams, and their ratio
+    (n=1 is the classic type/token ratio).  The standard diagnostic
+    for template-heavy or model-generated text, where distinct-2/3
+    collapse long before unigram stats move.
+
+    Shape: ONE scan — the three gram sizes ride a single explode of a
+    concatenated (n, gram) struct array (each size's shingle chain is
+    a lambda ARGUMENT, built once per doc); grams cross the shuffle as
+    8-byte xxhash64 longs (collision odds ~grams²/2⁶⁴, the repo-wide
+    distinct-counting convention), and the distinct count is the
+    two-level (group, n, gram-hash) → (group, n) fold — two map-side-
+    combinable aggregates, no count_distinct Expand doubling the
+    stream.  At 100 TB swap the inner level for
+    ``approx_count_distinct`` (HLL++) and the shape is unchanged."""
+    from opl_spark.operators.dedup import shingle_seq_col
+
+    text = F.col(text_col)
+
+    # NB: a 1-arg closure factory, NOT `lambda g, n=n: ...` — PySpark
+    # reads a two-parameter HOF lambda as (element, index)
+    def _tagger(size: int):
+        return lambda g: F.struct(F.lit(size).alias("n"), g.alias("g"))
+
+    tagged = F.concat(
+        *[F.transform(shingle_seq_col(text, n), _tagger(n)) for n in ns]
+    )
+    grams = df.select(
+        F.col(group_col).alias("source"), F.explode(tagged).alias("t")
+    ).select("source", F.col("t.n").alias("n"), F.xxhash64("t.g").alias("gh"))
+    per_gram = grams.groupBy("source", "n", "gh").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_gram.groupBy("source", "n").agg(
+        F.sum("c").cast("long").alias("total_ngrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
 def split_col(id_col: Column, train_pct: int = 90, buckets: int = 100) -> Column:
     """Deterministic train/holdout assignment from the document id —
     the reproducible corpus split (same id ⇒ same split, every run,

@@ -10111,6 +10111,38 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_alpha(docs, F.col("lang"), lang_id_col(F.col("text")))
 
 
+@register(
+    "q_distinct_n",
+    oracle=r"""
+WITH docs AS (
+    SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+g AS (
+    SELECT source, t.n AS n,
+           array_to_string(list_slice(w, s.i, s.i + t.n - 1), ' ') AS g
+    FROM docs,
+         UNNEST([1, 2, 3]) AS t(n),
+         UNNEST(range(1, greatest(len(w) - t.n + 1, 1) + 1)) AS s(i)
+)
+SELECT source, CAST(n AS INTEGER) AS n,
+       CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+       ROUND(CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS distinct_ratio
+FROM g GROUP BY 1, 2
+""",
+)
+def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n corpus-diversity ratios per source (Li et al. 2016):
+    type/token ratio plus distinct-2/3 — the standard screen for
+    template-heavy or model-generated text.  One scan, one (source, n)
+    aggregate (operators/text.py:distinct_ngram_ratios)."""
+    from opl_spark.operators.text import distinct_ngram_ratios
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distinct_ngram_ratios(docs, "text", "source")
+
+
 def _retrieval_eval_oracle(n_queries: int = 20, k: int = 10) -> str:
     from opl_spark.operators.evaluate import ndcg_weight_micro
 
