@@ -262,6 +262,8 @@ BENCH_QUERIES = [
     "q_krippendorff_alpha",
     # round-7: distinct-n diversity ratios per source
     "q_distinct_n",
+    # round-7: blocking-key-free embedding LSH (SRP banding + gemm verify)
+    "q_srp_lsh",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

@@ -90,6 +90,8 @@ from opl_spark.operators.similarity import (  # noqa: F401
     cosine_sim_col,
     hybrid_search_rrf,
     random_projection,
+    srp_lsh_pairs,
+    srp_plane_coeff,
     mmr_select,
     cosine_topk,
     ivf_assign,

@@ -619,6 +619,99 @@ def embedding_dup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def srp_plane_coeff(j: int, i: int) -> int:
+    """Deterministic integer hyperplane coefficient for SRP-LSH bit
+    ``j``, dimension ``i``: the portable 32-bit md5 hash of ``"j:i"``
+    mapped to [-1000, 1000].  Computed ONCE driver-side and baked as
+    literals into both the Spark plan and the SQL oracle (the same
+    shared-constant convention as minhash_permutation /
+    ndcg_weight_micro) — no per-row hashing anywhere."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16)
+    return h % 2001 - 1000
+
+
+def srp_lsh_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    n_bits: int = 24,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Signed-random-projection LSH (Charikar 2002 — the COSINE twin
+    of MinHash banding) over an embedding column: each vector's
+    ``n_bits`` sign bits of integer hyperplane projections split into
+    ``bands`` banded bucket keys; same-bucket pairs verify with the
+    exact cosine — ``(id_a, id_b, cosine ≥ threshold)``.
+
+    P[bit agrees] = 1 − θ/π, so a (bands × rows) banding tunes the
+    recall/candidate trade exactly like text LSH — and unlike the
+    label-blocked :func:`embedding_dup_pairs` it needs NO preexisting
+    blocking key.  Candidates are approximate (banding recall), the
+    verify is exact — same contract as :func:`minhash_dedup_pairs`.
+
+    Everything up to the verify is INTEGER-exact and engine-portable:
+    coordinates quantize to the 1e-3 grid (:func:`quantized_weights_col`),
+    plane coefficients are driver-side literals
+    (:func:`srp_plane_coeff`), and each projection is a sum of
+    integer-valued doubles < 2^53 (order-independent), so a SQL
+    oracle replays buckets bit-for-bit.
+
+    Scale shape: signatures are map-only (the quantized vector is
+    staged as a NAMED column, so the ``n_bits`` projection aggregates
+    reference an attribute, never re-evaluate the transform — the
+    repo's HOF-capture rule); one shuffle on the (band, key) bucket;
+    per-bucket gemm verify via :func:`embedding_dup_pairs`'s kernel
+    (n·d floats cross Arrow per bucket, never n² rows)."""
+    rows_per_band = n_bits // bands
+    planes = [
+        [srp_plane_coeff(j, i) for i in range(dims)] for j in range(n_bits)
+    ]
+    qdf = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        quantized_weights_col(F.col(vec_col)).alias("__q"),
+    )
+    bit_cols = []
+    for j in range(n_bits):
+        clit = F.array(*[F.lit(float(c)) for c in planes[j]])
+        proj = F.aggregate(
+            F.zip_with(F.col("__q"), clit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_cols.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"__b{j}"))
+    staged = qdf.select("__id", "__v", *bit_cols)
+    keys = [
+        sum(
+            (F.col(f"__b{b * rows_per_band + k}") * (1 << k))
+            for k in range(rows_per_band)
+        ).alias(f"__k{b}")
+        for b in range(bands)
+    ]
+    keyed = staged.select("__id", "__v", *keys)
+    melted = keyed.select(
+        "__id",
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"__k{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bk"),
+    )
+    verified = embedding_dup_pairs(
+        melted, "__v", "__id", "__bk", threshold=threshold
+    )
+    # a pair colliding in several bands verifies identically each time
+    return verified.distinct()
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """Symmetric absmax int8 quantization of an embedding column —
     the storage/memory scale path for ANN: a 64-dim float32 vector

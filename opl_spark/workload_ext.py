@@ -405,6 +405,65 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(emb, "embedding", "vec_id", "label", threshold=0.3)
 
 
+def _srp_oracle(
+    dims: int = 64, n_bits: int = 24, bands: int = 4, threshold: float = 0.3
+) -> str:
+    """SQL replay of srp_lsh_pairs: the plane literals come from the
+    SAME driver-side generator as the Spark plan, buckets replay in
+    integer arithmetic, and the verify reuses the proven raw-double
+    cosine idiom (q_dedup_embedding)."""
+    from opl_spark.operators.similarity import srp_plane_coeff
+
+    rows = n_bits // bands
+    vals = ", ".join(
+        f"({j}, {i}, {srp_plane_coeff(j, i)})"
+        for j in range(n_bits)
+        for i in range(dims)
+    )
+    cos = (
+        "ROUND(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT id, list_transform(v, x -> floor(x * 1000.0 + 0.5)) AS qv FROM e),
+planes(j, i, c) AS (VALUES {vals}),
+dots AS (
+    SELECT q.id, p.j, SUM(q.qv[p.i + 1] * p.c) AS s
+    FROM q CROSS JOIN planes p
+    GROUP BY 1, 2
+),
+keys AS (
+    SELECT id, j // {rows} AS band,
+           CAST(SUM(CASE WHEN s >= 0 THEN (1 << (j % {rows})) ELSE 0 END)
+                AS BIGINT) AS key
+    FROM dots GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT DISTINCT id_a, id_b, {cos} AS cosine
+FROM cand JOIN e x ON x.id = id_a JOIN e y ON y.id = id_b
+WHERE {cos} >= {threshold}
+"""
+
+
+@register("q_srp_lsh", oracle=_srp_oracle())
+def q_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key-free embedding near-dup: signed-random-projection
+    LSH (Charikar 2002) banding over integer hyperplane sign bits →
+    per-bucket exact-cosine gemm verify — the COSINE twin of
+    q_dedup_minhash's text LSH, next to the label-blocked
+    q_dedup_embedding (operators/similarity.py:srp_lsh_pairs).  The
+    whole bucket structure is integer-exact, so the oracle replays
+    candidates bit-for-bit."""
+    from opl_spark.operators.similarity import srp_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_lsh_pairs(emb, "embedding", "vec_id", dims=64, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -213,6 +213,27 @@ def test_semantic_dedup_keeps_cluster_representative(spark):
     assert got == [(2, 0)]
 
 
+def test_srp_lsh_finds_planted_duplicate_without_blocking_key(spark):
+    """An exact duplicate vector shares every SRP sign bit, so it MUST
+    collide in every band and verify at cosine 1.0 — with no label /
+    blocking column anywhere.  A far (low-cosine) vector must not be
+    paired above the threshold even when buckets collide."""
+    from opl_spark.operators.similarity import srp_lsh_pairs
+
+    d = 8
+    base = [1.0, 0.5, -0.25, 0.125, 0.75, -0.5, 0.3, -0.7]
+    far = [-x for x in base]  # cosine -1 with base
+    rows = [(1, base), (2, list(base)), (3, far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in srp_lsh_pairs(
+            df, "embedding", "vec_id", dims=d, threshold=0.9
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
 def test_unigram_logprob_ranks_rare_tokens_higher(spark):
     from opl_spark.operators.text import unigram_logprob
 
