@@ -109,6 +109,111 @@ class RollupStore:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         return manifest
 
+    def _needed_cols(self, engine, meta, q) -> tuple[list[str], set[str]]:
+        """The physical columns a cube query needs a rollup to carry:
+        compiled cut hierarchy columns plus resolved drilldown group
+        columns.  Cuts compile against the (lazy) base frame — cut
+        depths feed the below-cut drilldown-resolution rule, exactly
+        as in CubeEngine.aggregate; the compiled conditions stay on
+        the query's cut terms for recompilation after routing."""
+        base_frame = engine.frame(meta.name)
+        cut_cols: set[str] = set()
+        for t in q.cut_terms:
+            dim = meta.dimension(t.dimension)
+            t.condition, t.depth = engine._compile_cut(
+                base_frame, dim, t.spec, q.hierarchy_by_dim.get(t.dimension)
+            )
+            order = dim.hierarchy_order(q.hierarchy_by_dim.get(t.dimension))
+            for lv in order:
+                cut_cols.add(dim.level(lv).physical)
+        group_cols = engine._resolve_drilldown(base_frame, q)
+        return group_cols, set(group_cols) | cut_cols
+
+    def advise(
+        self,
+        engine: CubeEngine,
+        fact: str,
+        query_log: list[dict],
+        max_rollups: int = 3,
+    ) -> list[dict]:
+        """Lattice ADVISOR — the classic companion to materialized
+        pre-aggregation (cf. SQL Server's Database Tuning Advisor /
+        Harinarayan et al. 1996 "Implementing Data Cubes
+        Efficiently"): given a log of aggregate-request params, rank
+        which groupings to ``materialize``.
+
+        A candidate grouping is each distinct needed-column set in the
+        log; it covers every logged query whose needed set it
+        contains.  Candidate cardinalities come from ONE distributed
+        pass (a single aggregate of ``approx_count_distinct`` over
+        each candidate's column struct — never one job per candidate),
+        and selection is the greedy benefit rule: pick the grouping
+        with the largest Σ frequency × (fact_rows − est_rows) over
+        still-uncovered queries, ``max_rollups`` times.  Returns
+        ``[{cols, est_rows, covers, benefit}]``, materialize-ready.
+
+        Driver state is candidate-set-sized (distinct query shapes in
+        the log), never data-sized."""
+        meta = engine.catalog.fact(fact)
+        shapes: dict[frozenset, int] = {}
+        for params in query_log:
+            q = CubeQuery(
+                fact=meta,
+                cut=params.get("cut"),
+                drilldown=params.get("drilldown"),
+                measure=params.get("measure"),
+                aggregate=params.get("aggregate"),
+                hierarchy=params.get("hierarchy"),
+            )
+            agg = params.get("aggregate")
+            if agg is not None and agg not in _DERIVABLE:
+                continue  # can never route — no rollup helps it
+            _, needed = self._needed_cols(engine, meta, q)
+            key = frozenset(needed)
+            shapes[key] = shapes.get(key, 0) + 1
+        candidates = [sorted(s) for s in shapes if s]
+        if not candidates:
+            return []
+        base = engine.frame(fact)
+        est_row = base.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.approx_count_distinct(F.struct(*cols)).alias(f"__c{i}")
+                for i, cols in enumerate(candidates)
+            ],
+        ).first()
+        fact_rows = est_row["__n"]
+        est = {
+            frozenset(cols): est_row[f"__c{i}"]
+            for i, cols in enumerate(candidates)
+        }
+        uncovered = dict(shapes)
+        picked: list[dict] = []
+        while uncovered and len(picked) < max_rollups:
+            best, best_benefit, best_covers = None, 0, 0
+            for cols in candidates:
+                cset = frozenset(cols)
+                covers = [s for s in uncovered if s <= cset]
+                benefit = sum(
+                    uncovered[s] * max(fact_rows - est[cset], 0) for s in covers
+                )
+                if benefit > best_benefit:
+                    best, best_benefit = cset, benefit
+                    best_covers = sum(uncovered[s] for s in covers)
+            if best is None:
+                break
+            picked.append(
+                {
+                    "cols": sorted(best),
+                    "est_rows": int(est[best]),
+                    "covers": best_covers,
+                    "benefit": int(best_benefit),
+                }
+            )
+            for s in [s for s in uncovered if s <= best]:
+                del uncovered[s]
+        return picked
+
     # -- route + answer -----------------------------------------------------
 
     def route(self, fact: str, needed_cols: set[str]) -> dict | None:
@@ -167,22 +272,7 @@ class RollupStore:
                 )
             plan.append((m, agg, info["fractional"]))
 
-        # compile cuts against the (lazy) base frame first: cut depths
-        # feed the below-cut drilldown-resolution rule, exactly as in
-        # CubeEngine.aggregate; conditions are recompiled against the
-        # rollup frame after routing
-        base_frame = engine.frame(fact)
-        cut_cols: set[str] = set()
-        for t in q.cut_terms:
-            dim = meta.dimension(t.dimension)
-            t.condition, t.depth = engine._compile_cut(
-                base_frame, dim, t.spec, q.hierarchy_by_dim.get(t.dimension)
-            )
-            order = dim.hierarchy_order(q.hierarchy_by_dim.get(t.dimension))
-            for lv in order:
-                cut_cols.add(dim.level(lv).physical)
-        group_cols = engine._resolve_drilldown(base_frame, q)
-        needed = set(group_cols) | cut_cols
+        group_cols, needed = self._needed_cols(engine, meta, q)
         hit = self.route(fact, needed)
         if hit is None:
             return engine.aggregate(

@@ -142,3 +142,41 @@ def test_api_routes_through_lattice_identically(navigator):
         a = plain.handle("/olap/loans2/aggregate", dict(params))
         b = routed.handle("/olap/loans2/aggregate", dict(params))
         assert a == b, params
+
+
+def test_advise_recommends_covering_groupings(spark, sf_dir, tmp_path):
+    """The lattice advisor: from a skewed query log it must (a) rank a
+    grouping that covers the hot query shapes first, (b) estimate its
+    rows below the fact's, and (c) hand back groupings that actually
+    route those queries once materialized."""
+    from opl_spark.rollups import RollupStore
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    store = RollupStore(spark, str(tmp_path / "lat"))
+    log = (
+        [{"cut": "date:1996", "drilldown": "date", "measure": "value"}] * 5
+        + [{"drilldown": "date", "measure": "value", "aggregate": "avg"}] * 3
+        + [{"cut": "loan_type:O", "drilldown": "loan_type", "measure": "value"}]
+        + [{"drilldown": "date", "measure": "value", "aggregate": "median"}]
+    )
+    recs = store.advise(engine, "loans2", log, max_rollups=3)
+    assert recs and len(recs) <= 3
+    fact_rows = engine.frame("loans2").count()
+    for r in recs:
+        assert 0 < r["est_rows"] < fact_rows
+        assert r["benefit"] > 0
+    # greedy picks come back benefit-ranked, every DERIVABLE query
+    # shape ends up covered by some pick, and the non-derivable median
+    # query is never counted (9 derivable entries in the log)
+    assert recs == sorted(recs, key=lambda r: -r["benefit"])
+    assert sum(r["covers"] for r in recs) == len(log) - 1
+    # materializing exactly the advice routes the hot query shape
+    store.materialize(engine, "loans2", [r["cols"] for r in recs])
+    for params in (
+        dict(cut="date:1996", drilldown="date", measure="value"),
+        dict(drilldown="date", measure="value", aggregate="avg"),
+    ):
+        routed = store.aggregate(engine, "loans2", **params)
+        base = engine.aggregate("loans2", **params)
+        assert _rows(routed) == _rows(base), params
