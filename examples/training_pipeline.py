@@ -60,6 +60,10 @@ def main() -> None:
     )
     exact_kept = gated.join(keepers, "doc_id")
 
+    # exact near-dup pair generation; at larger thresholds swap in
+    # setsim_join (prefix filtering — same exact output, candidates
+    # bounded by the rare-token tail instead of max_doc_freq), or
+    # minhash_dedup_pairs for the approximate-candidate LSH path
     pairs = ngram_jaccard_pairs(exact_kept, "text", "doc_id", n=3, threshold=0.2)
     keep = keep_best_dedup(pairs, exact_kept, "doc_id", "n_tokens")
     drop = keep.filter(F.col("doc") != F.col("keeper")).select(

@@ -1072,7 +1072,10 @@ def setsim_join(
         F.sort_array(F.collect_list(F.struct("c", "h"))).alias("ts")
     )
     sz = F.size("ts")
-    plen = sz - F.ceil(F.lit(float(threshold)) * sz).cast("int") + 1
+    # same 1e-9 ceil slack as the candidate filters below: a float
+    # t·|S| landing a hair above an integer must lengthen (never
+    # shorten) the indexed prefix, or a boundary pair could be missed
+    plen = sz - F.ceil(F.lit(float(threshold)) * sz - 1e-9).cast("int") + 1
     # prefix postings carry (doc, 1-based prefix position, set size):
     # the PPJoin candidate filters below need both
     prefix = ordered.select(
@@ -1100,13 +1103,18 @@ def setsim_join(
     # are all distinct across the pair, so the best remaining overlap
     # min(|A|-i, |B|-j) + 1 must reach the required α = ⌈t/(1+t)·
     # (|A|+|B|)⌉ (a pair may pass via a different, earlier collision —
-    # per-collision filtering + distinct keeps recall exactly 1)
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (pa["sz"] + pb["sz"]))
+    # per-collision filtering + distinct keeps recall exactly 1).
+    # The 1e-9 slack under each ceil makes the float bound a certain
+    # RELAXATION of the exact rational one: t·sz or t/(1+t)·(sa+sb)
+    # rounding a hair above an integer must never prune a pair sitting
+    # exactly on the boundary — recall stays provably 1 at the cost of
+    # (at most) a few extra verified candidates.
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (pa["sz"] + pb["sz"]) - 1e-9)
     cand = (
         bucket_pairs(buckets)
         .filter(
-            (pb["sz"] >= F.ceil(F.lit(t) * pa["sz"]))
-            & (pa["sz"] >= F.ceil(F.lit(t) * pb["sz"]))
+            (pb["sz"] >= F.ceil(F.lit(t) * pa["sz"] - 1e-9))
+            & (pa["sz"] >= F.ceil(F.lit(t) * pb["sz"] - 1e-9))
             & (
                 F.least(pa["sz"] - pa["pos"], pb["sz"] - pb["pos"]) + 1
                 >= alpha

@@ -253,6 +253,10 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_kneser_ney",
         # 1-row confusion totals x 1-row marginal-product broadcast
         "q_cohens_kappa",
+        # 1-row confusion totals x 1-row pooled-marginal Σnc² broadcast
+        # (kappa's shape); the FULL OUTER label-marginal join is
+        # label-count-sized on both sides
+        "q_krippendorff_alpha",
         # 1-row bin-total broadcast onto the 20-row bin table
         "q_psi_drift",
         # 1-row train-vocab (tot, V) broadcast onto the val token stream
