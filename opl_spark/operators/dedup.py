@@ -465,7 +465,11 @@ def minhash_dedup_pairs(
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Resolve near-dup pairs into clusters: every document maps to its
     connected component's minimum id (the canonical keeper) —
-    ``(doc, keeper)``, one row per document that appears in any pair.
+    ``(doc, keeper)``, one row per document that appears in any
+    NON-SELF pair (self-pairs carry no linkage and are dropped, the
+    same contract as :func:`dedup_clusters_star` — pinned against a
+    union-find reference by
+    ``test_cc_variants_match_union_find_reference``).
 
     Min-label propagation: each iteration every node takes the min of
     its own label and its neighbors' labels, so labels converge in
@@ -482,7 +486,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # union (each union branch would recompute the pair join).
     # Measured on the sf0.1 keep-best bench: 23 s -> ~7 s.
     edges = (
-        pairs.select(
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .select(
             F.explode(
                 F.array(
                     F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),

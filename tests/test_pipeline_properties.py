@@ -359,6 +359,55 @@ def test_fuzzy_link_edges_connectivity_equals_fuzzy_pairs(spark, words):
     assert components(links) == components(pairs)
 
 
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_variants_match_union_find_reference(spark, edges):
+    """Both connected-components implementations (min-label
+    propagation AND alternating large-star/small-star) must produce
+    exactly the labelling an independent pure-Python union-find
+    computes: every node that appears in any non-self pair maps to its
+    component's minimum id.  Random multigraphs with self-loops and
+    duplicate edges included — the existing star==min-label test
+    could not catch a bug shared by both Spark variants."""
+    from opl_spark.operators.dedup import dedup_clusters, dedup_clusters_star
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            parent[find(a)] = find(b)
+            nodes.update((a, b))
+    comp_min: dict[int, int] = {}
+    for x in nodes:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {(x, comp_min[find(x)]) for x in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got_star = {
+        (r["doc"], r["keeper"]) for r in dedup_clusters_star(df).collect()
+    }
+    got_label = {
+        (r["doc"], r["keeper"]) for r in dedup_clusters(df).collect()
+    }
+    assert got_star == want
+    assert got_label == want
+
+
 def test_bucket_pairs_duplicate_postings_emit_self_pairs(spark):
     """bucket_pairs' documented DISTINCT-entries precondition: a doc
     appearing twice in one bucket yields an id_a == id_b self-pair
