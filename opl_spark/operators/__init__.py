@@ -74,8 +74,10 @@ from opl_spark.operators.evaluate import (  # noqa: F401
 from opl_spark.operators.multimodal import (  # noqa: F401
     audio_frame_energy,
     decode_images,
+    export_tar_shards,
     media_metadata,
     resize_images,
+    synthetic_bmp_media,
     vad_segments,
     with_media_column,
 )
