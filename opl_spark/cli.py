@@ -70,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="opl-spark")
     p.add_argument(
         "-c", "--command", required=True,
-        choices=["add", "aggregate", "serve", "compact", "vacuum"],
+        choices=["add", "aggregate", "serve", "compact", "vacuum", "advise"],
     )
     p.add_argument("--host", default="127.0.0.1", help="bind address (serve)")
     p.add_argument("--port", type=int, default=8080, help="bind port (serve)")
@@ -85,6 +85,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--aggregate", dest="agg")
     p.add_argument("--hierarchy", help="dim:hierarchyName[|dim2:name2]")
     p.add_argument("--output", choices=["json", "table"], default="json")
+    p.add_argument(
+        "--query-log",
+        help="JSON file with a list of aggregate-request param dicts (advise)",
+    )
+    p.add_argument(
+        "--max-rollups", type=int, default=3,
+        help="how many groupings advise may recommend",
+    )
     args = p.parse_args(argv)
 
     from opl_spark.session import get_spark
@@ -114,6 +122,27 @@ def main(argv: list[str] | None = None) -> int:
         engine = SnapshotEngine(spark, args.warehouse)
         engine.compact(args.fact)
         print(json.dumps({"compacted": args.fact}))
+        return 0
+
+    if args.command == "advise":
+        # lattice advisor: which groupings to materialize for a logged
+        # aggregate workload (rollups.py:RollupStore.advise)
+        if not (args.fact and args.query_log):
+            raise SystemExit("advise requires -f/--fact and --query-log")
+        from opl_spark.cube import CubeEngine
+        from opl_spark.facts import default_catalog
+        from opl_spark.rollups import RollupStore
+
+        with open(args.query_log) as fh:
+            log = json.load(fh)
+        if not isinstance(log, list):
+            raise SystemExit("--query-log must be a JSON list of param dicts")
+        engine = SnapshotEngine(spark, args.warehouse)
+        cube = CubeEngine(default_catalog())
+        cube.register_fact(args.fact, engine.fact_frame(args.fact))
+        store = RollupStore(spark, args.warehouse + "/_lattice")
+        recs = store.advise(cube, args.fact, log, max_rollups=args.max_rollups)
+        print(json.dumps({"fact": args.fact, "recommendations": recs}))
         return 0
 
     if args.command == "serve":

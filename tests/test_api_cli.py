@@ -211,3 +211,50 @@ def test_cli_compact_and_vacuum(spark, sf_dir, tmp_path, capsys):
     assert cli_main(["-c", "vacuum", "--warehouse", wh]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"removed": ["enabled_users__compacting"]}
+
+
+def test_cli_advise_recommends_from_query_log(spark, sf_dir, tmp_path, capsys):
+    """`-c advise` wires the lattice advisor to the operational surface:
+    a warehouse fact + a JSON query log in, benefit-ranked
+    materialization advice out."""
+    from opl_spark.facts import ACTIVE_USERS_SQL
+
+    settings = tmp_path / "olapSettings.json"
+    settings.write_text(
+        json.dumps(
+            {
+                "fact_tables": [
+                    {
+                        "name": "enabled_users",
+                        "fact_queries": [
+                            {"id": 1, "query": ACTIVE_USERS_SQL,
+                             "cron": "daily", "enable": 1}
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    wh = str(tmp_path / "wh")
+    assert cli_main(
+        ["-c", "add", "-d", "1998-06-01",
+         "--settings", str(settings), "--sources", sf_dir, "--warehouse", wh]
+    ) == 0
+    capsys.readouterr()
+
+    log = tmp_path / "qlog.json"
+    log.write_text(
+        json.dumps(
+            [{"cut": "date:1998", "drilldown": "age_group", "measure": "value"}] * 4
+            + [{"drilldown": "age_group", "measure": "value"}]
+        )
+    )
+    assert cli_main(
+        ["-c", "advise", "--warehouse", wh, "-f", "enabled_users",
+         "--query-log", str(log), "--max-rollups", "2"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fact"] == "enabled_users"
+    recs = out["recommendations"]
+    assert recs and all(r["est_rows"] > 0 and r["cols"] for r in recs)
+    assert sum(r["covers"] for r in recs) == 5
