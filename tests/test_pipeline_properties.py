@@ -408,6 +408,90 @@ def test_cc_variants_match_union_find_reference(spark, edges):
     assert got_label == want
 
 
+@settings(**_SETTINGS)
+@given(
+    shared=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=6, max_size=10
+    ),
+    pre_a=st.lists(st.sampled_from(["xx", "yy"]), max_size=5),
+    pre_b=st.lists(st.sampled_from(["pp", "qq"]), max_size=5),
+)
+def test_winnowing_guarantee_shared_run_shares_fingerprint(
+    spark, shared, pre_a, pre_b
+):
+    """The Schleimer/Wilkerson/Aiken winnowing GUARANTEE: two
+    documents sharing a run of ≥ window+n-1 consecutive words must
+    share at least one fingerprint, no matter what surrounds the run
+    (n=3, window=4 → runs of ≥ 6 words here).  This is the property
+    the plagiarism/near-dup pipeline leans on; the oracle pair checks
+    values, not the guarantee itself."""
+    from opl_spark.operators.text import winnow_fingerprints
+
+    doc_a = " ".join(pre_a + shared)
+    doc_b = " ".join(pre_b + shared)
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(df, "text", "doc_id")
+    by_doc: dict[int, set] = {0: set(), 1: set()}
+    for r in fps.collect():
+        by_doc[r["doc"]].add(r["fp"])
+    assert by_doc[0] & by_doc[1], (doc_a, doc_b)
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Backward as-of join vs the pandas merge_asof reference on
+    random keyed event times (ties and duplicate timestamps included):
+    every left row must pick the latest right row at-or-before its
+    timestamp within its key; unmatched left rows drop (the operator's
+    documented INNER semantics — the reference's NaN rows)."""
+    import pandas as _pd
+
+    from opl_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k long, lts long, lid long",
+    )
+    # dedupe right on (k, ts): with duplicate timestamps the winner is
+    # tie-broken differently by the two engines — keep max value per
+    # (k, ts), a deterministic reference both sides agree on
+    rbest: dict[tuple, int] = {}
+    for k, t, v in right:
+        rbest[(k, t)] = max(rbest.get((k, t), v), v)
+    rrows = [(k, t, v) for (k, t), v in sorted(rbest.items())]
+    rdf = spark.createDataFrame(rrows, "k long, rts long, v long")
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(ldf, rdf, ["k"], "lts", "rts").collect()
+    }
+    lp = _pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        columns=["k", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rp = _pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="stable"
+    )
+    ref = _pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {
+        int(r.lid): int(r.v) for r in ref.itertuples() if not _pd.isna(r.v)
+    }
+    assert got == want
+
+
 def test_bucket_pairs_duplicate_postings_emit_self_pairs(spark):
     """bucket_pairs' documented DISTINCT-entries precondition: a doc
     appearing twice in one bucket yields an id_a == id_b self-pair
