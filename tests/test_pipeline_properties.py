@@ -492,6 +492,51 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     assert got == want
 
 
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),
+        min_size=1,
+        max_size=12,
+    ),
+    lookback=st.sampled_from([1, 5, 10]),
+)
+def test_interval_join_matches_bruteforce(spark, left, right, lookback):
+    """Keyed interval join vs the O(n·m) definition: for every left
+    row, exactly the right rows with right_ts in (left_ts - lookback,
+    left_ts] on the same key — half-open lower bound and closed upper
+    bound included in the check (boundary rows are where window joins
+    go wrong)."""
+    from collections import Counter
+
+    from opl_spark.operators.temporal import interval_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k long, lts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, j) for j, (k, t) in enumerate(right)],
+        "k long, rts long, rid long",
+    )
+    got = Counter(
+        (r["lid"], r["rid"])
+        for r in interval_join(ldf, rdf, ["k"], "lts", "rts", lookback).collect()
+    )
+    want = Counter(
+        (i, j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt) in enumerate(right)
+        if lk == rk and lt - lookback < rt <= lt
+    )
+    assert got == want
+
+
 def test_bucket_pairs_duplicate_postings_emit_self_pairs(spark):
     """bucket_pairs' documented DISTINCT-entries precondition: a doc
     appearing twice in one bucket yields an id_a == id_b self-pair
