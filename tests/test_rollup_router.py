@@ -221,3 +221,28 @@ def test_rollup_route_query_memoizes_build_per_data_dir(spark, sf_dir):
     again = q(spark, sf_dir).collect()
     assert wx._ROLLUP_BUILT.get("opl_rollup_lineitem_day") == sf_dir
     assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+
+def test_bucketed_graph_queries_memoize_build_per_data_dir(spark, sf_dir):
+    """The bucketed trade-edge table follows q_rollup_route's
+    materialized-view semantics: built once per data directory, shared
+    by both bucketed graph queries, rebuilt when the memo points at a
+    different directory — never served stale."""
+    from opl_spark import workload
+    from opl_spark import workload_ext as wx
+
+    wx._EDGES_BUILT.clear()
+    qs = workload.queries()
+    first = qs["q_pagerank_bucketed"](spark, sf_dir).collect()
+    assert wx._EDGES_BUILT.get("opl_edges_trade") == sf_dir
+    # steady state: same dir reuses the table (memo key unchanged),
+    # result identical; label_prop rides the same materialization
+    assert sorted(map(tuple, qs["q_pagerank_bucketed"](spark, sf_dir).collect())) \
+        == sorted(map(tuple, first))
+    lp = qs["q_label_prop_bucketed"](spark, sf_dir).collect()
+    assert lp and wx._EDGES_BUILT.get("opl_edges_trade") == sf_dir
+    # a stale memo pointing elsewhere forces a rebuild from sf_dir
+    wx._EDGES_BUILT["opl_edges_trade"] = "/some/other/dir"
+    again = qs["q_pagerank_bucketed"](spark, sf_dir).collect()
+    assert wx._EDGES_BUILT.get("opl_edges_trade") == sf_dir
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
