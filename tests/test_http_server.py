@@ -268,6 +268,42 @@ def test_http_aggregate_latency_guard(routed_server):
     assert med < 1.5, f"warm routed aggregate median {med:.2f}s ({warm})"
 
 
+def test_aggregate_concurrent_requests_match_sequential(server):
+    """8 concurrent /aggregate requests with distinct shapes must each
+    return exactly the bytes the same request produces sequentially —
+    Spark actions interleave on one session; no cross-talk, no
+    partial results (the serving-layer twin of the /explain race
+    regression test)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    shapes = [
+        {"cut": "loan_type:O", "drilldown": "date", "measure": "value"},
+        {"drilldown": "organization_level", "measure": "value"},
+        {"drilldown": "date", "measure": "loans", "aggregate": "count"},
+        {"drilldown": "organization_level", "measure": "value",
+         "share": "true"},
+    ]
+    sequential = []
+    for params in shapes:
+        status, body = _get(server, "/olap/loans2/aggregate", params)
+        assert status == 200
+        sequential.append(body)
+    assert len(set(sequential)) == len(shapes)
+
+    jobs = [shapes[i % len(shapes)] for i in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(
+            pool.map(
+                lambda p: _get(server, "/olap/loans2/aggregate", p), jobs
+            )
+        )
+    for i, (status, body) in enumerate(results):
+        assert status == 200
+        assert body == sequential[i % len(shapes)], (
+            f"concurrent /aggregate diverged for shape {i % len(shapes)}"
+        )
+
+
 def test_explain_concurrent_requests_get_their_own_plans(server):
     """Regression for the r4 probe-view race (plans/inspect.py uses a
     per-call uuid view name): 8 concurrent /explain requests with
