@@ -1067,7 +1067,9 @@ def setsim_join(
     ).filter(F.size("hs") > 0)
     # lazy-checkpoint the hashed-shingle frame: it feeds the prefix
     # build and BOTH verify aliases — three plan branches that would
-    # otherwise each re-scan and re-tokenize
+    # otherwise each re-scan and re-tokenize.  Retention contract as
+    # minhash_dedup_pairs: blocks stay pinned until Python AND JVM GCs
+    # run (see that docstring / BENCH_NOTES for the mitigation).
     tok = tok.localCheckpoint(eager=False)
     posts = tok.select("doc", F.explode("hs").alias("h"))
     keyed = posts.withColumn(

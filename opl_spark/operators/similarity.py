@@ -666,6 +666,11 @@ def srp_lsh_pairs(
     repo's HOF-capture rule); one shuffle on the (band, key) bucket;
     per-bucket gemm verify via :func:`embedding_dup_pairs`'s kernel
     (n·d floats cross Arrow per bucket, never n² rows)."""
+    if n_bits % bands != 0:
+        raise ValueError(
+            f"srp_lsh_pairs: n_bits ({n_bits}) must divide evenly into "
+            f"bands ({bands}) — trailing bits would be silently unused"
+        )
     rows_per_band = n_bits // bands
     planes = [
         [srp_plane_coeff(j, i) for i in range(dims)] for j in range(n_bits)

@@ -295,3 +295,11 @@ def test_export_tar_shards_roundtrip_and_determinism(spark, tmp_path):
     for s in man["shards"]:
         twin = s["shard"].replace(out, out2)
         assert open(s["shard"], "rb").read() == open(twin, "rb").read()
+
+    # more shards than rows: empty partitions contribute no manifest
+    # rows and no zero-row tar files
+    sparse = export_tar_shards(
+        df.limit(2), str(tmp_path / "sparse"), "doc_id", ["text"], shards=8
+    )
+    assert sparse["total_rows"] == 2
+    assert all(s["rows"] > 0 for s in sparse["shards"])
