@@ -135,6 +135,7 @@ class RollupStore:
         fact: str,
         query_log: list[dict],
         max_rollups: int = 3,
+        max_candidates: int = 64,
     ) -> list[dict]:
         """Lattice ADVISOR — the classic companion to materialized
         pre-aggregation (cf. SQL Server's Database Tuning Advisor /
@@ -153,7 +154,13 @@ class RollupStore:
         ``[{cols, est_rows, covers, benefit}]``, materialize-ready.
 
         Driver state is candidate-set-sized (distinct query shapes in
-        the log), never data-sized."""
+        the log), never data-sized.  A log with more than
+        ``max_candidates`` distinct shapes keeps the most frequent
+        ones (one aggregate expression per candidate goes into the
+        single estimation pass — unbounded shapes would bloat that
+        plan); the trim is explicit, not silent: trimmed shapes still
+        COUNT toward the covers/benefit of any kept candidate that
+        contains them, they just can't be recommended themselves."""
         meta = engine.catalog.fact(fact)
         shapes: dict[frozenset, int] = {}
         for params in query_log:
@@ -171,7 +178,10 @@ class RollupStore:
             _, needed = self._needed_cols(engine, meta, q)
             key = frozenset(needed)
             shapes[key] = shapes.get(key, 0) + 1
-        candidates = [sorted(s) for s in shapes if s]
+        ranked_shapes = sorted(
+            (s for s in shapes if s), key=lambda s: -shapes[s]
+        )
+        candidates = [sorted(s) for s in ranked_shapes[:max_candidates]]
         if not candidates:
             return []
         base = engine.frame(fact)
