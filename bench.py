@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "q_distinct_n",
     # round-7: blocking-key-free embedding LSH (SRP banding + gemm verify)
     "q_srp_lsh",
+    # round-7: map-only keyword-blocklist corpus gate
+    "q_blocklist_filter",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

@@ -208,6 +208,50 @@ def repetition_profile(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    blocklist: list[str],
+    max_ratio_ppm: int = 20_000,
+) -> DataFrame:
+    """Keyword-blocklist gate — the banned-terms filter every
+    production corpus pipeline runs (cf. Dolma / FineWeb / C4's
+    word-level filters): per document, word occurrences matching the
+    blocklist (case-insensitive whole-word — the same tokenization as
+    every other text operator), the hit ratio in exact ppm integers,
+    and the keep decision ``hit_ppm <= max_ratio_ppm`` —
+    ``(doc, n_words, n_hits, hit_ppm, kept)``.
+
+    Scale shape: MAP-ONLY.  The blocklist is a literal array in the
+    plan (driver-side constant — the degenerate broadcast), matching
+    is one array HOF per row, and there is no shuffle, no join, no
+    UDF; at 100 TB this runs at scan speed and pushes nothing.  For
+    blocklists too large for a literal (>10⁴ terms), switch the
+    membership test to a broadcast join on the exploded words — same
+    output, one broadcast."""
+    from opl_spark.operators.dedup import words_col
+
+    if not blocklist:
+        raise ValueError("blocklist_filter: empty blocklist")
+    lits = F.array(*[F.lit(t.lower()) for t in sorted(set(blocklist))])
+    words = words_col(F.col(text_col))
+    staged = df.select(
+        F.col(id_col).alias("doc"), words.alias("w")
+    ).withColumn("hits", F.size(F.filter("w", lambda x: F.array_contains(lits, x))))
+    n = F.size("w")
+    return staged.select(
+        "doc",
+        n.cast("long").alias("n_words"),
+        F.col("hits").cast("long").alias("n_hits"),
+        # positive operands: `div` == floor division == DuckDB `//`
+        F.expr("hits * 1000000 div greatest(size(w), 1)").alias("hit_ppm"),
+        (F.expr("hits * 1000000 div greatest(size(w), 1)") <= max_ratio_ppm).alias(
+            "kept"
+        ),
+    )
+
+
 def distinct_ngram_ratios(
     df: DataFrame,
     text_col: str,

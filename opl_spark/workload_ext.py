@@ -10192,6 +10192,39 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_blocklist_filter",
+    oracle=r"""
+WITH docs AS (
+    SELECT doc_id AS doc,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+scored AS (
+    SELECT doc, len(w) AS n_words,
+           len(list_filter(w, x -> list_contains(['slow', 'spill'], x)))
+               AS n_hits
+    FROM docs
+)
+SELECT doc, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 1000000 // greatest(n_words, 1) AS BIGINT) AS hit_ppm,
+       (n_hits * 1000000 // greatest(n_words, 1)) <= 20000 AS kept
+FROM scored
+""",
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-blocklist corpus gate (the banned-terms filter of
+    Dolma/FineWeb/C4): whole-word case-insensitive hits against a
+    driver-literal list, exact ppm hit ratio, keep decision at 2% —
+    MAP-ONLY, no shuffle, no UDF
+    (operators/text.py:blocklist_filter)."""
+    from opl_spark.operators.text import blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_filter(docs, "text", "doc_id", ["slow", "spill"])
+
+
+@register(
     "q_distinct_n",
     oracle=r"""
 WITH docs AS (

@@ -617,3 +617,25 @@ def test_kll_quantiles_within_rank_error(spark, sf_dir):
             lo = vals[max(0, int((q - 0.03) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.03) * n))]
             assert lo <= r[col] <= hi, (w, col, lo, r[col], hi)
+
+
+def test_blocklist_filter_whole_word_hits_and_threshold(spark):
+    """Whole-word case-insensitive matching (substrings must NOT hit),
+    exact ppm ratio, and the keep decision at the boundary."""
+    from opl_spark.operators.text import blocklist_filter
+
+    rows = [
+        (1, "Slow scan slow JOIN"),       # 2/4 hits = 500000 ppm
+        (2, "slowest scans join merge"),  # substring: 0 hits
+        (3, "spill"),                     # 1/1 = 1000000 ppm
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc"]: (r["n_words"], r["n_hits"], r["hit_ppm"], r["kept"])
+        for r in blocklist_filter(
+            df, "text", "doc_id", ["slow", "spill"], max_ratio_ppm=500000
+        ).collect()
+    }
+    assert out[1] == (4, 2, 500000, True)   # boundary: <= keeps
+    assert out[2] == (4, 0, 0, True)
+    assert out[3] == (1, 1, 1000000, False)
