@@ -62,6 +62,7 @@ from opl_spark.operators.sampling import (  # noqa: F401
 )
 from opl_spark.operators.evaluate import (  # noqa: F401
     cohens_kappa,
+    krippendorff_alpha,
     ece_binned,
     label_noise,
     mrr_eval,
@@ -147,8 +148,10 @@ from opl_spark.operators.temporal import (  # noqa: F401
     interval_join,
 )
 from opl_spark.operators.text import (  # noqa: F401
+    blocklist_filter,
     cdc_chunks,
     dedup_lines_within_doc,
+    distinct_ngram_ratios,
     naive_bayes_scores,
     stupid_backoff_score,
     export_jsonl,
