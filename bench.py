@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "q_srp_lsh",
     # round-7: map-only keyword-blocklist corpus gate
     "q_blocklist_filter",
+    # round-7: paired-classifier significance (vs majority baseline)
+    "q_mcnemar",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

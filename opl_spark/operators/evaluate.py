@@ -206,6 +206,43 @@ def krippendorff_alpha(
     )
 
 
+def mcnemar_test(
+    df: DataFrame, truth: Column, pred_a: Column, pred_b: Column
+) -> DataFrame:
+    """McNemar's test for two classifiers evaluated on the SAME
+    examples — the paired significance check kappa/alpha don't give
+    you: of the discordant pairs, b = A right / B wrong and c = A
+    wrong / B right; the statistic (with continuity correction)
+
+        chi2 = max(|b − c| − 1, 0)² / (b + c)
+
+    is chi-square(1) under H0 "both classifiers err at the same rate"
+    (Edwards continuity correction, clamped at 0 so b == c scores
+    exactly 0 — the correction may never increase the statistic).
+    One map-side-combinable aggregate over the corpus (two
+    conditional sums), BIGINT until the single final division; the
+    degenerate b + c = 0 case (no discordant pairs) is defined as
+    chi2 = 0.  Emits one row ``(n, n_b, n_c, chi2)``."""
+    a_ok = (pred_a == truth).cast("long")
+    b_ok = (pred_b == truth).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a_ok * (1 - b_ok)).alias("n_b"),
+        F.sum((1 - a_ok) * b_ok).alias("n_c"),
+    )
+    b, c = F.col("n_b"), F.col("n_c")
+    adj = F.greatest(F.abs(b - c) - 1, F.lit(0))
+    num = adj * adj
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        b.cast("long").alias("n_b"),
+        c.cast("long").alias("n_c"),
+        F.when(b + c == 0, F.lit(0.0))
+        .otherwise(F.round(num.cast("double") / (b + c).cast("double"), 6))
+        .alias("chi2"),
+    )
+
+
 #: nDCG position discounts in integer micro-units:
 #: w_i = floor(1e6 / log2(i+1) + 0.5).  Computed ONCE here with
 #: Python's log2 and replayed as literals in both engines — a

@@ -10192,6 +10192,43 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mcnemar",
+    oracle="WITH scored AS (SELECT lang, "
+    + ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS_DESC)
+    + f" FROM documents),\nm AS (SELECT CASE WHEN lang = {_LANG_CASE} "
+    + """THEN 1 ELSE 0 END AS a_ok,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b_ok
+    FROM scored),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a_ok * (1 - b_ok)) AS BIGINT) AS b,
+             CAST(SUM((1 - a_ok) * b_ok) AS BIGINT) AS c
+      FROM m)
+SELECT n, b AS n_b, c AS n_c,
+       CASE WHEN b + c = 0 THEN 0.0
+            ELSE ROUND(CAST(GREATEST(ABS(b - c) - 1, 0)
+                            * GREATEST(ABS(b - c) - 1, 0) AS DOUBLE)
+                       / CAST(b + c AS DOUBLE), 6)
+       END AS chi2
+FROM t
+""",
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: is the marker language detector
+    significantly different from the majority-class baseline
+    (predict 'en' for everything) on the labeled corpus?  The
+    discordant-pair counts + Edwards-corrected chi-square, one
+    combinable aggregate (operators/evaluate.py:mcnemar_test) — the
+    significance companion to q_cohens_kappa / q_krippendorff_alpha."""
+    from opl_spark.operators.evaluate import mcnemar_test
+    from opl_spark.operators.text import lang_id_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mcnemar_test(
+        docs, F.col("lang"), lang_id_col(F.col("text")), F.lit("en")
+    )
+
+
+@register(
     "q_blocklist_filter",
     oracle=r"""
 WITH docs AS (

@@ -475,3 +475,29 @@ def test_heldout_perplexity_rejects_string_ids_loudly(spark):
     )
     with pytest.raises(TypeError, match="numeric id_col"):
         heldout_perplexity(df, "text", "doc_id")
+
+
+def test_mcnemar_hand_example_and_degenerates(spark):
+    """10 units: A right/B wrong on 4, A wrong/B right on 1 →
+    chi2 = (|4−1|−1)²/5 = 0.8; b == c clamps to 0 via the corrected
+    max(|b−c|−1, 0); no discordant pairs → defined 0."""
+    from opl_spark.operators.evaluate import mcnemar_test
+
+    rows = (
+        [("y", "y", "n")] * 4      # A right, B wrong
+        + [("y", "n", "y")]        # A wrong, B right
+        + [("y", "y", "y")] * 3    # both right
+        + [("y", "n", "n")] * 2    # both wrong
+    )
+    df = spark.createDataFrame(rows, "t string, a string, b string")
+    r = mcnemar_test(df, F.col("t"), F.col("a"), F.col("b")).collect()[0]
+    assert (r["n"], r["n_b"], r["n_c"]) == (10, 4, 1)
+    assert r["chi2"] == 0.8
+    # b == c: corrected statistic clamps to exactly 0
+    tie = spark.createDataFrame(
+        [("y", "y", "n"), ("y", "n", "y")], "t string, a string, b string"
+    )
+    assert mcnemar_test(tie, F.col("t"), F.col("a"), F.col("b")).collect()[0]["chi2"] == 0.0
+    # no discordant pairs at all
+    conc = spark.createDataFrame([("y", "y", "y")] * 3, "t string, a string, b string")
+    assert mcnemar_test(conc, F.col("t"), F.col("a"), F.col("b")).collect()[0]["chi2"] == 0.0
