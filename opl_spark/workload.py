@@ -58,17 +58,31 @@ def register(name: str, oracle: str | None = None):
 #     their fix, then graduate into this tuple;
 #  3. if an already-audited id's CHECK TYPE upgrades (rows-only →
 #     oracled), REMOVE it from this tuple so it re-enters the window
-#     under the stronger check (see the r4 comments inline).
+#     under the stronger check (see the r4 comments inline);
+#  4. ids with NO oracle (rows-only, e.g. the DataSketches family)
+#     rotate into this tuple too once the driver has seen sane row
+#     counts — their exactness is pytest-pinned and a `no_oracle` row
+#     is their terminal driver state, so leaving them out would squat
+#     the head of every future window;
+#  5. ids whose code or oracle CHANGED after their last driver audit
+#     go into _AUDIT_PRIORITY below (they stay in this tuple); clear
+#     them from _AUDIT_PRIORITY once the fresh CORRECTNESS row is
+#     green, and move them to the END of this tuple (freshest-last).
 # The driver audits the first 50 ids in ``queries()`` order each
 # round; never-yet-audited ids must come first or they never receive
 # the hard signal.  Within the unaudited block, oracled queries
 # precede rows-only ones (an oracle row is the stronger check).
+# TUPLE ORDER = STALENESS for the audited tail: the regression-check
+# slots at the end of each window follow this tuple's order, so when a
+# round re-confirms old greens, move those ids to the END of the tuple
+# (freshest-confirmed last) — the next window then reaches the next
+# oldest stale greens instead of re-checking the same ones forever.
+# Ids annotated "rows-only" have no DuckDB oracle and can never turn
+# hash-green; they rotate here on rows-match + their pytest exactness
+# / error-bound pins (tests/test_sketches.py) like any other id — do
+# NOT leave them out or they squat the head of every future window.
 _DRIVER_AUDITED: tuple[str, ...] = (
-    "q_source_scan", "q_json_rows", "q_type_cast", "q_audit_columns",
-    "q_output_table", "q_projection", "q_case_bucket", "q_date_arith",
-    "q_filter_or", "q_time_scope", "q_zero_fill", "q_active_users",
-    "q_agg_sum", "q_agg_avg", "q_agg_count", "q_aggregate_all",
-    "q_measure_multi", "q_cut_eq", "q_cut_dice", "q_cut_range",
+    "q_cut_range",
     "q_cut_open_range", "q_cut_set", "q_cut_hierarchy",
     "q_cut_hierarchy_range", "q_drilldown_default", "q_drilldown_level",
     "q_drilldown_top", "q_drilldown_multi", "q_drilldown_cutlevel",
@@ -164,6 +178,32 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_ewma_daily", "q_stupid_backoff", "q_random_projection",
     "q_bfs_hops", "q_user_journey", "q_naive_bayes", "q_pr_curve",
     "q_line_dedup",
+    # round 7 (CORRECTNESS_r07.json) — 45/50 green + the 5 declared
+    # rows-only DataSketches ids (their `err: no_oracle` rows are the
+    # expected driver behaviour for ids registered without oracle SQL;
+    # each returned sane non-empty row counts).  The 26 fresh oracled
+    # greens (r4/r5 analytics tail + the 7 new r7 registrations):
+    "q_churn_cohort", "q_dedup_report", "q_cdc_chunks", "q_skew_report",
+    "q_vocab_coverage", "q_k_anonymity", "q_doc_keywords",
+    "q_survival_hazard", "q_acf", "q_theil_sen", "q_rfm_segments",
+    "q_periodic_snapshot", "q_seasonality_strength",
+    "q_revenue_concentration", "q_bpe_fertility", "q_activity_heatmap",
+    "q_ship_lag_quantiles", "q_purchase_intervals", "q_pagerank_bucketed",
+    "q_setsim_join", "q_srp_lsh", "q_bmp_decode", "q_krippendorff_alpha",
+    "q_mcnemar", "q_blocklist_filter", "q_distinct_n",
+    # rows-only (no DuckDB oracle possible — DataSketches-style
+    # approximate structures; exactness pinned by pytest error-bound /
+    # merge-identity tests).  First driver contact r7: rows sane.
+    "q_approx_distinct", "q_hll_rollup", "q_topk_sketch",
+    "q_theta_audience", "q_kll_quantiles",
+    # r7 regression re-checks — the 19 oldest r2 greens re-confirmed
+    # green in the r7 window; moved here (end = freshest) so the next
+    # window's regression slots reach the NEXT oldest stale greens.
+    "q_source_scan", "q_json_rows", "q_type_cast", "q_audit_columns",
+    "q_output_table", "q_projection", "q_case_bucket", "q_date_arith",
+    "q_filter_or", "q_time_scope", "q_zero_fill", "q_active_users",
+    "q_agg_sum", "q_agg_avg", "q_agg_count", "q_aggregate_all",
+    "q_measure_multi", "q_cut_eq", "q_cut_dice",
 )
 
 # Ids that failed a driver hash check and carry a fix awaiting driver
@@ -174,29 +214,39 @@ _RETRY_FIRST: tuple[str, ...] = (
     # (empty — no outstanding driver reds after round 5's 50/50 green.)
 )
 
-# Never-audited ids whose implementation OR oracle changed since the
-# last clean local sweep: they jump to the head of the unaudited block
-# so the driver's 50-id window reaches them before unchanged backlog.
-# Clear an id once its CORRECTNESS row is green (and it moves to
-# _DRIVER_AUDITED like any other id).  Round-7 state: empty — the
-# r6 window went 50/50 green and every entry graduated into
-# _DRIVER_AUDITED above, so the 24 never-audited ids (the r4/r5
-# analytics tail + the 5 rows-only DataSketches ids) lead the r7
-# window purely by fresh-oracled-first ordering.
-_AUDIT_PRIORITY: tuple[str, ...] = ()
+# Ids whose implementation OR oracle changed since their last driver
+# audit: they jump to the head of the window (right after _RETRY_FIRST)
+# REGARDLESS of whether they already sit in _DRIVER_AUDITED — a local
+# re-verification is not a driver audit, and changed code re-earns its
+# hard signal.  Clear an id once its fresh CORRECTNESS row is green.
+# Round-8 state: the seven ids that changed during round 7 after their
+# last driver audit (re-verified hash-green locally, per-repo
+# discipline they lead the r8 window): q_dedup_clusters (self-pair
+# contract fix c4e1faf), q_entity_resolution (fuzzy_link_edges
+# spanning-star restructure), q_label_prop (checkpoint drop),
+# q_pagerank_bucketed / q_label_prop_bucketed (memoized edge table),
+# q_dedup_minhash / q_minhash_keep_best (checkpoint flag; keep_best
+# additionally carries the r8 all-bands-agree verify skip).
+_AUDIT_PRIORITY: tuple[str, ...] = (
+    "q_dedup_clusters", "q_entity_resolution", "q_label_prop",
+    "q_pagerank_bucketed", "q_label_prop_bucketed", "q_dedup_minhash",
+    "q_minhash_keep_best",
+)
 
 
 def _audit_order(names) -> list[str]:
-    audited = set(_DRIVER_AUDITED)
     retry = [n for n in _RETRY_FIRST if n in names]
-    prio = [
-        n for n in _AUDIT_PRIORITY
-        if n in names and n not in audited and n not in retry
-    ]
-    skip = audited | set(retry) | set(prio)
+    # Changed-since-audit ids re-enter at the head even when already
+    # in _DRIVER_AUDITED: a local re-verification is not a driver audit.
+    prio = [n for n in _AUDIT_PRIORITY if n in names and n not in retry]
+    skip = set(_DRIVER_AUDITED) | set(retry) | set(prio)
     fresh_oracled = [n for n in names if n not in skip and n in _ORACLES]
     fresh_rowsonly = [n for n in names if n not in skip and n not in _ORACLES]
-    tail = [n for n in names if n in audited]
+    # Audited tail follows _DRIVER_AUDITED tuple order == staleness
+    # (oldest-confirmed first), so regression slots rotate through the
+    # backlog instead of re-checking the same oldest greens each round.
+    head = set(retry) | set(prio)
+    tail = [n for n in _DRIVER_AUDITED if n in names and n not in head]
     return retry + prio + fresh_oracled + fresh_rowsonly + tail
 
 
