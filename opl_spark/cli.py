@@ -58,6 +58,16 @@ def load_settings(path: str) -> list[FactQuery]:
     return out
 
 
+def _rollup_store(spark, warehouse: str):
+    """Rollup lattice shared by serve/aggregate/advise: the same
+    ``<warehouse>/_lattice`` path convention ``-c advise`` materializes
+    into, so advised rollups are actually routable from the CLI serving
+    surface (rollups are optional — an empty store routes nothing)."""
+    from opl_spark.rollups import RollupStore
+
+    return RollupStore(spark, warehouse + "/_lattice")
+
+
 def _validate_date(s: str) -> _dt.date:
     """Y-m-d validation (OLAP.php:416-420)."""
     try:
@@ -164,7 +174,10 @@ def main(argv: list[str] | None = None) -> int:
                 served.append(name)
         if not served:
             raise SystemExit("serve: no registered fact tables in warehouse")
-        server = OlapHttpServer(OlapApi(cube), host=args.host, port=args.port)
+        server = OlapHttpServer(
+            OlapApi(cube, rollups=_rollup_store(spark, args.warehouse)),
+            host=args.host, port=args.port,
+        )
         print(json.dumps({"serving": served, "port": server.port}))
         server.serve_forever()
         return 0
@@ -179,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
     engine = SnapshotEngine(spark, args.warehouse)
     cube = CubeEngine(default_catalog())
     cube.register_fact(args.fact, engine.fact_frame(args.fact))
-    api = OlapApi(cube)
+    api = OlapApi(cube, rollups=_rollup_store(spark, args.warehouse))
     params = {
         k: v
         for k, v in {

@@ -65,6 +65,7 @@ from opl_spark.operators.evaluate import (  # noqa: F401
     krippendorff_alpha,
     ece_binned,
     label_noise,
+    mcnemar_test,
     mrr_eval,
     mrr_weight_micro,
     ndcg_weight_micro,

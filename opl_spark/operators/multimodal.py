@@ -226,19 +226,35 @@ def export_tar_shards(
     as UTF-8.  Member mtimes are zeroed, so identical data produces
     byte-identical shards regardless of when the export ran.
 
-    Executor-parallel: one tar per partition, written inside a
-    ``mapInPandas`` pass (Spark has no tar sink; the Python tarfile
-    module inside the batch iterator is the idiomatic escape hatch for
-    a FORMAT Spark lacks, while partitioning/distribution stay
-    Spark's).  ``shards`` controls file count via repartition, as in
+    Executor-parallel: one tar per partition, STREAMED member-by-member
+    straight to the output file inside a ``mapInPandas`` pass (Spark
+    has no tar sink; the Python tarfile module inside the batch
+    iterator is the idiomatic escape hatch for a FORMAT Spark lacks,
+    while partitioning/distribution stay Spark's).  Per-task memory is
+    O(one Arrow batch), NOT O(partition bytes) — the tar is never
+    buffered whole, so partition size is bounded by disk, not worker
+    RAM.  ``shards`` controls file count via repartition, as in
     ``export_jsonl``.  The driver collects only the shard MANIFEST
     (one row per shard: file, rows, bytes) and returns it as
     ``{"total_rows": n, "shards": [...]}`` — never sample data.  The
     target must be a path every executor can write (shared mount;
-    swap the ``open`` for an object-store client off-cluster)."""
+    swap the ``open`` for an object-store client off-cluster).
+
+    Refuses a directory that already holds ``shard-*.tar`` files: a
+    re-export with fewer/different shards would leave stale tars that a
+    loader globbing ``shard-*.tar`` silently mixes into the corpus."""
+    import glob as _glob
     import os as _os
 
     _os.makedirs(path, exist_ok=True)
+    stale = sorted(_glob.glob(_os.path.join(path, "shard-*.tar")))
+    if stale:
+        raise ValueError(
+            f"export_tar_shards: {path!r} already contains "
+            f"{len(stale)} shard-*.tar file(s) (first: {stale[0]!r}); "
+            "remove them or export to a fresh directory — a loader "
+            "globbing shard-*.tar would read a mixed corpus"
+        )
     out = df.repartition(shards) if shards else df
     sel = out.select(F.col(id_col).alias("__key"), *columns)
     payload_cols = list(columns)
@@ -252,11 +268,14 @@ def export_tar_shards(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        buf = io.BytesIO()
+        fname = os.path.join(path, f"shard-{pid:05d}.tar")
         rows = 0
-        with tarfile.open(fileobj=buf, mode="w") as tar:
+        tar = None  # opened lazily: empty partitions write no file
+        try:
             for pdf in it:
                 for i in range(len(pdf)):
+                    if tar is None:
+                        tar = tarfile.open(fname, mode="w")
                     key = str(pdf["__key"].iloc[i])
                     for c in payload_cols:
                         v = pdf[c].iloc[i]
@@ -270,15 +289,14 @@ def export_tar_shards(
                         info.mtime = 0
                         tar.addfile(info, io.BytesIO(data))
                     rows += 1
+        finally:
+            if tar is not None:
+                tar.close()
         if not rows:
             yield _pd.DataFrame({"shard": [], "rows": [], "bytes": []})
             return
-        fname = os.path.join(path, f"shard-{pid:05d}.tar")
-        payload = buf.getvalue()
-        with open(fname, "wb") as fh:
-            fh.write(payload)
         yield _pd.DataFrame(
-            [{"shard": fname, "rows": rows, "bytes": len(payload)}]
+            [{"shard": fname, "rows": rows, "bytes": os.path.getsize(fname)}]
         )
 
     manifest_rows = sel.mapInPandas(

@@ -258,3 +258,28 @@ def test_cli_advise_recommends_from_query_log(spark, sf_dir, tmp_path, capsys):
     recs = out["recommendations"]
     assert recs and all(r["est_rows"] > 0 and r["cols"] for r in recs)
     assert sum(r["covers"] for r in recs) == 5
+
+    # advice is actionable from the CLI serving surface: materialize
+    # the top recommendation at the SHARED <warehouse>/_lattice path,
+    # then `-c aggregate` (which wires the same RollupStore) answers
+    # through it with output identical to the base-engine run
+    params = ["-c", "aggregate", "--warehouse", wh, "-f", "enabled_users",
+              "--drilldown", "age_group", "--measure", "value"]
+    assert cli_main(params) == 0
+    before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from opl_spark.cube import CubeEngine
+    from opl_spark.facts import default_catalog
+    from opl_spark.rollups import RollupStore
+    from opl_spark.snapshot import SnapshotEngine
+
+    eng = SnapshotEngine(spark, wh)
+    cube = CubeEngine(default_catalog())
+    cube.register_fact("enabled_users", eng.fact_frame("enabled_users"))
+    store = RollupStore(spark, wh + "/_lattice")
+    store.materialize(cube, "enabled_users", [recs[0]["cols"]])
+    assert store.route("enabled_users", set(recs[0]["cols"])) is not None
+
+    assert cli_main(params) == 0
+    after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert after == before

@@ -303,3 +303,10 @@ def test_export_tar_shards_roundtrip_and_determinism(spark, tmp_path):
     )
     assert sparse["total_rows"] == 2
     assert all(s["rows"] > 0 for s in sparse["shards"])
+
+    # re-export into a directory with existing shard-*.tar refuses
+    # loudly (stale tars would silently mix into a globbing loader)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already contains"):
+        export_tar_shards(df, out, "doc_id", ["text"], shards=1)
