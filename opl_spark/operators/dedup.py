@@ -312,6 +312,13 @@ def minhash_signatures(
     signatures on any engine, which is what lets the registered DuckDB
     oracle hash-check the full LSH pipeline (at the cost of md5 over
     xxhash64 in the shingle hash).
+
+    Construction note (r9): the ``num_hashes`` min-aggregates are
+    built as ONE SQL string parsed JVM-side (``F.expr``), not as
+    num_hashes Python Column trees — the per-Column py4j round trips
+    made DataFrame CONSTRUCTION alone cost ~0.85 s at 64 hashes
+    (measured; the data work at sf0.1 is less than that).  Same
+    expressions, same plan, same results — only the builder changed.
     """
     ex = df.select(
         F.col(id_col).alias("doc"),
@@ -320,26 +327,19 @@ def minhash_signatures(
     if portable:
         ex = ex.select(
             "doc",
-            F.pmod(portable_hash32_col(F.col("s")), F.lit(MINHASH_PRIME)).alias("h"),
+            F.expr(
+                "pmod(cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint), "
+                f"{MINHASH_PRIME})"
+            ).alias("h"),
         )
-        aggs = []
-        for i in range(num_hashes):
-            a, b = minhash_permutation(i)
-            aggs.append(
-                F.min(
-                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
-                ).alias(f"m{i}")
-            )
+        mins = ", ".join(
+            "min(({} * h + {}) % {})".format(*minhash_permutation(i), MINHASH_PRIME)
+            for i in range(num_hashes)
+        )
     else:
         ex = ex.select("doc", F.xxhash64("s").alias("h"))
-        aggs = [
-            F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
-    sig = ex.groupBy("doc").agg(*aggs)
-    return sig.select(
-        "doc", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
-    )
+        mins = ", ".join(f"min(xxhash64(h, {i}))" for i in range(num_hashes))
+    return ex.groupBy("doc").agg(F.expr(f"array({mins})").alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -348,6 +348,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     max_bucket: int | None = 1000,
     portable: bool = False,
+    with_band_counts: bool = False,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of at least one band become
     candidate pairs.  The only shuffle is the groupBy on ``(band,
@@ -365,23 +366,33 @@ def minhash_lsh_candidates(
 
     ``portable=True`` keys buckets by the raw comma-joined band values
     (a string) instead of their xxhash64 — identical buckets on any
-    engine, matching :func:`minhash_signatures`'s portable mode."""
+    engine, matching :func:`minhash_signatures`'s portable mode.
 
-    def _band_key(b: int) -> Column:
-        joined = F.concat_ws(",", *[
-            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-            for r in range(rows_per_band)
-        ])
-        return joined if portable else F.xxhash64(joined)
+    ``with_band_counts=True`` returns ``(id_a, id_b, n_bands)`` where
+    ``n_bands`` is the number of SURVIVING bands the pair agreed on (a
+    pair expanded from k buckets agrees on k band keys; bands dropped
+    by ``max_bucket`` don't count, so the count is a lower bound) —
+    the groupBy replaces the ``distinct``, same single exchange.  A
+    pair with ``n_bands == bands`` agreed on every band key, i.e. on
+    all ``bands × rows_per_band`` signature values — its estimated
+    Jaccard is 1.0, which :func:`minhash_dedup_pairs`'s ``band_skip``
+    uses to bypass the exact-intersect verify."""
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                _band_key(b).alias("band_key"),
+    # band keys as ONE JVM-parsed SQL string — same expressions as the
+    # per-Column builder this replaces (r9), ~200 fewer py4j round
+    # trips per construction (see minhash_signatures' note)
+    def _band_key(b: int) -> str:
+        joined = "concat_ws(',', {})".format(
+            ", ".join(
+                f"cast(element_at(sig, {b * rows_per_band + r + 1}) as string)"
+                for r in range(rows_per_band)
             )
-            for b in range(bands)
-        ]
+        )
+        return joined if portable else f"xxhash64({joined})"
+
+    band_structs = ", ".join(
+        f"struct({b} as band, {_band_key(b)} as band_key)"
+        for b in range(bands)
     )
     # group each (band, band_key) bucket once and expand pairs in-row
     # (see bucket_pairs) — ONE exchange of the band stream, where the
@@ -389,13 +400,18 @@ def minhash_lsh_candidates(
     # (window sort, then both join aliases); the hot-bucket guard is
     # now just a size filter on the grouped bucket, same semantics
     buckets = (
-        sigs.select("doc", F.explode(band_structs).alias("bk"))
+        sigs.select("doc", F.expr(f"explode(array({band_structs}))").alias("bk"))
         .groupBy("bk.band", "bk.band_key")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ds") <= max_bucket)
-    return bucket_pairs(buckets).distinct()
+    pairs = bucket_pairs(buckets)
+    if with_band_counts:
+        return pairs.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_bands")
+        )
+    return pairs.distinct()
 
 
 def minhash_dedup_pairs(
@@ -409,12 +425,35 @@ def minhash_dedup_pairs(
     max_bucket: int | None = 1000,
     portable: bool = False,
     checkpoint: bool = True,
+    band_skip: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard on the shingle sets
     (candidate generation is approximate; the verify join makes the
     output exact-above-threshold).  ``portable=True`` selects the
     md5-based engine-exact hash family so a SQL oracle can replay the
     whole pipeline (see :func:`minhash_signatures`).
+
+    ``band_skip=True`` enables the all-bands-agree verify skip: a
+    candidate pair found in every one of its ``bands`` band buckets
+    agrees on all ``num_hashes`` signature values, so its minhash
+    Jaccard estimate is exactly 1.0 and it bypasses the shingle
+    intersect, emitted with ``jaccard = 1.0``; only pairs agreeing on
+    a strict subset of bands go through the exact verify — and the
+    shingle build is SEMI-JOINED down to just the docs those surviving
+    pairs touch, so the second corpus-scale text pass (and its
+    corpus-sized checkpoint) disappears when most candidates are
+    exact/near-exact dups (the common shape of a crawl corpus).  The
+    trade, stated precisely: (a) the emitted score for a skipped pair
+    is the estimate 1.0, not the exact Jaccard — P[all ``num_hashes``
+    hashes agree | J=j] = j^num_hashes, non-negligible for j near 1
+    (j=0.95 → 0.95⁶⁴ ≈ 3.7%), so use the skip only where downstream
+    consumes the thresholded pair SET, not the score values
+    (q_minhash_keep_best does; q_dedup_minhash, which emits scores,
+    does not); (b) a skipped pair below ``threshold`` would be a
+    false positive with probability ≤ threshold^num_hashes (0.2⁶⁴ ≈
+    10⁻⁴⁵ at the default) — astronomically below LSH's own recall
+    approximation.  Pair-SET equality with the full verify is pinned
+    by ``test_minhash_band_skip_same_pair_set``.
 
     Resource note: ``checkpoint=True`` (default) lazily
     ``localCheckpoint``s the hashed-shingle frame so the verify join's
@@ -429,6 +468,53 @@ def minhash_dedup_pairs(
     zero retained blocks."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, portable)
+    if band_skip:
+        cand = minhash_lsh_candidates(
+            sigs, bands, rows, max_bucket, portable, with_band_counts=True
+        )
+        # one lazy checkpoint on the (pair, n_bands) stream: the pair
+        # output and the needed-doc semi-join both read it — without
+        # it the whole signature pipeline would re-plan twice
+        if checkpoint:
+            cand = cand.localCheckpoint(eager=False)
+        need = cand.filter(F.col("n_bands") < bands)
+        need_docs = need.select(F.col("id_a").alias("__nd")).unionByName(
+            need.select(F.col("id_b").alias("__nd"))
+        )
+        # shingle ONLY the docs that still need the exact intersect —
+        # the semi-join (distinct-izing by nature) runs before the
+        # shingle explode, so the verify pass is O(partial-agreement
+        # docs), not O(corpus); AQE broadcasts the small side at
+        # runtime.  ONE join pipeline, no union: all-bands pairs take
+        # the conditional 1.0 branch, their (possibly absent) shingle
+        # rows never read
+        sh = df.join(
+            need_docs, F.col(id_col) == F.col("__nd"), "left_semi"
+        ).select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
+        if checkpoint:
+            sh = sh.localCheckpoint(eager=False)  # need-docs-sized, read twice
+        a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.array_size(F.array_intersect("sh_a", "sh_b"))
+        union = F.array_size("sh_a") + F.array_size("sh_b") - inter
+        jac = F.round(inter.cast("double") / union, 6)
+        return (
+            cand.join(a, "id_a", "left")
+            .join(b, "id_b", "left")
+            .select(
+                "id_a",
+                "id_b",
+                F.when(F.col("n_bands") >= bands, F.lit(1.0))
+                .otherwise(jac)
+                .alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     cand = minhash_lsh_candidates(sigs, bands, rows, max_bucket, portable)
     # verify over HASHED shingle arrays (8-byte longs, not variable-
     # width strings): the intersection COUNT is what matters and it is
@@ -524,8 +610,18 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             # once for the count; same trick as dedup_clusters_star)
             .localCheckpoint(eager=False)
         )
-        changed = updated.filter(F.col("new_label") != F.col("old_label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
+        if _ == 0:
+            # Round 1's convergence count is provably wasted: every
+            # component has >= 2 nodes, so its non-min members MUST
+            # change label in the first propagation — changed > 0
+            # whenever any edge exists, and with no edges the label
+            # set is empty and every later count is trivially 0.
+            # Skipping the count drops one serial job per call; the
+            # round's lazy checkpoint simply materializes inside the
+            # next round's count instead (same total compute).
+            continue
+        changed = updated.filter(F.col("new_label") != F.col("old_label")).count()
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("keeper"))

@@ -2721,9 +2721,21 @@ def q_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH buckets, verified pairs, components, keepers — is replayed
     hash-exact by the DuckDB oracle (was rows-only when candidates
     came from xxhash64); q_keep_best remains the exact-inverted-index
-    twin of the same tail."""
+    twin of the same tail.
+
+    Runs with ``band_skip=True`` (r9): candidate pairs agreeing on
+    ALL 16 bands (estimated Jaccard exactly 1.0 — all 64 signature
+    values match) bypass the exact shingle intersect, and the verify
+    pass shingles only the docs of partial-agreement pairs.  Output-
+    invariant here because this query consumes the thresholded pair
+    SET (jaccard values are dropped before keep_best_dedup); the
+    false-positive probability for a skipped pair is ≤ 0.2⁶⁴ — see
+    minhash_dedup_pairs' docstring for the full contract.  The oracle
+    (full exact verify) is unchanged and still hash-matches."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.2, portable=True)
+    pairs = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.2, portable=True, band_skip=True
+    )
     return keep_best_dedup(
         pairs.select("id_a", "id_b"), docs, "doc_id", "n_chars"
     )

@@ -109,6 +109,48 @@ def test_lsh_bucket_cap_is_subset_with_full_recall(spark, docs):
     assert minhash_lsh_candidates(sigs, max_bucket=1).count() == 0
 
 
+def test_minhash_band_skip_same_pair_set(spark, docs):
+    """The all-bands-agree verify skip (band_skip=True) must emit the
+    SAME thresholded pair set as the full exact verify — the skip only
+    bypasses the intersect for pairs whose 64 signature values all
+    agree (estimated Jaccard exactly 1.0), and partial-agreement pairs
+    keep their exact scores bit-identical."""
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.2
+        ).collect()
+    }
+    skip = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.2, band_skip=True
+        ).collect()
+    }
+    assert set(skip) == set(full)
+    assert full, "test corpus lost its planted near-dup pairs"
+    for pair, j in skip.items():
+        if j == 1.0:
+            assert full[pair] >= 0.2  # skipped: estimate stands in
+        else:
+            assert j == full[pair]  # verified: exact score unchanged
+    # portable mode (the q_minhash_keep_best configuration) too
+    pfull = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.2, portable=True
+        ).collect()
+    }
+    pskip = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.2, portable=True,
+            band_skip=True,
+        ).collect()
+    }
+    assert pskip == pfull
+
+
 def test_source_overlap_triangle_and_cap(spark, docs):
     """Identical sources have jaccard 1; the triangle holds one row per
     unordered pair; the stop-shingle cap only removes intersection
