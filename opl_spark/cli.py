@@ -59,10 +59,13 @@ def load_settings(path: str) -> list[FactQuery]:
 
 
 def _rollup_store(spark, warehouse: str):
-    """Rollup lattice shared by serve/aggregate/advise: the same
-    ``<warehouse>/_lattice`` path convention ``-c advise`` materializes
-    into, so advised rollups are actually routable from the CLI serving
-    surface (rollups are optional — an empty store routes nothing)."""
+    """Rollup lattice shared by serve/aggregate/advise/materialize:
+    one ``<warehouse>/_lattice`` path convention.  ``-c advise`` only
+    RECOMMENDS groupings; ``-c materialize`` writes them (pass each
+    recommendation's cols as ``--grouping a,b``), after which serve/
+    aggregate route through them.  Rollups are optional — an empty
+    store routes nothing, and a stale one (fact files appended since
+    materialize) is refused by the route-time version guard."""
     from opl_spark.rollups import RollupStore
 
     return RollupStore(spark, warehouse + "/_lattice")
@@ -80,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="opl-spark")
     p.add_argument(
         "-c", "--command", required=True,
-        choices=["add", "aggregate", "serve", "compact", "vacuum", "advise"],
+        choices=["add", "aggregate", "serve", "compact", "vacuum", "advise",
+                 "materialize"],
     )
     p.add_argument("--host", default="127.0.0.1", help="bind address (serve)")
     p.add_argument("--port", type=int, default=8080, help="bind port (serve)")
@@ -102,6 +106,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--max-rollups", type=int, default=3,
         help="how many groupings advise may recommend",
+    )
+    p.add_argument(
+        "--grouping", action="append", default=[],
+        help="comma-joined physical columns of one rollup to write "
+             "(materialize; repeatable)",
+    )
+    p.add_argument(
+        "--explain", action="store_true",
+        help="aggregate: print the plan cost preview (incl. scan "
+             "locations — rollup-routedness evidence) instead of "
+             "executing",
     )
     args = p.parse_args(argv)
 
@@ -155,6 +170,38 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"fact": args.fact, "recommendations": recs}))
         return 0
 
+    if args.command == "materialize":
+        # write advised (or hand-picked) rollups into the shared
+        # lattice — closes the advise -> materialize -> serve loop
+        # from the CLI alone (ADVICE r8: advise only printed)
+        if not (args.fact and args.grouping):
+            raise SystemExit(
+                "materialize requires -f/--fact and at least one --grouping"
+            )
+        from opl_spark.cube import CubeEngine
+        from opl_spark.facts import default_catalog
+
+        engine = SnapshotEngine(spark, args.warehouse)
+        cube = CubeEngine(default_catalog())
+        cube.register_fact(args.fact, engine.fact_frame(args.fact))
+        store = _rollup_store(spark, args.warehouse)
+        groupings = [
+            [c.strip() for c in g.split(",") if c.strip()] for g in args.grouping
+        ]
+        manifest = store.materialize(cube, args.fact, groupings)
+        print(
+            json.dumps(
+                {
+                    "fact": args.fact,
+                    "materialized": [
+                        {"cols": info["cols"], "rows": info["rows"]}
+                        for info in manifest["rollups"].values()
+                    ],
+                }
+            )
+        )
+        return 0
+
     if args.command == "serve":
         # HTTP daemon over the warehouse — the reference's consumption
         # boundary (api-library-olap/README.md:3-13)
@@ -205,6 +252,13 @@ def main(argv: list[str] | None = None) -> int:
         }.items()
         if v
     }
+    if args.explain:
+        # pre-flight plan preview: scan_locations is the routedness
+        # evidence (a routed aggregate scans <warehouse>/_lattice, a
+        # live one scans the fact table) — pinned by
+        # tests/test_api_cli.py's plan-level CLI routedness test
+        print(json.dumps(api.handle(f"/olap/{args.fact}/explain", params), default=str))
+        return 0
     print(json.dumps(api.handle(f"/olap/{args.fact}/aggregate", params), default=str))
     return 0
 

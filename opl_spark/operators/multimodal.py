@@ -255,6 +255,12 @@ def export_tar_shards(
             "remove them or export to a fresh directory — a loader "
             "globbing shard-*.tar would read a mixed corpus"
         )
+    # sweep temp litter from a previously CRASHED export (complete
+    # shards from it would have been promoted to shard-*.tar and
+    # tripped the refusal above; leftover dot-temps are by definition
+    # incomplete and safe to drop)
+    for leftover in _glob.glob(_os.path.join(path, ".shard-*.tar.*")):
+        _os.remove(leftover)
     out = df.repartition(shards) if shards else df
     sel = out.select(F.col(id_col).alias("__key"), *columns)
     payload_cols = list(columns)
@@ -267,15 +273,30 @@ def export_tar_shards(
         import pandas as _pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = os.path.join(path, f"shard-{pid:05d}.tar")
+        # write-to-temp + atomic rename: streaming straight to the
+        # final name left a window where (a) two speculative attempts
+        # of the same task interleave writes into one file and (b) a
+        # mid-job crash leaves a partial tar indistinguishable from a
+        # complete one (which the stale-shard refusal would then
+        # misreport as a prior successful export).  The dot-prefixed
+        # attempt-unique temp name is invisible to loaders and to the
+        # refusal glob (both match shard-*.tar); os.replace promotes
+        # it atomically after close, so the final name only ever holds
+        # a complete tar — last finished attempt wins, same as any
+        # Spark file sink.
+        tmpname = os.path.join(
+            path, f".shard-{pid:05d}.tar.{ctx.taskAttemptId()}"
+        )
         rows = 0
         tar = None  # opened lazily: empty partitions write no file
         try:
             for pdf in it:
                 for i in range(len(pdf)):
                     if tar is None:
-                        tar = tarfile.open(fname, mode="w")
+                        tar = tarfile.open(tmpname, mode="w")
                     key = str(pdf["__key"].iloc[i])
                     for c in payload_cols:
                         v = pdf[c].iloc[i]
@@ -289,9 +310,14 @@ def export_tar_shards(
                         info.mtime = 0
                         tar.addfile(info, io.BytesIO(data))
                     rows += 1
-        finally:
+        except BaseException:
             if tar is not None:
                 tar.close()
+                os.remove(tmpname)  # never leave temp litter on error
+            raise
+        if tar is not None:
+            tar.close()
+            os.replace(tmpname, fname)
         if not rows:
             yield _pd.DataFrame({"shard": [], "rows": [], "bytes": []})
             return

@@ -247,6 +247,17 @@ def cost_report(df: DataFrame) -> dict:
         )
     except Exception:  # stats surface unavailable (e.g. streaming)
         est_scan = -1
+    # per-scan source locations — WHICH tables the plan actually
+    # reads.  This is the routedness evidence for rollup-lattice
+    # queries (a routed aggregate lists <warehouse>/_lattice/..., a
+    # live one lists the fact table) and the triage answer to "why is
+    # this query scanning history".  Truncated by EXPLAIN to a few
+    # entries per scan; fine for identification.
+    locations = [
+        ln.split("Location:", 1)[1].strip()
+        for ln in plan.splitlines()
+        if "Location:" in ln
+    ]
     return {
         "n_shuffles": n_shuffles,
         "n_broadcasts": n_broadcasts,
@@ -254,5 +265,6 @@ def cost_report(df: DataFrame) -> dict:
         "n_codegen_stages": len(codegen_ids),
         "n_plan_ops": n_ops,
         "est_scan_bytes": est_scan,
+        "scan_locations": locations,
         "scale_flags": scale_lint(df, single_row_broadcast_ok=True),
     }

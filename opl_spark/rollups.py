@@ -45,6 +45,18 @@ def _grouping_key(cols: list[str]) -> str:
     return "__".join(re.sub(r"[^A-Za-z0-9_]", "_", c) for c in cols)
 
 
+def _fact_version(frame: DataFrame) -> str:
+    """Content fingerprint of a fact frame's backing files: md5 over
+    the sorted input-file list.  The snapshot model is append-only
+    (appends add files; ``compact`` swaps directories), so any ingest
+    changes the listing — and therefore this token.  A driver-side
+    metadata call (the file index is already resolved); no data scan.
+    """
+    import hashlib
+
+    return hashlib.md5("\n".join(sorted(frame.inputFiles())).encode()).hexdigest()
+
+
 class RollupStore:
     """Materialized-rollup registry for one warehouse directory.
 
@@ -97,6 +109,10 @@ class RollupStore:
             ]
         manifest = self._load_manifest(fact)
         manifest["measures"] = measures_info
+        # staleness guard: record WHICH fact files these rollups were
+        # aggregated from; route() refuses the lattice when the live
+        # fact has since gained files (see aggregate below)
+        manifest["fact_version"] = _fact_version(base)
         for cols in groupings:
             key = _grouping_key(cols)
             rolled = base.groupBy(*cols).agg(*partials)
@@ -226,10 +242,24 @@ class RollupStore:
 
     # -- route + answer -----------------------------------------------------
 
-    def route(self, fact: str, needed_cols: set[str]) -> dict | None:
+    def route(
+        self, fact: str, needed_cols: set[str], current_version: str | None = None
+    ) -> dict | None:
         """Smallest (by materialized row count) rollup whose grouping
-        covers every needed column; None when nothing covers."""
+        covers every needed column; None when nothing covers.
+
+        ``current_version`` (a :func:`_fact_version` token of the LIVE
+        fact frame) arms the staleness guard: when it differs from the
+        version recorded at materialize/refresh time — new snapshot
+        files appended since — every rollup is stale and nothing
+        routes, so callers transparently fall back to the live engine
+        instead of serving pre-ingest aggregates.  A manifest without
+        a recorded version (pre-guard lattice) is treated as stale for
+        the same reason.  Pass ``None`` to skip the check (trusted
+        contexts, e.g. a freshness-managed refresh loop)."""
         manifest = self._load_manifest(fact)
+        if current_version is not None and manifest.get("fact_version") != current_version:
+            return None
         best = None
         for key, info in manifest["rollups"].items():
             if needed_cols <= set(info["cols"]):
@@ -283,7 +313,7 @@ class RollupStore:
             plan.append((m, agg, info["fractional"]))
 
         group_cols, needed = self._needed_cols(engine, meta, q)
-        hit = self.route(fact, needed)
+        hit = self.route(fact, needed, _fact_version(engine.frame(fact)))
         if hit is None:
             return engine.aggregate(
                 fact,
@@ -396,6 +426,14 @@ class RollupStore:
                 raise IOError(f"rollup refresh: rename {tmp} -> {path} failed")
             fs.delete(hold, True)
             info["rows"] = self.spark.read.parquet(path).count()
+        # the refreshed rollups now cover base ∪ delta: re-stamp the
+        # version from the engine's CURRENT fact frame so route()'s
+        # staleness guard accepts them again.  Contract: refresh runs
+        # AFTER the delta landed in the fact table and the engine's
+        # registered frame reflects it (register a fresh frame post-
+        # append) — else the stamp records the pre-append listing and
+        # the guard keeps falling back until the next materialize.
+        manifest["fact_version"] = _fact_version(engine.frame(fact))
         with open(self._manifest_path(fact), "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         return manifest

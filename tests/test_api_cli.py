@@ -259,27 +259,54 @@ def test_cli_advise_recommends_from_query_log(spark, sf_dir, tmp_path, capsys):
     assert recs and all(r["est_rows"] > 0 and r["cols"] for r in recs)
     assert sum(r["covers"] for r in recs) == 5
 
-    # advice is actionable from the CLI serving surface: materialize
-    # the top recommendation at the SHARED <warehouse>/_lattice path,
-    # then `-c aggregate` (which wires the same RollupStore) answers
-    # through it with output identical to the base-engine run
+    # advice is actionable from the CLI alone: `-c materialize` writes
+    # the top recommendation into the SHARED <warehouse>/_lattice
+    # path, then `-c aggregate` answers THROUGH it — pinned at the
+    # PLAN level via `--explain`'s scan_locations (output parity alone
+    # is what broken routing produces too), with the same output as
+    # the pre-materialize live run
     params = ["-c", "aggregate", "--warehouse", wh, "-f", "enabled_users",
               "--drilldown", "age_group", "--measure", "value"]
     assert cli_main(params) == 0
     before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
-    from opl_spark.cube import CubeEngine
-    from opl_spark.facts import default_catalog
-    from opl_spark.rollups import RollupStore
-    from opl_spark.snapshot import SnapshotEngine
+    assert cli_main(
+        ["-c", "materialize", "--warehouse", wh, "-f", "enabled_users",
+         "--grouping", ",".join(recs[0]["cols"])]
+    ) == 0
+    mat = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mat["materialized"] and mat["materialized"][0]["rows"] > 0
 
-    eng = SnapshotEngine(spark, wh)
-    cube = CubeEngine(default_catalog())
-    cube.register_fact("enabled_users", eng.fact_frame("enabled_users"))
-    store = RollupStore(spark, wh + "/_lattice")
-    store.materialize(cube, "enabled_users", [recs[0]["cols"]])
-    assert store.route("enabled_users", set(recs[0]["cols"])) is not None
+    def explain_locations():
+        assert cli_main(params + ["--explain"]) == 0
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return " ".join(report["scan_locations"])
 
+    assert "_lattice" in explain_locations(), (
+        "CLI aggregate did not route through the materialized lattice"
+    )
     assert cli_main(params) == 0
     after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert after == before
+
+    # staleness guard (route-time fact_version check): new snapshot
+    # files appended after materialize make every rollup stale — the
+    # CLI falls back to the live fact instead of serving pre-ingest
+    # aggregates, and results stay correct
+    assert cli_main(
+        ["-c", "add", "-d", "1998-06-02",
+         "--settings", str(settings), "--sources", sf_dir, "--warehouse", wh]
+    ) == 0
+    capsys.readouterr()
+    assert "_lattice" not in explain_locations(), (
+        "stale lattice still routed after new data was ingested"
+    )
+    # deliberately-broken store (manifest gone) must ALSO trip the
+    # plan-level pin the way it trips the HTTP test, while output
+    # stays live-engine-correct
+    import os
+
+    os.remove(os.path.join(wh, "_lattice", "enabled_users", "_LATTICE.json"))
+    assert "_lattice" not in explain_locations()
+    assert cli_main(params) == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])  # still serves

@@ -310,3 +310,20 @@ def test_export_tar_shards_roundtrip_and_determinism(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already contains"):
         export_tar_shards(df, out, "doc_id", ["text"], shards=1)
+
+    # crashed-export temp litter (.shard-*.tar.<attempt>) must NOT
+    # trip the refusal — it's swept at export start, and the export
+    # itself writes via temp + atomic os.replace so final names only
+    # ever hold complete tars
+    import os as _os
+
+    out3 = str(tmp_path / "wds3")
+    _os.makedirs(out3)
+    litter = _os.path.join(out3, ".shard-00001.tar.42")
+    open(litter, "wb").write(b"partial")
+    man3 = export_tar_shards(df, out3, "doc_id", ["text"], shards=2)
+    assert man3["total_rows"] == 20
+    assert not _os.path.exists(litter)
+    assert not [
+        f for f in _os.listdir(out3) if f.startswith(".shard-")
+    ], "export left temp litter behind"
