@@ -268,6 +268,12 @@ BENCH_QUERIES = [
     "q_blocklist_filter",
     # round-7: paired-classifier significance (vs majority baseline)
     "q_mcnemar",
+    # round-9: LSH banding advisor S-curve table (engine-deterministic
+    # multiply-chain math)
+    "q_lsh_tuning",
+    # round-9: storeless SRP-incremental probe (banded key join + exact
+    # cosine verify + keep-best)
+    "q_srp_incremental",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now
@@ -291,31 +297,21 @@ CALIBRATION_REF = {
 }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
+def run_set(spark, qs, sf_dir: str, names: list[str]) -> dict[str, float]:
+    """best-of-2 per query: the second run measures the plan itself
+    (codegen cache warm, shuffle files local) rather than first-touch
+    noise — run-to-run variance on a shared host is ±30%."""
+    import gc
 
-    from opl_spark import workload
-    from opl_spark.session import get_spark
-
-    spark = get_spark(app_name="opl-bench")
-    qs = workload.queries()
+    from opl_spark.sources import load_table, TABLES
 
     # Warm-up: JVM/codegen spin-up + parquet footer reads, so per-query
     # numbers measure the plan, not first-touch costs.
-    from opl_spark.sources import load_table, TABLES
-
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: the second run measures the plan itself
-    # (codegen cache warm, shuffle files local) rather than first-touch
-    # noise — run-to-run variance on a shared host is ±30%.
     times: dict[str, float] = {}
-    import gc
-
-    for i, name in enumerate(BENCH_QUERIES):
+    for i, name in enumerate(names):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -334,6 +330,75 @@ def main() -> None:
         gc.collect()
         if (i + 1) % 25 == 0:
             spark.sparkContext._jvm.System.gc()
+    return times
+
+
+def slope_main() -> None:
+    """``bench.py --slope``: the headline set at sf0.01 AND sf0.1 in
+    ONE session, per-query wall ratios out — the scale-slope evidence
+    single-sf numbers can't give.  Data grows 10×; a linear operator
+    should cost ≤ ~10× (usually far less — fixed per-query planning/
+    latency dominates small ids), while quadratic candidate growth
+    (pair expansion under skew) shows up ≫ 10×.  Writes
+    BENCH_SLOPE.json (sf0.01 s, sf0.1 s, ratio per query) and prints
+    one JSON line; the committed analysis lives in BENCH_NOTES.md."""
+    base = os.path.dirname(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    )
+    lo_dir, hi_dir = os.path.join(base, "sf0.01"), os.path.join(base, "sf0.1")
+
+    from opl_spark import workload
+    from opl_spark.session import get_spark
+
+    spark = get_spark(app_name="opl-bench-slope")
+    qs = workload.queries()
+    lo = run_set(spark, qs, lo_dir, BENCH_QUERIES)
+    hi = run_set(spark, qs, hi_dir, BENCH_QUERIES)
+    table = {
+        q: {
+            "sf0.01": lo[q],
+            "sf0.1": hi[q],
+            # floor the denominator: sub-50ms timings are scheduler
+            # noise and would print absurd ratios
+            "ratio": round(hi[q] / max(lo[q], 0.05), 2),
+        }
+        for q in BENCH_QUERIES
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SLOPE.json"
+    )
+    flagged = sorted(
+        (q for q, v in table.items() if v["ratio"] > 10.0),
+        key=lambda q: -table[q]["ratio"],
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"metric": "scale_slope", "sf_lo": 0.01, "sf_hi": 0.1,
+             "queries": table, "flagged_over_10x": flagged},
+            fh, indent=1, sort_keys=True,
+        )
+        fh.write("\n")
+    print(json.dumps({
+        "metric": "scale_slope",
+        "value": round(sum(v["ratio"] for v in table.values()) / len(table), 3),
+        "unit": "x per 10x data",
+        "n_queries": len(table),
+        "flagged_over_10x": flagged,
+        "detail": "BENCH_SLOPE.json",
+    }))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from opl_spark import workload
+    from opl_spark.session import get_spark
+
+    spark = get_spark(app_name="opl-bench")
+    qs = workload.queries()
+    times = run_set(spark, qs, sf_dir, BENCH_QUERIES)
 
     total = round(sum(times.values()), 3)
     ratios = sorted(
@@ -388,4 +453,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--slope" in sys.argv:
+        slope_main()
+    else:
+        main()

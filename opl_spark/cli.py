@@ -84,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "-c", "--command", required=True,
         choices=["add", "aggregate", "serve", "compact", "vacuum", "advise",
-                 "materialize"],
+                 "materialize", "lsh-advise"],
     )
     p.add_argument("--host", default="127.0.0.1", help="bind address (serve)")
     p.add_argument("--port", type=int, default=8080, help="bind port (serve)")
@@ -92,7 +92,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-f", "--fact", help="restrict to one fact table")
     p.add_argument("--settings", help="olapSettings.json path (add)")
     p.add_argument("--sources", help="source parquet dir to register (add)")
-    p.add_argument("--warehouse", required=True, help="fact-table warehouse dir")
+    p.add_argument(
+        "--warehouse",
+        help="fact-table warehouse dir (required by every command "
+             "except lsh-advise, which is pure math)",
+    )
     p.add_argument("--cut")
     p.add_argument("--drilldown")
     p.add_argument("--measure")
@@ -118,7 +122,52 @@ def main(argv: list[str] | None = None) -> int:
              "locations — rollup-routedness evidence) instead of "
              "executing",
     )
+    p.add_argument(
+        "--lsh-threshold", type=float,
+        help="verify-step similarity threshold (lsh-advise)",
+    )
+    p.add_argument(
+        "--signature-budget", type=int, default=64,
+        help="total minhashes / SRP bits to band (lsh-advise)",
+    )
+    p.add_argument(
+        "--target-recall", type=float, default=0.9,
+        help="recall the advised banding must reach at the threshold "
+             "(lsh-advise)",
+    )
+    p.add_argument(
+        "--lsh-kind", choices=["jaccard", "cosine"], default="jaccard",
+        help="jaccard = MinHash banding, cosine = SRP banding "
+             "(lsh-advise)",
+    )
     args = p.parse_args(argv)
+
+    if args.command == "lsh-advise":
+        # banding-parameter advisor — pure S-curve math, no Spark
+        # session, no warehouse (the RollupStore.advise of the LSH
+        # tier; measured bucket occupancy lives in
+        # operators.dedup.minhash_bucket_stats)
+        if args.lsh_threshold is None:
+            raise SystemExit("lsh-advise requires --lsh-threshold")
+        if args.lsh_kind == "cosine":
+            from opl_spark.operators.similarity import srp_banding_advise
+
+            table = srp_banding_advise(
+                args.lsh_threshold, args.signature_budget,
+                target_recall=args.target_recall,
+            )
+        else:
+            from opl_spark.operators.dedup import lsh_banding_advise
+
+            table = lsh_banding_advise(
+                args.lsh_threshold, args.signature_budget,
+                target_recall=args.target_recall,
+            )
+        print(json.dumps({"kind": args.lsh_kind, "bandings": table}))
+        return 0
+
+    if not args.warehouse:
+        raise SystemExit(f"{args.command} requires --warehouse")
 
     from opl_spark.session import get_spark
 

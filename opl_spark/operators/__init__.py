@@ -29,6 +29,9 @@ from opl_spark.operators.dedup import (  # noqa: F401
     keep_best_dedup,
     exact_dedup,
     incremental_dedup,
+    banding_curve,
+    lsh_banding_advise,
+    minhash_bucket_stats,
     minhash_signatures,
     minhash_lsh_candidates,
     minhash_dedup_pairs,
@@ -94,8 +97,14 @@ from opl_spark.operators.similarity import (  # noqa: F401
     cosine_sim_col,
     hybrid_search_rrf,
     random_projection,
+    srp_agreement_prob,
+    srp_banding_advise,
+    srp_banded_keys,
     srp_lsh_pairs,
     srp_plane_coeff,
+    srp_probe,
+    srp_dedup_incremental,
+    build_srp_index,
     mmr_select,
     cosine_topk,
     ivf_assign,

@@ -286,6 +286,196 @@ def minhash_permutation(i: int) -> tuple[int, int]:
     return (a if a else 1, b)
 
 
+def _factorizations(budget: int) -> list[tuple[int, int]]:
+    """All (bands, rows_per_band) with bands × rows == budget."""
+    return [
+        (budget // r, r) for r in range(1, budget + 1) if budget % r == 0
+    ]
+
+
+def banding_curve(
+    bands: int, rows_per_band: int, sims: list[float]
+) -> list[float]:
+    """Banded-LSH collision probabilities: P[candidate | sim = s] =
+    1 − (1 − p(s)^rows)^bands, the classic S-curve (Leskovec/Rajaraman/
+    Ullman, MMDS ch. 3).  ``sims`` are per-hash agreement
+    probabilities — for MinHash that IS the Jaccard similarity; for
+    SRP pass ``1 − θ/π`` (see :func:`srp_agreement_prob` in
+    operators/similarity.py)."""
+    return [
+        1.0 - (1.0 - s ** rows_per_band) ** bands for s in sims
+    ]
+
+
+def lsh_banding_advise(
+    threshold: float,
+    signature_budget: int = 64,
+    target_recall: float = 0.9,
+    below: float | None = None,
+) -> list[dict]:
+    """Banding-parameter ADVISOR: given the similarity threshold the
+    verify step will enforce and the signature budget (total hashes /
+    bits), rank every (bands × rows) factorization by the S-curve —
+    the LSH mirror of ``RollupStore.advise`` (rollups.py:132), pure
+    math, no data pass (pair an advised setting with
+    :func:`minhash_bucket_stats` for the measured-occupancy check).
+
+    Per factorization: ``recall_at_threshold`` = P[a pair exactly AT
+    the verify threshold becomes a candidate] (pairs above it do
+    better — the S-curve is monotone), and ``fp_at_below`` = the same
+    probability at dissimilarity ``below`` (default threshold/2) — the
+    candidate-waste proxy, since below-threshold candidates cost a
+    verify each and are then discarded.  ``recommended`` marks the
+    advisor's pick: the factorization with the LOWEST false-positive
+    proxy among those meeting ``target_recall``; when none reaches it,
+    the highest-recall one (banding cannot hit the target at this
+    budget — raise the budget).  Sorted recommended-first, then by
+    descending recall.
+
+    Calibration against the engine defaults (budget 64): at verify
+    thresholds ≥ ~0.7 the advisor picks the default 16 × 4 banding
+    (recall ≥ 0.99, fp_at_half ≈ 0.2–0.34); at 0.5 it recommends
+    32 × 2 (recall 0.9999 vs 16 × 4's 0.64, bought with ~0.87
+    fp-proxy — more verify work, which the verify step makes exact);
+    at 0.2 only 64 × 1 reaches the target (fp ≈ 1 — a 64-hash budget
+    simply cannot band-select at 0.2, so low-threshold pipelines like
+    q_minhash_keep_best accept partial banding recall and lean on the
+    exact verify).  The planted-dup recall pin for an advised setting
+    lives in tests/test_operators.py."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    below = threshold / 2 if below is None else below
+    rows_out = []
+    for b, r in _factorizations(signature_budget):
+        recall, fp = banding_curve(b, r, [threshold, below])
+        rows_out.append(
+            {
+                "bands": b,
+                "rows_per_band": r,
+                "recall_at_threshold": recall,
+                "fp_at_below": fp,
+                "recommended": False,
+            }
+        )
+    meeting = [x for x in rows_out if x["recall_at_threshold"] >= target_recall]
+    pick = (
+        min(meeting, key=lambda x: x["fp_at_below"])
+        if meeting
+        else max(rows_out, key=lambda x: x["recall_at_threshold"])
+    )
+    pick["recommended"] = True
+    return sorted(
+        rows_out,
+        key=lambda x: (not x["recommended"], -x["recall_at_threshold"]),
+    )
+
+
+def pow_chain_sql(x: str, n: int) -> str:
+    """``x**n`` as an explicit multiplication chain (square-and-
+    multiply) — pure IEEE-754 double multiplies, NO ``pow()``: libm
+    pow differs in final-ulp rounding across engines/platforms, while
+    a multiply tree with the same shape evaluates bit-identically on
+    Spark and DuckDB.  Shared verbatim by q_lsh_tuning's oracle."""
+    if n < 1:
+        raise ValueError(f"pow_chain_sql needs n >= 1, got {n}")
+    if n == 1:
+        return x
+    if n % 2 == 0:
+        h = pow_chain_sql(x, n // 2)
+        return f"({h} * {h})"
+    return f"({pow_chain_sql(x, n - 1)} * {x})"
+
+
+def banding_curve_sql(threshold: str, bands: int, rows_per_band: int) -> str:
+    """``1 − (1 − t^r)^b`` with both powers as multiply chains —
+    engine-deterministic S-curve collision probability (see
+    :func:`pow_chain_sql`).  ``threshold`` must already be a DOUBLE
+    expression (``CAST(0.5 AS DOUBLE)`` — the one double-literal form
+    Spark SQL and DuckDB share; bare ``0.5`` parses as DECIMAL on
+    DuckDB and would switch the arithmetic)."""
+    one = "CAST(1.0 AS DOUBLE)"
+    inner = f"({one} - {pow_chain_sql(threshold, rows_per_band)})"
+    return f"{one} - {pow_chain_sql(inner, bands)}"
+
+
+def banding_curve_frame(
+    spark, threshold: float = 0.5, signature_budget: int = 64
+) -> DataFrame:
+    """The advisor's S-curve table AS A QUERY: one row per (bands ×
+    rows) factorization of ``signature_budget`` with the collision
+    probability at the verify ``threshold`` and at threshold/2 (the
+    candidate-waste proxy) — what :func:`lsh_banding_advise` ranks,
+    emitted as a DataFrame so the tuning table itself is driver-
+    auditable against a SQL oracle recomputing the same multiply
+    chains."""
+    below = threshold / 2
+    structs = ", ".join(
+        "struct({b} as bands, {r} as rows_per_band, "
+        "round({rec}, 6) as recall_at_threshold, "
+        "round({fp}, 6) as fp_at_below)".format(
+            b=b,
+            r=r,
+            rec=banding_curve_sql(f"CAST({threshold!r} AS DOUBLE)", b, r),
+            fp=banding_curve_sql(f"CAST({below!r} AS DOUBLE)", b, r),
+        )
+        for b, r in _factorizations(signature_budget)
+    )
+    return (
+        spark.range(1)
+        .select(F.expr(f"explode(array({structs}))").alias("s"))
+        .select("s.*")
+    )
+
+
+def minhash_bucket_stats(
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    portable: bool = False,
+    sample: float | None = None,
+) -> DataFrame:
+    """The advisor's measured half: ONE distributed pass over the
+    (optionally sampled) signature frame returning per-band bucket
+    occupancy — ``(band, n_buckets, max_bucket, est_candidate_pairs)``
+    where est_candidate_pairs = Σ k·(k−1)/2 over that band's bucket
+    sizes, the exact pair fan-out :func:`bucket_pairs` would expand
+    (scaled by 1/sample² per bucket when sampling — collision counts
+    shrink quadratically under uniform doc sampling).  Read it next to
+    :func:`lsh_banding_advise`'s S-curve: the curve says what recall a
+    banding buys, this says what the candidate bill will be on YOUR
+    corpus (boilerplate-heavy corpora blow up low-rows bandings long
+    before the curve suggests)."""
+    if sample is not None:
+        sigs = sigs.sample(fraction=sample, seed=7)
+    scale = 1.0 if sample is None else 1.0 / (sample * sample)
+    def _band_key(b: int) -> str:
+        joined = "concat_ws(',', {})".format(
+            ", ".join(
+                f"cast(element_at(sig, {b * rows_per_band + r + 1}) as string)"
+                for r in range(rows_per_band)
+            )
+        )
+        return joined if portable else f"xxhash64({joined})"
+
+    band_structs = ", ".join(
+        f"struct({b} as band, {_band_key(b)} as band_key)" for b in range(bands)
+    )
+    return (
+        sigs.select("doc", F.expr(f"explode(array({band_structs}))").alias("bk"))
+        .groupBy("bk.band", "bk.band_key")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy(F.col("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("k").alias("max_bucket"),
+            F.round(
+                F.sum(F.col("k") * (F.col("k") - 1) / 2) * F.lit(scale), 1
+            ).alias("est_candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,

@@ -619,6 +619,53 @@ def embedding_dup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def srp_agreement_prob(cosine: float) -> float:
+    """P[one SRP sign bit agrees | angle θ] = 1 − θ/π (Charikar 2002,
+    Goemans–Williamson) — the per-hash agreement probability that maps
+    a COSINE threshold onto the generic banding S-curve, the SRP twin
+    of Jaccard being MinHash's per-hash agreement probability."""
+    import math
+
+    return 1.0 - math.acos(max(-1.0, min(1.0, cosine))) / math.pi
+
+
+def srp_banding_advise(
+    cos_threshold: float,
+    n_bits: int = 24,
+    target_recall: float = 0.9,
+    below: float | None = None,
+) -> list[dict]:
+    """Banding advisor for SRP-LSH (:func:`srp_lsh_pairs`): same
+    S-curve selection as ``lsh_banding_advise`` (operators/dedup.py)
+    but with the cosine threshold first mapped through
+    :func:`srp_agreement_prob` — because SRP bits agree with
+    probability 1 − θ/π, NOT with probability cos θ, a cosine-0.8 pair
+    agrees per-bit at ~0.795 and the right banding differs from the
+    Jaccard-0.8 one.  ``below`` is the dissimilar-pair cosine for the
+    false-positive proxy (default: half the threshold's ANGLE margin —
+    cos of 1.5× the threshold angle, floored at 0).  Output rows carry
+    the cosine inputs alongside the bit-agreement probabilities the
+    curve actually used."""
+    import math
+
+    from opl_spark.operators.dedup import lsh_banding_advise
+
+    if not -1 < cos_threshold < 1:
+        raise ValueError(f"cos_threshold must be in (-1,1), got {cos_threshold}")
+    theta = math.acos(cos_threshold)
+    below_cos = math.cos(min(math.pi, 1.5 * theta)) if below is None else below
+    p_t = srp_agreement_prob(cos_threshold)
+    p_b = srp_agreement_prob(below_cos)
+    out = lsh_banding_advise(
+        p_t, n_bits, target_recall=target_recall, below=p_b
+    )
+    for row in out:
+        row["cos_threshold"] = cos_threshold
+        row["cos_below"] = below_cos
+        row["bit_agreement_at_threshold"] = p_t
+    return out
+
+
 def srp_plane_coeff(j: int, i: int) -> int:
     """Deterministic integer hyperplane coefficient for SRP-LSH bit
     ``j``, dimension ``i``: the portable 32-bit md5 hash of ``"j:i"``
@@ -666,9 +713,32 @@ def srp_lsh_pairs(
     repo's HOF-capture rule); one shuffle on the (band, key) bucket;
     per-bucket gemm verify via :func:`embedding_dup_pairs`'s kernel
     (n·d floats cross Arrow per bucket, never n² rows)."""
+    melted = srp_banded_keys(df, vec_col, id_col, dims, n_bits, bands).select(
+        "__id", "__v", F.struct("band", "key").alias("__bk")
+    )
+    verified = embedding_dup_pairs(
+        melted, "__v", "__id", "__bk", threshold=threshold
+    )
+    # a pair colliding in several bands verifies identically each time
+    return verified.distinct()
+
+
+def srp_banded_keys(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    n_bits: int = 24,
+    bands: int = 4,
+) -> DataFrame:
+    """The shared SRP banding stage: ``(__id, __v double-array, band,
+    key)`` — one row per (vector, band), keys from the integer sign-bit
+    construction documented on :func:`srp_lsh_pairs` (which consumes
+    this; :func:`build_srp_index` / :func:`srp_dedup_incremental`
+    persist/probe it)."""
     if n_bits % bands != 0:
         raise ValueError(
-            f"srp_lsh_pairs: n_bits ({n_bits}) must divide evenly into "
+            f"srp_banded_keys: n_bits ({n_bits}) must divide evenly into "
             f"bands ({bands}) — trailing bits would be silently unused"
         )
     rows_per_band = n_bits // bands
@@ -698,7 +768,7 @@ def srp_lsh_pairs(
         for b in range(bands)
     ]
     keyed = staged.select("__id", "__v", *keys)
-    melted = keyed.select(
+    return keyed.select(
         "__id",
         "__v",
         F.explode(
@@ -709,12 +779,140 @@ def srp_lsh_pairs(
                 ]
             )
         ).alias("__bk"),
+    ).select("__id", "__v", F.col("__bk.band").alias("band"), F.col("__bk.key").alias("key"))
+
+
+#: bucket_shard fan-out of the persisted SRP index — with band as the
+#: leading partition column this bounds partition count at
+#: bands × min(2^rows_per_band, SRP_STORE_SHARDS).
+SRP_STORE_SHARDS = 16
+
+
+def _srp_store_rows(
+    df: DataFrame, vec_col: str, id_col: str, dims: int, n_bits: int, bands: int
+) -> DataFrame:
+    """Banded keys in the PERSISTED layout: ``(vec_id, vec, band, key,
+    bucket_shard)``."""
+    return srp_banded_keys(df, vec_col, id_col, dims, n_bits, bands).select(
+        F.col("__id").alias("vec_id"),
+        F.col("__v").alias("vec"),
+        "band",
+        "key",
+        F.pmod("key", F.lit(SRP_STORE_SHARDS)).alias("bucket_shard"),
     )
-    verified = embedding_dup_pairs(
-        melted, "__v", "__id", "__bk", threshold=threshold
+
+
+def build_srp_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    store_path: str,
+    dims: int,
+    n_bits: int = 24,
+    bands: int = 4,
+) -> None:
+    """Materialize the corpus's banded SRP signatures as the
+    persistent EMBEDDING near-dup index: parquet partitioned by
+    ``(band, bucket_shard)`` so an incremental probe reads only the
+    partitions its own band keys land in — the cosine twin of the
+    banded-MinHash store (``dedup.py:build_signature_store``) beside
+    the IVF cell store (:func:`build_ivf_index`).
+
+    Store size is bands × corpus rows of (id, vector, key): the
+    vectors ride along because the probe's exact-cosine verify needs
+    them — at 100 TB of media the embedding store is still orders
+    smaller than the payloads, and it is the only thing history ever
+    re-reads."""
+    _srp_store_rows(df, vec_col, id_col, dims, n_bits, bands).write.partitionBy(
+        "band", "bucket_shard"
+    ).mode("overwrite").parquet(store_path)
+
+
+def srp_probe(
+    store: DataFrame,
+    banded_batch: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Core SRP probe: join a banded batch against banded store rows
+    on ``(band, bucket_shard, key)``, verify bucket-mates with the
+    EXACT cosine on the raw double vectors, keep each batch vector's
+    best stored match — ``(vec_id, dup_of, cos)``.  Shared by the
+    persisted-store probe (:func:`srp_dedup_incremental`) and the
+    storeless split-frame query twin (q_srp_incremental)."""
+    old = store.select(
+        F.col("vec_id").alias("old_id"),
+        F.col("vec").alias("old_vec"),
+        "band",
+        "key",
+        "bucket_shard",
     )
-    # a pair colliding in several bands verifies identically each time
-    return verified.distinct()
+    cand = (
+        banded_batch.join(old, ["band", "key", "bucket_shard"])
+        .select("vec_id", "vec", "old_id", "old_vec")
+        .distinct()
+    )
+    cos = F.round(
+        dot_col(F.col("vec"), F.col("old_vec"))
+        / (norm_col(F.col("vec")) * norm_col(F.col("old_vec"))),
+        6,
+    )
+    return (
+        cand.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("old_id")).alias("no"))
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            (-F.col("b.no")).alias("dup_of"),
+            F.col("b.cos").alias("cos"),
+        )
+    )
+
+
+def srp_dedup_incremental(
+    spark,
+    store_path: str,
+    new_batch: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    n_bits: int = 24,
+    bands: int = 4,
+    threshold: float = 0.8,
+    append: bool = True,
+) -> DataFrame:
+    """Probe a new embedding batch against the persisted SRP index:
+    emits ``(vec_id, dup_of, cos)`` for every new vector whose exact
+    cosine to some stored vector reaches ``threshold`` (best match —
+    max cos, min stored id on ties).  New signatures append to the
+    store afterwards (same partitioning), so the index stays current
+    without rebuilds — the embedding twin of
+    ``dedup.py:near_dedup_incremental``, pinned by the same
+    verbatim/edited/novel/self-detect pytest contract.
+
+    Scale shape: the batch's banded keys join the store on
+    ``(band, bucket_shard, key)`` with the partition columns leading,
+    so only the batch's own (band, shard) partitions are scanned —
+    batch-sized × bands partitions, never the whole store — and
+    bucket membership bounds candidate fan-out exactly as in
+    :func:`srp_lsh_pairs`.  Candidate recall is the banding S-curve
+    (``srp_banding_advise`` picks n_bits/bands for a target); the
+    verify is exact, so reported cosines carry no approximation."""
+    banded = _srp_store_rows(
+        new_batch, vec_col, id_col, dims, n_bits, bands
+    ).localCheckpoint(eager=True)
+    store = spark.read.parquet(store_path)
+    dups = srp_probe(store, banded, threshold)
+    dups = dups.localCheckpoint(eager=True)  # pin before the store mutates
+    if append:
+        banded.write.partitionBy("band", "bucket_shard").mode("append").parquet(
+            store_path
+        )
+    return dups
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:

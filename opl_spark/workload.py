@@ -197,9 +197,12 @@ _RETRY_FIRST: tuple[str, ...] = (
 #    expressions; construction-time only).
 #  - q_dedup_clusters / q_keep_best: dedup_clusters skips the provably
 #    redundant round-1 convergence count (labels unchanged).
+#  - q_srp_lsh: its banding stage was extracted into srp_banded_keys
+#    (shared with the new persisted SRP index); same bits, keys, and
+#    verify — plan-equivalent refactor.
 _AUDIT_PRIORITY: tuple[str, ...] = (
     "q_minhash_keep_best", "q_dedup_minhash", "q_dedup_clusters",
-    "q_keep_best",
+    "q_keep_best", "q_srp_lsh",
 )
 
 

@@ -10883,3 +10883,126 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_noise(emb, "embedding", "vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# round 9: LSH banding advisor surface
+# ---------------------------------------------------------------------------
+
+
+def _lsh_tuning_oracle(threshold: float = 0.5, budget: int = 64) -> str:
+    """Independent replay of the banding S-curve table: one SELECT per
+    (bands × rows) factorization recomputing 1 − (1 − t^r)^b with the
+    SAME multiply-chain shape as the Spark side (pow_chain_sql) — pure
+    IEEE double multiplies, so both engines agree bit-for-bit where a
+    libm pow() could differ in the final ulp."""
+    from opl_spark.operators.dedup import _factorizations, banding_curve_sql
+
+    below = threshold / 2
+    parts = []
+    for b, r in _factorizations(budget):
+        parts.append(
+            f"SELECT CAST({b} AS INTEGER) AS bands,"
+            f" CAST({r} AS INTEGER) AS rows_per_band,"
+            f" ROUND({banding_curve_sql(f'CAST({threshold!r} AS DOUBLE)', b, r)}, 6)"
+            f" AS recall_at_threshold,"
+            f" ROUND({banding_curve_sql(f'CAST({below!r} AS DOUBLE)', b, r)}, 6)"
+            f" AS fp_at_below"
+        )
+    return "\nUNION ALL ".join(parts)
+
+
+@register("q_lsh_tuning", oracle=_lsh_tuning_oracle())
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding-parameter advisor's S-curve table as a query (r9):
+    every (bands × rows) factorization of the 64-hash budget with the
+    candidate-collision probability at the verify threshold (0.5) and
+    at threshold/2 (the candidate-waste proxy) — the table
+    lsh_banding_advise ranks and `opl-spark -c lsh-advise` prints.
+    Both engines evaluate the identical multiply-chain expressions
+    (operators/dedup.py:pow_chain_sql), making the tuning math itself
+    driver-auditable; the planted-dup recall pin for an ADVISED
+    banding lives in tests/test_operators.py."""
+    from opl_spark.operators.dedup import banding_curve_frame
+
+    return banding_curve_frame(spark, 0.5, 64)
+
+
+def _srp_incremental_oracle(
+    dims: int = 64, n_bits: int = 24, bands: int = 4, threshold: float = 0.3
+) -> str:
+    """Replay of the storeless SRP-incremental probe: same plane
+    literals and integer bucket arithmetic as _srp_oracle, split into
+    store (vec_id % 5 <> 0) and batch (vec_id % 5 = 0), candidates
+    from the (band, key) join, exact-cosine verify, best stored match
+    per batch vector (max cos, min stored id on ties — the rounded
+    cosine orders, matching srp_probe's struct-max)."""
+    from opl_spark.operators.similarity import srp_plane_coeff
+
+    rows = n_bits // bands
+    vals = ", ".join(
+        f"({j}, {i}, {srp_plane_coeff(j, i)})"
+        for j in range(n_bits)
+        for i in range(dims)
+    )
+    cos = (
+        "ROUND(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT id, list_transform(v, x -> floor(x * 1000.0 + 0.5)) AS qv FROM e),
+planes(j, i, c) AS (VALUES {vals}),
+dots AS (
+    SELECT q.id, p.j, SUM(q.qv[p.i + 1] * p.c) AS s
+    FROM q CROSS JOIN planes p
+    GROUP BY 1, 2
+),
+keys AS (
+    SELECT id, j // {rows} AS band,
+           CAST(SUM(CASE WHEN s >= 0 THEN (1 << (j % {rows})) ELSE 0 END)
+                AS BIGINT) AS key
+    FROM dots GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT n.id AS vec_id, o.id AS old_id
+    FROM keys n JOIN keys o ON n.band = o.band AND n.key = o.key
+    WHERE n.id % 5 = 0 AND o.id % 5 <> 0
+),
+scored AS (
+    SELECT cand.vec_id, cand.old_id, {cos} AS cos
+    FROM cand JOIN e x ON x.id = cand.vec_id JOIN e y ON y.id = cand.old_id
+),
+best AS (
+    SELECT vec_id, old_id, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, old_id ASC) AS rk
+    FROM scored WHERE cos >= {threshold}
+)
+SELECT vec_id, old_id AS dup_of, cos FROM best WHERE rk = 1
+"""
+
+
+@register("q_srp_incremental", oracle=_srp_incremental_oracle())
+def q_srp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SRP-LSH probe as a query (r9): the corpus split
+    into an already-indexed store (vec_id % 5 != 0) and an arriving
+    batch (vec_id % 5 == 0), the batch's banded sign-bit keys joined
+    against the store's, bucket-mates verified with the exact cosine,
+    best stored match kept per new vector — the storeless twin of the
+    persisted (band, bucket_shard)-partitioned index
+    (operators/similarity.py:build_srp_index /
+    srp_dedup_incremental, whose verbatim/edited/novel/self-detect
+    contract is pinned in tests/test_operators.py).  The whole bucket
+    structure is integer-exact, so the oracle replays candidates
+    bit-for-bit and the verify is portable raw-double arithmetic."""
+    from opl_spark.operators.similarity import _srp_store_rows, srp_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = _srp_store_rows(
+        emb.filter(F.col("vec_id") % 5 != 0), "embedding", "vec_id", 64, 24, 4
+    )
+    batch = _srp_store_rows(
+        emb.filter(F.col("vec_id") % 5 == 0), "embedding", "vec_id", 64, 24, 4
+    )
+    return srp_probe(store, batch, threshold=0.3)

@@ -310,3 +310,34 @@ def test_cli_advise_recommends_from_query_log(spark, sf_dir, tmp_path, capsys):
     assert "_lattice" not in explain_locations()
     assert cli_main(params) == 0
     json.loads(capsys.readouterr().out.strip().splitlines()[-1])  # still serves
+
+
+def test_cli_lsh_advise(capsys):
+    """`-c lsh-advise` surfaces the banding advisor without a Spark
+    session or warehouse: jaccard and cosine kinds, recommendation
+    marked, budget factorized exactly."""
+    assert cli_main(
+        ["-c", "lsh-advise", "--lsh-threshold", "0.5",
+         "--signature-budget", "64"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kind"] == "jaccard"
+    pick = out["bandings"][0]
+    assert pick["recommended"] and pick["bands"] * pick["rows_per_band"] == 64
+    assert pick["recall_at_threshold"] >= 0.9
+
+    assert cli_main(
+        ["-c", "lsh-advise", "--lsh-threshold", "0.8", "--lsh-kind", "cosine",
+         "--signature-budget", "24"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kind"] == "cosine"
+    assert out["bandings"][0]["bit_agreement_at_threshold"] < 0.8
+
+    # missing threshold and missing warehouse both fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli_main(["-c", "lsh-advise"])
+    with _pytest.raises(SystemExit):
+        cli_main(["-c", "vacuum"])

@@ -151,6 +151,103 @@ def test_minhash_band_skip_same_pair_set(spark, docs):
     assert pskip == pfull
 
 
+def test_lsh_banding_advise_recall_on_planted_dups(spark, docs):
+    """The banding advisor's recommendation must MEET its stated
+    recall target on the planted-dup corpus: run the LSH pipeline
+    with the advised (bands × rows) at the advised threshold and
+    check every true >=threshold pair survives candidate banding."""
+    from opl_spark.operators.dedup import lsh_banding_advise
+
+    table = lsh_banding_advise(0.5, 64, target_recall=0.9)
+    pick = table[0]
+    assert pick["recommended"] and pick["recall_at_threshold"] >= 0.9
+    assert pick["bands"] * pick["rows_per_band"] == 64
+    # exactly one recommendation; rest sorted by descending recall
+    assert sum(r["recommended"] for r in table) == 1
+    tail = [r["recall_at_threshold"] for r in table if not r["recommended"]]
+    assert tail == sorted(tail, reverse=True)
+
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).collect()
+    }
+    assert truth, "test corpus lost its planted near-dup pairs"
+    advised = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.5, num_hashes=64,
+            bands=pick["bands"],
+        ).collect()
+    }
+    # the advisor promised >=0.9 recall AT the threshold; planted
+    # pairs sit at or above it, so the measured recall must clear it
+    found = sum(1 for p in truth if p in advised)
+    assert found / len(truth) >= 0.9, (found, len(truth), pick)
+    # and the default 16x4 banding is what the advisor picks for a
+    # high-threshold pipeline (its design point)
+    assert lsh_banding_advise(0.8, 64)[0]["bands"] == 16
+
+
+def test_srp_banding_advise_maps_cosine_to_bit_agreement(spark):
+    """SRP advisor: cosine threshold maps through 1 - theta/pi before
+    the S-curve (cos 0.8 -> ~0.795 bit agreement, NOT 0.8), the
+    budget factorizes exactly, and tightening the target never
+    DECREASES the recommended recall."""
+    import math
+
+    from opl_spark.operators.similarity import (
+        srp_agreement_prob,
+        srp_banding_advise,
+    )
+
+    assert abs(
+        srp_agreement_prob(0.8) - (1 - math.acos(0.8) / math.pi)
+    ) < 1e-12
+    table = srp_banding_advise(0.8, 24)
+    pick = table[0]
+    assert pick["recommended"]
+    assert pick["bands"] * pick["rows_per_band"] == 24
+    assert pick["bit_agreement_at_threshold"] < 0.8  # mapped, not raw
+    loose = srp_banding_advise(0.8, 24, target_recall=0.5)[0]
+    tight = srp_banding_advise(0.8, 24, target_recall=0.95)[0]
+    assert tight["recall_at_threshold"] >= loose["recall_at_threshold"] - 1e-12
+
+
+def test_minhash_bucket_stats_matches_pair_expansion(spark, docs):
+    """minhash_bucket_stats' est_candidate_pairs must equal the EXACT
+    per-band pair fan-out bucket_pairs would expand (unsampled,
+    uncapped): sum k*(k-1)/2 over each band's bucket sizes."""
+    from opl_spark.operators.dedup import (
+        minhash_bucket_stats,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "text", "doc_id").localCheckpoint()
+    stats = {r["band"]: r for r in minhash_bucket_stats(sigs, 16, 4).collect()}
+    assert set(stats) == set(range(16))
+    total_est = sum(r["est_candidate_pairs"] for r in stats.values())
+    # reference: expand candidates per band WITHOUT the cap or the
+    # cross-band distinct — one row per (band, unordered pair)
+    from opl_spark.operators.dedup import minhash_lsh_candidates
+
+    per_band_pairs = minhash_lsh_candidates(
+        sigs, 16, 4, max_bucket=None
+    )  # distinct across bands — lower bound only
+    assert total_est >= per_band_pairs.count()
+    # exact check on one band via a manual bucket build
+    sizes = (
+        sigs.selectExpr(
+            "xxhash64(concat_ws(',', cast(element_at(sig, 1) as string),"
+            " cast(element_at(sig, 2) as string),"
+            " cast(element_at(sig, 3) as string),"
+            " cast(element_at(sig, 4) as string))) as k0"
+        )
+        .groupBy("k0").count().collect()
+    )
+    expect0 = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    assert stats[0]["est_candidate_pairs"] == float(expect0)
+
+
 def test_source_overlap_triangle_and_cap(spark, docs):
     """Identical sources have jaccard 1; the triangle holds one row per
     unordered pair; the stop-shingle cap only removes intersection
@@ -562,6 +659,65 @@ def test_near_dedup_incremental_store(spark, sf_dir, tmp_path):
     re_got = {r["doc"]: r for r in redup}
     assert set(re_got) == {900001, 900002, 900003}
     assert re_got[900003]["dup_of"] == 900003 and re_got[900003]["sim"] == 1.0
+
+
+def test_srp_dedup_incremental_store(spark, sf_dir, tmp_path):
+    """Incremental EMBEDDING near-dup — the SRP twin of the banded-
+    MinHash store contract: a persisted (band, bucket_shard)-
+    partitioned SRP index built once, then probed by a new vector
+    batch.  Verbatim copies must report cos 1.0 against their stored
+    original, lightly perturbed copies must clear the threshold,
+    novel (orthogonal-ish) vectors must pass, and the probe must
+    append the batch's signatures so a SECOND probe self-detects."""
+    from opl_spark.operators.similarity import (
+        build_srp_index,
+        srp_dedup_incremental,
+    )
+    from opl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = len(emb.first()["embedding"])
+    store = str(tmp_path / "srp_store")
+    build_srp_index(emb, "embedding", "vec_id", store, dims)
+
+    base = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(2).collect()
+    }
+    ids = sorted(base)
+    perturbed = [v * 1.01 + (0.003 if i % 7 == 0 else 0.0)
+                 for i, v in enumerate(base[ids[1]])]
+    novel = [(1.0 if i % 2 == 0 else -1.0) * (1.0 + i / dims)
+             for i in range(dims)]
+    batch = spark.createDataFrame(
+        [
+            (900001, [float(v) for v in base[ids[0]]]),  # verbatim
+            (900002, [float(v) for v in perturbed]),     # light edit
+            (900003, [float(v) for v in novel]),         # novel direction
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    dups = srp_dedup_incremental(
+        spark, store, batch, "embedding", "vec_id", dims, threshold=0.95
+    ).collect()
+    got = {r["vec_id"]: (r["dup_of"], r["cos"]) for r in dups}
+    assert got[900001] == (ids[0], 1.0)
+    assert 900002 in got and got[900002][0] == ids[1] and got[900002][1] >= 0.95
+    assert 900003 not in got
+    # second probe: appended signatures make the batch self-visible
+    redup = srp_dedup_incremental(
+        spark, store, batch, "embedding", "vec_id", dims,
+        threshold=0.95, append=False,
+    ).collect()
+    re_got = {r["vec_id"]: r for r in redup}
+    assert set(re_got) == {900001, 900002, 900003}
+    assert re_got[900003]["dup_of"] == 900003 and re_got[900003]["cos"] == 1.0
+    # the probe scans only the batch's own (band, shard) partitions:
+    # every store file a probe plan reads carries band=/bucket_shard=
+    # partition dirs (layout contract of the partitioned write)
+    import os
+
+    assert any("band=" in d for d in os.listdir(store))
 
 
 def test_hybrid_search_rrf_contract(spark, sf_dir):
