@@ -750,15 +750,21 @@ def srp_banded_keys(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
         quantized_weights_col(F.col(vec_col)).alias("__q"),
     )
+    # each bit's plane-projection is ONE JVM-parsed SQL string — the
+    # per-element F.lit() construction cost n_bits × dims py4j round
+    # trips (24 × 64 = 1536 per frame build; q_srp_incremental builds
+    # two frames), the same construction-time fat the r9 minhash
+    # expr-string rewrite removed.  Identical expressions and results.
     bit_cols = []
     for j in range(n_bits):
-        clit = F.array(*[F.lit(float(c)) for c in planes[j]])
-        proj = F.aggregate(
-            F.zip_with(F.col("__q"), clit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"{float(c)!r}D" for c in planes[j])
+        proj = (
+            f"aggregate(zip_with(__q, array({arr}), (a, b) -> a * b), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-        bit_cols.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"__b{j}"))
+        bit_cols.append(
+            F.expr(f"case when {proj} >= 0.0D then 1 else 0 end").alias(f"__b{j}")
+        )
     staged = qdf.select("__id", "__v", *bit_cols)
     keys = [
         sum(
