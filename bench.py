@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     # round-9: storeless SRP-incremental probe (banded key join + exact
     # cosine verify + keep-best)
     "q_srp_incremental",
+    # round-9: per-band LSH bucket occupancy (the advisor's measured half)
+    "q_bucket_stats",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now
@@ -292,7 +294,11 @@ CALIBRATION_REF = {
     "q_winnow_pairs": 1.577,
     "q_ivfpq_topk": 1.797,
     "q_containment_pairs": 2.360,
-    "q_simhash": 1.699,
+    # re-pinned r9: simhash's votes+pack moved to a single expr string
+    # (construction-time change, identical output); reference is the
+    # first clean post-change recording (148.0 s run, calibration
+    # 0.916 per the other five controls)
+    "q_simhash": 0.847,
     "q_bigram_logprob": 1.060,
 }
 

@@ -63,7 +63,15 @@ def main() -> None:
     # exact near-dup pair generation; at larger thresholds swap in
     # setsim_join (prefix filtering — same exact output, candidates
     # bounded by the rare-token tail instead of max_doc_freq), or
-    # minhash_dedup_pairs for the approximate-candidate LSH path
+    # minhash_dedup_pairs for the approximate-candidate LSH path —
+    # pick its (bands x rows) with the advisor, and pass
+    # band_skip=True when only the thresholded pair SET feeds the
+    # keep rule (all-bands-agreeing pairs bypass the exact verify):
+    #   pick = lsh_banding_advise(threshold=0.5, signature_budget=64)[0]
+    #   pairs = minhash_dedup_pairs(exact_kept, "text", "doc_id",
+    #       threshold=0.5, bands=pick["bands"], band_skip=True)
+    # (minhash_bucket_stats reports the measured candidate bill per
+    # band before you commit to a banding at corpus scale)
     pairs = ngram_jaccard_pairs(exact_kept, "text", "doc_id", n=3, threshold=0.2)
     keep = keep_best_dedup(pairs, exact_kept, "doc_id", "n_tokens")
     drop = keep.filter(F.col("doc") != F.col("keeper")).select(

@@ -848,27 +848,24 @@ def simhash(
     )
     if portable:
         ex = ex.select(
-            "doc", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+            "doc",
+            F.expr(
+                "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
         )
     else:
         ex = ex.select("doc", F.xxhash64("w").alias("h"))
     # one codegen'd sum aggregate per bit position (±1 votes),
-    # map-side combinable — one 63-long row per doc crosses the shuffle
-    votes = ex.groupBy("doc").agg(
-        *[
-            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
-            for b in range(bits)
-        ]
+    # map-side combinable — one 63-long row per doc crosses the
+    # shuffle; votes AND the bit-pack are ONE JVM-parsed SQL string
+    # (r9 construction rule: per-bit Python Column trees cost ~700
+    # py4j round trips here — see minhash_signatures' note)
+    packed = " + ".join(
+        f"(case when sum(((shiftright(h, {b}) & 1) * 2) - 1) > 0 "
+        f"then cast({1 << b} as bigint) else cast(0 as bigint) end)"
+        for b in range(bits)
     )
-    packed = sum(
-        (
-            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            for b in range(bits)
-        ),
-        start=F.lit(0).cast("long"),
-    )
-    return votes.select("doc", packed.alias("simhash"))
+    return ex.groupBy("doc").agg(F.expr(packed).alias("simhash"))
 
 
 def simhash_candidates(sim: DataFrame, chunks: int = 4) -> DataFrame:

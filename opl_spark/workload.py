@@ -199,10 +199,14 @@ _RETRY_FIRST: tuple[str, ...] = (
 #    redundant round-1 convergence count (labels unchanged).
 #  - q_srp_lsh: its banding stage was extracted into srp_banded_keys
 #    (shared with the new persisted SRP index); same bits, keys, and
-#    verify — plan-equivalent refactor.
+#    verify — plan-equivalent refactor.  Its plane projections (and
+#    simhash's per-bit votes below) later moved to single JVM-parsed
+#    expr strings — same expressions, construction-time only.
+#  - q_simhash: votes + bit-pack built as ONE SQL string (identical
+#    arithmetic; locally hash-verified unchanged).
 _AUDIT_PRIORITY: tuple[str, ...] = (
     "q_minhash_keep_best", "q_dedup_minhash", "q_dedup_clusters",
-    "q_keep_best", "q_srp_lsh",
+    "q_keep_best", "q_srp_lsh", "q_simhash",
 )
 
 

@@ -11006,3 +11006,40 @@ def q_srp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 5 == 0), "embedding", "vec_id", 64, 24, 4
     )
     return srp_probe(store, batch, threshold=0.3)
+
+
+_BUCKET_STATS_ORACLE = f"""
+WITH {{chain}}
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(k) AS BIGINT) AS max_bucket,
+       ROUND(SUM(k * (k - 1) / 2.0), 1) AS est_candidate_pairs
+FROM (SELECT band, band_key, COUNT(*) AS k FROM bnd GROUP BY 1, 2)
+GROUP BY band
+"""
+
+
+def _bucket_stats_oracle() -> str:
+    """Replay of minhash_bucket_stats over the PORTABLE band keys: the
+    proven _minhash_chain CTEs up to `bnd` (per-doc band keys), bucket
+    sizes per (band, key), then the per-band occupancy rollup — the
+    same k·(k−1)/2 fan-out bucket_pairs would expand."""
+    return _BUCKET_STATS_ORACLE.format(chain=_minhash_chain())
+
+
+@register("q_bucket_stats", oracle=_bucket_stats_oracle())
+def q_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding advisor's MEASURED half as a query (r9): per-band
+    LSH bucket occupancy over the documents corpus — bucket count,
+    widest bucket (the max_bucket hot-bucket guard's input), and the
+    exact candidate-pair fan-out Σ k·(k−1)/2 that bucket_pairs would
+    expand.  Read next to q_lsh_tuning: the S-curve says what recall a
+    banding buys, this says what the candidate bill is on THIS corpus.
+    Runs the portable hash family end to end so the DuckDB oracle
+    replays every bucket bit-for-bit
+    (operators/dedup.py:minhash_bucket_stats)."""
+    from opl_spark.operators.dedup import minhash_bucket_stats, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", 64, 3, portable=True)
+    return minhash_bucket_stats(sigs, 16, 4, portable=True)
