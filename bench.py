@@ -276,6 +276,10 @@ BENCH_QUERIES = [
     "q_srp_incremental",
     # round-9: per-band LSH bucket occupancy (the advisor's measured half)
     "q_bucket_stats",
+    # round-9: chi-square independence + Cramér's V (micro-quantized)
+    "q_chi2_independence",
+    # round-9: rendezvous (HRW) shard routing rollup
+    "q_rendezvous_shard",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

@@ -243,6 +243,70 @@ def mcnemar_test(
     )
 
 
+def chi2_independence(
+    df: DataFrame, col_a: Column, col_b: Column
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the association check the
+    drift tier (psi/ks) doesn't give for category × category (e.g. "is
+    order priority independent of order status?").  Emits one row
+    ``(n, r_levels, c_levels, dof, chi2, cramers_v)``.
+
+    Engine-deterministic by the repo's micro-quantization rule: using
+    the identity chi2 = N·Σ n²ᵢⱼ/(rᵢcⱼ) − N, each cell's term is
+    floor(1e9·n²/(r·c) + 0.5) — a fixed chain of IEEE double ops on
+    exact integers — and the cross-cell SUM is then BIGINT (order-
+    independent), so a SQL oracle replays the statistic bit-for-bit
+    where a naive double Σ(n−e)²/e would drift in the last ulp with
+    aggregation order.  Quantization error is ≤ cells·N/1e9 ≪ the
+    6-decimal emission.  Scale shape: one (a, b) count aggregation
+    (cells = |A|×|B| rows, category-sized), window margins over the
+    CELL table (never the fact stream), one final reduce."""
+    # margin column names must not collide case-insensitively with the
+    # cell count ("n" vs "N" is ambiguous under Spark's default
+    # case-insensitive resolution)
+    cells = df.groupBy(
+        col_a.alias("__a"), col_b.alias("__b")
+    ).agg(F.count(F.lit(1)).alias("nc"))
+    w_a, w_b = Window.partitionBy("__a"), Window.partitionBy("__b")
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "nc",
+        F.sum("nc").over(w_a).alias("rm"),
+        F.sum("nc").over(w_b).alias("cm"),
+        F.sum("nc").over(w_all).alias("nt"),
+        F.size(F.collect_set("__a").over(w_all)).alias("rl"),
+        F.size(F.collect_set("__b").over(w_all)).alias("cl"),
+    )
+    term = F.expr(
+        "cast(floor(1e9 * cast(nc * nc as double) / cast(rm * cm as double)"
+        " + 0.5) as bigint)"
+    )
+    agg = t.select(
+        term.alias("t"), "nt", "rl", "cl"
+    ).agg(
+        F.sum("t").alias("s"),
+        F.max("nt").alias("nt"),
+        F.max("rl").alias("rl"),
+        F.max("cl").alias("cl"),
+    )
+    chi2 = F.expr(
+        "round(cast(nt as double) * (cast(s as double) / 1e9) - nt, 6)"
+    )
+    return agg.select(
+        F.col("nt").cast("long").alias("n"),
+        F.col("rl").cast("int").alias("r_levels"),
+        F.col("cl").cast("int").alias("c_levels"),
+        ((F.col("rl") - 1) * (F.col("cl") - 1)).cast("int").alias("dof"),
+        chi2.alias("chi2"),
+        F.expr(
+            "round(sqrt(greatest(cast(nt as double) * (cast(s as double)"
+            " / 1e9) - nt, 0.0d) / (cast(nt as double)"
+            " * least(rl - 1, cl - 1))), 6)"
+        ).alias("cramers_v"),
+    )
+
+
 #: nDCG position discounts in integer micro-units:
 #: w_i = floor(1e6 / log2(i+1) + 0.5).  Computed ONCE here with
 #: Python's log2 and replayed as literals in both engines — a

@@ -91,6 +91,29 @@ def hash_gate(id_col: Column, rate: float, salt: int = 0) -> Column:
     return bucket < int(rate * _M32)
 
 
+def rendezvous_shard_col(id_col: str, k: int) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment: each row
+    goes to argmax over shards s of hash(id, s) — the classic HRW rule
+    (Thaler & Ravishankar 1998).  Unlike ``pmod(id, k)`` routing, a
+    resize from k to k+1 shards remaps only ~1/(k+1) of the corpus
+    (each row moves ONLY if the new shard wins its rendezvous), which
+    is what makes HRW the right router for training-data shards that
+    get re-balanced as the corpus grows.
+
+    Map-only, portable: the weight is the md5-derived 32-bit hash of
+    ``"<id>:<s>"`` (the repo's engine-exact hash idiom), the argmax is
+    one ``array_max`` over k literal structs — ties (≈2⁻³² per
+    shard pair) resolve to the LARGER shard id, and the whole
+    expression is ONE JVM-parsed SQL string (r9 construction rule)."""
+    structs = ", ".join(
+        "struct(cast(conv(substring(md5(concat(cast({id} as string),"
+        " ':', '{s}')), 1, 8), 16, 10) as bigint) as h,"
+        " {s} as shard)".format(id=id_col, s=s)
+        for s in range(k)
+    )
+    return F.expr(f"array_max(array({structs})).shard")
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

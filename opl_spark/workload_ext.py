@@ -11043,3 +11043,107 @@ def q_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", "doc_id", 64, 3, portable=True)
     return minhash_bucket_stats(sigs, 16, 4, portable=True)
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+    SELECT o_orderpriority AS a, o_orderstatus AS b,
+           CAST(COUNT(*) AS BIGINT) AS nc
+    FROM orders GROUP BY 1, 2
+),
+marg AS (
+    SELECT nc,
+           SUM(nc) OVER (PARTITION BY a) AS rm,
+           SUM(nc) OVER (PARTITION BY b) AS cm,
+           SUM(nc) OVER () AS nt,
+           (SELECT COUNT(DISTINCT a) FROM cells) AS rl,
+           (SELECT COUNT(DISTINCT b) FROM cells) AS cl
+    FROM cells
+),
+terms AS (
+    SELECT CAST(floor(1e9 * CAST(nc * nc AS DOUBLE) / CAST(rm * cm AS DOUBLE)
+                      + 0.5) AS BIGINT) AS t, nt, rl, cl
+    FROM marg
+),
+red AS (
+    SELECT SUM(t) AS s, MAX(nt) AS nt, MAX(rl) AS rl, MAX(cl) AS cl FROM terms
+)
+SELECT CAST(nt AS BIGINT) AS n,
+       CAST(rl AS INTEGER) AS r_levels,
+       CAST(cl AS INTEGER) AS c_levels,
+       CAST((rl - 1) * (cl - 1) AS INTEGER) AS dof,
+       ROUND(CAST(nt AS DOUBLE) * (CAST(s AS DOUBLE) / 1e9) - nt, 6) AS chi2,
+       ROUND(sqrt(greatest(CAST(nt AS DOUBLE) * (CAST(s AS DOUBLE) / 1e9) - nt,
+                           CAST(0.0 AS DOUBLE))
+                  / (CAST(nt AS DOUBLE) * least(rl - 1, cl - 1))), 6)
+           AS cramers_v
+FROM red
+"""
+
+@register("q_chi2_independence", oracle=_CHI2_ORACLE)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test + Cramér's V over order
+    priority × order status (r9) — the category × category association
+    check completing the drift/significance tier (psi, ks, mcnemar).
+    Micro-quantized per-cell terms make the cross-cell sum BIGINT-
+    exact, so the statistic replays bit-for-bit on both engines
+    (operators/evaluate.py:chi2_independence)."""
+    from opl_spark.operators.evaluate import chi2_independence
+
+    orders = load_table(spark, sf_dir, "orders")
+    return chi2_independence(
+        orders, F.col("o_orderpriority"), F.col("o_orderstatus")
+    )
+
+
+def _rendezvous_oracle(k: int = 8) -> str:
+    """Replay of HRW sharding: per (doc, shard) weight from the same
+    md5-derived 32-bit hash, argmax per doc (ties to the larger shard,
+    matching array_max's struct order), then the per-shard rollup."""
+    return f"""
+WITH w AS (
+    SELECT d.doc_id, d.n_chars, s.s AS shard,
+           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                  || CAST(s.s AS VARCHAR)), 1, 8))
+                AS UBIGINT) AS h
+    FROM documents d CROSS JOIN (SELECT unnest(range(0, {k})) AS s) s
+),
+pick AS (
+    SELECT doc_id, n_chars, shard,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY h DESC, shard DESC) AS rk
+    FROM w
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM pick WHERE rk = 1
+GROUP BY shard
+"""
+
+
+@register("q_rendezvous_shard", oracle=_rendezvous_oracle())
+def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard routing for the training corpus (r9):
+    every document goes to the shard whose per-(doc, shard) hash wins,
+    so re-balancing from k to k+1 shards moves only ~1/(k+1) of the
+    data (vs everything, for modulus routing) — emitted as the
+    per-shard doc/char rollup a shard-writer would consume.  The
+    weight hash is the portable md5-32 family, so the oracle replays
+    the assignment exactly (operators/sampling.py:rendezvous_shard_col)."""
+    from opl_spark.operators.sampling import rendezvous_shard_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(rendezvous_shard_col("doc_id", 8).alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )

@@ -501,3 +501,27 @@ def test_mcnemar_hand_example_and_degenerates(spark):
     # no discordant pairs at all
     conc = spark.createDataFrame([("y", "y", "y")] * 3, "t string, a string, b string")
     assert mcnemar_test(conc, F.col("t"), F.col("a"), F.col("b")).collect()[0]["chi2"] == 0.0
+
+
+def test_chi2_independence_hand_computed(spark):
+    """2x2 hand check: cells [[10, 20], [20, 10]] -> chi2 = 20/3,
+    dof 1, V = sqrt(chi2/n); a perfectly independent table scores 0."""
+    from opl_spark.operators.evaluate import chi2_independence
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, F.col("a"), F.col("b")).first()
+    assert r["n"] == 60 and r["dof"] == 1
+    assert abs(r["chi2"] - 20 / 3) < 1e-4  # micro-quantization <= n/1e9
+    assert abs(r["cramers_v"] - (20 / 3 / 60) ** 0.5) < 1e-4
+    # independence: equal proportions in every row -> chi2 == 0
+    ind = spark.createDataFrame(
+        [("x", "p")] * 6 + [("x", "q")] * 3 + [("y", "p")] * 4 + [("y", "q")] * 2,
+        "a string, b string",
+    )
+    r0 = chi2_independence(ind, F.col("a"), F.col("b")).first()
+    assert r0["chi2"] == 0.0 and r0["cramers_v"] == 0.0

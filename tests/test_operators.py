@@ -837,3 +837,33 @@ def test_blocklist_filter_whole_word_hits_and_threshold(spark):
     assert out[1] == (4, 2, 500000, True)   # boundary: <= keeps
     assert out[2] == (4, 0, 0, True)
     assert out[3] == (1, 1, 1000000, False)
+
+
+def test_rendezvous_shard_minimal_remap(spark, docs):
+    """HRW contract: every doc gets a shard in [0, k); shards are
+    roughly balanced; and growing k -> k+1 moves ONLY docs won by the
+    new shard (no doc moves between two OLD shards — the property that
+    makes HRW the training-shard router)."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.sampling import rendezvous_shard_col
+
+    k = 8
+    both = docs.select(
+        "doc_id",
+        rendezvous_shard_col("doc_id", k).alias("s_k"),
+        rendezvous_shard_col("doc_id", k + 1).alias("s_k1"),
+    )
+    rows = both.collect()
+    n = len(rows)
+    assert all(0 <= r["s_k"] < k and 0 <= r["s_k1"] < k + 1 for r in rows)
+    moved = [r for r in rows if r["s_k"] != r["s_k1"]]
+    # every move lands on the NEW shard, never reshuffles old ones
+    assert all(r["s_k1"] == k for r in moved)
+    # expected move fraction ~ 1/(k+1); allow generous sampling slack
+    assert len(moved) / n < 2.5 / (k + 1)
+    # balance: no shard holds more than 3x the fair share
+    from collections import Counter
+
+    c = Counter(r["s_k"] for r in rows)
+    assert max(c.values()) < 3 * n / k
