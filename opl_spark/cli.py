@@ -142,6 +142,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = p.parse_args(argv)
 
+    if args.explain and args.command != "aggregate":
+        # --explain previews a query plan; on a mutating command it
+        # would be silently ignored and the side effect would still
+        # run — refuse loudly instead
+        raise SystemExit("--explain is only valid with -c aggregate")
+
     if args.command == "lsh-advise":
         # banding-parameter advisor — pure S-curve math, no Spark
         # session, no warehouse (the RollupStore.advise of the LSH
@@ -149,20 +155,24 @@ def main(argv: list[str] | None = None) -> int:
         # operators.dedup.minhash_bucket_stats)
         if args.lsh_threshold is None:
             raise SystemExit("lsh-advise requires --lsh-threshold")
-        if args.lsh_kind == "cosine":
-            from opl_spark.operators.similarity import srp_banding_advise
+        try:
+            if args.lsh_kind == "cosine":
+                from opl_spark.operators.similarity import srp_banding_advise
 
-            table = srp_banding_advise(
-                args.lsh_threshold, args.signature_budget,
-                target_recall=args.target_recall,
-            )
-        else:
-            from opl_spark.operators.dedup import lsh_banding_advise
+                table = srp_banding_advise(
+                    args.lsh_threshold, args.signature_budget,
+                    target_recall=args.target_recall,
+                )
+            else:
+                from opl_spark.operators.dedup import lsh_banding_advise
 
-            table = lsh_banding_advise(
-                args.lsh_threshold, args.signature_budget,
-                target_recall=args.target_recall,
-            )
+                table = lsh_banding_advise(
+                    args.lsh_threshold, args.signature_budget,
+                    target_recall=args.target_recall,
+                )
+        except ValueError as exc:
+            # same clean exit contract as the missing-argument guards
+            raise SystemExit(f"lsh-advise: {exc}")
         print(json.dumps({"kind": args.lsh_kind, "bandings": table}))
         return 0
 

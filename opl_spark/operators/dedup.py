@@ -427,6 +427,28 @@ def banding_curve_frame(
     )
 
 
+def _band_structs_sql(bands: int, rows_per_band: int, portable: bool) -> str:
+    """The banded bucket-key expression (one ``struct(band, band_key)``
+    per band, as a single JVM-parsed SQL string) shared by
+    :func:`minhash_lsh_candidates` and :func:`minhash_bucket_stats` —
+    ONE definition, so the occupancy report always describes exactly
+    the buckets ``bucket_pairs`` expands (a drifted copy would report
+    occupancy for buckets that no longer exist)."""
+
+    def _key(b: int) -> str:
+        joined = "concat_ws(',', {})".format(
+            ", ".join(
+                f"cast(element_at(sig, {b * rows_per_band + r + 1}) as string)"
+                for r in range(rows_per_band)
+            )
+        )
+        return joined if portable else f"xxhash64({joined})"
+
+    return ", ".join(
+        f"struct({b} as band, {_key(b)} as band_key)" for b in range(bands)
+    )
+
+
 def minhash_bucket_stats(
     sigs: DataFrame,
     bands: int = 16,
@@ -447,19 +469,17 @@ def minhash_bucket_stats(
     before the curve suggests)."""
     if sample is not None:
         sigs = sigs.sample(fraction=sample, seed=7)
-    scale = 1.0 if sample is None else 1.0 / (sample * sample)
-    def _band_key(b: int) -> str:
-        joined = "concat_ws(',', {})".format(
-            ", ".join(
-                f"cast(element_at(sig, {b * rows_per_band + r + 1}) as string)"
-                for r in range(rows_per_band)
-            )
-        )
-        return joined if portable else f"xxhash64({joined})"
-
-    band_structs = ", ".join(
-        f"struct({b} as band, {_band_key(b)} as band_key)" for b in range(bands)
-    )
+    # under uniform doc sampling, a bucket of true size k retains
+    # ~k·sample docs, so pair counts shrink by sample² and the widest
+    # bucket by sample — BOTH are rescaled to estimates of the true
+    # values (an unscaled sampled max_bucket would read as "under the
+    # hot-bucket cap" for buckets the full run drops).  n_buckets stays
+    # the RAW sampled count: small buckets vanish entirely under
+    # sampling, so no per-band rescale is unbiased — read it as a
+    # lower bound when sampling.
+    pair_scale = 1.0 if sample is None else 1.0 / (sample * sample)
+    max_scale = 1.0 if sample is None else 1.0 / sample
+    band_structs = _band_structs_sql(bands, rows_per_band, portable)
     return (
         sigs.select("doc", F.expr(f"explode(array({band_structs}))").alias("bk"))
         .groupBy("bk.band", "bk.band_key")
@@ -467,9 +487,9 @@ def minhash_bucket_stats(
         .groupBy(F.col("band"))
         .agg(
             F.count(F.lit(1)).alias("n_buckets"),
-            F.max("k").alias("max_bucket"),
+            (F.max("k") * F.lit(max_scale)).cast("long").alias("max_bucket"),
             F.round(
-                F.sum(F.col("k") * (F.col("k") - 1) / 2) * F.lit(scale), 1
+                F.sum(F.col("k") * (F.col("k") - 1) / 2) * F.lit(pair_scale), 1
             ).alias("est_candidate_pairs"),
         )
         .orderBy("band")
@@ -570,20 +590,10 @@ def minhash_lsh_candidates(
 
     # band keys as ONE JVM-parsed SQL string — same expressions as the
     # per-Column builder this replaces (r9), ~200 fewer py4j round
-    # trips per construction (see minhash_signatures' note)
-    def _band_key(b: int) -> str:
-        joined = "concat_ws(',', {})".format(
-            ", ".join(
-                f"cast(element_at(sig, {b * rows_per_band + r + 1}) as string)"
-                for r in range(rows_per_band)
-            )
-        )
-        return joined if portable else f"xxhash64({joined})"
-
-    band_structs = ", ".join(
-        f"struct({b} as band, {_band_key(b)} as band_key)"
-        for b in range(bands)
-    )
+    # trips per construction (see minhash_signatures' note); the
+    # builder is shared with minhash_bucket_stats so the occupancy
+    # report and the pair expansion can never drift apart
+    band_structs = _band_structs_sql(bands, rows_per_band, portable)
     # group each (band, band_key) bucket once and expand pairs in-row
     # (see bucket_pairs) — ONE exchange of the band stream, where the
     # old window-count guard + self-join shuffled it three times

@@ -299,10 +299,15 @@ def chi2_independence(
         F.col("cl").cast("int").alias("c_levels"),
         ((F.col("rl") - 1) * (F.col("cl") - 1)).cast("int").alias("dof"),
         chi2.alias("chi2"),
+        # dof = 0 (a column with one level) is DEFINED as V = 0 — the
+        # raw formula divides by least(rl-1, cl-1) = 0, where Spark
+        # yields NULL and DuckDB inf, so the guard keeps the two
+        # engines (and downstream readers) agreeing on degenerate input
         F.expr(
+            "case when least(rl - 1, cl - 1) = 0 then 0.0d else "
             "round(sqrt(greatest(cast(nt as double) * (cast(s as double)"
             " / 1e9) - nt, 0.0d) / (cast(nt as double)"
-            " * least(rl - 1, cl - 1))), 6)"
+            " * least(rl - 1, cl - 1))), 6) end"
         ).alias("cramers_v"),
     )
 

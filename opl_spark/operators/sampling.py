@@ -104,7 +104,16 @@ def rendezvous_shard_col(id_col: str, k: int) -> Column:
     ``"<id>:<s>"`` (the repo's engine-exact hash idiom), the argmax is
     one ``array_max`` over k literal structs — ties (≈2⁻³² per
     shard pair) resolve to the LARGER shard id, and the whole
-    expression is ONE JVM-parsed SQL string (r9 construction rule)."""
+    expression is ONE JVM-parsed SQL string (r9 construction rule).
+    ``id_col`` is backtick-quoted into that string, so names needing
+    quoting work; a backtick in the name itself is rejected."""
+    if k < 1:
+        raise ValueError(f"rendezvous_shard_col: k must be >= 1, got {k}")
+    if "`" in id_col:
+        raise ValueError(
+            "rendezvous_shard_col: backticks are not supported in id_col"
+        )
+    id_col = f"`{id_col}`"
     structs = ", ".join(
         "struct(cast(conv(substring(md5(concat(cast({id} as string),"
         " ':', '{s}')), 1, 8), 16, 10) as bigint) as h,"

@@ -11073,9 +11073,10 @@ SELECT CAST(nt AS BIGINT) AS n,
        CAST(cl AS INTEGER) AS c_levels,
        CAST((rl - 1) * (cl - 1) AS INTEGER) AS dof,
        ROUND(CAST(nt AS DOUBLE) * (CAST(s AS DOUBLE) / 1e9) - nt, 6) AS chi2,
+       CASE WHEN least(rl - 1, cl - 1) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
        ROUND(sqrt(greatest(CAST(nt AS DOUBLE) * (CAST(s AS DOUBLE) / 1e9) - nt,
                            CAST(0.0 AS DOUBLE))
-                  / (CAST(nt AS DOUBLE) * least(rl - 1, cl - 1))), 6)
+                  / (CAST(nt AS DOUBLE) * least(rl - 1, cl - 1))), 6) END
            AS cramers_v
 FROM red
 """

@@ -341,3 +341,18 @@ def test_cli_lsh_advise(capsys):
         cli_main(["-c", "lsh-advise"])
     with _pytest.raises(SystemExit):
         cli_main(["-c", "vacuum"])
+
+
+def test_cli_explain_only_valid_on_aggregate(tmp_path, capsys):
+    """--explain on a MUTATING command must refuse before any side
+    effect (it previously fell through and ran the command); bad
+    lsh-advise thresholds exit cleanly instead of raising a raw
+    ValueError traceback."""
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="only valid with -c aggregate"):
+        cli_main(["-c", "vacuum", "--warehouse", str(tmp_path / "wh"),
+                  "--explain"])
+    assert not (tmp_path / "wh").exists()  # nothing ran
+    with _pytest.raises(SystemExit, match="lsh-advise.*threshold"):
+        cli_main(["-c", "lsh-advise", "--lsh-threshold", "1.0"])

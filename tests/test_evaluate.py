@@ -525,3 +525,18 @@ def test_chi2_independence_hand_computed(spark):
     )
     r0 = chi2_independence(ind, F.col("a"), F.col("b")).first()
     assert r0["chi2"] == 0.0 and r0["cramers_v"] == 0.0
+
+
+def test_chi2_independence_degenerate_single_level(spark):
+    """A column with ONE level (dof = 0 — a realistic collapsed-drift
+    input) is defined as chi2 = 0, cramers_v = 0 — not NULL (Spark's
+    x/0) and not inf (DuckDB's), so both engines and downstream
+    readers agree."""
+    from opl_spark.operators.evaluate import chi2_independence
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("x", "only")] * 5 + [("y", "only")] * 7, "a string, b string"
+    )
+    r = chi2_independence(df, F.col("a"), F.col("b")).first()
+    assert r["dof"] == 0 and r["chi2"] == 0.0 and r["cramers_v"] == 0.0

@@ -867,3 +867,20 @@ def test_rendezvous_shard_minimal_remap(spark, docs):
 
     c = Counter(r["s_k"] for r in rows)
     assert max(c.values()) < 3 * n / k
+
+
+def test_rendezvous_shard_argument_guards(spark):
+    """k < 1 and backticked column names are rejected loudly (k=0
+    would silently shard every row to NULL); quoted-but-sane names
+    pass through the backtick escaping."""
+    import pytest as _pytest
+
+    from opl_spark.operators.sampling import rendezvous_shard_col
+
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        rendezvous_shard_col("doc_id", 0)
+    with _pytest.raises(ValueError, match="backticks"):
+        rendezvous_shard_col("bad`name", 4)
+    df = spark.createDataFrame([(1,), (2,)], ["weird name"])
+    got = df.select(rendezvous_shard_col("weird name", 4).alias("s")).collect()
+    assert all(0 <= r["s"] < 4 for r in got)
