@@ -280,6 +280,8 @@ BENCH_QUERIES = [
     "q_chi2_independence",
     # round-9: rendezvous (HRW) shard routing rollup
     "q_rendezvous_shard",
+    # round-9: IVF recall@nprobe tuning curve (shared k-means chain)
+    "q_ivf_recall_curve",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

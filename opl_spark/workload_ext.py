@@ -548,17 +548,16 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_kmeans_oracle(
-    k: int = 8, iters: int = 3, dim: int = 64, nprobe: int = 2, topk: int = 10
-) -> str:
-    """DuckDB replay of the integer k-means IVF pipeline (mirrors
-    ``operators/similarity.py:kmeans_centroids_quantized`` /
-    ``ivf_topk_quantized``): quantized coordinates, k lowest-id seeds,
-    ``iters`` unrolled Lloyd rounds (integer assignment with
-    (d2, cell) tie-break; half-up-rounded integer means via an
-    explicit floor-div CASE — DuckDB ``//`` truncates), integer cell
-    probing, then the same round-6 cosine ranking the brute-force
-    oracle hash-checks."""
+def _ivf_kmeans_chain(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """The shared integer-k-means CTE prefix (through ``cent{iters}``,
+    plus ``pool``/``wq``/``pts``) used by BOTH q_similarity_ivf_kmeans
+    and q_ivf_recall_curve — one definition, so the recall curve always
+    measures exactly the centroids the IVF query probes.  Mirrors
+    ``operators/similarity.py:kmeans_centroids_quantized``: quantized
+    coordinates, k lowest-id seeds, ``iters`` unrolled Lloyd rounds
+    (integer assignment with (d2, cell) tie-break; half-up-rounded
+    integer means via an explicit floor-div CASE — DuckDB ``//``
+    truncates)."""
 
     def fd(a: str, b: str) -> str:
         return (
@@ -566,8 +565,7 @@ def _ivf_kmeans_oracle(
             f"THEN ({a}) // ({b}) - 1 ELSE ({a}) // ({b}) END)"
         )
 
-    parts = [f"""
-WITH pool AS MATERIALIZED (
+    parts = [f"""pool AS MATERIALIZED (
     SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 wq AS MATERIALIZED (
     SELECT id, v, list_transform(v, x -> floor(x * 1000 + 0.5)) AS w FROM pool),
@@ -598,6 +596,16 @@ cent{t} AS MATERIALIZED (
            CAST(COALESCE({fd('2 * s.s + s.n', '2 * s.n')}, c.c) AS BIGINT) AS c
     FROM cent{t - 1} c
     LEFT JOIN sums{t} s ON s.cell = c.cell AND s.pos = c.pos)""")
+    return "".join(parts)
+
+
+def _ivf_kmeans_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, nprobe: int = 2, topk: int = 10
+) -> str:
+    """DuckDB replay of the integer k-means IVF pipeline
+    (:func:`_ivf_kmeans_chain` prefix): integer cell probing, then the
+    same round-6 cosine ranking the brute-force oracle hash-checks."""
+    parts = ["WITH ", _ivf_kmeans_chain(k, iters, dim)]
     parts.append(f""",
 qd AS MATERIALIZED (
     SELECT c.cell, CAST(SUM((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS d2
@@ -11147,4 +11155,111 @@ def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_chars").cast("long").alias("n_chars"),
         )
+    )
+
+
+def _ivf_recall_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, topk: int = 10
+) -> str:
+    """Replay of the IVF recall curve over the SHARED k-means chain
+    (:func:`_ivf_kmeans_chain` — the same centroids
+    q_similarity_ivf_kmeans probes): cells ranked by integer distance
+    to the query, every vector's cell from the same integer argmin,
+    the brute-force round-6 cosine top-{topk} as ground truth, then
+    recall@nprobe = |truth in the first nprobe cells| / {topk} for
+    nprobe = 1..{k}."""
+    return f"""
+WITH {_ivf_kmeans_chain(k, iters, dim)},
+qd AS MATERIALIZED (
+    SELECT c.cell, CAST(SUM((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS d2
+    FROM cent{iters} c JOIN pts q ON q.pos = c.pos AND q.id = 0 GROUP BY 1),
+cellrank AS MATERIALIZED (
+    SELECT cell, CAST(row_number() OVER (ORDER BY d2, cell) AS INTEGER) AS r
+    FROM qd),
+dfin AS MATERIALIZED (
+    SELECT p.id, c.cell, CAST(SUM((p.x - c.c) * (p.x - c.c)) AS BIGINT) AS d2
+    FROM pts p JOIN cent{iters} c ON c.pos = p.pos GROUP BY 1, 2),
+membership AS MATERIALIZED (
+    SELECT id, cell FROM (
+        SELECT id, cell,
+               row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+        FROM dfin) WHERE rn = 1),
+qv AS MATERIALIZED (SELECT v AS qv FROM pool WHERE id = 0),
+truth AS MATERIALIZED (
+    SELECT e.id FROM wq e CROSS JOIN qv q
+    ORDER BY ROUND(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, e.id
+    LIMIT {topk}),
+hitr AS MATERIALIZED (
+    SELECT cr.r FROM truth t
+    JOIN membership m ON m.id = t.id
+    JOIN cellrank cr ON cr.cell = m.cell)
+SELECT CAST(p.nprobe AS INTEGER) AS nprobe,
+       ROUND(CAST(COUNT(hitr.r) AS DOUBLE) / {topk}, 6) AS recall_at_{topk}
+FROM (SELECT unnest(range(1, {k + 1})) AS nprobe) p
+LEFT JOIN hitr ON hitr.r <= p.nprobe
+GROUP BY p.nprobe
+"""
+
+
+@register("q_ivf_recall_curve", oracle=_ivf_recall_oracle())
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning table (r9): recall@10 of the probed candidate
+    pool for every nprobe = 1..8 against the brute-force cosine
+    truth — the ANN companion of q_lsh_tuning's banding S-curve
+    (MinHash) and srp_banding_advise (SRP), completing the advisor
+    story across all three approximate-candidate families.  An
+    operator reads the smallest nprobe meeting the recall target and
+    gets the scan fraction (nprobe/ncells of the cell-partitioned
+    store) for free.  Centroids, cell membership, and the query's
+    cell ranking run in the same integer arithmetic the IVF query
+    uses, so the whole curve replays hash-exact from the SHARED
+    k-means oracle chain."""
+    import math
+
+    from opl_spark.operators.similarity import (
+        assign_cells_quantized,
+        cosine_topk,
+        kmeans_centroids_quantized,
+        quantized_weights_col,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cents = kmeans_centroids_quantized(emb, "embedding", "vec_id", 8, 3)
+    qw = [math.floor(x * 1000.0 + 0.5) for x in query]
+    ranked = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qw, c)), cid)
+        for cid, c in cents
+    )
+    rank_of = {cid: r + 1 for r, (_, cid) in enumerate(ranked)}
+    truth = cosine_topk(emb, "embedding", "vec_id", query, 10).select("id")
+    assigned = assign_cells_quantized(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            quantized_weights_col(F.col("embedding")).alias("w"),
+        ),
+        cents,
+    ).select("id", "cell")
+    rank_expr = F.element_at(
+        F.create_map(
+            *[F.lit(v) for kv in rank_of.items() for v in kv]
+        ),
+        F.col("cell").cast("int"),
+    )
+    hits = truth.join(assigned, "id").select(rank_expr.alias("r"))
+    probes = spark.range(1, 9).select(F.col("id").cast("int").alias("nprobe"))
+    return (
+        probes.join(hits, hits["r"] <= probes["nprobe"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.round(F.count(F.col("r")).cast("double") / 10, 6).alias(
+                "recall_at_10"
+            )
+        )
+        .orderBy("nprobe")
     )
