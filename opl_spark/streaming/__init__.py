@@ -4,3 +4,6 @@ from opl_spark.streaming.events import (  # noqa: F401
     sessionize,
     windowed_counts,
 )
+from opl_spark.streaming.stateful import (  # noqa: F401
+    srp_probe_foreach_batch,
+)

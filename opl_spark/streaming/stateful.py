@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -312,3 +313,53 @@ def dedup_within_watermark_stream(
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def srp_probe_foreach_batch(
+    store_path: str,
+    out_path: str,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    n_bits: int = 24,
+    bands: int = 4,
+    threshold: float = 0.8,
+):
+    """The STREAMING leg of the persisted SRP-LSH index
+    (operators/similarity.py:srp_dedup_incremental): a ``foreachBatch``
+    function that probes each arriving embedding micro-batch against
+    the ``(band, bucket_shard)``-partitioned store, appends the dup
+    report ``(vec_id, dup_of, cos)`` to ``out_path`` (parquet), and
+    appends the batch's banded signatures to the store — so a vector
+    arriving in micro-batch N detects a near-dup that arrived in
+    micro-batch N−1, and the index survives stream restarts (it IS the
+    checkpointable state, not executor memory).
+
+    Delivery semantics, stated plainly: a replayed micro-batch (crash
+    between the two appends) can append its signatures and its report
+    twice.  The STORE stays correct — the probe's candidate
+    ``distinct`` collapses duplicate signature rows — while the report
+    is at-least-once; readers that need exactly-once should
+    de-duplicate on ``(vec_id, dup_of)`` or write ``out_path`` into a
+    keyed sink.  Per-batch work is batch-sized × bands partitions of
+    the store (partition-pruned probe), never a full-store scan."""
+    from opl_spark.operators.similarity import srp_dedup_incremental
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        dups = srp_dedup_incremental(
+            batch_df.sparkSession,
+            store_path,
+            batch_df,
+            vec_col,
+            id_col,
+            dims,
+            n_bits=n_bits,
+            bands=bands,
+            threshold=threshold,
+            append=True,
+        )
+        dups.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return fn

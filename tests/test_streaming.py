@@ -603,3 +603,107 @@ def test_dedup_within_watermark_bounds_state_not_correctness(spark, sf_dir):
     )
     assert got.count() == exact.count()
     assert got.distinct().count() == got.count()
+
+
+def test_srp_probe_stream_detects_across_microbatches(spark, sf_dir, tmp_path):
+    """The streaming leg of the persisted SRP index: arriving embedding
+    micro-batches probe the store and append their own signatures, so
+    (a) store matches agree with the batch probe of the ORIGINAL store
+    (subset, order-free), (b) an exact-dup pair SPLIT across
+    micro-batches is caught — whichever half arrives second reports
+    the first (cos 1.0), which a store-only batch probe cannot do —
+    and (c) the store grew by bands x arriving rows."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.similarity import (
+        build_srp_index,
+        srp_dedup_incremental,
+        srp_probe,
+        _srp_store_rows,
+    )
+    from opl_spark.sources import load_table
+    from opl_spark.streaming.stateful import srp_probe_foreach_batch
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = len(emb.first()["embedding"])
+    store = str(tmp_path / "srp_store")
+    stored = emb.filter(F.col("vec_id") % 2 == 0)
+    build_srp_index(stored, "embedding", "vec_id", store, dims)
+    n_store0 = spark.read.parquet(store).count()
+
+    # arriving stream: the odd vectors plus a planted exact-dup pair
+    # (two copies of a NOVEL direction — scaling a stored vector would
+    # tie with its store original at cos 1.0 and lose the min-id
+    # tie-break) forced into DIFFERENT micro-batches via two parquet
+    # files + maxFilesPerTrigger=1
+    probe_vec = [
+        (1.0 if i % 2 == 0 else -1.0) * (1.0 + i / dims) for i in range(dims)
+    ]
+    arr_dir = str(tmp_path / "arrivals")
+    base = emb.filter(F.col("vec_id") % 2 == 1).limit(20)
+    half_a = base.limit(10).unionByName(
+        spark.createDataFrame([(900001, probe_vec)],
+                              "vec_id long, embedding array<double>")
+    )
+    half_b = (
+        base.subtract(base.limit(10))
+        .unionByName(
+            spark.createDataFrame([(900002, probe_vec)],
+                                  "vec_id long, embedding array<double>")
+        )
+    )
+    half_a.coalesce(1).write.parquet(arr_dir + "/f=a")
+    half_b.coalesce(1).write.parquet(arr_dir + "/f=b")
+    n_arrived = spark.read.parquet(arr_dir).count()
+
+    out = str(tmp_path / "dups_out")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>, f string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arr_dir)
+        .drop("f")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            srp_probe_foreach_batch(store, out, "embedding", "vec_id",
+                                    dims, threshold=0.95)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # really micro-batched: the checkpoint committed >= 2 offsets (the
+    # corpus has no >=0.95 store matches, so only the planted-pair
+    # batch EMITS rows — count batches from the log, not the output)
+    import os
+
+    assert len(os.listdir(str(tmp_path / "ckpt" / "offsets"))) >= 2
+    got = spark.read.parquet(out)
+    rows = {r["vec_id"]: r for r in got.collect()}
+
+    # (b) the split dup pair: exactly one half reports the other at 1.0
+    pair_hits = [i for i in (900001, 900002) if i in rows
+                 and rows[i]["dup_of"] in (900001, 900002)]
+    assert len(pair_hits) == 1
+    assert rows[pair_hits[0]]["cos"] == 1.0
+
+    # (a) store-matched reports agree with the one-shot batch probe of
+    # the ORIGINAL store (same banding, same threshold)
+    batch_ref = {
+        (r["vec_id"], r["dup_of"])
+        for r in srp_probe(
+            spark.read.parquet(store).filter(F.col("vec_id") % 2 == 0),
+            _srp_store_rows(spark.read.parquet(arr_dir).drop("f"),
+                            "embedding", "vec_id", dims, 24, 4),
+            threshold=0.95,
+        ).collect()
+    }
+    stream_store_matches = {
+        (v, r["dup_of"]) for v, r in rows.items() if r["dup_of"] % 2 == 0
+        and r["dup_of"] < 900000
+    }
+    assert stream_store_matches <= batch_ref
+
+    # (c) the index stayed current: bands x arriving rows appended
+    assert spark.read.parquet(store).count() == n_store0 + 4 * n_arrived
