@@ -26,6 +26,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# --- driver heap: MUST be set before the first pyspark import ----------
+# With no spark-defaults.conf the JVM runs Spark's default 1 GiB driver
+# heap; 200+ queries of AQE broadcast-join relations are freed only on
+# GC and a marginal heap flakes with
+# notEnoughMemoryToBuildAndBroadcastTableError mid-run (BENCH_r09).
+# Default it UP on this 128 GiB box, overridable two ways: an explicit
+# SPARK_GRAFT_DRIVER_MEM, or a caller-provided PYSPARK_SUBMIT_ARGS
+# (setdefault never clobbers).
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS", f"--driver-memory {_DRIVER_MEM} pyspark-shell"
+)
+
 #: Headline set: the OLAP core (flagship fact + the heaviest cut /
 #: drilldown shapes) plus every scale-relevant pipeline operator.
 BENCH_QUERIES = [
@@ -324,6 +337,10 @@ def run_set(spark, qs, sf_dir: str, names: list[str]) -> dict[str, float]:
 
     times: dict[str, float] = {}
     for i, name in enumerate(names):
+        # progress to stderr (stdout stays the one-JSON-line contract):
+        # if the JVM dies mid-run, the crash names its query instead of
+        # leaving an anonymous stack trace (BENCH_r09 post-mortem).
+        print(f"[bench {i + 1}/{len(names)}] {name}", file=sys.stderr, flush=True)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

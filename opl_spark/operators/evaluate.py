@@ -261,12 +261,21 @@ def chi2_independence(
     aggregation order.  Quantization error is ≤ cells·N/1e9 ≪ the
     6-decimal emission.  Scale shape: one (a, b) count aggregation
     (cells = |A|×|B| rows, category-sized), window margins over the
-    CELL table (never the fact stream), one final reduce."""
+    CELL table (never the fact stream), one final reduce.
+
+    NULL is a LEVEL, not a hole: each column is coalesced to the
+    sentinel ``'__null__'`` (string-cast first, so the sentinel types
+    uniformly) BEFORE cell counting — otherwise the null group counts
+    in n/margins/chi2 while ``collect_set`` (and a SQL oracle's
+    COUNT(DISTINCT)) drops it from r_levels/c_levels, leaving the
+    statistic and its dof inconsistent.  Oracles must apply the same
+    ``COALESCE(CAST(x AS VARCHAR), '__null__')``."""
     # margin column names must not collide case-insensitively with the
     # cell count ("n" vs "N" is ambiguous under Spark's default
     # case-insensitive resolution)
     cells = df.groupBy(
-        col_a.alias("__a"), col_b.alias("__b")
+        F.coalesce(col_a.cast("string"), F.lit("__null__")).alias("__a"),
+        F.coalesce(col_b.cast("string"), F.lit("__null__")).alias("__b"),
     ).agg(F.count(F.lit(1)).alias("nc"))
     w_a, w_b = Window.partitionBy("__a"), Window.partitionBy("__b")
     w_all = Window.partitionBy()

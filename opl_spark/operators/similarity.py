@@ -838,13 +838,37 @@ def srp_probe(
     store: DataFrame,
     banded_batch: DataFrame,
     threshold: float,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Core SRP probe: join a banded batch against banded store rows
     on ``(band, bucket_shard, key)``, verify bucket-mates with the
     EXACT cosine on the raw double vectors, keep each batch vector's
     best stored match — ``(vec_id, dup_of, cos)``.  Shared by the
     persisted-store probe (:func:`srp_dedup_incremental`) and the
-    storeless split-frame query twin (q_srp_incremental)."""
+    storeless split-frame query twin (q_srp_incremental).
+
+    ``exclude_ids`` (optional, a one-column ``vec_id`` frame) removes
+    those stored ids from candidacy AFTER the banded join — a
+    batch-sized broadcast anti-join, so the partition-pruned store
+    scan is untouched.  :func:`srp_dedup_incremental` passes the
+    batch's own ids here under ``exclude_self`` so a replayed
+    micro-batch (whose signatures already landed in the store) probes
+    the pre-batch index and reproduces its original report.
+
+    ID TYPE CONTRACT: ``vec_id`` must be NUMERIC — the keep-best
+    tie-break (max cos, then MIN stored id) rides one struct-max via
+    arithmetic negation of the id, which keeps the aggregation
+    map-side combinable (a window would forbid partial aggregation).
+    Non-numeric ids raise immediately rather than mis-sorting."""
+    from pyspark.sql.types import NumericType
+
+    id_type = store.schema["vec_id"].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"srp_probe: vec_id must be a numeric type for the min-id "
+            f"tie-break (got {id_type.simpleString()}); map string ids "
+            f"to a numeric surrogate (e.g. xxhash64) before indexing"
+        )
     old = store.select(
         F.col("vec_id").alias("old_id"),
         F.col("vec").alias("old_vec"),
@@ -857,6 +881,12 @@ def srp_probe(
         .select("vec_id", "vec", "old_id", "old_vec")
         .distinct()
     )
+    if exclude_ids is not None:
+        cand = cand.join(
+            F.broadcast(exclude_ids.select(F.col("vec_id").alias("old_id"))),
+            "old_id",
+            "left_anti",
+        )
     cos = F.round(
         dot_col(F.col("vec"), F.col("old_vec"))
         / (norm_col(F.col("vec")) * norm_col(F.col("old_vec"))),
@@ -890,15 +920,34 @@ def srp_dedup_incremental(
     bands: int = 4,
     threshold: float = 0.8,
     append: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Probe a new embedding batch against the persisted SRP index:
     emits ``(vec_id, dup_of, cos)`` for every new vector whose exact
     cosine to some stored vector reaches ``threshold`` (best match —
-    max cos, min stored id on ties).  New signatures append to the
-    store afterwards (same partitioning), so the index stays current
+    max cos, min stored id on ties; numeric-id contract per
+    :func:`srp_probe`).  New signatures append to the store
+    afterwards (same partitioning), so the index stays current
     without rebuilds — the embedding twin of
     ``dedup.py:near_dedup_incremental``, pinned by the same
     verbatim/edited/novel/self-detect pytest contract.
+
+    ``exclude_self=True`` makes the batch's own ids invisible to its
+    probe (broadcast anti-join inside :func:`srp_probe`).  On a FIRST
+    run it is a no-op (the ids aren't stored yet); on an at-least-once
+    REPLAY — crash after the signature append, micro-batch re-fired —
+    it is what makes the probe reproduce the original report instead
+    of every vector matching itself at cos 1.0.  The interactive
+    default stays False so a deliberate second probe self-detects
+    ("is this already indexed?"); the streaming leg
+    (``streaming/stateful.py:srp_probe_foreach_batch``) always sets
+    it True.
+
+    A missing store (fresh pipeline, :func:`build_srp_index` never
+    run) is a valid bootstrap state, not a crash: the batch's
+    signatures are written as the store's first rows (when
+    ``append``) and the report is empty — so batch 0 of a stream
+    starts the index instead of dying on AnalysisException.
 
     Scale shape: the batch's banded keys join the store on
     ``(band, bucket_shard, key)`` with the partition columns leading,
@@ -908,11 +957,33 @@ def srp_dedup_incremental(
     :func:`srp_lsh_pairs`.  Candidate recall is the banding S-curve
     (``srp_banding_advise`` picks n_bits/bands for a target); the
     verify is exact, so reported cosines carry no approximation."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     banded = _srp_store_rows(
         new_batch, vec_col, id_col, dims, n_bits, bands
     ).localCheckpoint(eager=True)
-    store = spark.read.parquet(store_path)
-    dups = srp_probe(store, banded, threshold)
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException:
+        # bootstrap: no index yet — seed it with this batch, report nothing
+        if append:
+            banded.write.partitionBy("band", "bucket_shard").mode(
+                "append"
+            ).parquet(store_path)
+        id_type = banded.schema["vec_id"].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("vec_id", id_type),
+                    StructField("dup_of", id_type),
+                    StructField("cos", DoubleType()),
+                ]
+            ),
+        )
+    exclude = banded.select("vec_id").distinct() if exclude_self else None
+    dups = srp_probe(store, banded, threshold, exclude_ids=exclude)
     dups = dups.localCheckpoint(eager=True)  # pin before the store mutates
     if append:
         banded.write.partitionBy("band", "bucket_shard").mode("append").parquet(

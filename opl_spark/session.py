@@ -51,7 +51,20 @@ def get_spark(
         # --- TIMESTAMP(NANOS) parquet (e.g. the events table) is read as
         #     long nanos and converted by the source layer ---
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- reclaim broadcast relations / checkpoint blocks on a clock,
+        #     not on allocation pressure: ContextCleaner is GC-driven, and
+        #     a long session of AQE broadcast joins can exhaust the driver
+        #     heap before a full GC ever runs (BENCH_r09 crash) ---
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
+    # Driver heap knob for long local sessions.  Only effective when set
+    # BEFORE the JVM launches (first pyspark import / getOrCreate) —
+    # bench.py routes it through PYSPARK_SUBMIT_ARGS for that reason;
+    # here it covers the plain `python -c "get_spark()"` path.  On a
+    # real cluster spark-submit --driver-memory wins and this is unset.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if driver_mem:
+        builder = builder.config("spark.driver.memory", driver_mem)
     if master is not None:
         builder = builder.master(master)
     else:

@@ -333,16 +333,23 @@ def srp_probe_foreach_batch(
     appends the batch's banded signatures to the store — so a vector
     arriving in micro-batch N detects a near-dup that arrived in
     micro-batch N−1, and the index survives stream restarts (it IS the
-    checkpointable state, not executor memory).
+    checkpointable state, not executor memory).  Batch 0 against a
+    not-yet-built store bootstraps the index (empty report, signatures
+    written) rather than crashing — :func:`srp_dedup_incremental`'s
+    missing-store path.
 
     Delivery semantics, stated plainly: a replayed micro-batch (crash
     between the two appends) can append its signatures and its report
     twice.  The STORE stays correct — the probe's candidate
-    ``distinct`` collapses duplicate signature rows — while the report
-    is at-least-once; readers that need exactly-once should
-    de-duplicate on ``(vec_id, dup_of)`` or write ``out_path`` into a
-    keyed sink.  Per-batch work is batch-sized × bands partitions of
-    the store (partition-pruned probe), never a full-store scan."""
+    ``distinct`` collapses duplicate signature rows — and the REPLAYED
+    REPORT matches the original: the probe runs with
+    ``exclude_self=True``, so the batch's own already-appended
+    signatures are invisible to it and a replay cannot self-match at
+    cos 1.0.  The report is therefore at-least-once with byte-equal
+    duplicates; readers that need exactly-once de-duplicate on the
+    full row (``vec_id, dup_of, cos, batch_id``).  Per-batch work is
+    batch-sized × bands partitions of the store (partition-pruned
+    probe), never a full-store scan."""
     from opl_spark.operators.similarity import srp_dedup_incremental
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -357,6 +364,7 @@ def srp_probe_foreach_batch(
             bands=bands,
             threshold=threshold,
             append=True,
+            exclude_self=True,
         )
         dups.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"

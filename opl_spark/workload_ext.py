@@ -11055,7 +11055,9 @@ def q_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHI2_ORACLE = """
 WITH cells AS (
-    SELECT o_orderpriority AS a, o_orderstatus AS b,
+    -- null-as-level sentinel, mirroring chi2_independence's coalesce
+    SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__') AS a,
+           COALESCE(CAST(o_orderstatus AS VARCHAR), '__null__') AS b,
            CAST(COUNT(*) AS BIGINT) AS nc
     FROM orders GROUP BY 1, 2
 ),

@@ -527,6 +527,33 @@ def test_chi2_independence_hand_computed(spark):
     assert r0["chi2"] == 0.0 and r0["cramers_v"] == 0.0
 
 
+def test_chi2_independence_null_is_a_level(spark):
+    """NULL categories form a real level: nulls in column a must raise
+    r_levels (and dof) in step with the cells they already contribute
+    to n/margins/chi2 — the r9 ADVICE inconsistency where the null
+    group counted in the statistic but not in the dof."""
+    from opl_spark.operators.evaluate import chi2_independence
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 10
+        + [(None, "p")] * 5 + [(None, "q")] * 5
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, F.col("a"), F.col("b")).first()
+    assert r["n"] == 70                      # null rows count
+    assert r["r_levels"] == 3                # x, y, __null__
+    assert r["dof"] == 2                     # (3-1)*(2-1)
+    # the null row is perfectly balanced, so it adds ~0 to chi2
+    assert abs(r["chi2"] - 20 / 3) < 1e-3
+    # dropping the null rows reproduces the 2x2 hand check exactly
+    r2 = chi2_independence(
+        df.filter(F.col("a").isNotNull()), F.col("a"), F.col("b")
+    ).first()
+    assert r2["r_levels"] == 2 and r2["dof"] == 1
+
+
 def test_chi2_independence_degenerate_single_level(spark):
     """A column with ONE level (dof = 0 — a realistic collapsed-drift
     input) is defined as chi2 = 0, cramers_v = 0 — not NULL (Spark's

@@ -720,6 +720,97 @@ def test_srp_dedup_incremental_store(spark, sf_dir, tmp_path):
     assert any("band=" in d for d in os.listdir(store))
 
 
+def test_srp_dedup_incremental_replay_reproduces(spark, sf_dir, tmp_path):
+    """At-least-once replay contract (streaming leg): with
+    ``exclude_self=True`` a replayed micro-batch — whose signatures
+    already landed in the store from the first (crashed-after-append)
+    attempt — reproduces the ORIGINAL report byte-for-byte instead of
+    every vector self-matching at cos 1.0."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.similarity import (
+        build_srp_index,
+        srp_dedup_incremental,
+    )
+    from opl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = len(emb.first()["embedding"])
+    store = str(tmp_path / "srp_store")
+    build_srp_index(emb, "embedding", "vec_id", store, dims)
+    orig = emb.orderBy("vec_id").first()
+    # lightly perturbed copy: the true store match scores < 1.0, so an
+    # unguarded replay's self-match (cos 1.0) would beat it
+    perturbed = [float(v) * 1.01 + (0.003 if i % 7 == 0 else 0.0)
+                 for i, v in enumerate(orig["embedding"])]
+    batch = spark.createDataFrame(
+        [(900001, perturbed)], "vec_id long, embedding array<double>"
+    )
+    kw = dict(threshold=0.95, exclude_self=True, append=True)
+    r1 = {tuple(r) for r in srp_dedup_incremental(
+        spark, store, batch, "embedding", "vec_id", dims, **kw).collect()}
+    # replay: signatures are already in the store; probe again
+    r2 = {tuple(r) for r in srp_dedup_incremental(
+        spark, store, batch, "embedding", "vec_id", dims, **kw).collect()}
+    assert r1 == r2
+    assert {(v, d) for v, d, _ in r1} == {(900001, orig["vec_id"])}
+    assert all(c < 1.0 for _, _, c in r1)
+    # and without the guard, the replay WOULD self-match (regression pin)
+    r3 = {tuple(r) for r in srp_dedup_incremental(
+        spark, store, batch, "embedding", "vec_id", dims,
+        threshold=0.95, exclude_self=False, append=False).collect()}
+    assert r3 == {(900001, 900001, 1.0)}
+
+
+def test_srp_dedup_incremental_bootstrap_missing_store(spark, sf_dir, tmp_path):
+    """Batch 0 against a never-built store bootstraps the index
+    (empty report, signatures written) instead of dying on
+    AnalysisException; batch 1 then detects batch 0's vectors."""
+    from opl_spark.operators.similarity import srp_dedup_incremental
+    from opl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = len(emb.first()["embedding"])
+    store = str(tmp_path / "fresh_store")  # never created
+    b0 = emb.limit(5)
+    r0 = srp_dedup_incremental(
+        spark, store, b0, "embedding", "vec_id", dims,
+        threshold=0.95, exclude_self=True,
+    )
+    assert r0.count() == 0
+    assert [f.name for f in r0.schema.fields] == ["vec_id", "dup_of", "cos"]
+    import os
+
+    assert os.path.isdir(store)  # index seeded by the bootstrap batch
+    first = b0.orderBy("vec_id").first()
+    b1 = spark.createDataFrame(
+        [(900001, [float(v) for v in first["embedding"]])],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = srp_dedup_incremental(
+        spark, store, b1, "embedding", "vec_id", dims,
+        threshold=0.95, exclude_self=True,
+    ).collect()
+    assert {tuple(r) for r in r1} == {(900001, first["vec_id"], 1.0)}
+
+
+def test_srp_probe_rejects_non_numeric_id(spark):
+    """The keep-best tie-break negates the id column; string ids must
+    raise a clear TypeError (documented numeric-id contract), not
+    mis-sort or fail deep inside the plan."""
+    import pytest
+
+    from opl_spark.operators.similarity import _srp_store_rows, srp_probe
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0]), ("b", [0.0, 1.0, 0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    rows = _srp_store_rows(df, "embedding", "vec_id", 4, n_bits=8, bands=2)
+    with pytest.raises(TypeError, match="numeric"):
+        srp_probe(rows, rows, threshold=0.5)
+
+
 def test_hybrid_search_rrf_contract(spark, sf_dir):
     """RRF contract: (1) every fused doc came from a leg shortlist;
     (2) a doc in BOTH legs outscores the same ranks taken singly;
