@@ -359,6 +359,7 @@ def ivf_topk_quantized(
     ncells: int = 8,
     nprobe: int = 2,
     iters: int = 3,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF top-k over integer k-means cells: train
     :func:`kmeans_centroids_quantized`, probe the ``nprobe`` cells
@@ -367,10 +368,17 @@ def ivf_topk_quantized(
     ranking.  Training, probing, and cell membership are all
     integer-exact, so the full pipeline is replayed by an unrolled SQL
     oracle; only the final cosine uses floats, in the same round-6
-    form the brute-force oracle already hash-checks."""
+    form the brute-force oracle already hash-checks.
+
+    ``centroids`` (pre-trained, e.g. a per-data-dir memo shared with a
+    recall-curve consumer) skips training; training is a pure integer
+    function of the data, so a caller-supplied result is
+    plan-indistinguishable from retraining."""
     import math
 
-    cents = kmeans_centroids_quantized(df, vec_col, id_col, k=ncells, iters=iters)
+    cents = centroids if centroids is not None else kmeans_centroids_quantized(
+        df, vec_col, id_col, k=ncells, iters=iters
+    )
     qw = [math.floor(float(x) * 1000.0 + 0.5) for x in query]
     by_dist = sorted(
         (sum((a - b) * (a - b) for a, b in zip(qw, c)), cid) for cid, c in cents

@@ -8,5 +8,6 @@ from opl_spark.plans.inspect import (  # noqa: F401
     partition_profile,
     scale_lint,
     unpartitioned_ordered_windows,
+    unpartitioned_unordered_windows,
     window_specs,
 )

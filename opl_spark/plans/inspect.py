@@ -116,7 +116,30 @@ def unpartitioned_ordered_windows(plan: str) -> list[str]:
     return bad
 
 
-def scale_lint(df: DataFrame, single_row_broadcast_ok: bool = False) -> list[str]:
+def unpartitioned_unordered_windows(plan: str) -> list[str]:
+    """The windowspecdefinition specs with NO partition keys and NO
+    sort keys — an unordered ``OVER ()``.  Catalyst renders such a
+    spec with the frame as its only top-level argument, so "first arg
+    is the specifiedwindowframe" is the exact signature.  An unordered
+    global window funnels the whole input into one task just like the
+    ordered kind (:func:`unpartitioned_ordered_windows`) — the shape
+    is legitimate ONLY over summary-sized inputs (bin tables,
+    shortlist legs, category² cells); on a fact stream, restructure to
+    a 1-row aggregate broadcast-joined back (the share-of-total
+    pattern)."""
+    bad = []
+    for spec in window_specs(plan):
+        args = _top_level_args(spec)
+        if args and args[0].startswith("specifiedwindowframe"):
+            bad.append(spec)
+    return bad
+
+
+def scale_lint(
+    df: DataFrame,
+    single_row_broadcast_ok: bool = False,
+    summary_window_ok: bool = False,
+) -> list[str]:
     """Lint a DataFrame's physical plan for the shapes that silently
     stop scaling at 100× — the library form of the repo-wide test
     audit (tests/test_scale_plan.py calls this same detector), usable
@@ -127,7 +150,12 @@ def scale_lint(df: DataFrame, single_row_broadcast_ok: bool = False) -> list[str
       against a provably single-row side (pass
       ``single_row_broadcast_ok=True`` when that is the design);
     - ``global window``: an ORDERED window with no partition keys —
-      funnels the whole input through one task.
+      funnels the whole input through one task;
+    - ``unordered global window``: an ``OVER ()`` with neither
+      partition nor sort keys — the same single-task funnel (pass
+      ``summary_window_ok=True`` when the windowed input is
+      summary-sized by construction: bin tables, LIMIT-bounded
+      shortlists, category² cells).
 
     (An ``Exchange SinglePartition`` is deliberately NOT flagged: the
     final step of every grand-total aggregate plans one legitimately,
@@ -152,6 +180,14 @@ def scale_lint(df: DataFrame, single_row_broadcast_ok: bool = False) -> list[str
             f"({spec[:60]}...)"
         )
         break
+    if not summary_window_ok:
+        for spec in unpartitioned_unordered_windows(plan):
+            findings.append(
+                "unordered global window: OVER () with no partition or "
+                "sort keys (fine only over summary-sized input; pass "
+                "summary_window_ok=True if so)"
+            )
+            break
     return findings
 
 

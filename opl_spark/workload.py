@@ -194,8 +194,24 @@ _RETRY_FIRST: tuple[str, ...] = (
 #  - q_srp_incremental: srp_probe (its engine) gained an optional
 #    exclude_ids anti-join (default None — plan-identical here) and a
 #    construction-time numeric-id type check.
+#  - q_ivf_recall_curve: restructured (r9 verdict task 3) — centroids
+#    from the per-data-dir memo shared with q_similarity_ivf_kmeans,
+#    and the truth selection now carries the quantized weights in ONE
+#    TakeOrderedAndProject pass (same sim expression and tie-break;
+#    was cosine_topk + a second embeddings scan).
+#  - q_similarity_ivf_kmeans: reads the shared centroid memo
+#    (ivf_topk_quantized gained a centroids= passthrough; training
+#    math untouched).
+#  - q_similarity_topk / q_similarity_ivf / q_quantized_topk /
+#    q_pq_topk / q_ivfpq_topk / q_pq_rerank / q_mmr_select /
+#    q_hybrid_search: their shared _query_vec helper memoized its
+#    driver-side single-row lookup per data dir (plan and result
+#    identical; re-entered on the strict changed-code rule).
 _AUDIT_PRIORITY: tuple[str, ...] = (
-    "q_chi2_independence", "q_srp_incremental",
+    "q_chi2_independence", "q_srp_incremental", "q_ivf_recall_curve",
+    "q_similarity_ivf_kmeans", "q_similarity_topk", "q_similarity_ivf",
+    "q_quantized_topk", "q_pq_topk", "q_ivfpq_topk", "q_pq_rerank",
+    "q_mmr_select", "q_hybrid_search",
 )
 
 

@@ -484,12 +484,24 @@ LIMIT 10
 """
 
 
+#: per-data-dir probe-vector memo — every ANN-family query opens with
+#: the same single-row lookup (vec_id 0); one ``first()`` job per data
+#: directory instead of one per query.  Pure read, driver-trivial
+#: state, keyed like _IVF_CENTROIDS below.
+_QUERY_VEC: dict[str, list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    """The probe vector (vec_id 0) — driver-side single-row lookup."""
-    row = (
-        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()
-    )
-    return [float(x) for x in row["embedding"]]
+    """The probe vector (vec_id 0) — driver-side single-row lookup,
+    memoized per data directory."""
+    if sf_dir not in _QUERY_VEC:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .first()
+        )
+        _QUERY_VEC[sf_dir] = [float(x) for x in row["embedding"]]
+    return _QUERY_VEC[sf_dir]
 
 
 @register(
@@ -633,6 +645,33 @@ FROM scored ORDER BY sim DESC, id LIMIT {topk}
     return "".join(parts)
 
 
+#: per-data-dir integer-k-means centroid memo: (sf_dir, k, iters) ->
+#: the trained centroid list.  Same materialized-state semantics as
+#: _EDGES_BUILT / _ROLLUP_BUILT: training (iters Lloyd rounds, each a
+#: Spark job) runs ONCE per data directory and every consumer —
+#: q_similarity_ivf_kmeans's probe and q_ivf_recall_curve's tuning
+#: table — reads the same k×dim integer list; switching directories
+#: keys a fresh training pass instead of serving stale centroids.
+#: Training is a pure integer function of the data
+#: (kmeans_centroids_quantized), so the memo cannot change any result,
+#: only skip recomputing it; state is k×dim ints — driver-trivial.
+_IVF_CENTROIDS: dict[tuple[str, int, int], list[tuple[int, list[int]]]] = {}
+
+
+def _ivf_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> list[tuple[int, list[int]]]:
+    key = (sf_dir, k, iters)
+    if key not in _IVF_CENTROIDS:
+        from opl_spark.operators.similarity import kmeans_centroids_quantized
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVF_CENTROIDS[key] = kmeans_centroids_quantized(
+            emb, "embedding", "vec_id", k=k, iters=iters
+        )
+    return _IVF_CENTROIDS[key]
+
+
 @register("q_similarity_ivf_kmeans", oracle=_ivf_kmeans_oracle())
 def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 probing k-means centroids (3 Lloyd iterations) —
@@ -643,13 +682,16 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled DuckDB oracle (was rows-only while the float Lloyd
     loop was registered); the final ranking is the same round-6
     cosine the brute-force oracle hash-checks.  Recall vs brute force
-    stays bounded in tests/test_operators.py."""
+    stays bounded in tests/test_operators.py.  Centroids come from the
+    per-data-dir memo shared with q_ivf_recall_curve — one training
+    pass serves both consumers (r9 verdict task 3)."""
     from opl_spark.operators.similarity import ivf_topk_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_quantized(
         emb, "embedding", "vec_id", _query_vec(spark, sf_dir),
         k=10, ncells=8, nprobe=2, iters=3,
+        centroids=_ivf_centroids(spark, sf_dir, k=8, iters=3),
     )
 
 
@@ -11217,43 +11259,54 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     store) for free.  Centroids, cell membership, and the query's
     cell ranking run in the same integer arithmetic the IVF query
     uses, so the whole curve replays hash-exact from the SHARED
-    k-means oracle chain."""
+    k-means oracle chain — and from the shared TRAINING pass too: the
+    centroids come from the same per-data-dir memo
+    q_similarity_ivf_kmeans probes (``_ivf_centroids``), so the curve
+    no longer re-runs the 3 Lloyd rounds it is measuring (r9 verdict
+    task 3)."""
     import math
 
     from opl_spark.operators.similarity import (
         assign_cells_quantized,
-        cosine_topk,
-        kmeans_centroids_quantized,
+        cosine_lit_udf,
         quantized_weights_col,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    query = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    ]
-    cents = kmeans_centroids_quantized(emb, "embedding", "vec_id", 8, 3)
+    query = _query_vec(spark, sf_dir)
+    cents = _ivf_centroids(spark, sf_dir, k=8, iters=3)
     qw = [math.floor(x * 1000.0 + 0.5) for x in query]
     ranked = sorted(
         (sum((a - b) * (a - b) for a, b in zip(qw, c)), cid)
         for cid, c in cents
     )
     rank_of = {cid: r + 1 for r, (_, cid) in enumerate(ranked)}
-    truth = cosine_topk(emb, "embedding", "vec_id", query, 10).select("id")
-    assigned = assign_cells_quantized(
+    # ONE corpus pass: the brute-force truth selection (the exact sim
+    # expression + (sim desc, id) tiebreak of topk_scored, planned as
+    # TakeOrderedAndProject) CARRIES the quantized weights, so the 10
+    # truth rows arrive assignment-ready — no second embeddings scan
+    # to fetch vectors back.  Cell membership is a per-row integer
+    # function, so assigning only these 10 rows yields the identical
+    # cells the oracle's full-corpus argmin computes for those ids.
+    sim = cosine_lit_udf(query)(F.col("embedding"))
+    truth_w = (
         emb.select(
             F.col("vec_id").alias("id"),
             quantized_weights_col(F.col("embedding")).alias("w"),
-        ),
-        cents,
-    ).select("id", "cell")
+            F.round(sim, 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(10)
+        .select("id", "w")
+    )
+    assigned = assign_cells_quantized(truth_w, cents).select("id", "cell")
     rank_expr = F.element_at(
         F.create_map(
             *[F.lit(v) for kv in rank_of.items() for v in kv]
         ),
         F.col("cell").cast("int"),
     )
-    hits = truth.join(assigned, "id").select(rank_expr.alias("r"))
+    hits = assigned.select(rank_expr.alias("r"))
     # a hit in the rank-r cell is recalled by every nprobe >= r:
     # explode each hit into the probes it covers (<= topk x ncells
     # rows) and equality-join — the obvious `r <= nprobe` range join

@@ -246,3 +246,39 @@ def test_bucketed_graph_queries_memoize_build_per_data_dir(spark, sf_dir):
     again = qs["q_pagerank_bucketed"](spark, sf_dir).collect()
     assert wx._EDGES_BUILT.get("opl_edges_trade") == sf_dir
     assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+
+def test_ivf_centroids_memoize_training_per_data_dir(spark, sf_dir, monkeypatch):
+    """The integer-k-means centroid chain follows the same per-data-dir
+    memo semantics: ONE training pass (3 Lloyd rounds) serves both
+    q_similarity_ivf_kmeans and q_ivf_recall_curve, a repeat call is a
+    pure memo read, and a different data-dir key trains fresh instead
+    of serving another directory's centroids (r9 verdict task 3)."""
+    from opl_spark import workload
+    from opl_spark import workload_ext as wx
+    from opl_spark.operators import similarity as sim
+
+    calls = []
+    real = sim.kmeans_centroids_quantized
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "kmeans_centroids_quantized", counting)
+    wx._IVF_CENTROIDS.clear()
+    qs = workload.queries()
+    ivf = qs["q_similarity_ivf_kmeans"](spark, sf_dir).collect()
+    curve = qs["q_ivf_recall_curve"](spark, sf_dir).collect()
+    assert ivf and curve
+    assert len(calls) == 1  # one training pass, two consumers
+    # repeat: still one training pass, identical results
+    assert qs["q_ivf_recall_curve"](spark, sf_dir).collect() == curve
+    assert len(calls) == 1
+    assert (sf_dir, 8, 3) in wx._IVF_CENTROIDS
+    # a different data dir keys a FRESH training pass (no stale serve)
+    wx._IVF_CENTROIDS[("/some/other/dir", 8, 3)] = [(0, [1])]
+    assert wx._ivf_centroids(spark, sf_dir, 8, 3) != [(0, [1])]
+    got = wx._ivf_centroids(spark, "/some/other/dir", 8, 3)
+    assert got == [(0, [1])]  # per-key isolation: other dir, other state
+    del wx._IVF_CENTROIDS[("/some/other/dir", 8, 3)]

@@ -211,16 +211,22 @@ def test_pack_sequences_window_is_sharded(spark, sf_dir):
 def test_no_scale_killers_in_any_registered_query(spark):
     """Repo-wide physical-plan audit: no registered query may plan a
     cartesian product, a nested-loop join (except a broadcast against
-    a provably single-row side), or an unpartitioned ranking window —
-    the three shapes that silently stop scaling at 100x.
+    a provably single-row side), an unpartitioned RANKING window, or —
+    new r10 (verdict task 4) — an unpartitioned UNORDERED window
+    (``OVER ()``) over anything bigger than a summary table: it
+    funnels everything into one task just the same.
 
     Detection is the SAME code production uses (plans.scale_lint /
-    unpartitioned_ordered_windows) — one detector, no drift between
-    the CI gate and the library.  Plans are inspected at sf0.001 (plan
-    SHAPE is scale-invariant; AQE only narrows it at runtime)."""
+    unpartitioned_ordered_windows / unpartitioned_unordered_windows) —
+    one detector, no drift between the CI gate and the library.  Plans
+    are inspected at sf0.001 (plan SHAPE is scale-invariant; AQE only
+    narrows it at runtime)."""
     from opl_spark import workload
     from opl_spark.plans import formatted_plan
-    from opl_spark.plans.inspect import unpartitioned_ordered_windows
+    from opl_spark.plans.inspect import (
+        unpartitioned_ordered_windows,
+        unpartitioned_unordered_windows,
+    )
 
     # broadcast cross-join against a single-row aggregate (corpus count
     # guards / zero-fill defaults / report-total shares) is 1-row x N —
@@ -270,6 +276,14 @@ def test_no_scale_killers_in_any_registered_query(spark):
     # q_auc: the cumulative pass of histogram AUC runs over the score
     # BIN table (bounded by score range x quantization, not row count)
     summary_window_ok = {"q_id_gaps", "q_vocab_coverage", "q_hybrid_search", "q_auc"}
+    # unordered OVER () over a GROUP-SUMMARY input — bounded by
+    # construction, never a fact stream:
+    # q_chi2_independence: margins + level counts over the CELL table
+    #   (|A|x|B| category^2 rows, evaluate.py chi2_independence)
+    # q_temperature_mix: corpus-max fold over the per-language COUNTS
+    #   table (#groups rows, sampling.py temperature_mix — the fold
+    #   keeps the corpus-side plan a pure BroadcastHashJoin)
+    unordered_window_ok = {"q_chi2_independence", "q_temperature_mix"}
     sf = "/root/testdata/sf0.001"
     flagged = {}
     for name, fn in workload.queries().items():
@@ -281,6 +295,10 @@ def test_no_scale_killers_in_any_registered_query(spark):
             hits.append("nested-loop join")
         if name not in summary_window_ok and unpartitioned_ordered_windows(plan):
             hits.append("global window")
+        if name not in unordered_window_ok and unpartitioned_unordered_windows(
+            plan
+        ):
+            hits.append("unordered global window")
         if hits:
             flagged[name] = hits
     assert not flagged, flagged
@@ -377,6 +395,18 @@ def test_scale_lint_flags_known_bad_and_passes_known_good(spark, sf_dir):
         "rn", F.row_number().over(Window.orderBy("doc_id"))
     )
     assert any("global window" in f for f in scale_lint(bad_window))
+    # unordered OVER () funnels identically — flagged unless declared
+    # summary-sized via the opt-in flag
+    bad_unordered = docs.withColumn(
+        "tot", F.sum("doc_id").over(Window.partitionBy())
+    )
+    assert any(
+        "unordered global window" in f for f in scale_lint(bad_unordered)
+    )
+    assert not any(
+        "unordered" in f
+        for f in scale_lint(bad_unordered, summary_window_ok=True)
+    )
     good = docs.groupBy((F.col("doc_id") % 10).alias("b")).count()
     assert scale_lint(good) == []
 
