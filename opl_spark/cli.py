@@ -84,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "-c", "--command", required=True,
         choices=["add", "aggregate", "serve", "compact", "vacuum", "advise",
-                 "materialize", "lsh-advise"],
+                 "materialize", "lsh-advise", "srp-probe"],
     )
     p.add_argument("--host", default="127.0.0.1", help="bind address (serve)")
     p.add_argument("--port", type=int, default=8080, help="bind port (serve)")
@@ -140,6 +140,44 @@ def main(argv: list[str] | None = None) -> int:
         help="jaccard = MinHash banding, cosine = SRP banding "
              "(lsh-advise)",
     )
+    p.add_argument("--store", help="persisted SRP index path (srp-probe)")
+    p.add_argument(
+        "--batch", help="parquet path of arriving vectors (srp-probe)"
+    )
+    p.add_argument(
+        "--vec-col", default="embedding",
+        help="embedding column in --batch (srp-probe)",
+    )
+    p.add_argument(
+        "--id-col", default="vec_id", help="id column in --batch (srp-probe)"
+    )
+    p.add_argument(
+        "--threshold", type=float, default=0.8,
+        help="exact-cosine duplicate threshold (srp-probe)",
+    )
+    p.add_argument(
+        "--srp-bits", type=int, default=24,
+        help="SRP signature bits (srp-probe; must match the store's)",
+    )
+    p.add_argument(
+        "--srp-bands", type=int, default=4,
+        help="SRP bands (srp-probe; must match the store's)",
+    )
+    p.add_argument(
+        "--no-append", action="store_true",
+        help="probe only — don't append the batch's signatures "
+             "(srp-probe)",
+    )
+    p.add_argument(
+        "--exclude-self", action="store_true",
+        help="make the batch's own ids invisible to the probe — the "
+             "replay-safe mode the streaming leg uses (srp-probe)",
+    )
+    p.add_argument(
+        "--report-out",
+        help="write the full (vec_id, dup_of, cos) report as parquet "
+             "here (srp-probe; default prints counts only)",
+    )
     args = p.parse_args(argv)
 
     if args.explain and args.command != "aggregate":
@@ -176,12 +214,59 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"kind": args.lsh_kind, "bandings": table}))
         return 0
 
-    if not args.warehouse:
+    if args.command != "srp-probe" and not args.warehouse:
         raise SystemExit(f"{args.command} requires --warehouse")
 
     from opl_spark.session import get_spark
 
     spark = get_spark(app_name="opl-cli")
+
+    if args.command == "srp-probe":
+        # the operational surface of the persisted SRP-LSH index
+        # (operators/similarity.py:srp_dedup_incremental): one verb
+        # closes the whole build -> probe -> append loop — the FIRST
+        # probe against a not-yet-built store bootstraps the index
+        # (signatures written, empty report), every later probe
+        # detects near-dups against all previously appended batches.
+        # The `-c materialize` pattern: what the Python/streaming API
+        # can do, the CLI can do without code.
+        if not (args.store and args.batch):
+            raise SystemExit("srp-probe requires --store and --batch")
+        import os
+
+        from opl_spark.operators.similarity import srp_dedup_incremental
+
+        batch = spark.read.parquet(args.batch)
+        if args.vec_col not in batch.columns or args.id_col not in batch.columns:
+            raise SystemExit(
+                f"srp-probe: --batch needs columns {args.id_col!r} and "
+                f"{args.vec_col!r} (has {batch.columns})"
+            )
+        first = batch.select(args.vec_col).first()
+        if first is None:
+            raise SystemExit("srp-probe: --batch is empty")
+        dims = len(first[0])
+        bootstrap = not os.path.isdir(args.store)
+        report = srp_dedup_incremental(
+            spark, args.store, batch, args.vec_col, args.id_col, dims,
+            n_bits=args.srp_bits, bands=args.srp_bands,
+            threshold=args.threshold, append=not args.no_append,
+            exclude_self=args.exclude_self,
+        )
+        if args.report_out:
+            report.write.mode("overwrite").parquet(args.report_out)
+            n_dups = spark.read.parquet(args.report_out).count()
+        else:
+            n_dups = report.count()
+        print(json.dumps({
+            "store": args.store,
+            "probed": batch.count(),
+            "dups": n_dups,
+            "appended": not args.no_append,
+            "bootstrap": bootstrap,
+            "report": args.report_out,
+        }))
+        return 0
 
     if args.command == "add":
         if not (args.date and args.settings and args.sources):

@@ -356,3 +356,62 @@ def test_cli_explain_only_valid_on_aggregate(tmp_path, capsys):
     assert not (tmp_path / "wh").exists()  # nothing ran
     with _pytest.raises(SystemExit, match="lsh-advise.*threshold"):
         cli_main(["-c", "lsh-advise", "--lsh-threshold", "1.0"])
+
+
+def test_cli_srp_probe_closes_build_probe_append_loop(spark, sf_dir, tmp_path, capsys):
+    """The CLI twin of test_srp_dedup_incremental_store (r9 verdict
+    task 5): `-c srp-probe` alone closes the whole index lifecycle —
+    batch 0 bootstraps the store (empty report), batch 1 detects a
+    verbatim copy of a batch-0 vector via the appended signatures,
+    --report-out lands the full parquet report, --no-append probes
+    read-only, and missing args refuse loudly."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "srp_store")
+    b0_path = str(tmp_path / "batch0")
+    b1_path = str(tmp_path / "batch1")
+    emb.limit(5).write.parquet(b0_path)
+    first = emb.orderBy("vec_id").first()
+    spark.createDataFrame(
+        [(900001, [float(v) for v in first["embedding"]])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(b1_path)
+
+    # batch 0: bootstrap — store created, no dups, signatures appended
+    assert cli_main(["-c", "srp-probe", "--store", store, "--batch", b0_path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["store"] == store and out["appended"] is True
+    assert out["bootstrap"] is True and out["dups"] == 0 and out["probed"] == 5
+
+    # batch 1: the verbatim copy reports its batch-0 original at 1.0
+    rep = str(tmp_path / "report")
+    assert cli_main([
+        "-c", "srp-probe", "--store", store, "--batch", b1_path,
+        "--threshold", "0.95", "--report-out", rep,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bootstrap"] is False and out["dups"] == 1
+    row = spark.read.parquet(rep).first()
+    assert (row["vec_id"], row["dup_of"], row["cos"]) == (
+        900001, first["vec_id"], 1.0
+    )
+
+    # --no-append + --exclude-self: read-only replay-safe probe gives
+    # the same single dup (its own appended signatures are invisible)
+    n_store = spark.read.parquet(store).count()
+    assert cli_main([
+        "-c", "srp-probe", "--store", store, "--batch", b1_path,
+        "--threshold", "0.95", "--no-append", "--exclude-self",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dups"] == 1 and out["appended"] is False
+    assert spark.read.parquet(store).count() == n_store  # untouched
+
+    with pytest.raises(SystemExit, match="srp-probe requires"):
+        cli_main(["-c", "srp-probe", "--store", store])
+    with pytest.raises(SystemExit, match="needs columns"):
+        cli_main(["-c", "srp-probe", "--store", store, "--batch",
+                  str(sf_dir) + "/documents.parquet"])
