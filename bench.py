@@ -295,6 +295,17 @@ BENCH_QUERIES = [
     "q_rendezvous_shard",
     # round-9: IVF recall@nprobe tuning curve (shared k-means chain)
     "q_ivf_recall_curve",
+    # round-10: SRP recall@n_bands tuning curve (truth pass + 11-row
+    # banding — the SRP twin of the IVF curve)
+    "q_srp_recall_curve",
+    # round-10: measured MinHash-banding recall vs exact-Jaccard truth
+    "q_lsh_recall_measured",
+    # round-10: mutual information over the chi2 cell table
+    "q_mutual_information",
+    # round-10: duplicate-cluster size histogram (CC chain reduced)
+    "q_dup_cluster_sizes",
+    # round-10: trade-graph degree histogram (two combinable aggs)
+    "q_degree_distribution",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

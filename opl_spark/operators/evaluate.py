@@ -321,6 +321,58 @@ def chi2_independence(
     )
 
 
+def mutual_information(
+    df: DataFrame, col_a: Column, col_b: Column
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the effect-size companion of :func:`chi2_independence` on the
+    identical cell-table shape: MI = Σᵢⱼ (nᵢⱼ/N)·ln(nᵢⱼ·N / (rᵢ·cⱼ)),
+    0 exactly at independence, growing with association.  Emits one
+    row ``(n, r_levels, c_levels, mi)``.
+
+    Determinism: each cell's term is floor(1e9·(n·ln(n·N/(r·c))/N)
+    + 0.5) — a FIXED chain of IEEE double ops on exact integer-valued
+    inputs, with one ``ln`` per cell (the q_pmi precedent: both
+    engines' libm ln agree on these operands) — and the cross-cell
+    sum is BIGINT, so aggregation order can't drift the statistic.
+    NULL categories coalesce to the ``'__null__'`` sentinel level in
+    both engines, exactly as in chi2_independence.  Scale shape: one
+    (a, b) count aggregation, window margins over the category²-sized
+    CELL table, one final reduce."""
+    cells = df.groupBy(
+        F.coalesce(col_a.cast("string"), F.lit("__null__")).alias("__a"),
+        F.coalesce(col_b.cast("string"), F.lit("__null__")).alias("__b"),
+    ).agg(F.count(F.lit(1)).alias("nc"))
+    w_a, w_b = Window.partitionBy("__a"), Window.partitionBy("__b")
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "nc",
+        F.sum("nc").over(w_a).alias("rm"),
+        F.sum("nc").over(w_b).alias("cm"),
+        F.sum("nc").over(w_all).alias("nt"),
+        F.size(F.collect_set("__a").over(w_all)).alias("rl"),
+        F.size(F.collect_set("__b").over(w_all)).alias("cl"),
+    )
+    term = F.expr(
+        "cast(floor(1e9 * (cast(nc as double)"
+        " * ln(cast(nc as double) * cast(nt as double)"
+        " / (cast(rm as double) * cast(cm as double)))"
+        " / cast(nt as double)) + 0.5) as bigint)"
+    )
+    agg = t.select(term.alias("t"), "nt", "rl", "cl").agg(
+        F.sum("t").alias("s"),
+        F.max("nt").alias("nt"),
+        F.max("rl").alias("rl"),
+        F.max("cl").alias("cl"),
+    )
+    return agg.select(
+        F.col("nt").cast("long").alias("n"),
+        F.col("rl").cast("int").alias("r_levels"),
+        F.col("cl").cast("int").alias("c_levels"),
+        F.expr("round(cast(s as double) / 1e9, 6)").alias("mi"),
+    )
+
+
 #: nDCG position discounts in integer micro-units:
 #: w_i = floor(1e6 / log2(i+1) + 0.5).  Computed ONCE here with
 #: Python's log2 and replayed as literals in both engines — a

@@ -11327,3 +11327,313 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: advisor measured-recall legs, association effect size,
+# dedup/graph reporting
+# ---------------------------------------------------------------------------
+
+
+def _srp_recall_oracle(
+    dims: int = 64, n_bits: int = 24, bands: int = 4, topk: int = 10
+) -> str:
+    """Replay of the SRP recall curve: brute-force cosine top-{topk}
+    truth, integer band keys (the exact q_srp_lsh construction —
+    shared ``srp_plane_coeff`` literals, integer dot products, sign
+    bits packed per band), each truth vector's FIRST band agreeing
+    with the query, then recall@n_bands for n_bands = 1..{bands}."""
+    from opl_spark.operators.similarity import srp_plane_coeff
+
+    rows = n_bits // bands
+    vals = ", ".join(
+        f"({j}, {i}, {srp_plane_coeff(j, i)})"
+        for j in range(n_bits)
+        for i in range(dims)
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+truth AS MATERIALIZED (
+    SELECT e.id FROM e CROSS JOIN (SELECT v AS qv FROM e WHERE id = 0) q0
+    ORDER BY ROUND(list_dot_product(e.v, q0.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q0.qv, q0.qv))), 6) DESC, e.id
+    LIMIT {topk}),
+sub AS MATERIALIZED (
+    SELECT id, list_transform(v, x -> floor(x * 1000.0 + 0.5)) AS qv
+    FROM e WHERE id = 0 OR id IN (SELECT id FROM truth)),
+planes(j, i, c) AS (VALUES {vals}),
+dots AS MATERIALIZED (
+    SELECT sub.id, p.j, SUM(sub.qv[p.i + 1] * p.c) AS s
+    FROM sub CROSS JOIN planes p GROUP BY 1, 2),
+keys AS MATERIALIZED (
+    SELECT id, j // {rows} AS band,
+           CAST(SUM(CASE WHEN s >= 0 THEN (1 << (j % {rows})) ELSE 0 END)
+                AS BIGINT) AS key
+    FROM dots GROUP BY 1, 2),
+qb AS (SELECT band, key FROM keys WHERE id = 0),
+fb AS (
+    SELECT k.id, MIN(k.band) + 1 AS fb
+    FROM keys k
+    JOIN qb ON qb.band = k.band AND qb.key = k.key
+    JOIN truth t ON t.id = k.id
+    GROUP BY 1)
+SELECT CAST(p.nb AS INTEGER) AS n_bands,
+       ROUND(CAST(COUNT(f.fb) AS DOUBLE) / {topk}, 6) AS recall_at_{topk}
+FROM (SELECT unnest(range(1, {bands + 1})) AS nb) p
+LEFT JOIN fb f ON f.fb <= p.nb
+GROUP BY p.nb
+"""
+
+
+@register("q_srp_recall_curve", oracle=_srp_recall_oracle())
+def q_srp_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRP tuning table (r10, the verdict-suggested twin of
+    q_ivf_recall_curve): recall@10 of SRP-LSH candidacy — "shares at
+    least one of the first n band keys with the query" — against the
+    brute-force cosine truth, for n_bands = 1..4.  Completes the
+    measured side of the SRP advisor exactly as the IVF curve did for
+    cell probing: srp_banding_advise says what a banding SHOULD
+    recall at a cosine threshold; this measures what the deployed
+    24-bit/4-band index ACTUALLY recalls for a real query on THIS
+    corpus.  Banding is the integer sign-bit construction of
+    q_srp_lsh (same shared plane literals), so the whole curve
+    replays hash-exact in DuckDB.
+
+    Scale shape: one TakeOrderedAndProject truth pass over the corpus
+    (the 100 TB-safe per-partition heap — no global sort), then every
+    remaining step runs on the 11 truth∪query rows: banding is a
+    map over 11 rows, the band-key match is an 8-row broadcast join,
+    and the curve explode is ≤ 10×4 rows."""
+    from opl_spark.operators.similarity import srp_banded_keys, topk_scored
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = _query_vec(spark, sf_dir)
+    # driver-side truth ids — 10 rows, the cosine_topk precedent
+    tids = [
+        int(r["id"])
+        for r in topk_scored(emb, "embedding", "vec_id", query, 10).collect()
+    ]
+    sub = emb.filter(F.col("vec_id").isin(sorted(set(tids + [0]))))
+    banded = srp_banded_keys(sub, "embedding", "vec_id", 64, 24, 4).select(
+        F.col("__id").alias("id"), "band", "key"
+    )
+    qb = banded.filter(F.col("id") == 0).select("band", "key")
+    fb = (
+        banded.filter(F.col("id").isin(tids))
+        .join(F.broadcast(qb), ["band", "key"])
+        .groupBy("id")
+        .agg((F.min("band") + 1).alias("fb"))
+    )
+    covered = fb.select(
+        F.explode(F.sequence(F.col("fb"), F.lit(4))).alias("n_bands")
+    )
+    per = covered.groupBy("n_bands").agg(F.count(F.lit(1)).alias("h"))
+    nb = spark.range(1, 5).select(F.col("id").cast("int").alias("n_bands"))
+    return (
+        nb.join(per, "n_bands", "left")
+        .select(
+            "n_bands",
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)).cast("double") / 10, 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("n_bands")
+    )
+
+
+_MI_ORACLE = """
+WITH cells AS (
+    SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__') AS a,
+           COALESCE(CAST(o_orderstatus AS VARCHAR), '__null__') AS b,
+           CAST(COUNT(*) AS BIGINT) AS nc
+    FROM orders GROUP BY 1, 2
+),
+marg AS (
+    SELECT nc,
+           SUM(nc) OVER (PARTITION BY a) AS rm,
+           SUM(nc) OVER (PARTITION BY b) AS cm,
+           SUM(nc) OVER () AS nt,
+           (SELECT COUNT(DISTINCT a) FROM cells) AS rl,
+           (SELECT COUNT(DISTINCT b) FROM cells) AS cl
+    FROM cells
+),
+terms AS (
+    SELECT CAST(floor(1e9 * (CAST(nc AS DOUBLE)
+                  * ln(CAST(nc AS DOUBLE) * CAST(nt AS DOUBLE)
+                       / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)))
+                  / CAST(nt AS DOUBLE)) + 0.5) AS BIGINT) AS t,
+           nt, rl, cl
+    FROM marg
+),
+red AS (
+    SELECT SUM(t) AS s, MAX(nt) AS nt, MAX(rl) AS rl, MAX(cl) AS cl FROM terms
+)
+SELECT CAST(nt AS BIGINT) AS n,
+       CAST(rl AS INTEGER) AS r_levels,
+       CAST(cl AS INTEGER) AS c_levels,
+       ROUND(CAST(s AS DOUBLE) / 1e9, 6) AS mi
+FROM red
+"""
+
+
+@register("q_mutual_information", oracle=_MI_ORACLE)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information over order priority × order status (r10) —
+    the EFFECT-SIZE companion of q_chi2_independence on the identical
+    cell table: chi² says whether the association is significant, MI
+    says how many nats of information one column carries about the
+    other (0 exactly at independence).  Per-cell terms micro-quantize
+    to BIGINT before the cross-cell sum (one libm ln per cell — the
+    q_pmi precedent), so the statistic replays bit-for-bit
+    (operators/evaluate.py:mutual_information)."""
+    from opl_spark.operators.evaluate import mutual_information
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mutual_information(
+        orders, F.col("o_orderpriority"), F.col("o_orderstatus")
+    )
+
+
+@register(
+    "q_dup_cluster_sizes",
+    oracle=_COMPONENTS_CTE
+    + """,
+csize AS (SELECT keeper, COUNT(*) AS cs FROM comp GROUP BY 1),
+hist AS (SELECT cs, COUNT(*) AS ncl FROM csize GROUP BY 1),
+tot AS (
+    SELECT (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp)
+        AS n1)
+SELECT CAST(cs AS BIGINT) AS cluster_size, CAST(ncl AS BIGINT) AS n_clusters
+FROM hist
+UNION ALL
+SELECT 1, CAST(n1 AS BIGINT) FROM tot WHERE n1 > 0
+""",
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (r10): how much of the corpus
+    is singleton vs paired vs heavily replicated — the summary a
+    dedup PIPELINE reports after q_dedup_clusters hands it the
+    keep/drop list (near-dup CC at 3-gram Jaccard ≥ 0.2; every doc
+    outside the pair graph is a size-1 cluster).  Same CC chain and
+    oracle as q_dedup_clusters, reduced to (cluster_size,
+    n_clusters); the singleton row comes from a tagged-union count —
+    one pass, no 1-row × 1-row nested-loop join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    labels = dedup_clusters(pairs)
+    hist = (
+        labels.groupBy("keeper")
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .groupBy("cs")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cs").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long"),
+        )
+    )
+    tagged = docs.select(F.lit(1).alias("t"), F.lit(0).alias("c")).unionAll(
+        labels.select(F.lit(0).alias("t"), F.lit(1).alias("c"))
+    )
+    singles = (
+        tagged.agg(
+            (F.sum("t") - F.sum("c")).alias("n1")
+        )
+        .filter(F.col("n1") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n1").cast("long").alias("n_clusters"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
+@register(
+    "q_degree_distribution",
+    oracle="""
+WITH raw AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+e AS (
+    SELECT src, dst FROM raw
+    UNION
+    SELECT dst AS src, src AS dst FROM raw
+),
+deg AS (SELECT src AS node, COUNT(*) AS degree FROM e GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+""",
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer↔supplier trade graph (r10) —
+    the sizing report every graph operator's planner reads first:
+    max-degree bounds the wedge fan-out q_triangles pays, the heavy
+    tail is the salting signal for q_pagerank's message shuffle.
+    Two combinable aggregations (node-sized, then degree-sized);
+    same edge construction and oracle CTE as q_pagerank."""
+    deg = _trade_edges(spark, sf_dir).groupBy("src").agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    ).select(F.col("degree").cast("long"), F.col("n_nodes").cast("long"))
+
+
+@register(
+    "q_lsh_recall_measured",
+    oracle=f"""
+WITH {_minhash_chain()},
+trueint AS MATERIALIZED (
+    SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+    GROUP BY 1, 2),
+truth AS MATERIALIZED (
+    SELECT t.id_a, t.id_b FROM trueint t
+    JOIN sizes sa ON sa.doc = t.id_a
+    JOIN sizes sb ON sb.doc = t.id_b
+    WHERE ROUND(CAST(t.i AS DOUBLE) / (sa.n_sh + sb.n_sh - t.i), 6) >= 0.5),
+caught AS MATERIALIZED (
+    SELECT c.id_a, c.id_b FROM cand c
+    LEFT JOIN ints ON ints.id_a = c.id_a AND ints.id_b = c.id_b
+    JOIN sizes za ON za.doc = c.id_a
+    JOIN sizes zb ON zb.doc = c.id_b
+    WHERE ROUND(CAST(COALESCE(ints.i, 0) AS DOUBLE)
+                / (za.n_sh + zb.n_sh - COALESCE(ints.i, 0)), 6) >= 0.5)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught,
+       ROUND(CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 6) AS recall
+""",
+)
+def q_lsh_recall_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED MinHash-banding recall (r10): |verified LSH pairs| /
+    |exact Jaccard ≥ 0.5 pairs| on THIS corpus — the empirical leg
+    the banding advisor's S-curve (q_lsh_tuning) predicts in theory
+    and q_bucket_stats prices in candidates; together the three
+    answer "what recall, at what candidate bill, and did it hold".
+    Truth is the full inverted-index enumeration (q_dedup_ngram's
+    path at threshold 0.5), caught is q_dedup_minhash's portable
+    16×4-band pipeline; caught ⊆ truth by construction (identical
+    exact-Jaccard verify), so the ratio IS banding recall.  One
+    tagged union then a single global count aggregation — no 1-row ×
+    1-row join."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    caught = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, portable=True
+    )
+    tagged = truth.select(F.lit(1).alias("t"), F.lit(0).alias("c")).unionAll(
+        caught.select(F.lit(0).alias("t"), F.lit(1).alias("c"))
+    )
+    return tagged.agg(
+        F.sum("t").cast("long").alias("n_true"),
+        F.sum("c").cast("long").alias("n_caught"),
+    ).select(
+        "n_true",
+        "n_caught",
+        F.round(
+            F.col("n_caught").cast("double") / F.col("n_true"), 6
+        ).alias("recall"),
+    )

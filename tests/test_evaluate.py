@@ -567,3 +567,36 @@ def test_chi2_independence_degenerate_single_level(spark):
     )
     r = chi2_independence(df, F.col("a"), F.col("b")).first()
     assert r["dof"] == 0 and r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_mutual_information_hand_computed(spark):
+    """2x2 hand check on cells [[10, 20], [20, 10]]: MI =
+    2*(10/60)ln(2/3) + 2*(20/60)ln(4/3) ~ 0.056633 nats; a perfectly
+    independent table scores exactly 0; nulls form a real level
+    (chi2's sentinel contract)."""
+    from opl_spark.operators.evaluate import mutual_information
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, F.col("a"), F.col("b")).first()
+    assert r["n"] == 60 and r["r_levels"] == 2 and r["c_levels"] == 2
+    import math
+
+    want = 2 * (10 / 60) * math.log(2 / 3) + 2 * (20 / 60) * math.log(4 / 3)
+    assert abs(r["mi"] - want) < 1e-5
+    # independence: n_ij * n == r_i * c_j in every cell -> MI == 0
+    ind = spark.createDataFrame(
+        [("x", "p")] * 6 + [("x", "q")] * 3 + [("y", "p")] * 4 + [("y", "q")] * 2,
+        "a string, b string",
+    )
+    assert mutual_information(ind, F.col("a"), F.col("b")).first()["mi"] == 0.0
+    # nulls are a level, consistent between the statistic and r_levels
+    withnull = spark.createDataFrame(
+        rows + [(None, "p")] * 5 + [(None, "q")] * 5, "a string, b string"
+    )
+    rn = mutual_information(withnull, F.col("a"), F.col("b")).first()
+    assert rn["n"] == 70 and rn["r_levels"] == 3

@@ -283,7 +283,10 @@ def test_no_scale_killers_in_any_registered_query(spark):
     # q_temperature_mix: corpus-max fold over the per-language COUNTS
     #   table (#groups rows, sampling.py temperature_mix — the fold
     #   keeps the corpus-side plan a pure BroadcastHashJoin)
-    unordered_window_ok = {"q_chi2_independence", "q_temperature_mix"}
+    # q_mutual_information: chi2's exact cell-table shape (r10)
+    unordered_window_ok = {
+        "q_chi2_independence", "q_temperature_mix", "q_mutual_information",
+    }
     sf = "/root/testdata/sf0.001"
     flagged = {}
     for name, fn in workload.queries().items():
