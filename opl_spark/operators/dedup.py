@@ -1920,11 +1920,22 @@ def near_dedup_incremental(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     append: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Probe a new ingest batch against the persisted signature store:
     emits ``(doc, dup_of, sim)`` for every new document whose MinHash
     similarity to some stored document reaches ``threshold`` (sim =
     fraction of agreeing minhashes, the unbiased Jaccard estimate).
+
+    ``exclude_self=True`` makes the batch's own ids invisible to the
+    probe (the replay-safe mode of the SRP twin,
+    ``similarity.py:srp_dedup_incremental`` — an at-least-once replay
+    then reproduces its original report instead of self-matching at
+    sim 1.0); the interactive default stays False so a deliberate
+    second probe self-detects.  A missing store (fresh pipeline,
+    :func:`build_signature_store` never run) bootstraps: the batch's
+    signatures become the store's first rows (when ``append``) and
+    the report is empty.
 
     Scale shape: the batch's banded keys join the store on
     ``(band, bucket_shard, band_key)`` — the partition columns lead,
@@ -1939,10 +1950,32 @@ def near_dedup_incremental(
     Returns the duplicate report; the caller anti-joins it to admit
     only novel documents (mirroring ``incremental_dedup``).
     """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     n_hashes = bands * rows_per_band
     sigs = minhash_signatures(new_batch, text_col, id_col, n_hashes)
     banded = _banded_sigs(sigs, bands, rows_per_band).localCheckpoint(eager=True)
-    store = spark.read.parquet(store_path).select(
+    try:
+        store_raw = spark.read.parquet(store_path)
+    except AnalysisException:
+        # bootstrap: no index yet — seed it with this batch, report nothing
+        if append:
+            banded.write.partitionBy("band", "bucket_shard").mode(
+                "append"
+            ).parquet(store_path)
+        id_type = banded.schema["doc"].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("doc", id_type),
+                    StructField("dup_of", id_type),
+                    StructField("sim", DoubleType()),
+                ]
+            ),
+        )
+    store = store_raw.select(
         F.col("doc").alias("old_doc"),
         F.col("sig").alias("old_sig"),
         "band",
@@ -1954,6 +1987,12 @@ def near_dedup_incremental(
         .select("doc", "old_doc", "sig", "old_sig")
         .distinct()
     )
+    if exclude_self:
+        cand = cand.join(
+            F.broadcast(banded.select(F.col("doc").alias("old_doc")).distinct()),
+            "old_doc",
+            "left_anti",
+        )
     agree = F.aggregate(
         F.zip_with("sig", "old_sig", lambda a, b: (a == b).cast("int")),
         F.lit(0),

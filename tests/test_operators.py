@@ -720,6 +720,54 @@ def test_srp_dedup_incremental_store(spark, sf_dir, tmp_path):
     assert any("band=" in d for d in os.listdir(store))
 
 
+def test_near_dedup_incremental_bootstrap_and_exclude_self(spark, sf_dir, tmp_path):
+    """MinHash-store symmetry with the SRP twin (r10): a never-built
+    store bootstraps on the first probe (empty report, signatures
+    seeded), and exclude_self makes a replayed batch reproduce its
+    original report instead of self-matching at sim 1.0."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.dedup import near_dedup_incremental
+    from opl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "sig_store")  # never created
+    b0 = docs.limit(8)
+    r0 = near_dedup_incremental(
+        spark, store, b0, "text", "doc_id", threshold=0.5, exclude_self=True
+    )
+    assert r0.count() == 0
+    assert [f.name for f in r0.schema.fields] == ["doc", "dup_of", "sim"]
+    import os
+
+    assert os.path.isdir(store)
+    first = b0.orderBy("doc_id").first()
+    b1 = spark.createDataFrame(
+        [(900001, first["text"])], "doc_id long, text string"
+    )
+    kw = dict(threshold=0.5, exclude_self=True, append=True)
+    r1 = {tuple(r) for r in near_dedup_incremental(
+        spark, store, b1, "text", "doc_id", **kw).collect()}
+    assert r1 == {(900001, first["doc_id"], 1.0)}
+    # replay: b1's signatures are stored; the guarded probe reproduces r1
+    r2 = {tuple(r) for r in near_dedup_incremental(
+        spark, store, b1, "text", "doc_id", **kw).collect()}
+    assert r2 == r1
+    # unguarded replay self-matches (min-id tie-break: the original
+    # doc_id is smaller, so pin with a batch-only edited doc instead)
+    words = first["text"].split()
+    words[0] = "zzz_edited"
+    b2 = spark.createDataFrame(
+        [(900002, " ".join(words))], "doc_id long, text string"
+    )
+    near_dedup_incremental(spark, store, b2, "text", "doc_id",
+                           threshold=0.5, exclude_self=True, append=True)
+    r3 = {r["doc"]: r for r in near_dedup_incremental(
+        spark, store, b2, "text", "doc_id",
+        threshold=0.5, exclude_self=False, append=False).collect()}
+    assert r3[900002]["dup_of"] == 900002 and r3[900002]["sim"] == 1.0
+
+
 def test_srp_dedup_incremental_replay_reproduces(spark, sf_dir, tmp_path):
     """At-least-once replay contract (streaming leg): with
     ``exclude_self=True`` a replayed micro-batch — whose signatures
