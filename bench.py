@@ -330,6 +330,17 @@ CALIBRATION_REF = {
     # 0.916 per the other five controls)
     "q_simhash": 0.847,
     "q_bigram_logprob": 1.060,
+    # widened r10: the 6-id median jittered ±20% across same-day runs
+    # (BENCH_NOTES round-10 host-day caveat) — six more mid-weight,
+    # shuffle-heavy ids, untouched since their pins, taken from the
+    # committed r9 recording of record (151.1 s run); a 12-id median
+    # is robust to any single control's positional noise
+    "q_entity_resolution": 3.621,
+    "q_setsim_join": 3.347,
+    "q_triangles": 3.072,
+    "q_label_prop_bucketed": 1.871,
+    "q_distinct_n": 1.925,
+    "q_kneser_ney": 1.163,
 }
 
 

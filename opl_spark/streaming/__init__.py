@@ -5,5 +5,6 @@ from opl_spark.streaming.events import (  # noqa: F401
     windowed_counts,
 )
 from opl_spark.streaming.stateful import (  # noqa: F401
+    minhash_probe_foreach_batch,
     srp_probe_foreach_batch,
 )

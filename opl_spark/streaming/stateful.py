@@ -315,6 +315,56 @@ def dedup_within_watermark_stream(
     )
 
 
+def minhash_probe_foreach_batch(
+    store_path: str,
+    out_path: str,
+    text_col: str,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+):
+    """The STREAMING leg of the persisted MinHash signature store
+    (operators/dedup.py:near_dedup_incremental) — the TEXT twin of
+    :func:`srp_probe_foreach_batch`: each arriving document
+    micro-batch probes the ``(band, bucket_shard)``-partitioned store,
+    appends its dup report ``(doc, dup_of, sim)`` to ``out_path``
+    (parquet), and appends its own banded signatures to the store, so
+    a document in micro-batch N detects a near-dup from micro-batch
+    N−1 and the index survives restarts.  Batch 0 against a
+    never-built store bootstraps the index (empty report, signatures
+    written).
+
+    Delivery semantics match the SRP leg exactly: the store is
+    idempotent under replay (the candidate ``distinct`` collapses
+    duplicate signature rows), and the probe runs with
+    ``exclude_self=True`` so a replayed micro-batch reproduces its
+    ORIGINAL report — at-least-once with byte-equal duplicates;
+    readers needing exactly-once de-duplicate on the full row
+    ``(doc, dup_of, sim, batch_id)``.  Per-batch work is partition-
+    pruned to the batch's own (band, shard) keys."""
+    from opl_spark.operators.dedup import near_dedup_incremental
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        dups = near_dedup_incremental(
+            batch_df.sparkSession,
+            store_path,
+            batch_df,
+            text_col,
+            id_col,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            threshold=threshold,
+            append=True,
+            exclude_self=True,
+        )
+        dups.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return fn
+
+
 def srp_probe_foreach_batch(
     store_path: str,
     out_path: str,

@@ -707,3 +707,60 @@ def test_srp_probe_stream_detects_across_microbatches(spark, sf_dir, tmp_path):
 
     # (c) the index stayed current: bands x arriving rows appended
     assert spark.read.parquet(store).count() == n_store0 + 4 * n_arrived
+
+
+def test_minhash_probe_stream_bootstrap_and_cross_batch(spark, sf_dir, tmp_path):
+    """The TEXT streaming leg (r10, twin of the SRP test above) run
+    from NOTHING: no build step — batch 0 bootstraps the store (empty
+    report), and an exact-dup pair split across micro-batches is
+    caught, whichever half arrives second reporting the first at
+    sim 1.0.  The store grows by bands x arriving rows and survives
+    as the stream's only state."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.sources import load_table
+    from opl_spark.streaming.stateful import minhash_probe_foreach_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = "unmistakable planted duplicate zebra " * 20
+    arr_dir = str(tmp_path / "arrivals")
+    base = docs.limit(20)
+    half_a = base.limit(10).unionByName(
+        spark.createDataFrame([(900001, planted)], "doc_id long, text string")
+    )
+    half_b = base.subtract(base.limit(10)).unionByName(
+        spark.createDataFrame([(900002, planted)], "doc_id long, text string")
+    )
+    half_a.coalesce(1).write.parquet(arr_dir + "/f=a")
+    half_b.coalesce(1).write.parquet(arr_dir + "/f=b")
+    n_arrived = spark.read.parquet(arr_dir).count()
+
+    store = str(tmp_path / "sig_store")  # never built — bootstrap path
+    out = str(tmp_path / "dups_out")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, f string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arr_dir)
+        .drop("f")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            minhash_probe_foreach_batch(store, out, "text", "doc_id",
+                                        threshold=0.9)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import os
+
+    assert len(os.listdir(str(tmp_path / "ckpt" / "offsets"))) >= 2
+    rows = {r["doc"]: r for r in spark.read.parquet(out).collect()}
+    # the split dup pair: exactly one half reports the other at 1.0
+    pair_hits = [i for i in (900001, 900002) if i in rows
+                 and rows[i]["dup_of"] in (900001, 900002)]
+    assert len(pair_hits) == 1
+    assert rows[pair_hits[0]]["sim"] == 1.0
+    # the bootstrapped store holds bands x arriving rows
+    assert spark.read.parquet(store).count() == 16 * n_arrived
