@@ -11318,7 +11318,9 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = covered.groupBy("nprobe").agg(F.count(F.lit(1)).alias("h"))
     probes = spark.range(1, 9).select(F.col("id").cast("int").alias("nprobe"))
     return (
-        probes.join(per, "nprobe", "left")
+        # explicit broadcast: both sides are <= 8 rows, but the STATIC
+        # plan would otherwise sort-merge (AQE only fixes it at runtime)
+        probes.join(F.broadcast(per), "nprobe", "left")
         .select(
             "nprobe",
             F.round(
@@ -11432,7 +11434,9 @@ def q_srp_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = covered.groupBy("n_bands").agg(F.count(F.lit(1)).alias("h"))
     nb = spark.range(1, 5).select(F.col("id").cast("int").alias("n_bands"))
     return (
-        nb.join(per, "n_bands", "left")
+        # explicit broadcast: both sides are <= 4 rows, but the STATIC
+        # plan would otherwise sort-merge (AQE only fixes it at runtime)
+        nb.join(F.broadcast(per), "n_bands", "left")
         .select(
             "n_bands",
             F.round(

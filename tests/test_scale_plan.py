@@ -494,3 +494,31 @@ def test_candidate_generation_plans_no_self_join(spark, sf_dir):
     pairs = bucket_pairs(buckets)
     assert joins(pairs) == 0
     assert _exchanges(pairs) == 1
+
+
+def test_round10_new_query_plan_shapes(spark, sf_dir):
+    """Physical-strategy pins for the r10 registrations: the SRP
+    recall curve's RETURNED plan runs only on the 11 truth∪query rows
+    (the truth ids were selected by a separate TakeOrderedAndProject
+    job and collected, 10 rows — so the plan must carry a pushed
+    vec_id IN-filter and a broadcast band-key join, never a shuffle
+    join or cartesian); the measured-recall summary plans its
+    singleton row via the tagged Union (no 1-row × 1-row nested-loop
+    join); degree distribution aggregates by hash with no cartesian
+    anywhere."""
+    from opl_spark import workload
+    from opl_spark.plans import formatted_plan, pushed_filters
+
+    qs = workload.queries()
+    curve = qs["q_srp_recall_curve"](spark, sf_dir)
+    p = formatted_plan(curve)
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert any("vec_id" in f for f in pushed_filters(curve)), (
+        "truth-id filter must reach the parquet scan"
+    )
+    p2 = formatted_plan(qs["q_lsh_recall_measured"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p2 and "CartesianProduct" not in p2, p2
+    assert "Union" in p2, p2
+    p3 = formatted_plan(qs["q_degree_distribution"](spark, sf_dir))
+    assert "HashAggregate" in p3 and "CartesianProduct" not in p3, p3
