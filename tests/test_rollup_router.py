@@ -282,3 +282,38 @@ def test_ivf_centroids_memoize_training_per_data_dir(spark, sf_dir, monkeypatch)
     got = wx._ivf_centroids(spark, "/some/other/dir", 8, 3)
     assert got == [(0, [1])]  # per-key isolation: other dir, other state
     del wx._IVF_CENTROIDS[("/some/other/dir", 8, 3)]
+
+
+def test_cc_labels_memoize_build_per_data_dir(spark, sf_dir):
+    """The dedup keep/drop labels follow the materialized-view
+    semantics of the other per-data-dir memos: built once, the
+    cluster-size report reads the table, a stale memo pointing at a
+    different directory forces a rebuild, and the memoized result
+    stays identical to a fresh CC computation."""
+    from pyspark.sql import functions as F
+
+    from opl_spark import workload
+    from opl_spark import workload_ext as wx
+    from opl_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from opl_spark.sources import load_table
+
+    wx._LABELS_BUILT.clear()
+    qs = workload.queries()
+    first = qs["q_dup_cluster_sizes"](spark, sf_dir).collect()
+    assert wx._LABELS_BUILT.get("opl_cc_labels_docs") == sf_dir
+    # memoized labels == fresh CC labels (bit-identical keep/drop list)
+    docs = load_table(spark, sf_dir, "documents")
+    fresh = dedup_clusters(
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    )
+    assert sorted(map(tuple, wx._cc_labels(spark, sf_dir).collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    # steady state: same dir reuses the table, result identical
+    assert sorted(map(tuple, qs["q_dup_cluster_sizes"](spark, sf_dir).collect())) \
+        == sorted(map(tuple, first))
+    # a stale memo pointing elsewhere forces a rebuild from sf_dir
+    wx._LABELS_BUILT["opl_cc_labels_docs"] = "/some/other/dir"
+    again = qs["q_dup_cluster_sizes"](spark, sf_dir).collect()
+    assert wx._LABELS_BUILT.get("opl_cc_labels_docs") == sf_dir
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
