@@ -19,6 +19,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drop_table_and_location(spark, table: str) -> None:
+    """Make a managed-table rewrite idempotent ACROSS sessions: a
+    fresh in-memory catalog does not know about a previous session's
+    managed table, so ``mode("overwrite")`` alone fails with
+    LOCATION_ALREADY_EXISTS on its leftover directory — drop the
+    table AND the stale location (Hadoop FS API, so any warehouse
+    scheme works).  Shared by every per-data-dir materialization
+    (bucketed edges, CC labels)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(wh + "/" + table.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -36,13 +53,7 @@ def write_bucketed(
     — drop the table and the stale location first (Hadoop FS API, so
     any warehouse scheme works)."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    jvm = spark._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(wh + "/" + table.lower())
-    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    drop_table_and_location(spark, table)
     writer = (
         df.repartition(num_buckets, bucket_col)
         .write.mode("overwrite")

@@ -11511,10 +11511,15 @@ _LABELS_BUILT: dict[str, str] = {}
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opl_spark.sources.bucketing import drop_table_and_location
+
     table = "opl_cc_labels_docs"
     if _LABELS_BUILT.get(table) != sf_dir or not spark.catalog.tableExists(table):
         docs = load_table(spark, sf_dir, "documents")
         pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+        # cross-session idempotence: a leftover managed-table location
+        # from a previous session would fail mode("overwrite") alone
+        drop_table_and_location(spark, table)
         dedup_clusters(pairs).write.mode("overwrite").saveAsTable(table)
         _LABELS_BUILT[table] = sf_dir
     return spark.table(table)
