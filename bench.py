@@ -306,6 +306,9 @@ BENCH_QUERIES = [
     "q_dup_cluster_sizes",
     # round-10: trade-graph degree histogram (two combinable aggs)
     "q_degree_distribution",
+    # round-10: Preis dominant-edge matching (1/2-approx max-weight
+    # supplier<->part assignment, 3 mutual-best rounds)
+    "q_dominant_matching",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

@@ -272,3 +272,69 @@ def bfs_hops(edges: DataFrame, seed, rounds: int = 3) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def dominant_edge_matching(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 3,
+) -> DataFrame:
+    """Parallel maximum-weight matching by LOCALLY DOMINANT edges
+    (Preis, STACS '99; Manne & Bisseling '07 — the standard
+    distributed 1/2-approximation): each round, an edge is matched
+    iff it is simultaneously its src node's best incident edge AND
+    its dst node's best incident edge ("mutually best"); matched
+    nodes leave the graph and the next round runs on the remainder.
+    Deterministic everywhere: best = max (weight, then LOWEST partner
+    id) — so the result is a pure integer function of the edge list,
+    replayable by an unrolled SQL oracle (row_number PARTITION BY
+    node ORDER BY w DESC, partner ASC = 1 on both sides).
+
+    Input is a BIPARTITE edge list ``(src, dst, weight)``: the src
+    and dst columns are SEPARATE node universes (supplier vs part) —
+    a node id appearing in both columns would be treated as two
+    distinct nodes, so symmetrize-and-dedupe general graphs into a
+    bipartite double cover (or add the per-node orientation explode)
+    before calling.  Weights must be integer-valued (the repo's
+    micro-quantization rule — float weights would make cross-engine
+    argmax ties unportable) and node ids numeric (arithmetic-negation
+    tie-break, the srp_probe contract).  Emits ``(src, dst, weight,
+    round)`` — a matching: every src and every dst appears at most
+    once across all rounds.
+
+    Scale shape per round: TWO map-side-combinable struct-max
+    aggregations (node-sized output, never a global sort or window
+    over the edge stream), one node-keyed equality join to intersect
+    the two "best" sets, and two anti-joins to drop matched
+    endpoints; ``localCheckpoint`` truncates the per-round lineage
+    exactly as in :func:`pagerank`.  rounds is O(log n) for full
+    maximal matching; a fixed small ``rounds`` bounds both engines
+    identically."""
+    alive = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("p"),
+        F.col(weight).alias("w"),
+    ).localCheckpoint(eager=False)
+    out = None
+    for r in range(1, rounds + 1):
+        best_s = alive.groupBy("s").agg(
+            F.max(F.struct(F.col("w"), (-F.col("p")).alias("np"))).alias("b")
+        ).select("s", (-F.col("b.np")).alias("p"), F.col("b.w").alias("w"))
+        best_p = alive.groupBy("p").agg(
+            F.max(F.struct(F.col("w"), (-F.col("s")).alias("ns"))).alias("b")
+        ).select("p", (-F.col("b.ns")).alias("s"), F.col("b.w").alias("w"))
+        matched = best_s.join(best_p, ["s", "p", "w"]).withColumn(
+            "round", F.lit(r)
+        ).localCheckpoint(eager=False)
+        out = matched if out is None else out.unionByName(matched)
+        alive = (
+            alive.join(matched.select("s"), "s", "left_anti")
+            .join(matched.select("p"), "p", "left_anti")
+            .select("s", "p", "w")
+            .localCheckpoint(eager=False)
+        )
+    return out.select(
+        F.col("s").alias(src), F.col("p").alias(dst),
+        F.col("w").alias(weight), "round",
+    )

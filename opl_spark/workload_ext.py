@@ -11670,3 +11670,69 @@ def q_lsh_recall_measured(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_caught").cast("double") / F.col("n_true"), 6
         ).alias("recall"),
     )
+
+
+def _matching_oracle(rounds: int = 3) -> str:
+    """Unrolled replay of dominant-edge matching: per round,
+    row_number over (w DESC, partner ASC) on BOTH sides — rs = rp = 1
+    is exactly the operator's mutual struct-max — then matched nodes
+    drop out.  Integer weights (cents × (100 − disc%)) make the
+    argmax tie-breaks engine-portable."""
+    parts = ["""
+WITH e0 AS MATERIALIZED (
+    SELECT l_suppkey AS s, l_partkey AS p,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                              AS BIGINT))) AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+r{r} AS MATERIALIZED (
+    SELECT s, p, w,
+           row_number() OVER (PARTITION BY s ORDER BY w DESC, p) AS rs,
+           row_number() OVER (PARTITION BY p ORDER BY w DESC, s) AS rp
+    FROM e{r - 1}),
+m{r} AS MATERIALIZED (
+    SELECT s, p, w, {r} AS round FROM r{r} WHERE rs = 1 AND rp = 1),
+e{r} AS MATERIALIZED (
+    SELECT s, p, w FROM e{r - 1}
+    WHERE s NOT IN (SELECT s FROM m{r}) AND p NOT IN (SELECT p FROM m{r}))""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(s AS BIGINT) AS suppkey, CAST(p AS BIGINT) AS partkey,"
+        f" w AS weight, CAST(round AS INTEGER) AS round FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@register("q_dominant_matching", oracle=_matching_oracle())
+def q_dominant_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-shaped analytic (r10, the verdict's suggestion):
+    maximum-weight supplier↔part matching by locally dominant edges
+    (Preis STACS '99 — the standard distributed 1/2-approximation):
+    three mutual-best rounds over the revenue-weighted trade graph,
+    answering "which single part should each supplier own, and vice
+    versa, to keep the most revenue covered by exclusive pairs".
+    Weights are integer (cents × (100 − discount%)), the per-round
+    selection is two map-side-combinable struct-max aggregations plus
+    a node-keyed intersect — never a window over the edge stream —
+    and the whole 3-round schedule replays hash-exact from the
+    unrolled DuckDB oracle
+    (operators/graph.py:dominant_edge_matching)."""
+    from opl_spark.operators.graph import dominant_edge_matching
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    disc = F.lit(100) - (
+        F.col("l_discount").cast("decimal(18,2)") * 100
+    ).cast("long")
+    edges = li.groupBy(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).agg(F.sum(cents * disc).alias("w"))
+    return dominant_edge_matching(edges, "src", "dst", "w", rounds=3).select(
+        F.col("src").cast("long").alias("suppkey"),
+        F.col("dst").cast("long").alias("partkey"),
+        F.col("w").alias("weight"),
+        F.col("round").cast("int").alias("round"),
+    )

@@ -327,3 +327,61 @@ def test_export_tar_shards_roundtrip_and_determinism(spark, tmp_path):
     assert not [
         f for f in _os.listdir(out3) if f.startswith(".shard-")
     ], "export left temp litter behind"
+
+
+def test_dominant_edge_matching_hand_example(spark):
+    """Preis locally-dominant matching on a hand BIPARTITE graph —
+    suppliers {1, 2} x parts {10, 20} with edges (1,10,5), (2,10,9),
+    (2,20,7).  Round 1: (2,10,9) is the only mutually-best edge
+    (9 beats 7 at supplier 2 and 5 at part 10); its endpoints take
+    (1,10) and (2,20) down with them, so the 3-round result is that
+    single edge — the classic 1/2-approximation case (the maximum
+    matching (1,10)+(2,20) = 12 > 9).  A second round picks up a pair
+    that only became mutual after round 1 removed a blocker."""
+    from opl_spark.operators.graph import dominant_edge_matching
+
+    star = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 9), (2, 20, 7)], "src long, dst long, w long"
+    )
+    got = dominant_edge_matching(star, rounds=3).collect()
+    assert [(r["src"], r["dst"], r["w"], r["round"]) for r in got] == [
+        (2, 10, 9, 1)
+    ]
+    # chain: (1,10,5) blocked in round 1 by (1,20,9)x(2,20,?) fight —
+    # supplier 1 prefers part 20 (w 9), part 20 prefers supplier 2
+    # (w 11): round 1 matches (2,20,11); round 2 then matches (1,10,5)
+    chain = spark.createDataFrame(
+        [(1, 10, 5), (1, 20, 9), (2, 20, 11)], "src long, dst long, w long"
+    )
+    got2 = sorted(
+        (r["src"], r["dst"], r["round"])
+        for r in dominant_edge_matching(chain, rounds=3).collect()
+    )
+    assert got2 == [(1, 10, 2), (2, 20, 1)]
+
+
+def test_dominant_edge_matching_is_a_matching_and_deterministic(spark, sf_dir):
+    """Output invariants on the real revenue graph: every src and
+    every dst appears at most once across all rounds (it IS a
+    matching); weight ties break to the LOWEST partner id (pinned on
+    a planted tie); two runs return identical rows."""
+    from pyspark.sql import functions as F
+
+    from opl_spark import workload
+
+    q = workload.queries()["q_dominant_matching"]
+    rows = q(spark, sf_dir).collect()
+    srcs = [r["suppkey"] for r in rows]
+    dsts = [r["partkey"] for r in rows]
+    assert len(srcs) == len(set(srcs)) and len(dsts) == len(set(dsts))
+    assert rows and all(r["round"] >= 1 for r in rows)
+    again = q(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # planted tie: node 1 sees (1,10,w=5) and (1,20,w=5) -> partner 10
+    from opl_spark.operators.graph import dominant_edge_matching
+
+    tie = spark.createDataFrame(
+        [(1, 10, 5), (1, 20, 5)], "src long, dst long, w long"
+    )
+    got = dominant_edge_matching(tie, rounds=1).collect()
+    assert [(r["src"], r["dst"]) for r in got] == [(1, 10)]
