@@ -309,6 +309,10 @@ BENCH_QUERIES = [
     # round-10: Preis dominant-edge matching (1/2-approx max-weight
     # supplier<->part assignment, 3 mutual-best rounds)
     "q_dominant_matching",
+    # rank statistics (r10, second tranche)
+    "q_spearman",
+    "q_gini",
+    "q_kendall_tau",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

@@ -1,0 +1,308 @@
+"""Distributed exact ranking and rank statistics.
+
+A global ``RANK() OVER (ORDER BY x)`` in Spark plans as a SINGLE-TASK
+window — the whole table funnels through one reducer, the exact
+anti-pattern the repo-wide plan audit rejects.  This module computes
+exact tie-averaged ranks with the classic two-pass range-partition
+scheme instead: rank the DISTINCT values (ties collapse to one row, so
+no tie group ever straddles a partition boundary), range-partition
+them, take a per-partition running sum of tie counts (a window keyed
+by the partition id — P parallel window groups, not one), and close
+the cross-partition prefix with a partition-count-sized offset join
+(P rows, broadcast).  Every step is distributed; the only driver-side
+value is nothing at all — offsets stay in the plan.
+
+Ranks are exposed DOUBLED (``rank2 = 2 × average rank``), which makes
+them exact BIGINTs even when a tie group has even size (average ranks
+are multiples of ½).  Downstream statistics (Spearman's ρ, the Gini
+coefficient) then run in pure integer/decimal arithmetic to the final
+division — the ``q_correlation`` / ``q_zscore_outliers`` exactness
+discipline, bit-stable on any engine and any partitioning.
+
+Reference parity: the reference engine has no rank statistics; these
+extend the analytics tier (SURVEY.md §2.10) alongside Pearson
+(``q_correlation``) and HHI (``q_revenue_concentration``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: decimal wide enough for n·Σ(rank2·x) cross-products at 100 TB row
+#: counts (≈1e29 at n=1e10, x=1e9 cents) — same type the Pearson
+#: query uses for its moment sums.
+_BIG = "decimal(38,0)"
+
+
+def avg_rank2(
+    df: DataFrame,
+    value_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact tie-averaged ranks of ``value_col``, doubled to stay
+    integral: returns one row per DISTINCT non-null value with columns
+    ``(v, c, rank2)`` where ``c`` is the tie-group size and
+    ``rank2 = 2·avg_rank = 2·(#{u < v}) + c + 1`` (a BIGINT; divide by
+    two for the conventional average rank).
+
+    Execution shape (no global single-task window anywhere):
+
+    1. ``groupBy(value)`` — one hash shuffle over distinct values;
+    2. ``repartitionByRange`` on the value — distinct values spread
+       over ``partitions`` range buckets, materialized once via a lazy
+       ``localCheckpoint`` so the partition ids the two consumers see
+       are the SAME physical exchange (range sampling re-runs could
+       otherwise disagree between branches);
+    3. per-partition running tie-count sum — a window PARTITIONED BY
+       the partition id (P parallel groups);
+    4. cross-partition offsets — a P×P broadcast theta-join over the
+       per-partition totals (P = shuffle partitions, driver-bounded by
+       construction).
+
+    Join the result back on the value column to attach per-row ranks;
+    the rank frame is |distinct|-sized, so Spark/AQE picks broadcast
+    vs shuffle join on real cardinality.
+    """
+    spark = df.sparkSession
+    n_part = int(
+        partitions or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    vals = (
+        df.select(F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .repartitionByRange(n_part, F.col("v"))
+        .withColumn("pid", F.spark_partition_id())
+        # lazy: the first action pins partition ids for BOTH branches
+        .localCheckpoint(eager=False)
+    )
+    w_before = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = vals.withColumn(
+        "before_local", F.coalesce(F.sum("c").over(w_before), F.lit(0))
+    )
+    totals = vals.groupBy("pid").agg(F.sum("c").alias("t"))
+    offs = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col("b.pid") < F.col("a.pid"),
+            "left",
+        )
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("off"))
+    )
+    return (
+        local.join(F.broadcast(offs), "pid")
+        .select(
+            F.col("v"),
+            F.col("c"),
+            (
+                F.lit(2) * (F.col("off") + F.col("before_local"))
+                + F.col("c")
+                + F.lit(1)
+            ).alias("rank2"),
+        )
+    )
+
+
+def _pearson_over(
+    pairs: DataFrame, x: str, y: str, out_col: str
+) -> DataFrame:
+    """Exact-moment Pearson over two integral columns: the five sums
+    in decimal(38,0) (order-independent), floats only in the closing
+    division — plus the q_correlation overflow trap (a NULL statistic
+    with non-NULL sums can only be a decimal overflow; raising beats
+    silently emitting NULL)."""
+    st = pairs.select(
+        F.col(x).cast(_BIG).alias("x"), F.col(y).cast(_BIG).alias("y")
+    ).agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    stat = F.round(num / den, 6)
+    sums_ok = (
+        F.col("sx").isNotNull()
+        & F.col("sy").isNotNull()
+        & F.col("sxy").isNotNull()
+        & F.col("sxx").isNotNull()
+        & F.col("syy").isNotNull()
+    )
+    stat = F.when(
+        stat.isNull() & sums_ok,
+        F.raise_error(
+            f"{out_col}: decimal(38,0) overflow — rescale the inputs"
+        ).cast("double"),
+    ).otherwise(stat)
+    return st.select(
+        F.col("n").cast("long").alias("n"), stat.alias(out_col)
+    )
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation with exact tie correction: Pearson
+    over the tie-averaged ranks of ``x_col`` and ``y_col`` (doubled
+    ranks — scale-invariant for a correlation, and integral, so every
+    moment sum is exact decimal arithmetic).
+
+    Rows with a NULL in either column are excluded BEFORE ranking, so
+    both rank variables cover the same n rows.  Returns one row
+    ``(n, spearman_rho)``.
+
+    Scale shape: two distinct-value rank passes (each a hash shuffle +
+    a range exchange over |distinct| rows), two value-keyed joins to
+    re-attach ranks (AQE broadcasts a bounded-domain side
+    automatically), one combinable moment aggregate.  Nothing
+    driver-sized, no global window.
+    """
+    base = df.select(
+        F.col(x_col).alias("xv"), F.col(y_col).alias("yv")
+    ).filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    rx = avg_rank2(base, "xv").select(
+        F.col("v").alias("xv"), F.col("rank2").alias("rx2")
+    )
+    ry = avg_rank2(base, "yv").select(
+        F.col("v").alias("yv"), F.col("rank2").alias("ry2")
+    )
+    ranked = base.join(rx, "xv").join(ry, "yv")
+    return _pearson_over(ranked, "rx2", "ry2", "spearman_rho")
+
+
+def gini_coefficient(df: DataFrame, value_col: str) -> DataFrame:
+    """Gini coefficient of a non-negative integral quantity (revenue
+    cents, token counts) with exact tie handling:
+
+        G = (Σᵢ rank2ᵢ·xᵢ − (n+1)·Σx) / (n·Σx)
+
+    where ``rank2`` is the doubled tie-averaged ascending rank — the
+    standard mean-difference form rearranged so the numerator is pure
+    integer arithmetic (the ½ of the average rank cancels against the
+    2 of ``2·Σrᵢxᵢ``).  Ties take the same rank2, which matches the
+    tie-symmetric definition ``G = Σᵢⱼ|xᵢ−xⱼ| / (2n²μ)`` exactly.
+
+    NULL values are excluded; a zero-total population (all x = 0)
+    yields NULL (Gini undefined).  Returns one row
+    ``(n, total, gini)``.
+    """
+    base = df.select(F.col(value_col).alias("xv")).filter(
+        F.col(value_col).isNotNull()
+    )
+    ranks = avg_rank2(base, "xv")
+    st = ranks.agg(
+        F.sum("c").cast(_BIG).alias("n"),
+        F.sum(F.col("c").cast(_BIG) * F.col("v").cast(_BIG)).alias("t"),
+        F.sum(
+            F.col("c").cast(_BIG)
+            * F.col("rank2").cast(_BIG)
+            * F.col("v").cast(_BIG)
+        ).alias("srx"),
+    )
+    gini = F.round(
+        (
+            F.col("srx") - (F.col("n") + F.lit(1)) * F.col("t")
+        ).cast("double")
+        / (F.col("n") * F.col("t")).cast("double"),
+        6,
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("t").cast("long").alias("total"),
+        F.when(F.col("t") == 0, F.lit(None).cast("double"))
+        .otherwise(gini)
+        .alias("gini"),
+    )
+
+
+def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall's τ-b between two BOUNDED-CARDINALITY ordinal columns
+    via the joint contingency table: concordant/discordant pair counts
+    come from a cell×cell comparison, so the quadratic term is
+    |cells|², not n² — exact, and bounded by the ordinal domains
+    (quantize/bin an unbounded column first; that is the documented
+    contract, the same one ``chi2_independence`` carries).
+
+        C = Σ c(a)·c(b) over cell pairs with x_b > x_a, y_b > y_a
+        D = Σ c(a)·c(b) over cell pairs with x_b > x_a, y_b < y_a
+        τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂))
+
+    with n₀ = n(n−1)/2 and n₁/n₂ the per-x / per-y tie-pair sums.
+    All counts are exact decimals; floats enter at the final division.
+    NULL rows are excluded (a NULL is not ordered against anything).
+    Returns one row ``(n, concordant, discordant, kendall_tau_b)``.
+
+    Scale shape: ONE hash aggregate over the data builds the cell
+    table; everything after runs on |cells| rows — the cell-pair
+    theta-join is a broadcast nested-loop over a domain-bounded frame
+    (50×11 for quantity×discount), never a shuffle over facts.
+    """
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast(_BIG).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    pair_cd = (
+        cells.alias("a")
+        .join(F.broadcast(cells.alias("b")), F.col("b.x") > F.col("a.x"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.y") > F.col("a.y"),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0).cast(_BIG))
+            ).alias("concordant"),
+            F.sum(
+                F.when(
+                    F.col("b.y") < F.col("a.y"),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(F.lit(0).cast(_BIG))
+            ).alias("discordant"),
+        )
+    )
+    two = F.lit(2).cast(_BIG)
+    ties = cells.agg(F.sum("c").alias("n"))
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .agg((F.sum(F.col("cx") * F.col("cx")) - F.sum("cx")).alias("tie_x2"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+        .agg((F.sum(F.col("cy") * F.col("cy")) - F.sum("cy")).alias("tie_y2"))
+    )
+    st = ties.crossJoin(tx).crossJoin(ty).crossJoin(pair_cd)
+    n0_2 = F.col("n") * (F.col("n") - F.lit(1))  # 2·n₀
+    tau = F.round(
+        (two * (F.col("concordant") - F.col("discordant"))).cast("double")
+        / F.sqrt(
+            (n0_2 - F.col("tie_x2")).cast("double")
+            * (n0_2 - F.col("tie_y2")).cast("double")
+        ),
+        6,
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        tau.alias("kendall_tau_b"),
+    )

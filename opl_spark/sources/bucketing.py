@@ -70,3 +70,62 @@ def bucketed_join(
     """Join two co-bucketed catalog tables on their bucket key — with
     matching bucket counts Catalyst plans this without any Exchange."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def materialize_parquet_atomic(
+    spark: SparkSession, name: str, token: str, build
+) -> DataFrame:
+    """Per-snapshot parquet materialization that stays safe under
+    CONCURRENT sessions sharing one warehouse — the export_tar_shards
+    temp+rename discipline applied to memo tables.
+
+    The final location is content-addressed:
+    ``<warehouse>/<name>/<sha1(token)[:12]>`` (``token`` is the data
+    directory / snapshot identity).  A builder writes the frame to a
+    session-unique temp sibling and ATOMICALLY renames it into place;
+    a loser of the rename race discards its temp directory and reads
+    the winner's.  Readers therefore only ever see a COMPLETE
+    directory: nothing ever writes INTO a final path, and re-keying by
+    token means switching data dirs never overwrites a location some
+    concurrent session may still be scanning (the drop + saveAsTable
+    pattern this replaces did exactly that — the mid-overwrite reader
+    observed a half-written table).
+
+    Uses the Hadoop FS API throughout, so any warehouse scheme with
+    atomic directory rename (local FS, HDFS) works.  Leftover
+    ``.tmp-*`` directories from a crashed builder are inert (unique
+    names, never read) and reclaimed by the next successful builder.
+    """
+    import hashlib
+    import os
+    import time
+
+    digest = hashlib.sha1(str(token).encode()).hexdigest()[:12]
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    base = f"{wh}/{name.lower()}"
+    final_str = f"{base}/{digest}"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    final = jvm.org.apache.hadoop.fs.Path(final_str)
+    fs = final.getFileSystem(hconf)
+    if not fs.exists(final):
+        tmp_str = f"{base}/.tmp-{digest}-{os.getpid()}-{time.monotonic_ns()}"
+        build().write.mode("overwrite").parquet(tmp_str)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(base))
+        tmp = jvm.org.apache.hadoop.fs.Path(tmp_str)
+        if not fs.rename(tmp, final):
+            # another session won the race — its COMPLETE directory
+            # serves everyone; ours is redundant
+            fs.delete(tmp, True)
+            if not fs.exists(final):
+                raise IOError(
+                    f"materialize_parquet_atomic: rename to {final_str} "
+                    "failed and no winner exists"
+                )
+        else:
+            # reclaim any inert temp dirs a crashed builder left behind
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(base)):
+                p = st.getPath()
+                if p.getName().startswith(".tmp-"):
+                    fs.delete(p, True)
+    return spark.read.parquet(final_str)

@@ -11500,29 +11500,25 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: steady-state CC-label memo: table name -> the sf_dir its current
-#: contents were built from.  Same materialized-view semantics as
-#: _EDGES_BUILT / _ROLLUP_BUILT: a dedup pipeline computes the
-#: keep/drop labels ONCE per corpus snapshot (the expensive pair
-#: expansion + connected components) and every downstream report
-#: reads the materialization; switching directories rebuilds instead
-#: of serving another corpus's labels.
-_LABELS_BUILT: dict[str, str] = {}
-
-
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from opl_spark.sources.bucketing import drop_table_and_location
+    """Steady-state CC-label memo, same materialized-view semantics
+    as _EDGES_BUILT / _ROLLUP_BUILT: a dedup pipeline computes the
+    keep/drop labels ONCE per corpus snapshot (the expensive pair
+    expansion + connected components) and every downstream report
+    reads the materialization.  The store is content-addressed by
+    sf_dir and written via temp+atomic-rename
+    (sources/bucketing.py:materialize_parquet_atomic), so concurrent
+    sessions sharing the warehouse never observe a half-written
+    table and switching directories serves the right corpus's labels
+    structurally — no mutable memo dict to go stale."""
+    from opl_spark.sources.bucketing import materialize_parquet_atomic
 
-    table = "opl_cc_labels_docs"
-    if _LABELS_BUILT.get(table) != sf_dir or not spark.catalog.tableExists(table):
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
-        # cross-session idempotence: a leftover managed-table location
-        # from a previous session would fail mode("overwrite") alone
-        drop_table_and_location(spark, table)
-        dedup_clusters(pairs).write.mode("overwrite").saveAsTable(table)
-        _LABELS_BUILT[table] = sf_dir
-    return spark.table(table)
+        return dedup_clusters(pairs)
+
+    return materialize_parquet_atomic(spark, "opl_cc_labels_docs", sf_dir, build)
 
 
 @register(
@@ -11736,3 +11732,159 @@ def q_dominant_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("weight"),
         F.col("round").cast("int").alias("round"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rank statistics (r10): Spearman, Gini, Kendall — the tie-exact rank
+# tier over opl_spark/operators/ranking.py.  The reference engine has
+# no rank statistics; these extend the analytics family next to
+# Pearson (q_correlation) and HHI (q_revenue_concentration), and every
+# rank is DOUBLED (rank2 = 2·avg_rank, an integer) so both engines run
+# pure integer/decimal arithmetic to the final division.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_spearman",
+    oracle="""
+WITH base AS (
+    SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+r AS (
+    SELECT CAST(2 * RANK() OVER (ORDER BY x)
+                + COUNT(*) OVER (PARTITION BY x) - 1 AS HUGEINT) AS rx,
+           CAST(2 * RANK() OVER (ORDER BY y)
+                + COUNT(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS ry
+    FROM base
+),
+st AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+           SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+FROM st
+""",
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order quantity and extended
+    price — monotone-association strength that Pearson (q_correlation)
+    misses when the relation is nonlinear.  Exact tie correction via
+    doubled average ranks; the rank pass is the two-pass
+    range-partition scheme of operators/ranking.py:avg_rank2 (windows
+    keyed by the range-partition id — P parallel groups, NEVER the
+    single-task global window the oracle is allowed to use on 60k
+    rows but a 100 TB engine is not)."""
+    from opl_spark.operators.ranking import spearman_rho
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return spearman_rho(li, "x", "y")
+
+
+@register(
+    "q_gini",
+    oracle="""
+WITH per AS (
+    SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_custkey
+),
+r AS (
+    SELECT CAST(cents AS HUGEINT) AS x,
+           CAST(2 * RANK() OVER (ORDER BY cents)
+                + COUNT(*) OVER (PARTITION BY cents) - 1 AS HUGEINT) AS r2
+    FROM per
+),
+st AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS t, SUM(r2 * x) AS srx
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(t AS BIGINT) AS total_cents,
+       CASE WHEN t = 0 THEN NULL
+            ELSE ROUND(CAST(srx - (n + 1) * t AS DOUBLE)
+                       / CAST(n * t AS DOUBLE), 6) END AS gini
+FROM st
+""",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue — the
+    inequality statistic that completes the concentration report next
+    to HHI / top-decile share (q_revenue_concentration): HHI weighs
+    the giants, Gini reads the whole Lorenz curve.  Revenue in exact
+    cents, ranks exact and doubled (ties share a rank2), numerator
+    Σrank2·x − (n+1)·Σx in decimal(38,0) — floats only at the closing
+    division (operators/ranking.py:gini_coefficient)."""
+    from opl_spark.operators.ranking import gini_coefficient
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    g = gini_coefficient(per, "cents")
+    return g.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.col("gini"),
+    )
+
+
+@register(
+    "q_kendall_tau",
+    oracle="""
+WITH base AS (
+    SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_discount * 100) AS BIGINT) AS y
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+),
+cells AS (
+    SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS c FROM base GROUP BY 1, 2
+),
+cd AS (
+    SELECT SUM(CASE WHEN b.y > a.y THEN a.c * b.c
+                    ELSE CAST(0 AS HUGEINT) END) AS conc,
+           SUM(CASE WHEN b.y < a.y THEN a.c * b.c
+                    ELSE CAST(0 AS HUGEINT) END) AS disc
+    FROM cells a JOIN cells b ON b.x > a.x
+),
+nn AS (SELECT SUM(c) AS n FROM cells),
+tx AS (SELECT SUM(cx * cx) - SUM(cx) AS tie_x2
+       FROM (SELECT SUM(c) AS cx FROM cells GROUP BY x)),
+ty AS (SELECT SUM(cy * cy) - SUM(cy) AS tie_y2
+       FROM (SELECT SUM(c) AS cy FROM cells GROUP BY y))
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       ROUND(CAST(2 * (conc - disc) AS DOUBLE)
+             / sqrt(CAST(n * (n - 1) - tie_x2 AS DOUBLE)
+                    * CAST(n * (n - 1) - tie_y2 AS DOUBLE)),
+             6) AS kendall_tau_b
+FROM cd CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty
+""",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between quantity and discount percent — the
+    third leg of the correlation family (Pearson/Spearman/Kendall),
+    computed the only way that survives 100 TB: concordant/discordant
+    pair counts from the 50×11 joint contingency table, so the
+    quadratic term is |cells|² (a broadcast nested loop over ≤550
+    rows), never n².  Tie corrections (τ-b) from the cell margins;
+    counts exact to the final division
+    (operators/ranking.py:kendall_tau_b)."""
+    from opl_spark.operators.ranking import kendall_tau_b
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    return kendall_tau_b(li, "x", "y")

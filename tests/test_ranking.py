@@ -1,0 +1,177 @@
+"""Exactness pins for the distributed rank statistics
+(opl_spark/operators/ranking.py): tie-averaged ranks, Spearman's ρ,
+the Gini coefficient, and Kendall's τ-b, each checked against a naive
+single-machine computation on data with deliberate ties."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from opl_spark.operators.ranking import (
+    avg_rank2,
+    gini_coefficient,
+    kendall_tau_b,
+    spearman_rho,
+)
+
+
+def _naive_rank2(values):
+    """2 × tie-averaged ascending rank per distinct value."""
+    s = sorted(values)
+    out = {}
+    for v in set(values):
+        lo = s.index(v)  # count of strictly-smaller values
+        c = s.count(v)
+        out[v] = 2 * lo + c + 1
+    return out
+
+
+def test_avg_rank2_matches_naive_with_ties(spark):
+    random.seed(7)
+    vals = [random.randint(0, 12) for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "xv: long")
+    got = {
+        r["v"]: (r["c"], r["rank2"])
+        for r in avg_rank2(df, "xv", partitions=5).collect()
+    }
+    want2 = _naive_rank2(vals)
+    assert set(got) == set(want2)
+    for v, (c, r2) in got.items():
+        assert c == vals.count(v)
+        assert r2 == want2[v]
+    # ranks over all rows sum to n(n+1) in the doubled scale
+    assert sum(c * r2 for c, r2 in got.values()) == len(vals) * (len(vals) + 1)
+
+
+def test_avg_rank2_excludes_nulls(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,), (2,)], "xv: long")
+    rows = {r["v"]: r["rank2"] for r in avg_rank2(df, "xv").collect()}
+    assert rows == {1: 2, 2: 5}  # avg ranks 1 and 2.5, doubled
+
+
+def _naive_spearman(xs, ys):
+    rx = _naive_rank2(xs)
+    ry = _naive_rank2(ys)
+    a = [rx[x] for x in xs]
+    b = [ry[y] for y in ys]
+    n = len(xs)
+    sx, sy = sum(a), sum(b)
+    sxy = sum(p * q for p, q in zip(a, b))
+    sxx = sum(p * p for p in a)
+    syy = sum(q * q for q in b)
+    return (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+
+
+def test_spearman_monotone_is_one(spark):
+    df = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 60)], "x: long, y: long"
+    )
+    row = spearman_rho(df, "x", "y").collect()[0]
+    assert row["n"] == 59 and row["spearman_rho"] == 1.0
+    rev = spark.createDataFrame(
+        [(i, -3 * i) for i in range(40)], "x: long, y: long"
+    )
+    assert spearman_rho(rev, "x", "y").collect()[0]["spearman_rho"] == -1.0
+
+
+def test_spearman_matches_naive_with_ties(spark):
+    random.seed(11)
+    xs = [random.randint(0, 9) for _ in range(150)]
+    ys = [x + random.randint(0, 5) for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x: long, y: long")
+    row = spearman_rho(df, "x", "y").collect()[0]
+    assert row["n"] == 150
+    assert row["spearman_rho"] == pytest.approx(
+        round(_naive_spearman(xs, ys), 6), abs=1e-6
+    )
+
+
+def test_spearman_excludes_null_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (2, None), (None, 3), (2, 2), (3, 9)],
+        "x: long, y: long",
+    )
+    assert spearman_rho(df, "x", "y").collect()[0]["n"] == 3
+
+
+def _naive_gini(xs):
+    n, mu = len(xs), sum(xs) / len(xs)
+    return sum(abs(a - b) for a in xs for b in xs) / (2 * n * n * mu)
+
+
+def test_gini_extremes_and_ties(spark):
+    equal = spark.createDataFrame([(5,)] * 40, "xv: long")
+    assert gini_coefficient(equal, "xv").collect()[0]["gini"] == 0.0
+    random.seed(3)
+    xs = [random.randint(0, 50) * 100 for _ in range(120)]
+    df = spark.createDataFrame([(v,) for v in xs], "xv: long")
+    row = gini_coefficient(df, "xv").collect()[0]
+    assert row["n"] == 120 and row["total"] == sum(xs)
+    assert row["gini"] == pytest.approx(round(_naive_gini(xs), 6), abs=1e-6)
+
+
+def test_gini_zero_total_is_null(spark):
+    df = spark.createDataFrame([(0,)] * 5, "xv: long")
+    assert gini_coefficient(df, "xv").collect()[0]["gini"] is None
+
+
+def _naive_kendall(xs, ys):
+    n = len(xs)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            dy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            if dx == 0 and dy != 0:
+                tx += 1
+            elif dy == 0 and dx != 0:
+                ty += 1
+            elif dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    n1 = sum(
+        xs.count(v) * (xs.count(v) - 1) // 2 for v in set(xs)
+    )
+    n2 = sum(
+        ys.count(v) * (ys.count(v) - 1) // 2 for v in set(ys)
+    )
+    return conc, disc, (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+
+
+def test_kendall_tau_matches_naive_with_ties(spark):
+    random.seed(5)
+    xs = [random.randint(1, 8) for _ in range(80)]
+    ys = [min(10, x + random.randint(-2, 2)) for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x: long, y: long")
+    row = kendall_tau_b(df, "x", "y").collect()[0]
+    conc, disc, tau = _naive_kendall(xs, ys)
+    assert (row["n"], row["concordant"], row["discordant"]) == (80, conc, disc)
+    assert row["kendall_tau_b"] == pytest.approx(round(tau, 6), abs=1e-6)
+
+
+def test_kendall_perfect_orders(spark):
+    df = spark.createDataFrame(
+        [(i, 2 * i) for i in range(30)], "x: long, y: long"
+    )
+    assert kendall_tau_b(df, "x", "y").collect()[0]["kendall_tau_b"] == 1.0
+    rev = spark.createDataFrame(
+        [(i, -i) for i in range(30)], "x: long, y: long"
+    )
+    assert kendall_tau_b(rev, "x", "y").collect()[0]["kendall_tau_b"] == -1.0
+
+
+def test_rank_join_back_is_distributed(spark):
+    """The rank frame joins back by value without any global window:
+    no single-task ordered window may appear in the plan."""
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "xv: long")
+    plan = spearman_rho(df.withColumnRenamed("xv", "x").withColumn("y", F.col("x") + 1), "x", "y")._jdf.queryExecution().executedPlan().toString()
+    # windows in the plan must be keyed by the range-partition id
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "pid" in line

@@ -286,21 +286,30 @@ def test_ivf_centroids_memoize_training_per_data_dir(spark, sf_dir, monkeypatch)
 
 def test_cc_labels_memoize_build_per_data_dir(spark, sf_dir):
     """The dedup keep/drop labels follow the materialized-view
-    semantics of the other per-data-dir memos: built once, the
-    cluster-size report reads the table, a stale memo pointing at a
-    different directory forces a rebuild, and the memoized result
-    stays identical to a fresh CC computation."""
-    from pyspark.sql import functions as F
+    semantics of the other per-data-dir memos, with the r10
+    concurrency hardening: the store is content-addressed by sf_dir
+    and atomically renamed into place, so the steady state reuses the
+    SAME directory (no rewrite a concurrent reader could observe
+    half-done), per-dir isolation is structural (different dir →
+    different location), and the memoized result stays identical to a
+    fresh CC computation."""
+    import hashlib
 
     from opl_spark import workload
     from opl_spark import workload_ext as wx
     from opl_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
     from opl_spark.sources import load_table
 
-    wx._LABELS_BUILT.clear()
     qs = workload.queries()
     first = qs["q_dup_cluster_sizes"](spark, sf_dir).collect()
-    assert wx._LABELS_BUILT.get("opl_cc_labels_docs") == sf_dir
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    loc = f"{wh}/opl_cc_labels_docs/{digest}"
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    assert fs.exists(path)
+    built_at = fs.getFileStatus(path).getModificationTime()
     # memoized labels == fresh CC labels (bit-identical keep/drop list)
     docs = load_table(spark, sf_dir, "documents")
     fresh = dedup_clusters(
@@ -309,11 +318,55 @@ def test_cc_labels_memoize_build_per_data_dir(spark, sf_dir):
     assert sorted(map(tuple, wx._cc_labels(spark, sf_dir).collect())) == sorted(
         map(tuple, fresh.collect())
     )
-    # steady state: same dir reuses the table, result identical
+    # steady state: same dir reuses the SAME location, never rewritten
     assert sorted(map(tuple, qs["q_dup_cluster_sizes"](spark, sf_dir).collect())) \
         == sorted(map(tuple, first))
-    # a stale memo pointing elsewhere forces a rebuild from sf_dir
-    wx._LABELS_BUILT["opl_cc_labels_docs"] = "/some/other/dir"
-    again = qs["q_dup_cluster_sizes"](spark, sf_dir).collect()
-    assert wx._LABELS_BUILT.get("opl_cc_labels_docs") == sf_dir
-    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+    assert fs.getFileStatus(path).getModificationTime() == built_at
+    # no temp litter after a successful build
+    base = jvm.org.apache.hadoop.fs.Path(f"{wh}/opl_cc_labels_docs")
+    names = [st.getPath().getName() for st in fs.listStatus(base)]
+    assert not [n for n in names if n.startswith(".tmp-")]
+
+
+def test_materialize_parquet_atomic_contract(spark):
+    """The atomic memo helper: builds once per token, reuses the
+    complete directory on every later call (builder NOT re-invoked),
+    isolates tokens structurally, and never leaves temp litter."""
+    import hashlib
+
+    from opl_spark.sources.bucketing import materialize_parquet_atomic
+
+    name = "opl_test_atomic_memo"
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(f"{wh}/{name}")
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(base, True)
+
+    calls = []
+
+    def build_a():
+        calls.append("a")
+        return spark.range(5).selectExpr("id", "id * id AS sq")
+
+    got = materialize_parquet_atomic(spark, name, "token-a", build_a)
+    assert sorted(r["sq"] for r in got.collect()) == [0, 1, 4, 9, 16]
+    assert calls == ["a"]
+    # steady state: reuse, no rebuild
+    again = materialize_parquet_atomic(spark, name, "token-a", build_a)
+    assert calls == ["a"]
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got.collect()))
+    # a different token builds its own location; the first is untouched
+    other = materialize_parquet_atomic(
+        spark, name, "token-b",
+        lambda: spark.range(2).selectExpr("id", "id + 100 AS sq"),
+    )
+    assert sorted(r["sq"] for r in other.collect()) == [100, 101]
+    assert calls == ["a"]
+    # both digests live side by side, no temp litter
+    names = sorted(st.getPath().getName() for st in fs.listStatus(base))
+    want = sorted(
+        hashlib.sha1(t.encode()).hexdigest()[:12] for t in ("token-a", "token-b")
+    )
+    assert names == want
+    fs.delete(base, True)

@@ -267,6 +267,14 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_psi_drift",
         # 1-row train-vocab (tot, V) broadcast onto the val token stream
         "q_heldout_perplexity",
+        # rank statistics (r10): the cross-partition prefix offsets are
+        # a P x P theta-join over PER-PARTITION TOTALS (P = shuffle
+        # partitions, driver-bounded by construction, ranking.py)
+        "q_spearman", "q_gini",
+        # cell x cell concordance theta-join over the 50x11 joint
+        # contingency table — domain-bounded, never n^2 (ranking.py
+        # kendall_tau_b; the documented bounded-ordinal contract)
+        "q_kendall_tau",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
