@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "q_spearman",
     "q_gini",
     "q_kendall_tau",
+    "q_lorenz_deciles",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

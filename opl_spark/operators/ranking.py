@@ -306,3 +306,81 @@ def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.col("discordant").cast("long").alias("discordant"),
         tau.alias("kendall_tau_b"),
     )
+
+
+def lorenz_deciles(
+    df: DataFrame, value_col: str, buckets: int = 10
+) -> DataFrame:
+    """The Lorenz-curve table behind the Gini coefficient: the
+    population split into ``buckets`` equal-rank slices (ascending by
+    value), each row reporting its member count, its value mass, and
+    the CUMULATIVE share of the total — "the bottom 40% of customers
+    hold 9% of revenue".
+
+    Bucket assignment is by tie-averaged rank (``ceil(B·r/n)``), so a
+    tie group lands in ONE bucket — deterministic under any engine's
+    sort, at the cost of slightly uneven bucket sizes when ties
+    straddle a boundary (the same rule both the Spark plan and the
+    SQL oracle apply; a ROW_NUMBER split would be partition-order
+    lottery).  The bucket index is exact integral arithmetic
+    (``(B/2·rank2 + n − 1) div n`` — doubled ranks make B·r integral
+    for even B); the cumulative sum runs over the ≤``buckets``-row
+    summary via a broadcast suffix join, never a global window over
+    the population.
+
+    Returns ``(bucket, n_members, bucket_value, cum_share)`` with
+    ``cum_share`` rounded to 6 places.  NULL values are excluded.
+    """
+    if buckets % 2 != 0:
+        raise ValueError("lorenz_deciles: buckets must be even "
+                         "(doubled-rank bucket math)")
+    ranks = avg_rank2(
+        df.select(F.col(value_col).alias("xv")).filter(
+            F.col(value_col).isNotNull()
+        ),
+        "xv",
+    )
+    tot = ranks.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast(_BIG) * F.col("v").cast(_BIG)).alias("t"),
+    )
+    half = buckets // 2
+    # rank2 ≤ 2n, so half·rank2 + n stays exact in BIGINT up to
+    # n ≈ 9·10¹⁷/buckets — far past any population count
+    dec = (
+        ranks.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.expr(f"({half}L * rank2 + n - 1) div n").cast("int"),
+        )
+    )
+    grp = dec.groupBy("bucket").agg(
+        F.sum("c").alias("n_members"),
+        F.sum(F.col("c").cast(_BIG) * F.col("v").cast(_BIG)).alias(
+            "bucket_value"
+        ),
+        F.max("t").alias("t"),
+    )
+    # cumulative over the ≤buckets-row summary: broadcast suffix join
+    cum = (
+        grp.alias("a")
+        .join(
+            F.broadcast(grp.alias("b")),
+            F.col("b.bucket") <= F.col("a.bucket"),
+        )
+        .groupBy(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.n_members").alias("n_members"),
+            F.col("a.bucket_value").alias("bucket_value"),
+            F.col("a.t").alias("t"),
+        )
+        .agg(F.sum("b.bucket_value").alias("cum_value"))
+    )
+    return cum.select(
+        "bucket",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("bucket_value").cast("long").alias("bucket_value"),
+        F.round(
+            F.col("cum_value").cast("double") / F.col("t").cast("double"), 6
+        ).alias("cum_share"),
+    )

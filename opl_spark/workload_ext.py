@@ -11888,3 +11888,57 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("long").alias("y"),
     )
     return kendall_tau_b(li, "x", "y")
+
+
+@register(
+    "q_lorenz_deciles",
+    oracle="""
+WITH per AS (
+    SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_custkey
+),
+r AS (
+    SELECT CAST(cents AS HUGEINT) AS x,
+           CAST(2 * RANK() OVER (ORDER BY cents)
+                + COUNT(*) OVER (PARTITION BY cents) - 1 AS HUGEINT) AS r2
+    FROM per
+),
+nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS t FROM r),
+d AS (
+    SELECT CAST((5 * r2 + n - 1) // n AS INTEGER) AS bucket, x
+    FROM r CROSS JOIN nn
+),
+g AS (
+    SELECT bucket, COUNT(*) AS n_members, SUM(x) AS bucket_value
+    FROM d GROUP BY 1
+)
+SELECT a.bucket,
+       CAST(a.n_members AS BIGINT) AS n_members,
+       CAST(a.bucket_value AS BIGINT) AS bucket_value,
+       ROUND(CAST(SUM(b.bucket_value) AS DOUBLE)
+             / CAST((SELECT t FROM nn) AS DOUBLE), 6) AS cum_share
+FROM g a JOIN g b ON b.bucket <= a.bucket
+GROUP BY a.bucket, a.n_members, a.bucket_value
+""",
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz table under q_gini: customers in ascending-revenue
+    rank deciles, each with member count, revenue mass, and cumulative
+    share of the total — "the bottom 40% of customers hold x% of
+    revenue", the report an account manager actually reads next to
+    the single-number Gini.  Bucketing is by tie-averaged rank (a tie
+    group lands in ONE bucket — deterministic on any engine; both
+    engines apply the identical rule), the bucket index is exact
+    integral arithmetic over doubled ranks, and the cumulative runs
+    as a broadcast suffix join over the 10-row summary — never a
+    global window over customers
+    (operators/ranking.py:lorenz_deciles)."""
+    from opl_spark.operators.ranking import lorenz_deciles
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    return lorenz_deciles(per, "cents", buckets=10)

@@ -175,3 +175,38 @@ def test_rank_join_back_is_distributed(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "pid" in line
+
+
+def test_lorenz_deciles_exact_with_ties(spark):
+    """Bucket assignment by tie-averaged rank, masses and cumulative
+    shares checked against a naive computation; last share is 1."""
+    random.seed(13)
+    xs = [random.randint(0, 30) * 10 for _ in range(173)]
+    from opl_spark.operators.ranking import lorenz_deciles
+
+    df = spark.createDataFrame([(v,) for v in xs], "xv: long")
+    rows = {r["bucket"]: r for r in lorenz_deciles(df, "xv").collect()}
+    n, total = len(xs), sum(xs)
+    r2 = _naive_rank2(xs)
+    want_bucket = {}
+    for v in xs:
+        b = (5 * r2[v] + n - 1) // n
+        want_bucket.setdefault(b, []).append(v)
+    assert set(rows) == set(want_bucket)
+    cum = 0
+    for b in sorted(want_bucket):
+        cum += sum(want_bucket[b])
+        assert rows[b]["n_members"] == len(want_bucket[b])
+        assert rows[b]["bucket_value"] == sum(want_bucket[b])
+        assert rows[b]["cum_share"] == pytest.approx(
+            round(cum / total, 6), abs=1e-6
+        )
+    assert rows[max(rows)]["cum_share"] == 1.0
+
+
+def test_lorenz_rejects_odd_buckets(spark):
+    from opl_spark.operators.ranking import lorenz_deciles
+
+    df = spark.createDataFrame([(1,)], "xv: long")
+    with pytest.raises(ValueError, match="even"):
+        lorenz_deciles(df, "xv", buckets=7)

@@ -269,8 +269,10 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_heldout_perplexity",
         # rank statistics (r10): the cross-partition prefix offsets are
         # a P x P theta-join over PER-PARTITION TOTALS (P = shuffle
-        # partitions, driver-bounded by construction, ranking.py)
-        "q_spearman", "q_gini",
+        # partitions, driver-bounded by construction, ranking.py);
+        # q_lorenz_deciles adds the ≤10-row bucket-summary suffix join
+        # and the 1-row (n, total) broadcast
+        "q_spearman", "q_gini", "q_lorenz_deciles",
         # cell x cell concordance theta-join over the 50x11 joint
         # contingency table — domain-bounded, never n^2 (ranking.py
         # kendall_tau_b; the documented bounded-ordinal contract)
