@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "q_gini",
     "q_kendall_tau",
     "q_lorenz_deciles",
+    "q_cuped",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

@@ -711,3 +711,72 @@ def label_noise(
         F.col("qlabel").alias("label"),
         F.col("n_disagree").cast("long").alias("n_disagree"),
     )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+    arm_col: str,
+) -> DataFrame:
+    """CUPED variance reduction for A/B readouts (Deng, Xu, Kohavi &
+    Walker, WSDM 2013): adjust each unit's post-period metric by its
+    PRE-experiment covariate, ŷᵢ = yᵢ − θ(xᵢ − x̄) with the pooled
+    θ = cov(x, y)/var(x), which shrinks the readout's variance by the
+    squared pre/post correlation without biasing the arm difference
+    (the covariate predates assignment).
+
+    One pass: per-arm exact moment sums in decimal(38,0) (the
+    q_correlation discipline — order-independent, combinable), the
+    pooled moments from folding the arm rows (arm-count-sized), θ as
+    the single float division, and the adjusted means as a fixed
+    arithmetic expression over exact-sum-derived doubles — written
+    IDENTICALLY in the SQL oracle, so the IEEE ops sequence matches
+    bit for bit.  A zero-variance covariate yields θ = 0 (nothing to
+    adjust with), not an infinity.
+
+    Inputs must be integral (scale currency to cents first).  Returns
+    one row per arm: ``(arm, n, mean_raw, mean_cuped, theta)``,
+    means and θ rounded to 6 places.
+
+    Scale shape: ONE hash aggregate over units; everything after runs
+    on |arms| rows against a 1-row pooled-moment broadcast.
+    """
+    big = "decimal(38,0)"
+    base = df.select(
+        F.col(arm_col).alias("arm"),
+        F.col(pre_col).cast(big).alias("x"),
+        F.col(post_col).cast(big).alias("y"),
+    )
+    arms = base.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(big).alias("n_a"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_a"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_a"),
+    )
+    tot = arms.agg(
+        F.sum("n_a").alias("n"),
+        F.sum("sx_a").alias("sx"),
+        F.sum("sy_a").alias("sy"),
+        F.sum("sxy_a").alias("sxy"),
+        F.sum("sxx_a").alias("sxx"),
+    )
+    joined = arms.crossJoin(F.broadcast(tot))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = F.when(den == 0, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den.cast("double")
+    )
+    mean_raw = F.col("sy_a").cast("double") / F.col("n_a").cast("double")
+    mean_x_a = F.col("sx_a").cast("double") / F.col("n_a").cast("double")
+    mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    return joined.select(
+        F.col("arm"),
+        F.col("n_a").cast("long").alias("n"),
+        F.round(mean_raw, 6).alias("mean_raw"),
+        F.round(mean_raw - theta * (mean_x_a - mean_x), 6).alias(
+            "mean_cuped"
+        ),
+        F.round(theta, 6).alias("theta"),
+    )

@@ -11942,3 +11942,79 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents")
     )
     return lorenz_deciles(per, "cents", buckets=10)
+
+
+@register(
+    "q_cuped",
+    oracle="""
+WITH per AS (
+    SELECT user_id % 2 AS arm,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS x,
+           SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+),
+a AS (
+    SELECT arm, CAST(COUNT(*) AS HUGEINT) AS n_a,
+           CAST(SUM(x) AS HUGEINT) AS sx_a,
+           CAST(SUM(y) AS HUGEINT) AS sy_a,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy_a,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx_a
+    FROM per GROUP BY 1
+),
+t AS (
+    SELECT SUM(n_a) AS n, SUM(sx_a) AS sx, SUM(sy_a) AS sy,
+           SUM(sxy_a) AS sxy, SUM(sxx_a) AS sxx
+    FROM a
+),
+j AS (
+    SELECT a.*, t.*,
+           CASE WHEN t.n * t.sxx - t.sx * t.sx = 0 THEN 0.0
+                ELSE CAST(t.n * t.sxy - t.sx * t.sy AS DOUBLE)
+                     / CAST(t.n * t.sxx - t.sx * t.sx AS DOUBLE)
+           END AS theta
+    FROM a CROSS JOIN t
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(n_a AS BIGINT) AS n,
+       ROUND(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_raw,
+       ROUND(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+             6) AS mean_cuped,
+       ROUND(theta, 6) AS theta
+FROM j
+""",
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al., WSDM 2013)
+    over the event stream: users split into two deterministic arms
+    (user_id parity — portable to any engine), each user's
+    pre-period spend (before 2024-01-16) is the covariate for their
+    post-period spend, and the report shows raw vs variance-reduced
+    arm means plus the pooled θ.  The experimentation tier's missing
+    piece next to the plain z-test (q_ab_zstat): the same decision at
+    a fraction of the sample, since Var(ŷ) = (1 − ρ²)·Var(y).  One
+    hash aggregate over users; everything downstream is arm-count
+    rows against a 1-row pooled-moment broadcast
+    (operators/evaluate.py:cuped_adjustment)."""
+    from opl_spark.operators.evaluate import cuped_adjustment
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(F.lit(0))).alias(
+            "x"
+        ),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(F.lit(0))).alias(
+            "y"
+        ),
+    )
+    units = per.select(
+        (F.col("user_id") % 2).alias("arm"), "x", "y"
+    )
+    return cuped_adjustment(units, "x", "y", "arm")

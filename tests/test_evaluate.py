@@ -600,3 +600,64 @@ def test_mutual_information_hand_computed(spark):
     )
     rn = mutual_information(withnull, F.col("a"), F.col("b")).first()
     assert rn["n"] == 70 and rn["r_levels"] == 3
+
+
+def test_cuped_matches_naive_and_reduces_variance(spark):
+    """CUPED against the straight per-unit formula: θ = cov/var, the
+    adjusted arm means match the mean of ŷᵢ = yᵢ − θ(xᵢ − x̄), and the
+    adjusted readout has lower within-arm variance when pre and post
+    correlate."""
+    import random
+
+    from opl_spark.operators.evaluate import cuped_adjustment
+
+    random.seed(19)
+    rows = []
+    for i in range(400):
+        x = random.randint(0, 1000)
+        lift = 40 if i % 2 else 0
+        y = x + random.randint(-100, 100) + lift
+        rows.append((i % 2, x, y))
+    df = spark.createDataFrame(rows, "arm: long, x: long, y: long")
+    got = {r["arm"]: r for r in cuped_adjustment(df, "x", "y", "arm").collect()}
+
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    n = len(rows)
+    theta = (n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(a * a for a in xs) - sum(xs) ** 2
+    )
+    xbar = sum(xs) / n
+    for arm in (0, 1):
+        ax = [r[1] for r in rows if r[0] == arm]
+        ay = [r[2] for r in rows if r[0] == arm]
+        adj = [y - theta * (x - xbar) for x, y in zip(ax, ay)]
+        assert got[arm]["n"] == len(ax)
+        assert got[arm]["mean_raw"] == pytest.approx(
+            sum(ay) / len(ay), abs=1e-4
+        )
+        assert got[arm]["mean_cuped"] == pytest.approx(
+            sum(adj) / len(adj), abs=1e-4
+        )
+        assert got[arm]["theta"] == pytest.approx(theta, abs=1e-6)
+    # the whole point: adjusted values vary less than raw ones
+    def var(v):
+        m = sum(v) / len(v)
+        return sum((a - m) ** 2 for a in v) / len(v)
+
+    raw = [r[2] for r in rows if r[0] == 0]
+    adj0 = [y - theta * (x - xbar) for _, x, y in rows if _ == 0]
+    assert var(adj0) < 0.5 * var(raw)
+
+
+def test_cuped_zero_variance_covariate_is_unadjusted(spark):
+    from opl_spark.operators.evaluate import cuped_adjustment
+
+    df = spark.createDataFrame(
+        [(0, 7, 10), (0, 7, 20), (1, 7, 30), (1, 7, 50)],
+        "arm: long, x: long, y: long",
+    )
+    got = {r["arm"]: r for r in cuped_adjustment(df, "x", "y", "arm").collect()}
+    assert got[0]["theta"] == 0.0
+    assert got[0]["mean_cuped"] == got[0]["mean_raw"] == 15.0
+    assert got[1]["mean_cuped"] == got[1]["mean_raw"] == 40.0

@@ -273,6 +273,8 @@ def test_no_scale_killers_in_any_registered_query(spark):
         # q_lorenz_deciles adds the ≤10-row bucket-summary suffix join
         # and the 1-row (n, total) broadcast
         "q_spearman", "q_gini", "q_lorenz_deciles",
+        # 1-row pooled-moment broadcast onto the |arms|-row summary
+        "q_cuped",
         # cell x cell concordance theta-join over the 50x11 joint
         # contingency table — domain-bounded, never n^2 (ranking.py
         # kendall_tau_b; the documented bounded-ordinal contract)
