@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     "q_kendall_tau",
     "q_lorenz_deciles",
     "q_cuped",
+    "q_mann_whitney",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now

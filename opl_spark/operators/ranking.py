@@ -384,3 +384,69 @@ def lorenz_deciles(
             F.col("cum_value").cast("double") / F.col("t").cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample test with exact
+    tie handling — "is one group's distribution stochastically
+    larger?", the nonparametric complement to the mean-based z-test.
+
+    ``group_col`` must be boolean (true = group 1).  Pooled
+    tie-averaged ranks come from :func:`avg_rank2`; then
+
+        2·U₁ = Σ_{i∈G1} rank2ᵢ − n₁(n₁+1)            (exact BIGINT)
+        σ²   = n₁n₂·((n+1)n(n−1) − Σ(t³−t)) / (12n(n−1))
+        z    = (2U₁ − n₁n₂) / (2σ)                   (no continuity corr.)
+
+    with the tie term Σ(t³−t) straight off the rank frame's tie-group
+    sizes.  Every sum is exact decimal; the float expression is written
+    identically in the SQL oracle so the IEEE sequence matches.  NULL
+    values or groups are excluded.  Returns one row
+    ``(n1, n2, u1, z)`` — ``u1`` is half-integral under ties, exact as
+    a double.
+
+    Scale shape: one rank pass over distinct values, one value-keyed
+    join back, one combinable aggregate; the closing math runs on one
+    row.
+    """
+    base = df.select(
+        F.col(value_col).alias("xv"), F.col(group_col).alias("g")
+    ).filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+    ranks = avg_rank2(base, "xv")
+    joined = base.join(ranks.select("v", "rank2"), base.xv == F.col("v"))
+    st = joined.agg(
+        F.sum(F.when(F.col("g"), F.lit(1)).otherwise(F.lit(0)))
+        .cast(_BIG)
+        .alias("n1"),
+        F.sum(F.when(~F.col("g"), F.lit(1)).otherwise(F.lit(0)))
+        .cast(_BIG)
+        .alias("n2"),
+        F.sum(
+            F.when(F.col("g"), F.col("rank2")).otherwise(F.lit(0))
+        )
+        .cast(_BIG)
+        .alias("r2_1"),
+    )
+    ties = ranks.agg(
+        F.sum(
+            F.col("c").cast(_BIG) * F.col("c").cast(_BIG) * F.col("c").cast(_BIG)
+            - F.col("c").cast(_BIG)
+        ).alias("tie_t")
+    )
+    j = st.crossJoin(F.broadcast(ties))
+    n = F.col("n1") + F.col("n2")
+    u2 = F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)  # 2·U₁
+    var_num = ((n + 1) * n * (n - 1) - F.col("tie_t")).cast("double")
+    var_den = (F.lit(12).cast(_BIG) * n * (n - 1)).cast("double")
+    sigma2 = (F.col("n1") * F.col("n2")).cast("double") * var_num / var_den
+    z = (u2 - F.col("n1") * F.col("n2")).cast("double") / (
+        F.lit(2.0) * F.sqrt(sigma2)
+    )
+    return j.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (u2.cast("double") / 2.0).alias("u1"),
+        F.round(z, 6).alias("z"),
+    )

@@ -77,14 +77,28 @@ def build_time_rollup(
     """
     from opl_spark.sources.bucketing import write_bucketed
 
-    agged = fact.groupBy(
+    agged = time_rollup_frame(fact, ts_col, keys, sums, grain)
+    write_bucketed(agged, table, keys[0], num_buckets=num_buckets)
+    return fact.sparkSession.table(table)
+
+
+def time_rollup_frame(
+    fact: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    sums: dict[str, Column],
+    grain: str = "day",
+) -> DataFrame:
+    """The (grain bucket, keys) → partial-sum frame
+    :func:`build_time_rollup` materializes — exposed separately so
+    callers can route the write through a concurrency-safe store
+    (``sources.bucketing.bucketed_table_atomic``)."""
+    return fact.groupBy(
         grain_col(F.col(ts_col), grain).alias("bucket"), *[F.col(k) for k in keys]
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[expr.alias(name) for name, expr in sums.items()],
     )
-    write_bucketed(agged, table, keys[0], num_buckets=num_buckets)
-    return fact.sparkSession.table(table)
 
 
 def rollup_answer(

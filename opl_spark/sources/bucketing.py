@@ -129,3 +129,78 @@ def materialize_parquet_atomic(
                 if p.getName().startswith(".tmp-"):
                     fs.delete(p, True)
     return spark.read.parquet(final_str)
+
+
+def bucketed_table_atomic(
+    spark: SparkSession,
+    name: str,
+    token: str,
+    build,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort: bool = True,
+) -> str:
+    """Content-addressed BUCKETED catalog table, safe for concurrent
+    sessions sharing one warehouse — the bucketed-layout sibling of
+    :func:`materialize_parquet_atomic`.
+
+    The final table is ``<name>_<sha1(token)[:12]>`` at the matching
+    warehouse location, so different data directories use disjoint
+    names/locations and can never overwrite each other mid-read (the
+    fixed-name drop+saveAsTable this replaces raced exactly there).
+    A builder writes an EXTERNAL temp table at a session-unique
+    location, atomically FS-renames the directory into place, drops
+    the temp metadata, and registers the final location as an external
+    table with the same bucket spec — Catalyst plans exchange-free
+    joins off the registered CLUSTERED BY metadata just as for a
+    managed bucketed table.  A rename loser discards its temp and
+    reads the winner's complete directory.  Cross-session reuse: a
+    fresh catalog finds the complete location (``_SUCCESS`` present)
+    and only registers it — no rebuild, no rewrite.
+
+    Returns the final table name (query it via ``spark.table``).
+    """
+    import hashlib
+    import os
+    import time
+
+    digest = hashlib.sha1(str(token).encode()).hexdigest()[:12]
+    final_table = f"{name.lower()}_{digest}"
+    if spark.catalog.tableExists(final_table):
+        return final_table
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    loc = f"{wh}/{final_table}"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    final_path = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = final_path.getFileSystem(hconf)
+    success = jvm.org.apache.hadoop.fs.Path(loc + "/_SUCCESS")
+    df = build()
+    if not (fs.exists(final_path) and fs.exists(success)):
+        tmp_table = f"{name.lower()}_tmp_{os.getpid()}_{time.monotonic_ns()}"
+        tmp_loc = f"{wh}/{tmp_table}"
+        writer = (
+            df.repartition(num_buckets, bucket_col)
+            .write.mode("overwrite")
+            .option("path", tmp_loc)  # external: drop removes metadata only
+            .bucketBy(num_buckets, bucket_col)
+        )
+        if sort:
+            writer = writer.sortBy(bucket_col)
+        writer.saveAsTable(tmp_table)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_loc), final_path):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_loc), True)
+            if not fs.exists(success):
+                raise IOError(
+                    f"bucketed_table_atomic: rename to {loc} failed "
+                    "and no winner exists"
+                )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    schema_ddl = df._jdf.schema().toDDL()
+    sorted_clause = f"SORTED BY ({bucket_col}) " if sort else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {final_table} ({schema_ddl}) "
+        f"USING PARQUET CLUSTERED BY ({bucket_col}) {sorted_clause}"
+        f"INTO {num_buckets} BUCKETS LOCATION '{loc}'"
+    )
+    return final_table

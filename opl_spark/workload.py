@@ -212,6 +212,10 @@ _AUDIT_PRIORITY: tuple[str, ...] = (
     "q_similarity_ivf_kmeans", "q_similarity_topk", "q_similarity_ivf",
     "q_quantized_topk", "q_pq_topk", "q_ivfpq_topk", "q_pq_rerank",
     "q_mmr_select", "q_hybrid_search",
+    # r10 second tranche: the memo stores behind these three moved to
+    # content-addressed atomic-rename tables (bucketed_table_atomic) —
+    # plan-equivalent, but changed code re-earns driver signal
+    "q_rollup_route", "q_pagerank_bucketed", "q_label_prop_bucketed",
 )
 
 

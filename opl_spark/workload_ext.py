@@ -647,7 +647,7 @@ FROM scored ORDER BY sim DESC, id LIMIT {topk}
 
 #: per-data-dir integer-k-means centroid memo: (sf_dir, k, iters) ->
 #: the trained centroid list.  Same materialized-state semantics as
-#: _EDGES_BUILT / _ROLLUP_BUILT: training (iters Lloyd rounds, each a
+#: the bucketed-edge / rollup stores: training (iters Lloyd rounds, each a
 #: Spark job) runs ONCE per data directory and every consumer —
 #: q_similarity_ivf_kmeans's probe and q_ivf_recall_curve's tuning
 #: table — reads the same k×dim integer list; switching directories
@@ -9939,24 +9939,25 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from opl_spark.workload import _ORACLES as _REGISTERED_ORACLES  # noqa: E402
 
-#: steady-state bucketed-graph memo: table name -> the sf_dir its
-#: current contents were built from.  Same materialized-view refresh
-#: semantics as _ROLLUP_BUILT below: the layout write happens once
-#: per data directory (the amortization that IS the bucketing story),
-#: later calls go straight to the exchange-free bucketed scan, and
-#: switching directories rebuilds instead of serving stale edges.
-_EDGES_BUILT: dict[str, str] = {}
-
-
 def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from opl_spark.operators.graph import bucketize_edges
+    """Steady-state bucketed-graph memo, the materialized-view
+    semantics the iterative operators amortize against: the layout
+    write happens once per data directory, later calls go straight to
+    the exchange-free bucketed scan.  The table is content-addressed
+    by sf_dir and written via temp+atomic-rename
+    (sources/bucketing.py:bucketed_table_atomic), so concurrent
+    sessions sharing the warehouse never read a half-written edge
+    list and per-directory isolation is structural."""
+    from opl_spark.sources.bucketing import bucketed_table_atomic
 
-    table = "opl_edges_trade"
-    if _EDGES_BUILT.get(table) != sf_dir or not spark.catalog.tableExists(table):
-        bucketize_edges(
-            spark, _trade_edges(spark, sf_dir), table=table, num_buckets=16
-        )
-        _EDGES_BUILT[table] = sf_dir
+    table = bucketed_table_atomic(
+        spark,
+        "opl_edges_trade",
+        sf_dir,
+        lambda: _trade_edges(spark, sf_dir).select("src", "dst"),
+        bucket_col="src",
+        num_buckets=16,
+    )
     return spark.table(table)
 
 
@@ -9964,8 +9965,8 @@ def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_pagerank's exact result via the 100×-scale edge layout: the
     symmetric trade graph is materialized ONCE PER DATA DIRECTORY as a
-    catalog table bucketed+sorted on the node key (``bucketize_edges``
-    behind the ``_EDGES_BUILT`` memo — the steady-state read every
+    catalog table bucketed+sorted on the node key
+    (``bucketed_table_atomic`` — the steady-state read every
     iterative graph operator sees), so each of the three rounds'
     edge⋈rank join and the degree aggregation plan with NO Exchange
     on the edge side — only node-sized rank state and the inherent
@@ -10712,13 +10713,12 @@ def q_bitmap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: steady-state rollup memo: table name -> the sf_dir its current
-#: materialization was built from.  A materialized view is built ONCE
-#: and then serves every dashboard query; re-building it inside every
-#: request would charge the query the build cost a 100 TB deployment
-#: pays once per refresh cycle.  Keyed by sf_dir so a process that
-#: switches data directories (tests at sf0.001, sweep at sf0.01,
-#: bench at sf0.1) rebuilds instead of serving stale partials.
-_ROLLUP_BUILT: dict[str, str] = {}
+#: materialization is built ONCE per data directory and then serves
+#: every dashboard query; re-building it inside every request would
+#: charge the query the build cost a 100 TB deployment pays once per
+#: refresh cycle.  Content-addressed by sf_dir (a process that
+#: switches directories gets that directory's table structurally) and
+#: written via temp+atomic-rename — see bucketed_table_atomic.
 
 
 @register(
@@ -10743,23 +10743,30 @@ def q_rollup_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing is invisible to the oracle (the direct fact aggregation).
     Routing policy + exactness + the routed-plan-never-scans-lineitem
     contract are pinned by tests/test_rollup_router.py."""
-    from opl_spark.rollup import build_time_rollup, rollup_answer
+    from opl_spark.rollup import rollup_answer, time_rollup_frame
+    from opl_spark.sources.bucketing import bucketed_table_atomic
 
-    table = "opl_rollup_lineitem_day"
-    if _ROLLUP_BUILT.get(table) != sf_dir or not spark.catalog.tableExists(table):
+    def build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")
-        build_time_rollup(
+        return time_rollup_frame(
             li.withColumn("ship_ts", F.col("l_shipdate").cast("timestamp")),
             "ship_ts",
             ["l_returnflag"],
             {"revenue_dec": F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))},
-            table=table,
             grain="day",
         )
-        _ROLLUP_BUILT[table] = sf_dir
+
+    table = bucketed_table_atomic(
+        spark,
+        "opl_rollup_lineitem_day",
+        sf_dir,
+        build,
+        bucket_col="l_returnflag",
+        num_buckets=8,
+    )
     out = rollup_answer(
         spark,
-        {"day": "opl_rollup_lineitem_day"},
+        {"day": table},
         "month",
         ["l_returnflag"],
         ["revenue_dec"],
@@ -11502,7 +11509,7 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state CC-label memo, same materialized-view semantics
-    as _EDGES_BUILT / _ROLLUP_BUILT: a dedup pipeline computes the
+    as the bucketed-edge / rollup stores: a dedup pipeline computes the
     keep/drop labels ONCE per corpus snapshot (the expensive pair
     expansion + connected components) and every downstream report
     reads the materialization.  The store is content-addressed by
@@ -12018,3 +12025,64 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).alias("arm"), "x", "y"
     )
     return cuped_adjustment(units, "x", "y", "arm")
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+WITH base AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+           o_orderpriority IN ('1-URGENT', '2-HIGH') AS g
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+r AS (
+    SELECT g, CAST(2 * RANK() OVER (ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY x) - 1 AS HUGEINT) AS r2
+    FROM base
+),
+ties AS (
+    SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS tie_t
+    FROM (SELECT COUNT(*) AS c FROM base GROUP BY x)
+),
+st AS (
+    SELECT CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+           CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS HUGEINT) AS n2,
+           SUM(CASE WHEN g THEN r2 ELSE 0 END) AS r2_1
+    FROM r
+),
+j AS (
+    SELECT n1, n2, tie_t, n1 + n2 AS n,
+           r2_1 - n1 * (n1 + 1) AS u2
+    FROM st CROSS JOIN ties
+)
+SELECT CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       CAST(u2 AS DOUBLE) / 2.0 AS u1,
+       ROUND(CAST(u2 - n1 * n2 AS DOUBLE)
+             / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                           * CAST((n + 1) * n * (n - 1) - tie_t AS DOUBLE)
+                           / CAST(12 * n * (n - 1) AS DOUBLE))),
+             6) AS z
+FROM j
+""",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum test: do urgent/high-priority orders
+    carry stochastically larger totals than the rest?  The
+    nonparametric complement to q_ab_zstat — distribution-free, so a
+    heavy-tailed revenue metric can't fake or mask a shift through
+    its outliers.  Pooled tie-averaged ranks from the distributed
+    two-pass rank pass, U and the tie-corrected z in exact decimal
+    arithmetic to the closing float expression (written identically
+    in the oracle; no continuity correction)
+    (operators/ranking.py:mann_whitney_u)."""
+    from opl_spark.operators.ranking import mann_whitney_u
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        # a NULL priority yields NULL here; the operator's NULL screen
+        # drops it, matching the oracle's WHERE
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("g"),
+    )
+    return mann_whitney_u(orders, "x", "g")

@@ -210,3 +210,41 @@ def test_lorenz_rejects_odd_buckets(spark):
     df = spark.createDataFrame([(1,)], "xv: long")
     with pytest.raises(ValueError, match="even"):
         lorenz_deciles(df, "xv", buckets=7)
+
+
+def test_mann_whitney_matches_naive_with_ties(spark):
+    """U from direct pairwise counting (wins + half-ties), z from the
+    tie-corrected normal approximation."""
+    from opl_spark.operators.ranking import mann_whitney_u
+
+    random.seed(23)
+    g1 = [random.randint(0, 40) + 5 for _ in range(70)]   # shifted up
+    g2 = [random.randint(0, 40) for _ in range(90)]
+    rows = [(v, True) for v in g1] + [(v, False) for v in g2]
+    df = spark.createDataFrame(rows, "x: long, g: boolean")
+    row = mann_whitney_u(df, "x", "g").collect()[0]
+    u_naive = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0) for a in g1 for b in g2
+    )
+    n1, n2 = len(g1), len(g2)
+    n = n1 + n2
+    pooled = g1 + g2
+    tie_t = sum(
+        pooled.count(v) ** 3 - pooled.count(v) for v in set(pooled)
+    )
+    sigma2 = n1 * n2 * ((n + 1) * n * (n - 1) - tie_t) / (12 * n * (n - 1))
+    z_naive = (u_naive - n1 * n2 / 2) / math.sqrt(sigma2)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["u1"] == pytest.approx(u_naive, abs=1e-9)
+    assert row["z"] == pytest.approx(round(z_naive, 6), abs=1e-6)
+    assert row["z"] > 2  # the planted shift is detectable
+
+
+def test_mann_whitney_identical_groups_z_zero(spark):
+    from opl_spark.operators.ranking import mann_whitney_u
+
+    rows = [(v, True) for v in range(50)] + [(v, False) for v in range(50)]
+    df = spark.createDataFrame(rows, "x: long, g: boolean")
+    row = mann_whitney_u(df, "x", "g").collect()[0]
+    assert row["u1"] == 50 * 50 / 2
+    assert row["z"] == 0.0

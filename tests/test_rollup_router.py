@@ -202,25 +202,26 @@ def test_rollup_route_query_memoizes_build_per_data_dir(spark, sf_dir):
     refresh cycle), later calls skip straight to the routed scan, and
     switching data directories forces a rebuild instead of serving
     stale partials."""
-    from opl_spark import workload_ext as wx
+    import hashlib
 
-    wx._ROLLUP_BUILT.clear()
-    q = wx._QUERIES["q_rollup_route"] if hasattr(wx, "_QUERIES") else None
-    if q is None:  # registered into workload's registry
-        from opl_spark import workload
+    from opl_spark import workload
 
-        q = workload.queries()["q_rollup_route"]
+    q = workload.queries()["q_rollup_route"]
     first = q(spark, sf_dir).collect()
-    assert wx._ROLLUP_BUILT.get("opl_rollup_lineitem_day") == sf_dir
-    # same dir: memo holds, result identical (routed read only)
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    table = f"opl_rollup_lineitem_day_{digest}"
+    assert spark.catalog.tableExists(table)
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    path = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    built_at = fs.getFileStatus(path).getModificationTime()
+    # same dir: the content-addressed location is reused, never
+    # rewritten (a concurrent reader can't observe a half-done swap),
+    # result identical (routed read only)
     assert sorted(map(tuple, q(spark, sf_dir).collect())) == sorted(
         map(tuple, first)
     )
-    # simulate a stale memo pointing elsewhere: the query must rebuild
-    wx._ROLLUP_BUILT["opl_rollup_lineitem_day"] = "/some/other/dir"
-    again = q(spark, sf_dir).collect()
-    assert wx._ROLLUP_BUILT.get("opl_rollup_lineitem_day") == sf_dir
-    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+    assert fs.getFileStatus(path).getModificationTime() == built_at
 
 
 def test_bucketed_graph_queries_memoize_build_per_data_dir(spark, sf_dir):
@@ -228,24 +229,27 @@ def test_bucketed_graph_queries_memoize_build_per_data_dir(spark, sf_dir):
     materialized-view semantics: built once per data directory, shared
     by both bucketed graph queries, rebuilt when the memo points at a
     different directory — never served stale."""
-    from opl_spark import workload
-    from opl_spark import workload_ext as wx
+    import hashlib
 
-    wx._EDGES_BUILT.clear()
+    from opl_spark import workload
+
     qs = workload.queries()
     first = qs["q_pagerank_bucketed"](spark, sf_dir).collect()
-    assert wx._EDGES_BUILT.get("opl_edges_trade") == sf_dir
-    # steady state: same dir reuses the table (memo key unchanged),
-    # result identical; label_prop rides the same materialization
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    table = f"opl_edges_trade_{digest}"
+    assert spark.catalog.tableExists(table)
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    path = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    built_at = fs.getFileStatus(path).getModificationTime()
+    # steady state: same dir reuses the content-addressed table
+    # (location never rewritten), result identical; label_prop rides
+    # the same materialization
     assert sorted(map(tuple, qs["q_pagerank_bucketed"](spark, sf_dir).collect())) \
         == sorted(map(tuple, first))
     lp = qs["q_label_prop_bucketed"](spark, sf_dir).collect()
-    assert lp and wx._EDGES_BUILT.get("opl_edges_trade") == sf_dir
-    # a stale memo pointing elsewhere forces a rebuild from sf_dir
-    wx._EDGES_BUILT["opl_edges_trade"] = "/some/other/dir"
-    again = qs["q_pagerank_bucketed"](spark, sf_dir).collect()
-    assert wx._EDGES_BUILT.get("opl_edges_trade") == sf_dir
-    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+    assert lp
+    assert fs.getFileStatus(path).getModificationTime() == built_at
 
 
 def test_ivf_centroids_memoize_training_per_data_dir(spark, sf_dir, monkeypatch):

@@ -275,6 +275,8 @@ def test_no_scale_killers_in_any_registered_query(spark):
         "q_spearman", "q_gini", "q_lorenz_deciles",
         # 1-row pooled-moment broadcast onto the |arms|-row summary
         "q_cuped",
+        # 1-row tie-term broadcast onto the 1-row rank-sum summary
+        "q_mann_whitney",
         # cell x cell concordance theta-join over the 50x11 joint
         # contingency table — domain-bounded, never n^2 (ranking.py
         # kendall_tau_b; the documented bounded-ordinal contract)
