@@ -94,7 +94,8 @@ def materialize_parquet_atomic(
     Uses the Hadoop FS API throughout, so any warehouse scheme with
     atomic directory rename (local FS, HDFS) works.  Leftover
     ``.tmp-*`` directories from a crashed builder are inert (unique
-    names, never read) and reclaimed by the next successful builder.
+    dot-hidden names, never read, never swept — a sweep could hit a
+    LIVE concurrent builder's in-flight write).
     """
     import hashlib
     import os
@@ -115,19 +116,16 @@ def materialize_parquet_atomic(
         tmp = jvm.org.apache.hadoop.fs.Path(tmp_str)
         if not fs.rename(tmp, final):
             # another session won the race — its COMPLETE directory
-            # serves everyone; ours is redundant
+            # serves everyone; ours is redundant.  (No opportunistic
+            # sweep of other .tmp-* dirs here: one could be a LIVE
+            # concurrent builder's in-flight write.  Crashed leftovers
+            # are dot-hidden and inert.)
             fs.delete(tmp, True)
             if not fs.exists(final):
                 raise IOError(
                     f"materialize_parquet_atomic: rename to {final_str} "
                     "failed and no winner exists"
                 )
-        else:
-            # reclaim any inert temp dirs a crashed builder left behind
-            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(base)):
-                p = st.getPath()
-                if p.getName().startswith(".tmp-"):
-                    fs.delete(p, True)
     return spark.read.parquet(final_str)
 
 
@@ -178,7 +176,11 @@ def bucketed_table_atomic(
     df = build()
     if not (fs.exists(final_path) and fs.exists(success)):
         tmp_table = f"{name.lower()}_tmp_{os.getpid()}_{time.monotonic_ns()}"
-        tmp_loc = f"{wh}/{tmp_table}"
+        # dot-prefixed location: some Hadoop filesystems implement
+        # rename-onto-existing-directory as move-INTO (mv semantics);
+        # a dot path stays hidden from parquet readers even in that
+        # outcome, so a rename loser can never pollute the winner
+        tmp_loc = f"{wh}/.{tmp_table}"
         writer = (
             df.repartition(num_buckets, bucket_col)
             .write.mode("overwrite")

@@ -374,3 +374,64 @@ def test_materialize_parquet_atomic_contract(spark):
     )
     assert names == want
     fs.delete(base, True)
+
+
+def test_bucketed_table_atomic_survives_two_process_race(tmp_path):
+    """Two OS processes build the SAME content-addressed bucketed
+    table concurrently against one warehouse; both must read the same
+    complete data (the drop+saveAsTable memo this replaced served a
+    half-written table in exactly this scenario), and exactly one
+    final directory survives."""
+    import os
+    import subprocess
+    import sys
+
+    script = tmp_path / "race_one.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {os.getcwd()!r})\n"
+        "from opl_spark.session import get_spark\n"
+        "from opl_spark.sources.bucketing import bucketed_table_atomic\n"
+        "from pyspark.sql import functions as F\n"
+        "spark = get_spark(app_name='race-'+sys.argv[1],"
+        " shuffle_partitions=4, master='local[2]')\n"
+        "def build():\n"
+        "    return spark.range(5000).select((F.col('id') % 97)"
+        ".alias('src'), (F.col('id') % 13).alias('dst'))\n"
+        "t = bucketed_table_atomic(spark, 'opl_race_test', 'tokR',"
+        " build, 'src', 8)\n"
+        "df = spark.table(t)\n"
+        "s = df.agg(F.count(F.lit(1)), F.sum('src'), F.sum('dst'))"
+        ".collect()[0]\n"
+        "print('RESULT', t, s[0], s[1], s[2], flush=True)\n"
+        "spark.stop()\n"
+    )
+    import glob
+    import shutil
+
+    for d in glob.glob("spark-warehouse/opl_race_test_*") + glob.glob(
+        "spark-warehouse/.opl_race_test*"
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), tag],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for tag in ("A", "B")
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    results = [
+        line for out in outs for line in out.splitlines()
+        if line.startswith("RESULT")
+    ]
+    assert len(results) == 2 and results[0].split()[1:] == results[1].split()[1:], (
+        results
+    )
+    finals = glob.glob("spark-warehouse/opl_race_test_*")
+    assert len(finals) == 1, finals
+    for d in finals + glob.glob("spark-warehouse/.opl_race_test*"):
+        shutil.rmtree(d, ignore_errors=True)
