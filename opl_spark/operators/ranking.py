@@ -26,7 +26,7 @@ extend the analytics tier (SURVEY.md §2.10) alongside Pearson
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: decimal wide enough for n·Σ(rank2·x) cross-products at 100 TB row
