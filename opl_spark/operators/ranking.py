@@ -167,22 +167,18 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     both rank variables cover the same n rows.  Returns one row
     ``(n, spearman_rho)``.
 
-    Scale shape: two distinct-value rank passes (each a hash shuffle +
-    a range exchange over |distinct| rows), two value-keyed joins to
-    re-attach ranks (AQE broadcasts a bounded-domain side
-    automatically), one combinable moment aggregate.  Nothing
-    driver-sized, no global window.
+    Scale shape: two ROW rank passes (:func:`row_rank2` — one range
+    exchange each, carrying the other column along; no distinct-value
+    frame and no join-back, which would shuffle the full table twice
+    more per variable on a ~|rows|-distinct metric), one combinable
+    moment aggregate.  Nothing driver-sized, no global window.
+    Integral inputs (the fixed-point house convention) — the rank
+    pass's value-based window frames require it.
     """
     base = df.select(
         F.col(x_col).alias("xv"), F.col(y_col).alias("yv")
     ).filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    rx = avg_rank2(base, "xv").select(
-        F.col("v").alias("xv"), F.col("rank2").alias("rx2")
-    )
-    ry = avg_rank2(base, "yv").select(
-        F.col("v").alias("yv"), F.col("rank2").alias("ry2")
-    )
-    ranked = base.join(rx, "xv").join(ry, "yv")
+    ranked = row_rank2(row_rank2(base, "xv", "rx2"), "yv", "ry2")
     return _pearson_over(ranked, "rx2", "ry2", "spearman_rho")
 
 
@@ -407,16 +403,17 @@ def mann_whitney_u(
     ``(n1, n2, u1, z)`` — ``u1`` is half-integral under ties, exact as
     a double.
 
-    Scale shape: one rank pass over distinct values, one value-keyed
-    join back, one combinable aggregate; the closing math runs on one
-    row.
+    Scale shape: ONE row rank pass (:func:`row_rank2` — one range
+    exchange carrying the group flag, no distinct frame, no
+    join-back; the tie term rides the same pass as Σ_rows(c²−1)
+    ≡ Σ_values(t³−t)), one combinable aggregate; the closing math
+    runs on one row.
     """
     base = df.select(
         F.col(value_col).alias("xv"), F.col(group_col).alias("g")
     ).filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
-    ranks = avg_rank2(base, "xv")
-    joined = base.join(ranks.select("v", "rank2"), base.xv == F.col("v"))
-    st = joined.agg(
+    ranked = row_rank2(base, "xv", "rank2", ties_col="tc")
+    j = ranked.agg(
         F.sum(F.when(F.col("g"), F.lit(1)).otherwise(F.lit(0)))
         .cast(_BIG)
         .alias("n1"),
@@ -428,14 +425,10 @@ def mann_whitney_u(
         )
         .cast(_BIG)
         .alias("r2_1"),
-    )
-    ties = ranks.agg(
         F.sum(
-            F.col("c").cast(_BIG) * F.col("c").cast(_BIG) * F.col("c").cast(_BIG)
-            - F.col("c").cast(_BIG)
-        ).alias("tie_t")
+            F.col("tc").cast(_BIG) * F.col("tc").cast(_BIG) - F.lit(1)
+        ).alias("tie_t"),
     )
-    j = st.crossJoin(F.broadcast(ties))
     n = F.col("n1") + F.col("n2")
     u2 = F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)  # 2·U₁
     var_num = ((n + 1) * n * (n - 1) - F.col("tie_t")).cast("double")
@@ -450,3 +443,78 @@ def mann_whitney_u(
         (u2.cast("double") / 2.0).alias("u1"),
         F.round(z, 6).alias("z"),
     )
+
+
+def row_rank2(
+    df: DataFrame,
+    value_col: str,
+    out_col: str,
+    partitions: int | None = None,
+    ties_col: str | None = None,
+) -> DataFrame:
+    """Attach the doubled tie-averaged rank of ``value_col`` to EVERY
+    ROW in two exchanges total — no distinct-value table, no
+    join-back.  The fast path for ranking a ~|rows|-distinct column
+    (Spearman over a continuous metric), where :func:`avg_rank2`'s
+    rank-frame join-back would shuffle the full table twice more.
+
+    One range exchange spreads rows by value (equal values land in
+    ONE partition — range partitioning is a function of the key, so
+    no tie group straddles a boundary); a single window stage over
+    that exchange computes both the strictly-smaller row count (a
+    VALUE-based frame, ``rangeBetween(-∞, -1)`` — requires an
+    integral value column, the house fixed-point convention) and the
+    tie-group size (``rangeBetween(0, 0)`` — same sort, same stage);
+    the cross-partition prefix closes with the same P-row broadcast
+    offset join avg_rank2 uses.  Rows with a NULL value are excluded.
+
+    Returns ``df``'s rows (minus NULLs) with ``out_col`` added;
+    ``ties_col`` additionally exposes the row's tie-group size (each
+    of the c tied rows carries c — Σ_rows(c²−1) then equals the
+    classic per-value tie term Σ(t³−t), so rank-sum tests ride the
+    same single pass).
+    """
+    spark = df.sparkSession
+    n_part = int(
+        partitions or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .repartitionByRange(n_part, F.col(value_col))
+        .withColumn("__pid", F.spark_partition_id())
+        # lazy: the first action pins partition ids for both branches
+        .localCheckpoint(eager=False)
+    )
+    w_lt = (
+        Window.partitionBy("__pid")
+        .orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = (
+        Window.partitionBy("__pid")
+        .orderBy(value_col)
+        .rangeBetween(0, 0)
+    )
+    ranked = d.withColumn(
+        "__lt", F.coalesce(F.count(F.lit(1)).over(w_lt), F.lit(0))
+    ).withColumn("__eq", F.count(F.lit(1)).over(w_eq))
+    totals = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("t"))
+    offs = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("__off"))
+    )
+    out = ranked.join(F.broadcast(offs), "__pid").withColumn(
+        out_col,
+        F.lit(2) * (F.col("__off") + F.col("__lt"))
+        + F.col("__eq")
+        + F.lit(1),
+    )
+    if ties_col is not None:
+        out = out.withColumn(ties_col, F.col("__eq"))
+    return out.drop("__pid", "__lt", "__eq", "__off")

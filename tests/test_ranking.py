@@ -248,3 +248,19 @@ def test_mann_whitney_identical_groups_z_zero(spark):
     row = mann_whitney_u(df, "x", "g").collect()[0]
     assert row["u1"] == 50 * 50 / 2
     assert row["z"] == 0.0
+
+
+def test_row_rank2_matches_naive_per_row(spark):
+    """The no-join-back row rank: every row carries the same doubled
+    tie-averaged rank the distinct-value pass would assign."""
+    from opl_spark.operators.ranking import row_rank2
+
+    random.seed(29)
+    vals = [random.randint(0, 15) for _ in range(300)] + [None] * 7
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i: long, xv: long")
+    got = row_rank2(df, "xv", "r2", partitions=6).collect()
+    want = _naive_rank2([v for v in vals if v is not None])
+    assert len(got) == 300  # NULLs excluded
+    for r in got:
+        assert r["r2"] == want[vals[r["i"]]], r
