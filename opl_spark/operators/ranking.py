@@ -87,16 +87,7 @@ def avg_rank2(
         "before_local", F.coalesce(F.sum("c").over(w_before), F.lit(0))
     )
     totals = vals.groupBy("pid").agg(F.sum("c").alias("t"))
-    offs = (
-        totals.alias("a")
-        .join(
-            F.broadcast(totals.alias("b")),
-            F.col("b.pid") < F.col("a.pid"),
-            "left",
-        )
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("off"))
-    )
+    offs = _prefix_offsets(totals, "pid")
     return (
         local.join(F.broadcast(offs), "pid")
         .select(
@@ -111,14 +102,48 @@ def avg_rank2(
     )
 
 
+def _prefix_offsets(totals: DataFrame, pid_col: str) -> DataFrame:
+    """Cross-partition prefix offsets for the two-pass rank schemes:
+    given per-partition totals ``(pid, t)``, return ``(pid, off)``
+    where ``off = Σ t over smaller pids`` — a P×P broadcast theta-join
+    (P = shuffle partitions, driver-bounded by construction).  Shared
+    by :func:`avg_rank2` and :func:`row_rank2` so the offset logic
+    cannot diverge between them."""
+    return (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col(f"b.{pid_col}") < F.col(f"a.{pid_col}"),
+            "left",
+        )
+        .groupBy(F.col(f"a.{pid_col}").alias(pid_col))
+        .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("off"))
+    )
+
+
+def _null_safe_ratio(num, den, decimals: int = 6):
+    """ROUND(num/den, d) with a NULL (not a crash) on a zero
+    denominator: Spark 4 sessions run ANSI mode by default, where a
+    double division by zero raises DIVIDE_BY_ZERO — but a degenerate
+    input (zero variance, empty group, all-tied column) is a
+    well-defined 'statistic undefined' case, not an error."""
+    return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        F.round(num / den, decimals)
+    )
+
+
 def _pearson_over(
     pairs: DataFrame, x: str, y: str, out_col: str
 ) -> DataFrame:
     """Exact-moment Pearson over two integral columns: the five sums
     in decimal(38,0) (order-independent), floats only in the closing
-    division — plus the q_correlation overflow trap (a NULL statistic
-    with non-NULL sums can only be a decimal overflow; raising beats
-    silently emitting NULL)."""
+    division.  A zero-variance column yields a NULL statistic
+    (undefined, not a crash).  Decimal overflow of a moment sum is
+    LOUD either way: ANSI sessions (this engine's default) raise
+    ARITHMETIC_OVERFLOW inside the aggregation itself; the guard
+    below covers non-ANSI deployments, where overflow degrades to
+    NULL sums — a NULL statistic with non-NULL sums is then the
+    overflow signature and raises with a rescale hint."""
     st = pairs.select(
         F.col(x).cast(_BIG).alias("x"), F.col(y).cast(_BIG).alias("y")
     ).agg(
@@ -138,7 +163,7 @@ def _pearson_over(
             "double"
         )
     )
-    stat = F.round(num / den, 6)
+    stat = _null_safe_ratio(num, den)
     sums_ok = (
         F.col("sx").isNotNull()
         & F.col("sy").isNotNull()
@@ -146,8 +171,11 @@ def _pearson_over(
         & F.col("sxx").isNotNull()
         & F.col("syy").isNotNull()
     )
+    # a zero denominator is the legitimate NULL (zero variance); a
+    # NULL den or NULL num with healthy sums is the non-ANSI overflow
+    # signature (the product overflowed where the sums did not)
     stat = F.when(
-        stat.isNull() & sums_ok,
+        stat.isNull() & sums_ok & ~den.eqNullSafe(F.lit(0.0)),
         F.raise_error(
             f"{out_col}: decimal(38,0) overflow — rescale the inputs"
         ).cast("double"),
@@ -286,20 +314,26 @@ def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         .agg(F.sum("c").alias("cy"))
         .agg((F.sum(F.col("cy") * F.col("cy")) - F.sum("cy")).alias("tie_y2"))
     )
+    # the theta-join is EMPTY when x has one distinct value — the
+    # pair counts are then genuinely 0, not NULL
+    zero = F.lit(0).cast(_BIG)
+    conc = F.coalesce(F.col("concordant"), zero)
+    disc = F.coalesce(F.col("discordant"), zero)
     st = ties.crossJoin(tx).crossJoin(ty).crossJoin(pair_cd)
     n0_2 = F.col("n") * (F.col("n") - F.lit(1))  # 2·n₀
-    tau = F.round(
-        (two * (F.col("concordant") - F.col("discordant"))).cast("double")
-        / F.sqrt(
+    # a fully-tied margin makes the denominator 0 → τ undefined (NULL,
+    # not an ANSI DIVIDE_BY_ZERO crash)
+    tau = _null_safe_ratio(
+        (two * (conc - disc)).cast("double"),
+        F.sqrt(
             (n0_2 - F.col("tie_x2")).cast("double")
             * (n0_2 - F.col("tie_y2")).cast("double")
         ),
-        6,
     )
     return st.select(
         F.col("n").cast("long").alias("n"),
-        F.col("concordant").cast("long").alias("concordant"),
-        F.col("discordant").cast("long").alias("discordant"),
+        conc.cast("long").alias("concordant"),
+        disc.cast("long").alias("discordant"),
         tau.alias("kendall_tau_b"),
     )
 
@@ -376,8 +410,10 @@ def lorenz_deciles(
         "bucket",
         F.col("n_members").cast("long").alias("n_members"),
         F.col("bucket_value").cast("long").alias("bucket_value"),
-        F.round(
-            F.col("cum_value").cast("double") / F.col("t").cast("double"), 6
+        # zero-total population → shares undefined (NULL, not an ANSI
+        # DIVIDE_BY_ZERO), matching gini_coefficient's contract
+        _null_safe_ratio(
+            F.col("cum_value").cast("double"), F.col("t").cast("double")
         ).alias("cum_share"),
     )
 
@@ -421,27 +457,37 @@ def mann_whitney_u(
         .cast(_BIG)
         .alias("n2"),
         F.sum(
-            F.when(F.col("g"), F.col("rank2")).otherwise(F.lit(0))
-        )
-        .cast(_BIG)
-        .alias("r2_1"),
+            # cast BEFORE the sum: a group rank-sum approaches 2n·n₁,
+            # past int64 at the row counts _BIG is sized for
+            F.when(F.col("g"), F.col("rank2").cast(_BIG)).otherwise(
+                F.lit(0).cast(_BIG)
+            )
+        ).alias("r2_1"),
         F.sum(
             F.col("tc").cast(_BIG) * F.col("tc").cast(_BIG) - F.lit(1)
         ).alias("tie_t"),
     )
     n = F.col("n1") + F.col("n2")
+    n0_2b = n * (n - 1)
     u2 = F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)  # 2·U₁
     var_num = ((n + 1) * n * (n - 1) - F.col("tie_t")).cast("double")
     var_den = (F.lit(12).cast(_BIG) * n * (n - 1)).cast("double")
-    sigma2 = (F.col("n1") * F.col("n2")).cast("double") * var_num / var_den
-    z = (u2 - F.col("n1") * F.col("n2")).cast("double") / (
-        F.lit(2.0) * F.sqrt(sigma2)
+    # degenerate inputs (n < 2, an empty group, or every value tied)
+    # make σ = 0 → z undefined (NULL, not an ANSI DIVIDE_BY_ZERO)
+    sigma2 = F.when(n0_2b == 0, F.lit(None).cast("double")).otherwise(
+        (F.col("n1") * F.col("n2")).cast("double") * var_num / var_den
+    )
+    zden = F.lit(2.0) * F.sqrt(sigma2)
+    z = F.when(
+        zden.isNull() | (zden == 0.0), F.lit(None).cast("double")
+    ).otherwise(
+        F.round((u2 - F.col("n1") * F.col("n2")).cast("double") / zden, 6)
     )
     return j.select(
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         (u2.cast("double") / 2.0).alias("u1"),
-        F.round(z, 6).alias("z"),
+        z.alias("z"),
     )
 
 
@@ -499,22 +545,13 @@ def row_rank2(
         "__lt", F.coalesce(F.count(F.lit(1)).over(w_lt), F.lit(0))
     ).withColumn("__eq", F.count(F.lit(1)).over(w_eq))
     totals = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("t"))
-    offs = (
-        totals.alias("a")
-        .join(
-            F.broadcast(totals.alias("b")),
-            F.col("b.__pid") < F.col("a.__pid"),
-            "left",
-        )
-        .groupBy(F.col("a.__pid").alias("__pid"))
-        .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("__off"))
-    )
+    offs = _prefix_offsets(totals, "__pid")
     out = ranked.join(F.broadcast(offs), "__pid").withColumn(
         out_col,
-        F.lit(2) * (F.col("__off") + F.col("__lt"))
+        F.lit(2) * (F.col("off") + F.col("__lt"))
         + F.col("__eq")
         + F.lit(1),
     )
     if ties_col is not None:
         out = out.withColumn(ties_col, F.col("__eq"))
-    return out.drop("__pid", "__lt", "__eq", "__off")
+    return out.drop("__pid", "__lt", "__eq", "off")

@@ -264,3 +264,40 @@ def test_row_rank2_matches_naive_per_row(spark):
     assert len(got) == 300  # NULLs excluded
     for r in got:
         assert r["r2"] == want[vals[r["i"]]], r
+
+
+def test_degenerate_inputs_yield_null_not_crash(spark):
+    """ANSI sessions raise DIVIDE_BY_ZERO on double x/0 — degenerate
+    statistics (zero variance, one-sided group, fully-tied margin)
+    must come back as NULL, not as a crashed job (code-review r10)."""
+    from opl_spark.operators.ranking import lorenz_deciles, mann_whitney_u
+
+    # constant x → Spearman undefined
+    const = spark.createDataFrame([(1, 2), (1, 3), (1, 5)], "x: long, y: long")
+    row = spearman_rho(const, "x", "y").collect()[0]
+    assert row["n"] == 3 and row["spearman_rho"] is None
+    # constant y → Kendall denominator 0; counts are 0, not NULL
+    ky = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "x: long, y: long")
+    row = kendall_tau_b(ky, "x", "y").collect()[0]
+    assert (row["concordant"], row["discordant"]) == (0, 0)
+    assert row["kendall_tau_b"] is None
+    # single distinct x → empty theta-join → counts 0
+    kx = spark.createDataFrame([(1, 2), (1, 3), (1, 3)], "x: long, y: long")
+    row = kendall_tau_b(kx, "x", "y").collect()[0]
+    assert (row["concordant"], row["discordant"]) == (0, 0)
+    # one-sided group and all-tied values → U defined, z undefined
+    one_side = spark.createDataFrame(
+        [(5, True), (7, True)], "x: long, g: boolean"
+    )
+    row = mann_whitney_u(one_side, "x", "g").collect()[0]
+    assert (row["n1"], row["n2"]) == (2, 0) and row["z"] is None
+    tied = spark.createDataFrame(
+        [(5, True), (5, False), (5, True), (5, False)], "x: long, g: boolean"
+    )
+    row = mann_whitney_u(tied, "x", "g").collect()[0]
+    assert row["z"] is None and row["u1"] == 2 * 2 / 2
+    # zero-total population → Lorenz shares NULL (gini's contract)
+    zeros = spark.createDataFrame([(0,)] * 8, "xv: long")
+    assert all(
+        r["cum_share"] is None for r in lorenz_deciles(zeros, "xv").collect()
+    )
