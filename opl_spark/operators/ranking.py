@@ -239,19 +239,15 @@ def gini_coefficient(df: DataFrame, value_col: str) -> DataFrame:
             * F.col("v").cast(_BIG)
         ).alias("srx"),
     )
-    gini = F.round(
-        (
-            F.col("srx") - (F.col("n") + F.lit(1)) * F.col("t")
-        ).cast("double")
-        / (F.col("n") * F.col("t")).cast("double"),
-        6,
-    )
     return st.select(
         F.col("n").cast("long").alias("n"),
         F.col("t").cast("long").alias("total"),
-        F.when(F.col("t") == 0, F.lit(None).cast("double"))
-        .otherwise(gini)
-        .alias("gini"),
+        _null_safe_ratio(
+            (
+                F.col("srx") - (F.col("n") + F.lit(1)) * F.col("t")
+            ).cast("double"),
+            (F.col("n") * F.col("t")).cast("double"),
+        ).alias("gini"),
     )
 
 
@@ -499,59 +495,95 @@ def row_rank2(
     ties_col: str | None = None,
 ) -> DataFrame:
     """Attach the doubled tie-averaged rank of ``value_col`` to EVERY
-    ROW in two exchanges total — no distinct-value table, no
-    join-back.  The fast path for ranking a ~|rows|-distinct column
-    (Spearman over a continuous metric), where :func:`avg_rank2`'s
-    rank-frame join-back would shuffle the full table twice more.
+    ROW — no distinct-value table, no join-back.  The fast path for
+    ranking a ~|rows|-distinct column (Spearman over a continuous
+    metric), where :func:`avg_rank2`'s rank-frame join-back would
+    shuffle the full table twice more.
 
     One range exchange spreads rows by value (equal values land in
     ONE partition — range partitioning is a function of the key, so
-    no tie group straddles a boundary); a single window stage over
-    that exchange computes both the strictly-smaller row count (a
-    VALUE-based frame, ``rangeBetween(-∞, -1)`` — requires an
-    integral value column, the house fixed-point convention) and the
+    no tie group straddles a boundary), materialized once via a lazy
+    ``localCheckpoint`` so the three consumers (window pass,
+    per-partition totals, any chained rank pass) read the SAME
+    physical partitioning instead of re-executing the upstream plan.
+    A single window stage per partition computes the strictly-smaller
+    row count (a VALUE-based frame, ``rangeBetween(-∞, -1)``) and the
     tie-group size (``rangeBetween(0, 0)`` — same sort, same stage);
-    the cross-partition prefix closes with the same P-row broadcast
-    offset join avg_rank2 uses.  Rows with a NULL value are excluded.
+    the cross-partition prefix closes with the P-row broadcast
+    offset join shared with avg_rank2.
 
-    Returns ``df``'s rows (minus NULLs) with ``out_col`` added;
-    ``ties_col`` additionally exposes the row's tie-group size (each
-    of the c tied rows carries c — Σ_rows(c²−1) then equals the
-    classic per-value tie term Σ(t³−t), so rank-sum tests ride the
-    same single pass).
+    Measured trade-off (r10 review follow-up): a pure-function
+    partition id (approxQuantile cutpoint literals) removes the
+    materialization-for-consistency requirement, but every variant
+    benched WORSE at sf0.1 — skipping materialization re-executes
+    the upstream plan once per consumer (~3–4× slower on the chained
+    Spearman), ``persist`` leaks CacheManager entries a returned
+    lazy frame can never unpersist, and cutpoint-hash layouts
+    bottleneck the checkpoint write on ≤P distinct keys (~1.5×
+    slower).  The range-exchange + lazy localCheckpoint here is the
+    empirical winner; its known cost is Spark's documented
+    localCheckpoint trade (executor loss fails the job instead of
+    recomputing).
+
+    ``value_col`` must be an INTEGRAL type (the house fixed-point
+    convention — scale currency to cents first): the −1 frame bound
+    means "strictly smaller" only on integers, so fractional input
+    raises rather than silently mis-ranking.  Rows with a NULL value
+    are excluded.  Returns ``df``'s rows (minus NULLs) with
+    ``out_col`` added; ``ties_col`` additionally exposes the row's
+    tie-group size (each of the c tied rows carries c —
+    Σ_rows(c²−1) then equals the classic per-value tie term Σ(t³−t),
+    so rank-sum tests ride the same single pass).
     """
+    from pyspark.sql import types as T
+
+    dtype = df.schema[value_col].dataType
+    if not isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) and not (isinstance(dtype, T.DecimalType) and dtype.scale == 0):
+        raise ValueError(
+            f"row_rank2: {value_col} must be integral (got {dtype}); "
+            "scale fixed-point values to integers first"
+        )
     spark = df.sparkSession
     n_part = int(
         partitions or spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # internal names guaranteed absent from the caller's columns
+    taken = set(df.columns) | {out_col, ties_col or ""}
+    pid_c, lt_c, eq_c, off_c = (
+        next(
+            n for i in range(len(taken) + 1)
+            if (n := f"__{base}{i or ''}") not in taken
+        )
+        for base in ("pid", "lt", "eq", "off")
+    )
     d = (
         df.filter(F.col(value_col).isNotNull())
         .repartitionByRange(n_part, F.col(value_col))
-        .withColumn("__pid", F.spark_partition_id())
-        # lazy: the first action pins partition ids for both branches
+        .withColumn(pid_c, F.spark_partition_id())
+        # lazy: the first action pins partition ids for all consumers
         .localCheckpoint(eager=False)
     )
     w_lt = (
-        Window.partitionBy("__pid")
+        Window.partitionBy(pid_c)
         .orderBy(value_col)
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    w_eq = (
-        Window.partitionBy("__pid")
-        .orderBy(value_col)
-        .rangeBetween(0, 0)
-    )
+    w_eq = Window.partitionBy(pid_c).orderBy(value_col).rangeBetween(0, 0)
     ranked = d.withColumn(
-        "__lt", F.coalesce(F.count(F.lit(1)).over(w_lt), F.lit(0))
-    ).withColumn("__eq", F.count(F.lit(1)).over(w_eq))
-    totals = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("t"))
-    offs = _prefix_offsets(totals, "__pid")
-    out = ranked.join(F.broadcast(offs), "__pid").withColumn(
+        lt_c, F.coalesce(F.count(F.lit(1)).over(w_lt), F.lit(0))
+    ).withColumn(eq_c, F.count(F.lit(1)).over(w_eq))
+    totals = d.groupBy(F.col(pid_c).alias("pid")).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    offs = _prefix_offsets(totals, "pid").select(
+        F.col("pid").alias(pid_c), F.col("off").alias(off_c)
+    )
+    out = ranked.join(F.broadcast(offs), pid_c).withColumn(
         out_col,
-        F.lit(2) * (F.col("off") + F.col("__lt"))
-        + F.col("__eq")
-        + F.lit(1),
+        F.lit(2) * (F.col(off_c) + F.col(lt_c)) + F.col(eq_c) + F.lit(1),
     )
     if ties_col is not None:
-        out = out.withColumn(ties_col, F.col("__eq"))
-    return out.drop("__pid", "__lt", "__eq", "off")
+        out = out.withColumn(ties_col, F.col(eq_c))
+    return out.drop(pid_c, lt_c, eq_c, off_c)

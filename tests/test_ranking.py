@@ -301,3 +301,27 @@ def test_degenerate_inputs_yield_null_not_crash(spark):
     assert all(
         r["cum_share"] is None for r in lorenz_deciles(zeros, "xv").collect()
     )
+
+
+def test_row_rank2_rejects_fractional_and_survives_name_collisions(spark):
+    """Review pins: a fractional value column raises (the -1 value
+    frame means 'strictly smaller' only on integers — silent
+    mis-ranking otherwise), and caller columns named like the
+    internals (off/__pid/__lt/__eq) pass through untouched."""
+    from opl_spark.operators.ranking import row_rank2
+
+    frac = spark.createDataFrame([(1.5,), (2.0,)], "xv: double")
+    with pytest.raises(ValueError, match="integral"):
+        row_rank2(frac, "xv", "r2")
+    clash = spark.createDataFrame(
+        [(3, 10, 11, 12, 13), (1, 20, 21, 22, 23), (3, 30, 31, 32, 33)],
+        "xv: long, off: long, __pid: long, __lt: long, __eq: long",
+    )
+    rows = sorted(
+        row_rank2(clash, "xv", "r2").collect(), key=lambda r: r["off"]
+    )
+    assert [r["r2"] for r in rows] == [5, 2, 5]  # ranks 2.5, 1, 2.5 doubled
+    # caller columns intact
+    assert [(r["off"], r["__pid"], r["__lt"], r["__eq"]) for r in rows] == [
+        (10, 11, 12, 13), (20, 21, 22, 23), (30, 31, 32, 33)
+    ]
