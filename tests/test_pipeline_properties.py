@@ -554,3 +554,95 @@ def test_bucket_pairs_duplicate_postings_emit_self_pairs(spark):
         (r["id_a"], r["id_b"]) for r in bucket_pairs(buckets).collect()
     )
     assert got == Counter({(3, 3): 1, (3, 7): 2, (5, 5): 1})
+
+
+# ---------------------------------------------------------------------------
+# rank statistics (r10): invariants the oracle hash-compare can't express
+# ---------------------------------------------------------------------------
+
+_rank_vals = st.lists(st.integers(0, 12), min_size=4, max_size=50)
+
+
+@settings(**_SETTINGS)
+@given(xs=_rank_vals)
+def test_rank2_partition_invariance_and_sum(spark, xs):
+    """Doubled ranks are independent of the partition count, and the
+    row-weighted rank sum is exactly n(n+1) — the closed form any
+    correct tie-averaged ranking must satisfy."""
+    from opl_spark.operators.ranking import avg_rank2
+
+    df = spark.createDataFrame([(v,) for v in xs], "xv: long")
+    a = {r["v"]: r["rank2"] for r in avg_rank2(df, "xv", partitions=2).collect()}
+    b = {r["v"]: r["rank2"] for r in avg_rank2(df, "xv", partitions=7).collect()}
+    assert a == b
+    assert sum(xs.count(v) * r2 for v, r2 in a.items()) == len(xs) * (len(xs) + 1)
+
+
+@settings(**_SETTINGS)
+@given(pairs=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                      min_size=4, max_size=40))
+def test_spearman_sign_antisymmetry(spark, pairs):
+    """ρ(x, −y) = −ρ(x, y) exactly: rank reversal is exact under tie
+    averaging, so the doubled-rank moments flip sign before any
+    float enters."""
+    from opl_spark.operators.ranking import spearman_rho
+
+    df = spark.createDataFrame(pairs, "x: long, y: long")
+    neg = df.select("x", (-F.col("y")).alias("y"))
+    r1 = spearman_rho(df, "x", "y").collect()[0]["spearman_rho"]
+    r2 = spearman_rho(neg, "x", "y").collect()[0]["spearman_rho"]
+    if r1 is None:
+        assert r2 is None  # degenerate input stays degenerate
+    else:
+        assert abs(r1 + r2) <= 2e-6  # ±1 ulp of the 6-dp rounding
+
+
+@settings(**_SETTINGS)
+@given(xs=st.lists(st.integers(0, 500), min_size=3, max_size=40),
+       k=st.integers(2, 7))
+def test_gini_scale_invariance(spark, xs, k):
+    """G(k·x) = G(x) for k > 0 — numerator and denominator scale by
+    the same exact integer factor before the single division."""
+    from opl_spark.operators.ranking import gini_coefficient
+
+    df = spark.createDataFrame([(v,) for v in xs], "xv: long")
+    scaled = df.select((F.col("xv") * k).alias("xv"))
+    g1 = gini_coefficient(df, "xv").collect()[0]["gini"]
+    g2 = gini_coefficient(scaled, "xv").collect()[0]["gini"]
+    assert g1 == g2
+
+
+@settings(**_SETTINGS)
+@given(pairs=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                      min_size=4, max_size=40))
+def test_kendall_symmetry(spark, pairs):
+    """τ-b(x, y) = τ-b(y, x): concordance is symmetric in the pair,
+    even though the cell-pair join orders on x."""
+    from opl_spark.operators.ranking import kendall_tau_b
+
+    df = spark.createDataFrame(pairs, "x: long, y: long")
+    swapped = df.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    t1 = kendall_tau_b(df, "x", "y").collect()[0]
+    t2 = kendall_tau_b(swapped, "x", "y").collect()[0]
+    assert t1["kendall_tau_b"] == t2["kendall_tau_b"]
+    assert t1["concordant"] == t2["concordant"]
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.integers(0, 30), st.booleans()),
+                     min_size=4, max_size=40))
+def test_mann_whitney_u_complement(spark, rows):
+    """U₁ + U₂ = n₁·n₂ exactly (every cross pair is a win, a loss, or
+    half-and-half under ties) — flipping the group flag must yield
+    the complementary U and the negated z."""
+    from opl_spark.operators.ranking import mann_whitney_u
+
+    df = spark.createDataFrame(rows, "x: long, g: boolean")
+    flipped = df.select("x", (~F.col("g")).alias("g"))
+    r1 = mann_whitney_u(df, "x", "g").collect()[0]
+    r2 = mann_whitney_u(flipped, "x", "g").collect()[0]
+    assert r1["u1"] + r2["u1"] == r1["n1"] * r1["n2"]
+    if r1["z"] is None:
+        assert r2["z"] is None
+    else:
+        assert abs(r1["z"] + r2["z"]) <= 2e-6
