@@ -29,9 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: decimal wide enough for n·Σ(rank2·x) cross-products at 100 TB row
-#: counts (≈1e29 at n=1e10, x=1e9 cents) — same type the Pearson
-#: query uses for its moment sums.
+#: decimal wide enough for Gini-style n·Σ(rank2·x) cross-products at
+#: 100 TB row counts (≈1e29 at n=1e10, x=1e9 cents) — same type the
+#: Pearson query uses for its moment sums.  Rank-RANK cross-products
+#: (Spearman's n·Σ(rx2·ry2)) grow ~4n⁴ and exceed 38 digits near
+#: n≈3e9; past that the failure is LOUD, not silent — ANSI raises
+#: ARITHMETIC_OVERFLOW in the aggregate, and non-ANSI trips the
+#: rescale-hint raise in :func:`_pearson_over`.
 _BIG = "decimal(38,0)"
 
 

@@ -11858,10 +11858,14 @@ cells AS (
     SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS c FROM base GROUP BY 1, 2
 ),
 cd AS (
-    SELECT SUM(CASE WHEN b.y > a.y THEN a.c * b.c
-                    ELSE CAST(0 AS HUGEINT) END) AS conc,
-           SUM(CASE WHEN b.y < a.y THEN a.c * b.c
-                    ELSE CAST(0 AS HUGEINT) END) AS disc
+    -- COALESCE: with a single distinct x the self-join is empty and
+    -- the sums go NULL; the engine coalesces conc/disc to 0 there
+    SELECT COALESCE(SUM(CASE WHEN b.y > a.y THEN a.c * b.c
+                    ELSE CAST(0 AS HUGEINT) END),
+                    CAST(0 AS HUGEINT)) AS conc,
+           COALESCE(SUM(CASE WHEN b.y < a.y THEN a.c * b.c
+                    ELSE CAST(0 AS HUGEINT) END),
+                    CAST(0 AS HUGEINT)) AS disc
     FROM cells a JOIN cells b ON b.x > a.x
 ),
 nn AS (SELECT SUM(c) AS n FROM cells),
@@ -11872,10 +11876,14 @@ ty AS (SELECT SUM(cy * cy) - SUM(cy) AS tie_y2
 SELECT CAST(n AS BIGINT) AS n,
        CAST(conc AS BIGINT) AS concordant,
        CAST(disc AS BIGINT) AS discordant,
-       ROUND(CAST(2 * (conc - disc) AS DOUBLE)
-             / sqrt(CAST(n * (n - 1) - tie_x2 AS DOUBLE)
-                    * CAST(n * (n - 1) - tie_y2 AS DOUBLE)),
-             6) AS kendall_tau_b
+       -- fully-tied margin => denominator 0 => tau undefined (NULL),
+       -- mirroring the engine's _null_safe_ratio contract
+       CASE WHEN (n * (n - 1) - tie_x2) * (n * (n - 1) - tie_y2) = 0
+            THEN NULL
+            ELSE ROUND(CAST(2 * (conc - disc) AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) - tie_x2 AS DOUBLE)
+                        * CAST(n * (n - 1) - tie_y2 AS DOUBLE)),
+                 6) END AS kendall_tau_b
 FROM cd CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty
 """,
 )
@@ -12059,11 +12067,18 @@ j AS (
 SELECT CAST(n1 AS BIGINT) AS n1,
        CAST(n2 AS BIGINT) AS n2,
        CAST(u2 AS DOUBLE) / 2.0 AS u1,
-       ROUND(CAST(u2 - n1 * n2 AS DOUBLE)
-             / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
-                           * CAST((n + 1) * n * (n - 1) - tie_t AS DOUBLE)
-                           / CAST(12 * n * (n - 1) AS DOUBLE))),
-             6) AS z
+       -- degenerate input (empty group, n<2, all values tied) =>
+       -- sigma 0 => z undefined (NULL), mirroring mann_whitney_u's
+       -- NULL-on-zero-sigma contract
+       CASE WHEN n1 = 0 OR n2 = 0 OR n < 2
+                 OR (n + 1) * n * (n - 1) - tie_t = 0
+            THEN NULL
+            ELSE ROUND(CAST(u2 - n1 * n2 AS DOUBLE)
+                 / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                               * CAST((n + 1) * n * (n - 1) - tie_t
+                                      AS DOUBLE)
+                               / CAST(12 * n * (n - 1) AS DOUBLE))),
+                 6) END AS z
 FROM j
 """,
 )

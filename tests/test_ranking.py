@@ -325,3 +325,29 @@ def test_row_rank2_rejects_fractional_and_survives_name_collisions(spark):
     assert [(r["off"], r["__pid"], r["__lt"], r["__eq"]) for r in rows] == [
         (10, 11, 12, 13), (20, 21, 22, 23), (30, 31, 32, 33)
     ]
+
+
+def test_row_rank2_accepts_decimal_scale_zero(spark):
+    """The guard admits decimal(p,0) (an integral type in the house
+    fixed-point convention); the value-based window frames' integer
+    literal bounds must analyze over a decimal order column (advice
+    r10: this path was guard-admitted but untested)."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.ranking import row_rank2
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 5).cast("decimal(12,0)").alias("v"),
+    )
+    got = row_rank2(df, "v", "r2", partitions=4).collect()
+    want = _naive_rank2([i % 5 for i in range(60)])
+    assert len(got) == 60
+    for r in got:
+        assert r["r2"] == want[int(r["v"])], r
+    # fractional decimal still rejected
+    dfrac = spark.range(0, 4).select(
+        (F.col("id") / 2).cast("decimal(10,2)").alias("v")
+    )
+    with pytest.raises(ValueError, match="integral"):
+        row_rank2(dfrac, "v", "r2")
