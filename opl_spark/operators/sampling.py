@@ -223,14 +223,14 @@ def temperature_mix(
     counts = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    # fold the corpus max onto the GROUP-SIZED counts table (an
-    # unordered single-partition window over #groups rows — metadata
-    # scale), so the corpus-side plan stays one pure
-    # BroadcastHashJoin with no nested-loop / cross join anywhere
-    from pyspark.sql import Window
-
-    counts = counts.withColumn(
-        "__n_max", F.max("__n").over(Window.partitionBy(F.lit(1)))
+    # corpus max as a 1-row broadcast join-back onto the GROUP-SIZED
+    # counts table (metadata scale on both sides) — not an unordered
+    # OVER () fold, whose single-partition WindowExec warning is
+    # indistinguishable from a real global window in logs (r10
+    # verdict).  The corpus-side plan stays one BroadcastHashJoin;
+    # the 1-row nested-loop lives entirely on the counts leg.
+    counts = counts.crossJoin(
+        F.broadcast(counts.agg(F.max("__n").alias("__n_max")))
     )
     weight = F.round(
         F.pow(F.col("__n_max").cast("double") / F.col("__n"), 1.0 - alpha), 6

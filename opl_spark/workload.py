@@ -199,8 +199,14 @@ _RETRY_FIRST: tuple[str, ...] = (
 #  - q_mann_whitney: oracle-only change (r10 ADVICE) — zero-sigma /
 #    empty-group / n<2 degenerate inputs yield NULL z, matching
 #    mann_whitney_u.  Orders input is non-degenerate; hash unchanged.
+#  - q_chi2_independence / q_mutual_information / q_temperature_mix:
+#    the unordered OVER () grand-total folds became 1-row broadcast
+#    join-backs (r10 verdict task 4) — same values (sentinel-coalesced
+#    levels, count_distinct == collect_set size), new plan shape; the
+#    unordered-window plan audit now runs exemption-free.
 _AUDIT_PRIORITY: tuple[str, ...] = (
-    "q_kendall_tau", "q_mann_whitney",
+    "q_kendall_tau", "q_mann_whitney", "q_chi2_independence",
+    "q_mutual_information", "q_temperature_mix",
 )
 
 

@@ -281,6 +281,12 @@ def test_no_scale_killers_in_any_registered_query(spark):
         # contingency table — domain-bounded, never n^2 (ranking.py
         # kendall_tau_b; the documented bounded-ordinal contract)
         "q_kendall_tau",
+        # r11: the former unordered OVER () folds are now 1-row
+        # grand-total broadcasts onto category²-sized cell tables
+        # (chi2/MI, evaluate.py) and the #groups-sized counts table
+        # (temperature_mix, sampling.py) — the corpus legs stay pure
+        # BroadcastHashJoin
+        "q_chi2_independence", "q_mutual_information", "q_temperature_mix",
     }
     # ordered window over a GROUP-SUMMARY input (bucket stats, report
     # rows) — bounded by construction, not a fact-stream funnel
@@ -290,17 +296,10 @@ def test_no_scale_killers_in_any_registered_query(spark):
     # q_auc: the cumulative pass of histogram AUC runs over the score
     # BIN table (bounded by score range x quantization, not row count)
     summary_window_ok = {"q_id_gaps", "q_vocab_coverage", "q_hybrid_search", "q_auc"}
-    # unordered OVER () over a GROUP-SUMMARY input — bounded by
-    # construction, never a fact stream:
-    # q_chi2_independence: margins + level counts over the CELL table
-    #   (|A|x|B| category^2 rows, evaluate.py chi2_independence)
-    # q_temperature_mix: corpus-max fold over the per-language COUNTS
-    #   table (#groups rows, sampling.py temperature_mix — the fold
-    #   keeps the corpus-side plan a pure BroadcastHashJoin)
-    # q_mutual_information: chi2's exact cell-table shape (r10)
-    unordered_window_ok = {
-        "q_chi2_independence", "q_temperature_mix", "q_mutual_information",
-    }
+    # r11: no unordered-OVER-() exemptions remain — the three former
+    # folds (chi2/MI/temperature_mix) were rewritten as 1-row
+    # broadcast join-backs, so the unordered-window check runs
+    # exemption-free over every registered query.
     sf = "/root/testdata/sf0.001"
     flagged = {}
     for name, fn in workload.queries().items():
@@ -312,9 +311,7 @@ def test_no_scale_killers_in_any_registered_query(spark):
             hits.append("nested-loop join")
         if name not in summary_window_ok and unpartitioned_ordered_windows(plan):
             hits.append("global window")
-        if name not in unordered_window_ok and unpartitioned_unordered_windows(
-            plan
-        ):
+        if unpartitioned_unordered_windows(plan):
             hits.append("unordered global window")
         if hits:
             flagged[name] = hits
