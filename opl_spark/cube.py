@@ -156,8 +156,25 @@ class CubeEngine:
                 out = out | c
             return out, depth
 
-        # range forms — split on the FIRST '-' that separates two members
-        if "-" in spec and (first_numeric or "," in spec):
+        # range forms — split on the FIRST '-' that separates two members.
+        # A dash can also live INSIDE a level value (the ISO week label
+        # 'Y1997-W01' as a path component): treat the spec as a range
+        # only when what follows the first dash still looks like a range
+        # bound (a comma path, a bare numeral, or empty for open
+        # ranges).  'date:1997,Y1997-W01' therefore compiles as a C6
+        # path; week-LEVEL tuple ranges are inexpressible in this
+        # grammar (genuinely ambiguous string language) — use a C5 set
+        # or an iso_year-level range instead.
+        range_like = "-" in spec and (first_numeric or "," in spec)
+        if range_like and "," in spec:
+            _, _, hi_probe = spec.partition("-")
+            hi_probe = hi_probe.strip()
+            if hi_probe and "," not in hi_probe:
+                try:
+                    int(hi_probe)
+                except ValueError:
+                    range_like = False
+        if range_like:
             lo_s, _, hi_s = spec.partition("-")
             lo_s, hi_s = lo_s.strip(), hi_s.strip()
             if "," in lo_s or "," in hi_s:

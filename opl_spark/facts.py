@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from opl_spark.catalog import Catalog, Dimension, FactMeta, Hierarchy, Level, Measure
 from opl_spark.sources import load_table
+from opl_spark.timescope import iso_week_year_col, week_label_col
 
 #: Fixed pivot date for all deterministic test snapshots — inside the
 #: orders date range (1995-2001) with a full prior 12 months.
@@ -53,6 +54,10 @@ SELECT
     CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)  AS year,
     CAST(EXTRACT(MONTH FROM o.o_orderdate) AS BIGINT) AS month,
     CAST(EXTRACT(DAY FROM o.o_orderdate) AS BIGINT)   AS day,
+    CAST(EXTRACT(ISOYEAR FROM o.o_orderdate) AS BIGINT) AS iso_year,
+    'Y' || CAST(EXTRACT(ISOYEAR FROM o.o_orderdate) AS VARCHAR) || '-W' ||
+        lpad(CAST(EXTRACT(WEEK FROM o.o_orderdate) AS VARCHAR), 2, '0')
+                                               AS week,
     o.o_orderstatus                            AS loan_type,
     o.o_orderpriority                          AS priority,
     c.c_mktsegment                             AS segment,
@@ -87,6 +92,14 @@ def build_loans_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("year"),
             F.month("o_orderdate").cast("long").alias("month"),
             F.dayofmonth("o_orderdate").cast("long").alias("day"),
+            # ISO-week hierarchy columns: the week-based YEAR (not the
+            # calendar year — Dec 29-31/Jan 1-3 can belong to the
+            # neighboring ISO year, so 'year' would not nest weeks) and
+            # the audit-convention Y%G-W%V label (timescope, OLAP.php:40)
+            iso_week_year_col(F.col("o_orderdate")).cast("long").alias(
+                "iso_year"
+            ),
+            week_label_col(F.col("o_orderdate")).alias("week"),
             F.col("o_orderstatus").alias("loan_type"),
             F.col("o_orderpriority").alias("priority"),
             F.col("c_mktsegment").alias("segment"),
@@ -111,8 +124,18 @@ LOANS_META = FactMeta(
         ),
         Dimension(
             name="date",
-            levels=(Level("year"), Level("month"), Level("day")),
-            hierarchies=(Hierarchy("calendar", ("year", "month", "day")),),
+            levels=(
+                Level("year"), Level("month"), Level("day"),
+                Level("iso_year"), Level("week"),
+            ),
+            hierarchies=(
+                Hierarchy("calendar", ("year", "month", "day")),
+                # alternate week-based walk (multi-hierarchy
+                # declaration per api-library-olap/README.md:112-117):
+                # iso_year tops it because ISO weeks nest under the
+                # ISO week-year, not the calendar year
+                Hierarchy("iso_week", ("iso_year", "week")),
+            ),
         ),
         Dimension(name="loan_type"),
         Dimension(name="priority"),

@@ -204,9 +204,20 @@ _RETRY_FIRST: tuple[str, ...] = (
 #    join-backs (r10 verdict task 4) — same values (sentinel-coalesced
 #    levels, count_distinct == collect_set size), new plan shape; the
 #    unordered-window plan audit now runs exemption-free.
+#  - q_meta_dimensions: the loans2 date dimension gained the iso_week
+#    hierarchy levels (iso_year, week — r10 verdict task 7), so the
+#    flattened metadata rows changed (oracle self-derives from the
+#    same catalog).
+#  - q_cut_range / q_cut_open_range / q_cut_hierarchy /
+#    q_cut_hierarchy_range / q_drilldown_cutlevel / q_drilldown_default:
+#    the cut grammar's range detection changed (a dash inside an ISO
+#    week label is no longer a range separator) and the loans2 fact
+#    gained two columns; all re-verified hash-green locally.
 _AUDIT_PRIORITY: tuple[str, ...] = (
     "q_kendall_tau", "q_mann_whitney", "q_chi2_independence",
-    "q_mutual_information", "q_temperature_mix",
+    "q_mutual_information", "q_temperature_mix", "q_meta_dimensions",
+    "q_cut_range", "q_cut_open_range", "q_cut_hierarchy",
+    "q_cut_hierarchy_range", "q_drilldown_cutlevel", "q_drilldown_default",
 )
 
 
@@ -778,6 +789,34 @@ def q_drilldown_cutlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         cut="date:1996,10-1997,02",
         drilldown="date:year|date:month",
+        measure="loans",
+    )
+
+
+@register(
+    "q_drilldown_week",
+    oracle=ORACLE_CTE
+    + """
+SELECT week, COUNT(library_id) AS loans
+FROM fact WHERE iso_year = 1997 GROUP BY 1
+""",
+)
+def q_drilldown_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week as a first-class date level (r10 verdict task 7): the
+    ``iso_week`` hierarchy (iso_year → week, the audit ``Y%G-W%V``
+    label) selected via the multi-hierarchy request syntax
+    (api-library-olap/README.md:112-117), cut at its top level and
+    drilled to the default next level — week.  ISO boundaries are the
+    point: iso_year=1997 INCLUDES Dec 30-31 1996 (1997-W01) and
+    EXCLUDES Dec 29-31 1997 (1998-W01), which a calendar-year cut
+    would get wrong on both ends; the oracle replays the same ISOYEAR
+    semantics."""
+    return _cube(
+        spark,
+        sf_dir,
+        cut="date:1997",
+        drilldown="date",
+        hierarchy="date:iso_week",
         measure="loans",
     )
 

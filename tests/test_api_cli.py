@@ -27,7 +27,8 @@ def test_fact_tables_route(api):
 def test_dimensions_route(api):
     dims = {d["name"]: d for d in api.handle("/olap/loans2/dimensions")}
     assert dims["date"]["hierarchies"] == [
-        {"name": "calendar", "order": ["year", "month", "day"]}
+        {"name": "calendar", "order": ["year", "month", "day"]},
+        {"name": "iso_week", "order": ["iso_year", "week"]},
     ]
     assert dims["organization_level"]["levels"][0]["attributes"] == ["consortia_label"]
 

@@ -376,3 +376,86 @@ def test_drill_across_rejects_nonconformed_and_single_fact(spark, sf_dir):
         engine.drill_across(
             ["loans2", "patrimonio"], drilldown="organization_level"
         )
+
+
+def test_iso_week_hierarchy_year_boundary(spark):
+    """Week as a first-class date level (r10 verdict task 7): the
+    iso_week hierarchy cuts/drills on the ISO week-based year, whose
+    boundaries deliberately disagree with the calendar year — Dec
+    30-31 1996 belong to Y1997-W01 and Dec 29-31 1997 to Y1998-W01.
+    A calendar-year cut would be wrong on both ends."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.cube import CubeEngine
+    from opl_spark.facts import default_catalog
+    from opl_spark.timescope import iso_week_year_col, week_label_col
+
+    dates = [
+        "1996-12-29",  # Sunday  -> Y1996-W52 (excluded)
+        "1996-12-30",  # Monday  -> Y1997-W01 (included: prior cal year)
+        "1996-12-31",  # Tuesday -> Y1997-W01 (included)
+        "1997-01-01",  # Wed     -> Y1997-W01 (included)
+        "1997-12-28",  # Sunday  -> Y1997-W52 (included)
+        "1997-12-29",  # Monday  -> Y1998-W01 (excluded: next ISO year)
+        "1997-12-31",  # Wed     -> Y1998-W01 (excluded)
+        "1998-01-01",  # Thu     -> Y1998-W01 (excluded)
+    ]
+    d = F.to_date("d")
+    fact = spark.createDataFrame([(x,) for x in dates], "d: string").select(
+        F.year(d).cast("long").alias("year"),
+        F.month(d).cast("long").alias("month"),
+        F.dayofmonth(d).cast("long").alias("day"),
+        iso_week_year_col(d).cast("long").alias("iso_year"),
+        week_label_col(d).alias("week"),
+        F.lit(1).cast("long").alias("consortia_id"),
+        F.lit("r").alias("consortia_label"),
+        F.lit(1).cast("long").alias("library_id"),
+        F.lit("O").alias("loan_type"),
+        F.lit("1-URGENT").alias("priority"),
+        F.lit("BUILDING").alias("segment"),
+        F.lit(1).cast("decimal(18,2)").alias("value"),
+    )
+    eng = CubeEngine(default_catalog())
+    eng.register_fact("loans2", fact)
+
+    # D1 on the iso_week hierarchy: cut at iso_year, drill to week
+    rows = {
+        r["week"]: r["loans"]
+        for r in eng.aggregate(
+            "loans2",
+            cut="date:1997",
+            drilldown="date",
+            hierarchy="date:iso_week",
+            measure="loans",
+        ).collect()
+    }
+    assert rows == {"Y1997-W01": 3, "Y1997-W52": 1}
+
+    # C6 path cut addressing the week LEVEL: the label's internal dash
+    # must parse as part of the value, not as a range separator
+    out = eng.aggregate(
+        "loans2",
+        cut="date:1997,Y1997-W01",
+        hierarchy="date:iso_week",
+        measure="loans",
+    ).collect()
+    assert len(out) == 1 and out[0]["loans"] == 3
+
+    # iso_year RANGE still parses as a range on the week hierarchy
+    # (depth-1 cut, so the default drilldown lands on week)
+    out = eng.aggregate(
+        "loans2",
+        cut="date:1997-1998",
+        drilldown="date",
+        hierarchy="date:iso_week",
+        measure="loans",
+    ).collect()
+    assert {r["week"]: r["loans"] for r in out} == {
+        "Y1997-W01": 3, "Y1997-W52": 1, "Y1998-W01": 3
+    }
+
+    # calendar hierarchy is untouched: same cut string, different rows
+    cal = eng.aggregate(
+        "loans2", cut="date:1997", drilldown="date", measure="loans"
+    ).collect()
+    assert sum(r["loans"] for r in cal) == 4  # the four 1997 cal dates
