@@ -127,8 +127,11 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_revenue_concentration", "q_bpe_fertility", "q_activity_heatmap",
     "q_ship_lag_quantiles", "q_purchase_intervals", "q_setsim_join",
     "q_bmp_decode", "q_krippendorff_alpha", "q_mcnemar", "q_blocklist_filter",
-    "q_distinct_n", "q_approx_distinct", "q_hll_rollup", "q_topk_sketch",
-    "q_theta_audience", "q_kll_quantiles", "q_source_scan", "q_json_rows",
+    # r11: q_hll_rollup / q_theta_audience / q_kll_quantiles left this
+    # tuple — they gained exact-regime DuckDB oracles (rule 3), so they
+    # re-enter the window under the stronger hash check
+    "q_distinct_n", "q_approx_distinct", "q_topk_sketch",
+    "q_source_scan", "q_json_rows",
     "q_type_cast", "q_audit_columns", "q_output_table", "q_projection",
     "q_case_bucket", "q_date_arith", "q_filter_or", "q_time_scope",
     "q_zero_fill", "q_active_users", "q_agg_sum", "q_agg_avg", "q_agg_count",

@@ -4647,16 +4647,31 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_hll_rollup")
+@register(
+    "q_hll_rollup",
+    oracle="""
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(DISTINCT user_id) AS est_users
+FROM events GROUP BY 1
+""",
+)
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     Spark built-ins): per-day user sketches buildable once and UNIONED
     upward to weekly distincts WITHOUT re-touching the event stream —
     the warehouse rollup pattern exact COUNT(DISTINCT) can't do
     (distinct isn't reassociative; sketches are).  Emits per-week
-    estimated vs recount-free distinct actives.  Rows-only (sketch
-    binaries aren't SQL-expressible); tests/test_operators.py bounds
-    the estimate against the exact distinct."""
+    estimated vs recount-free distinct actives.
+
+    Oracle (r10 verdict task 6): a DataSketches HLL sketch stays in
+    its LIST/SET coupon modes — exact retained hashes, exact
+    estimates, exactness preserved by union — until the coupon budget
+    (hundreds at the default lgK=12), so at the sf0.01 gate scale
+    (≤150 distinct users) the weekly estimates equal exact
+    COUNT(DISTINCT) and the DuckDB twin hash-matches.  The
+    probabilistic dense-mode regime is bounded by the error-bound
+    pytest (tests/test_operators.py) instead."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("week", "ts").cast("date").alias("week"),
@@ -9062,7 +9077,28 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_theta_audience")
+@register(
+    "q_theta_audience",
+    oracle="""
+WITH dd AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM dd),
+pairs AS (SELECT a.day AS day_a, b.day AS day_b
+          FROM days a JOIN days b ON b.day = a.day + INTERVAL 1 DAY),
+m AS (
+    SELECT p.day_a, p.day_b, d.user_id,
+           MAX(CASE WHEN d.day = p.day_a THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN d.day = p.day_b THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p JOIN dd d ON d.day IN (p.day_a, p.day_b)
+    GROUP BY 1, 2, 3
+)
+SELECT day_a, day_b,
+       COUNT(*) AS either_day,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS both_days,
+       CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS new_users,
+       CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS churned_users
+FROM m GROUP BY 1, 2
+""",
+)
 def q_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience set algebra with Theta sketches (Apache DataSketches
     via Spark built-ins): per-day user sketches combined with UNION /
@@ -9071,9 +9107,16 @@ def q_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     do (HLL only unions).  One pass builds the day sketches; every
     audience question after that is sketch-sized work.  Emits per
     consecutive-day pair: estimated either-day / both-days / new /
-    churned counts.  Rows-only (sketch binaries aren't
-    SQL-expressible); tests bound the estimates against exact set
-    sizes."""
+    churned counts.
+
+    Oracle (r10 verdict task 6): BELOW the nominal-k entry budget
+    (4096) a Theta sketch is in exact mode — it retains every hash,
+    theta stays 1.0, and union/intersection/difference of exact
+    sketches are exact set algebra — so at the sf0.01 gate scale
+    (≤ ~150 users/day) every estimate equals the exact count and the
+    DuckDB twin replays it hash-exactly.  Past nominal the estimates
+    go probabilistic; that regime is bounded by the error-bound pytest
+    (tests/test_operators.py) instead."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.theta_sketch_agg("user_id").alias("sk")
@@ -9106,19 +9149,38 @@ def q_theta_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_kll_quantiles")
+@register(
+    "q_kll_quantiles",
+    oracle="""
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       ROUND(quantile_disc(value, 0.5), 6)  AS p50,
+       ROUND(quantile_disc(value, 0.9), 6)  AS p90,
+       ROUND(quantile_disc(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+""",
+)
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (Apache DataSketches KLL via Spark
     built-ins): per-day value sketches built once, MERGED upward to
     weekly p50/p90/p99 without re-touching the event stream — the
     rollup-able form of percentile_approx, and the 100 TB path where
     exact per-group sort-based percentiles stop being re-aggregable.
-    Rows-only; tests bound the sketch quantiles against exact ones."""
+
+    k=4096 (vs the 200 default): normalized rank error ~0.05% at any
+    scale for a few-KB sketch, and — the oracle lever (r10 verdict
+    task 6) — the sketch holds every item UNCOMPACTED below its k-item
+    buffer, so at the sf0.01 gate scale (≤ ~2.4k values/week) merged
+    weekly quantiles are EXACT order statistics under the inclusive
+    rank rule, which DuckDB's quantile_disc replays hash-exactly (and
+    tests/test_sketch_exact_regime.py pins on adversarial n).  The
+    compacted large-n regime is bounded by the error-bound pytest
+    (tests/test_operators.py) instead."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("week", "ts").cast("date").alias("week"),
         F.col("ts").cast("date").alias("day"),
-    ).agg(F.kll_sketch_agg_double("value").alias("sk"))
+    ).agg(F.kll_sketch_agg_double("value", F.lit(4096)).alias("sk"))
     weekly = daily.groupBy("week").agg(
         F.kll_merge_agg_double("sk").alias("sk"),
         F.count(F.lit(1)).alias("n_days"),
