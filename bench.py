@@ -31,10 +31,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # heap; 200+ queries of AQE broadcast-join relations are freed only on
 # GC and a marginal heap flakes with
 # notEnoughMemoryToBuildAndBroadcastTableError mid-run (BENCH_r09).
-# Default it UP on this 128 GiB box, overridable two ways: an explicit
-# SPARK_GRAFT_DRIVER_MEM, or a caller-provided PYSPARK_SUBMIT_ARGS
-# (setdefault never clobbers).
-_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+# r11 (verdict task 2): with per-query session hygiene in run_set —
+# catalog.clearCache + Python GC each query, JVM full GC every 10 —
+# driver state is BOUNDED instead of out-provisioned, and the full
+# 234-id session passes at 4 g (verified; the reference runs in
+# constant memory, OLAP.php:91-102 row pump — so should a bench
+# session).  Overridable two ways: an explicit SPARK_GRAFT_DRIVER_MEM,
+# or a caller-provided PYSPARK_SUBMIT_ARGS (setdefault never clobbers).
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
 os.environ.setdefault(
     "PYSPARK_SUBMIT_ARGS", f"--driver-memory {_DRIVER_MEM} pyspark-shell"
 )
@@ -316,6 +320,8 @@ BENCH_QUERIES = [
     "q_lorenz_deciles",
     "q_cuped",
     "q_mann_whitney",
+    # round-11: iso-week hierarchy drilldown (ISO year-boundary cut)
+    "q_drilldown_week",
 ]
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now
@@ -384,12 +390,21 @@ def run_set(spark, qs, sf_dir: str, names: list[str]) -> dict[str, float]:
         # GCs run (ContextCleaner is GC-driven), and 200 queries of
         # accumulated blocks measurably slow later table writes/scans —
         # the in-process twin of BENCH_NOTES' concurrent-run rule.
-        # Python GC per query (frees the py4j refs immediately); the
-        # JVM full GC only every 25th — a per-query System.gc() pause
-        # bleeds into the NEXT query's timed runs and taxes every
-        # sub-second id by ~0.5-1 s (measured).
+        # Three levers, cheapest first (r11: this is what bounds the
+        # session at a 4 g driver heap instead of needing 16 g):
+        #  - clearCache drops any persisted frames a query left in the
+        #    CacheManager (operator-internal persists are scoped to the
+        #    query; nothing legitimate survives to the next id);
+        #  - Python GC per query frees the py4j refs immediately, which
+        #    unpins localCheckpoint blocks for the ContextCleaner;
+        #  - a JVM full GC every 10th query actually runs that cleaner
+        #    work on a clock tighter than allocation pressure.  NOT
+        #    per-query: a System.gc() pause bleeds into the NEXT
+        #    query's timed runs and taxes every sub-second id by
+        #    ~0.5-1 s (measured).
+        spark.catalog.clearCache()
         gc.collect()
-        if (i + 1) % 25 == 0:
+        if (i + 1) % 10 == 0:
             spark.sparkContext._jvm.System.gc()
     return times
 
@@ -402,31 +417,47 @@ def slope_main() -> None:
     latency dominates small ids), while quadratic candidate growth
     (pair expansion under skew) shows up ≫ 10×.  Writes
     BENCH_SLOPE.json (sf0.01 s, sf0.1 s, ratio per query) and prints
-    one JSON line; the committed analysis lives in BENCH_NOTES.md."""
+    one JSON line; the committed analysis lives in BENCH_NOTES.md.
+
+    Overridable legs for higher-scale rehearsals (r10 verdict task 1 —
+    the sf0.1→sf1 pass over the pair-expansion tier):
+      SPARK_GRAFT_SLOPE_DIRS=lo_dir:hi_dir  (default sf0.01:sf0.1)
+      SPARK_GRAFT_SLOPE_IDS=a,b,c           (default: full headline set)
+      SPARK_GRAFT_SLOPE_OUT=NAME.json       (default BENCH_SLOPE.json)
+    The sf1 hi leg is derived from the driver's sf0.1 parquet by
+    tools/make_sf1.py (content transforms documented there)."""
     base = os.path.dirname(
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
     )
-    lo_dir, hi_dir = os.path.join(base, "sf0.01"), os.path.join(base, "sf0.1")
+    dirs = os.environ.get("SPARK_GRAFT_SLOPE_DIRS")
+    if dirs:
+        lo_dir, _, hi_dir = dirs.partition(":")
+    else:
+        lo_dir, hi_dir = os.path.join(base, "sf0.01"), os.path.join(base, "sf0.1")
+    ids_env = os.environ.get("SPARK_GRAFT_SLOPE_IDS")
+    names = [s for s in ids_env.split(",") if s] if ids_env else BENCH_QUERIES
+    out_name = os.environ.get("SPARK_GRAFT_SLOPE_OUT", "BENCH_SLOPE.json")
+    lo_key, hi_key = (os.path.basename(d.rstrip("/")) for d in (lo_dir, hi_dir))
 
     from opl_spark import workload
     from opl_spark.session import get_spark
 
     spark = get_spark(app_name="opl-bench-slope")
     qs = workload.queries()
-    lo = run_set(spark, qs, lo_dir, BENCH_QUERIES)
-    hi = run_set(spark, qs, hi_dir, BENCH_QUERIES)
+    lo = run_set(spark, qs, lo_dir, names)
+    hi = run_set(spark, qs, hi_dir, names)
     table = {
         q: {
-            "sf0.01": lo[q],
-            "sf0.1": hi[q],
+            lo_key: lo[q],
+            hi_key: hi[q],
             # floor the denominator: sub-50ms timings are scheduler
             # noise and would print absurd ratios
             "ratio": round(hi[q] / max(lo[q], 0.05), 2),
         }
-        for q in BENCH_QUERIES
+        for q in names
     }
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SLOPE.json"
+        os.path.dirname(os.path.abspath(__file__)), out_name
     )
     flagged = sorted(
         (q for q, v in table.items() if v["ratio"] > 10.0),
@@ -434,7 +465,7 @@ def slope_main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(
-            {"metric": "scale_slope", "sf_lo": 0.01, "sf_hi": 0.1,
+            {"metric": "scale_slope", "lo": lo_dir, "hi": hi_dir,
              "queries": table, "flagged_over_10x": flagged},
             fh, indent=1, sort_keys=True,
         )
@@ -445,7 +476,141 @@ def slope_main() -> None:
         "unit": "x per 10x data",
         "n_queries": len(table),
         "flagged_over_10x": flagged,
-        "detail": "BENCH_SLOPE.json",
+        "detail": out_name,
+    }))
+
+
+#: Interactive request mix for --latency: every grammar surface the
+#: HTTP API serves (cut forms, drilldowns, hierarchy selection, share/
+#: having/top_n post-processing) — planner-overhead coverage, not
+#: data-volume coverage.
+_LATENCY_SHAPES = [
+    {"cut": "date:1997", "drilldown": "date", "measure": "value"},
+    {"drilldown": "date|organization_level", "measure": "value"},
+    {"cut": "date:1996,10-1997,02", "drilldown": "date:year|date:month",
+     "measure": "loans"},
+    {"cut": "loan_type:F", "drilldown": "segment", "measure": "value",
+     "share": True},
+    {"drilldown": "priority", "measure": "avg_value"},
+    {"cut": "date:1997", "drilldown": "date:day", "measure": "loans",
+     "having": "loans >= 10"},
+    {"drilldown": "library_id", "measure": "value", "top_n": 5},
+    {"cut": "date:1997", "drilldown": "date", "hierarchy": "date:iso_week",
+     "measure": "loans"},
+    {"cut": "segment:BUILDING;MACHINERY", "drilldown": "date",
+     "measure": "value"},
+    {"drilldown": "date", "measure": "value", "share": True},
+]
+
+
+def _pcts(samples: list[float]) -> tuple[float, float]:
+    s = sorted(samples)
+    return (
+        round(s[len(s) // 2] * 1000, 1),
+        round(s[min(len(s) - 1, int(len(s) * 0.95))] * 1000, 1),
+    )
+
+
+def latency_main() -> None:
+    """``bench.py --latency``: p50/p95 of 100 ``CubeEngine.aggregate``
+    round-trips (plan + execute + collect) against a WARM parquet
+    warehouse — the interactive story the throughput suite never
+    measures (server.py requests are latency-bound on planner overhead
+    at report-sized results, not on scan throughput).  Also times the
+    rollup-router leg: the same monthly rollup question answered 100×
+    from the day-grain materialization vs directly from the fact —
+    the router's answer-time win is the reason the store exists.
+    Writes a JSON line; the committed analysis lives in BENCH_NOTES.md.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from opl_spark.cube import CubeEngine
+    from opl_spark.facts import build_loans_fact, default_catalog
+    from opl_spark.rollup import rollup_answer, time_rollup_frame
+    from opl_spark.session import get_spark
+    from opl_spark.sources import load_table
+    from opl_spark.sources.bucketing import bucketed_table_atomic
+
+    spark = get_spark(app_name="opl-bench-latency")
+    # warm warehouse: the fact materialized once (a server session
+    # reads the snapshot warehouse, not the source join)
+    wh = tempfile.mkdtemp(prefix="opl-latency-")
+    build_loans_fact(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(wh, "loans2")
+    )
+    eng = CubeEngine(default_catalog())
+    eng.register_fact("loans2", spark.read.parquet(os.path.join(wh, "loans2")))
+
+    for kw in _LATENCY_SHAPES:  # warm-up: codegen + file listing
+        eng.aggregate("loans2", **kw).collect()
+    lat: list[float] = []
+    for i in range(100):
+        kw = _LATENCY_SHAPES[i % len(_LATENCY_SHAPES)]
+        t0 = time.perf_counter()
+        eng.aggregate("loans2", **kw).collect()
+        lat.append(time.perf_counter() - t0)
+    p50, p95 = _pcts(lat)
+
+    # rollup-router leg: day-grain store answers the monthly question
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        return time_rollup_frame(
+            li.withColumn("ship_ts", F.col("l_shipdate").cast("timestamp")),
+            "ship_ts",
+            ["l_returnflag"],
+            {"revenue_dec": F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))},
+            grain="day",
+        )
+
+    table = bucketed_table_atomic(
+        spark, "opl_rollup_lineitem_day", sf_dir, build,
+        bucket_col="l_returnflag", num_buckets=8,
+    )
+
+    def routed():
+        return rollup_answer(
+            spark, {"day": table}, "month", ["l_returnflag"], ["revenue_dec"]
+        )
+
+    def direct():
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy(
+                F.date_trunc("month", F.col("l_shipdate").cast("timestamp"))
+                .cast("date").alias("bucket"),
+                "l_returnflag",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                    "revenue_dec"
+                ),
+            )
+        )
+
+    routed().collect(), direct().collect()  # warm both paths
+    r_lat, d_lat = [], []
+    for _ in range(100):
+        t0 = time.perf_counter()
+        routed().collect()
+        r_lat.append(time.perf_counter() - t0)
+    for _ in range(100):
+        t0 = time.perf_counter()
+        direct().collect()
+        d_lat.append(time.perf_counter() - t0)
+    r50, r95 = _pcts(r_lat)
+    d50, d95 = _pcts(d_lat)
+    print(json.dumps({
+        "metric": "interactive_latency_ms",
+        "value": p50,
+        "unit": "ms",
+        "n_calls": len(lat),
+        "cube_p50_ms": p50, "cube_p95_ms": p95,
+        "routed_p50_ms": r50, "routed_p95_ms": r95,
+        "direct_p50_ms": d50, "direct_p95_ms": d95,
     }))
 
 
@@ -516,5 +681,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--slope" in sys.argv:
         slope_main()
+    elif "--latency" in sys.argv:
+        latency_main()
     else:
         main()
