@@ -102,13 +102,48 @@ def attach_audit(
     return df.select(*audit, "*")
 
 
+def degrade_types_strict(df: DataFrame) -> DataFrame:
+    """OPT-IN replication of the reference's type degradation
+    (``Table::$assocDataTyes``, OLAP.php:51-58) for bit-compatible
+    migration audits: NEWDECIMAL columns land in INT(21) — MySQL
+    coerces with ROUND-half-away-from-zero, which Spark's HALF_UP
+    ``round`` matches exactly — and VAR_STRING lands in VARCHAR(50),
+    i.e. silent truncation at 50 chars.  The engine's DEFAULT keeps
+    full precision (SURVEY.md §1.2 — the degradation is a reference
+    defect, not a feature); this mode exists so an operator migrating
+    off the reference can diff snapshots byte-for-byte before flipping
+    precision on."""
+    from pyspark.sql import types as T
+
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            out = out.withColumn(
+                f.name, F.round(F.col(f.name), 0).cast("long")
+            )
+        elif isinstance(f.dataType, T.StringType):
+            out = out.withColumn(f.name, F.substring(F.col(f.name), 1, 50))
+    return out
+
+
 class SnapshotEngine:
     """Runs fact queries against registered source views and maintains
-    partitioned parquet fact tables under ``warehouse_dir``."""
+    partitioned parquet fact tables under ``warehouse_dir``.
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    ``strict_type_parity=True`` applies the reference's documented
+    type degradation (:func:`degrade_types_strict`) to every fact
+    result before the audit columns attach — for migration-period
+    byte-parity only; leave off otherwise."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        strict_type_parity: bool = False,
+    ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
+        self.strict_type_parity = strict_type_parity
 
     def _path(self, fact_table: str) -> str:
         return os.path.join(self.warehouse_dir, fact_table)
@@ -430,6 +465,8 @@ class SnapshotEngine:
                 df = self.spark.sql(bind_date(fq.sql, pivot_date))
             else:
                 raise ValueError(f"invalid query type {fq.query_type!r}")  # OLAP.php:348
+            if self.strict_type_parity:
+                df = degrade_types_strict(df)  # OLAP.php:51-58 parity
             df = attach_audit(df, fq.query_id, scope, execution_ts)
             # row count observed as a side effect of the write itself —
             # a separate .count() would re-execute the fact query

@@ -430,3 +430,37 @@ def test_conform_late_dimension_placeholders(registered):
     assert rows[1]["name"] == "alpha"
     # fact joins now lose nothing
     assert fact.join(conformed, "k").count() == fact.count()
+
+
+def test_strict_type_parity_mode_degrades_like_reference(registered, tmp_path):
+    """The opt-in migration mode (r10 verdict 'missing' item 2):
+    strict_type_parity replays the reference's type degradation
+    (OLAP.php:51-58) — NEWDECIMAL → INT(21) with MySQL's
+    round-half-away-from-zero, VAR_STRING → VARCHAR(50) truncation —
+    while the DEFAULT engine keeps full precision."""
+    spark = registered
+    sql = (
+        "SELECT CAST(2.5 AS DECIMAL(18,2)) AS pos_half, "
+        "CAST(-2.5 AS DECIMAL(18,2)) AS neg_half, "
+        "CAST(2.4 AS DECIMAL(18,2)) AS below, "
+        "repeat('x', 60) AS longstr, "
+        "CAST(7 AS BIGINT) AS keep_long "
+        "FROM region LIMIT 1"
+    )
+    strict = SnapshotEngine(spark, str(tmp_path / "strict"), strict_type_parity=True)
+    strict.run("1998-06-01", [FactQuery(1, "f_parity", sql)])
+    row = strict.fact_frame("f_parity").collect()[0]
+    assert (row["pos_half"], row["neg_half"], row["below"]) == (3, -3, 2)
+    assert len(row["longstr"]) == 50
+    assert row["keep_long"] == 7
+    types = dict(strict.fact_frame("f_parity").dtypes)
+    assert types["pos_half"] == "bigint" and types["longstr"] == "string"
+
+    # default mode: precision preserved (the deliberate divergence)
+    default = SnapshotEngine(spark, str(tmp_path / "default"))
+    default.run("1998-06-01", [FactQuery(1, "f_parity", sql)])
+    row = default.fact_frame("f_parity").collect()[0]
+    assert float(row["pos_half"]) == 2.5 and len(row["longstr"]) == 60
+    assert dict(default.fact_frame("f_parity").dtypes)["pos_half"].startswith(
+        "decimal"
+    )
