@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # r11 (verdict task 2): with per-query session hygiene in run_set —
 # catalog.clearCache + Python GC each query, JVM full GC every 10 —
 # driver state is BOUNDED instead of out-provisioned, and the full
-# 234-id session passes at 4 g (verified; the reference runs in
+# 235-id session passes at 4 g (verified; the reference runs in
 # constant memory, OLAP.php:91-102 row pump — so should a bench
 # session).  Overridable two ways: an explicit SPARK_GRAFT_DRIVER_MEM,
 # or a caller-provided PYSPARK_SUBMIT_ARGS (setdefault never clobbers).
@@ -431,13 +431,26 @@ def slope_main() -> None:
     )
     dirs = os.environ.get("SPARK_GRAFT_SLOPE_DIRS")
     if dirs:
-        lo_dir, _, hi_dir = dirs.partition(":")
+        # fail FAST on a malformed override — a missing ':' would
+        # otherwise die in the hi-leg warmup after the whole (paid)
+        # lo leg (code review r11)
+        lo_dir, sep, hi_dir = dirs.partition(":")
+        if not sep or not lo_dir or not hi_dir:
+            raise SystemExit(
+                f"SPARK_GRAFT_SLOPE_DIRS must be 'lo_dir:hi_dir', got {dirs!r}"
+            )
     else:
         lo_dir, hi_dir = os.path.join(base, "sf0.01"), os.path.join(base, "sf0.1")
     ids_env = os.environ.get("SPARK_GRAFT_SLOPE_IDS")
-    names = [s for s in ids_env.split(",") if s] if ids_env else BENCH_QUERIES
+    names = (
+        [s.strip() for s in ids_env.split(",") if s.strip()]
+        if ids_env
+        else BENCH_QUERIES
+    )
     out_name = os.environ.get("SPARK_GRAFT_SLOPE_OUT", "BENCH_SLOPE.json")
     lo_key, hi_key = (os.path.basename(d.rstrip("/")) for d in (lo_dir, hi_dir))
+    if lo_key == hi_key:  # same-basename legs would collide JSON keys
+        lo_key, hi_key = lo_key + "_lo", hi_key + "_hi"
 
     from opl_spark import workload
     from opl_spark.session import get_spark
@@ -504,11 +517,14 @@ _LATENCY_SHAPES = [
 
 
 def _pcts(samples: list[float]) -> tuple[float, float]:
+    """(p50, p95) in ms by the nearest-rank method: the k-th order
+    statistic with k = ceil(p·n) — for n=100 that is s[94], not
+    s[95] (int(0.95·n) indexes one rank too high; code review r11)."""
+    import math
+
     s = sorted(samples)
-    return (
-        round(s[len(s) // 2] * 1000, 1),
-        round(s[min(len(s) - 1, int(len(s) * 0.95))] * 1000, 1),
-    )
+    p95 = s[max(0, math.ceil(0.95 * len(s)) - 1)]
+    return (round(s[len(s) // 2] * 1000, 1), round(p95 * 1000, 1))
 
 
 def latency_main() -> None:
@@ -529,15 +545,20 @@ def latency_main() -> None:
 
     from opl_spark.cube import CubeEngine
     from opl_spark.facts import build_loans_fact, default_catalog
-    from opl_spark.rollup import rollup_answer, time_rollup_frame
+    from opl_spark.rollup import lineitem_day_rollup_table, rollup_answer
     from opl_spark.session import get_spark
     from opl_spark.sources import load_table
-    from opl_spark.sources.bucketing import bucketed_table_atomic
 
     spark = get_spark(app_name="opl-bench-latency")
     # warm warehouse: the fact materialized once (a server session
-    # reads the snapshot warehouse, not the source join)
+    # reads the snapshot warehouse, not the source join); fact-sized,
+    # so removed on exit (atexit also covers the exception paths —
+    # repeated latency rounds must not accumulate /tmp copies)
+    import atexit
+    import shutil
+
     wh = tempfile.mkdtemp(prefix="opl-latency-")
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
     build_loans_fact(spark, sf_dir).write.mode("overwrite").parquet(
         os.path.join(wh, "loans2")
     )
@@ -554,21 +575,10 @@ def latency_main() -> None:
         lat.append(time.perf_counter() - t0)
     p50, p95 = _pcts(lat)
 
-    # rollup-router leg: day-grain store answers the monthly question
-    def build():
-        li = load_table(spark, sf_dir, "lineitem")
-        return time_rollup_frame(
-            li.withColumn("ship_ts", F.col("l_shipdate").cast("timestamp")),
-            "ship_ts",
-            ["l_returnflag"],
-            {"revenue_dec": F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))},
-            grain="day",
-        )
-
-    table = bucketed_table_atomic(
-        spark, "opl_rollup_lineitem_day", sf_dir, build,
-        bucket_col="l_returnflag", num_buckets=8,
-    )
+    # rollup-router leg: the SHARED day-grain store (one build
+    # definition in rollup.py — the content-addressed store dedupes by
+    # name+dir, so duplicated build bodies could silently drift apart)
+    table = lineitem_day_rollup_table(spark, sf_dir)
 
     def routed():
         return rollup_answer(

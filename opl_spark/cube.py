@@ -159,21 +159,34 @@ class CubeEngine:
         # range forms — split on the FIRST '-' that separates two members.
         # A dash can also live INSIDE a level value (the ISO week label
         # 'Y1997-W01' as a path component): treat the spec as a range
-        # only when what follows the first dash still looks like a range
-        # bound (a comma path, a bare numeral, or empty for open
-        # ranges).  'date:1997,Y1997-W01' therefore compiles as a C6
-        # path; week-LEVEL tuple ranges are inexpressible in this
-        # grammar (genuinely ambiguous string language) — use a C5 set
-        # or an iso_year-level range instead.
+        # only when BOTH bound tuples TYPE-CHECK against the hierarchy's
+        # level columns (every component feeding a numeric level parses
+        # as a number; an empty side is an open range).
+        # 'date:1997,Y1997-W01' therefore compiles as a C6 path — its
+        # "hi bound" ('W01') fails the numeric iso_year check — and so
+        # does the deeper 'date:1997,Y1997-W01,5' on a 3-level walk
+        # ('W01,5' puts a non-numeral on a numeric level).  Week-LEVEL
+        # tuple ranges remain inexpressible in this grammar (genuinely
+        # ambiguous string language) — use a C5 set or an
+        # iso_year-level range instead.
+        def _bound_typechecks(side: str) -> bool:
+            if not side:
+                return True  # open range
+            parts = [p.strip() for p in side.split(",")][: len(cols)]
+            for i, v in enumerate(parts):
+                if _is_numeric(df.schema[cols[i]].dataType):
+                    try:
+                        _atom(v, True)
+                    except ValueError:
+                        return False
+            return True
+
         range_like = "-" in spec and (first_numeric or "," in spec)
         if range_like and "," in spec:
-            _, _, hi_probe = spec.partition("-")
-            hi_probe = hi_probe.strip()
-            if hi_probe and "," not in hi_probe:
-                try:
-                    int(hi_probe)
-                except ValueError:
-                    range_like = False
+            lo_probe, _, hi_probe = spec.partition("-")
+            range_like = _bound_typechecks(
+                lo_probe.strip()
+            ) and _bound_typechecks(hi_probe.strip())
         if range_like:
             lo_s, _, hi_s = spec.partition("-")
             lo_s, hi_s = lo_s.strip(), hi_s.strip()

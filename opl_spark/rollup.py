@@ -101,6 +101,43 @@ def time_rollup_frame(
     )
 
 
+def lineitem_day_rollup_table(spark: SparkSession, sf_dir: str) -> str:
+    """The shared day-grain lineitem revenue rollup store: (ship day,
+    returnflag) partial sums as a content-addressed bucketed catalog
+    table (``sources.bucketing.bucketed_table_atomic`` — safe under
+    concurrent sessions).  ONE definition serves every consumer
+    (``q_rollup_route``, the latency bench's router leg): the store
+    dedupes by (name, sf_dir) only, so two call sites with drifting
+    build bodies would silently serve whichever ran first — the build
+    lives here precisely so that cannot happen (code review r11).
+    Returns the table name."""
+    from opl_spark.sources import load_table
+    from opl_spark.sources.bucketing import bucketed_table_atomic
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return time_rollup_frame(
+            li.withColumn("ship_ts", F.col("l_shipdate").cast("timestamp")),
+            "ship_ts",
+            ["l_returnflag"],
+            {
+                "revenue_dec": F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                )
+            },
+            grain="day",
+        )
+
+    return bucketed_table_atomic(
+        spark,
+        "opl_rollup_lineitem_day",
+        sf_dir,
+        build,
+        bucket_col="l_returnflag",
+        num_buckets=8,
+    )
+
+
 def rollup_answer(
     spark: SparkSession,
     table_by_grain: dict[str, str],

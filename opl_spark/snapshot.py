@@ -115,15 +115,18 @@ def degrade_types_strict(df: DataFrame) -> DataFrame:
     precision on."""
     from pyspark.sql import types as T
 
-    out = df
+    # ONE projection, not a withColumn chain — a chain nests a Project
+    # per converted column, O(columns) analysis overhead on exactly
+    # the wide migration facts this mode exists for
+    cols = []
     for f in df.schema.fields:
         if isinstance(f.dataType, T.DecimalType):
-            out = out.withColumn(
-                f.name, F.round(F.col(f.name), 0).cast("long")
-            )
+            cols.append(F.round(F.col(f.name), 0).cast("long").alias(f.name))
         elif isinstance(f.dataType, T.StringType):
-            out = out.withColumn(f.name, F.substring(F.col(f.name), 1, 50))
-    return out
+            cols.append(F.substring(F.col(f.name), 1, 50).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
 
 
 class SnapshotEngine:

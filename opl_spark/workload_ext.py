@@ -10805,27 +10805,9 @@ def q_rollup_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing is invisible to the oracle (the direct fact aggregation).
     Routing policy + exactness + the routed-plan-never-scans-lineitem
     contract are pinned by tests/test_rollup_router.py."""
-    from opl_spark.rollup import rollup_answer, time_rollup_frame
-    from opl_spark.sources.bucketing import bucketed_table_atomic
+    from opl_spark.rollup import lineitem_day_rollup_table, rollup_answer
 
-    def build() -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem")
-        return time_rollup_frame(
-            li.withColumn("ship_ts", F.col("l_shipdate").cast("timestamp")),
-            "ship_ts",
-            ["l_returnflag"],
-            {"revenue_dec": F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))},
-            grain="day",
-        )
-
-    table = bucketed_table_atomic(
-        spark,
-        "opl_rollup_lineitem_day",
-        sf_dir,
-        build,
-        bucket_col="l_returnflag",
-        num_buckets=8,
-    )
+    table = lineitem_day_rollup_table(spark, sf_dir)
     out = rollup_answer(
         spark,
         {"day": table},

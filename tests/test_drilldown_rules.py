@@ -459,3 +459,41 @@ def test_iso_week_hierarchy_year_boundary(spark):
         "loans2", cut="date:1997", drilldown="date", measure="loans"
     ).collect()
     assert sum(r["loans"] for r in cal) == 4  # the four 1997 cal dates
+
+
+def test_dash_value_path_cut_on_three_level_hierarchy(spark):
+    """Code-review r11 pin: a dash-containing value in a MIDDLE path
+    component (week on an iso_year→week→day walk) must still compile
+    as a C6 path — the range probe type-checks both bound tuples
+    against the level columns instead of only inspecting the last
+    component, so 'date:1997,Y1997-W01,5' is a path, not a crash."""
+    from opl_spark.catalog import Catalog, Dimension, FactMeta, Hierarchy, Level, Measure
+    from opl_spark.cube import CubeEngine
+
+    meta = FactMeta(
+        name="f3",
+        dimensions=(
+            Dimension(
+                name="date",
+                levels=(Level("iso_year"), Level("week"), Level("day")),
+                hierarchies=(Hierarchy("wk", ("iso_year", "week", "day")),),
+            ),
+        ),
+        measures=(Measure("n", column="day", aggregates=("count",)),),
+    )
+    rows = [
+        (1997, "Y1997-W01", d) for d in (1, 2, 5)
+    ] + [(1997, "Y1997-W02", 5), (1998, "Y1998-W01", 5)]
+    df = spark.createDataFrame(rows, "iso_year long, week string, day long")
+    eng = CubeEngine(Catalog({"f3": meta}))
+    eng.register_fact("f3", df)
+
+    out = eng.aggregate("f3", cut="date:1997,Y1997-W01,5", measure="n").collect()
+    assert len(out) == 1 and out[0]["n"] == 1
+    out = eng.aggregate("f3", cut="date:1997,Y1997-W01", measure="n").collect()
+    assert out[0]["n"] == 3
+    # numeric tuple ranges on the same hierarchy still parse as ranges
+    out = eng.aggregate(
+        "f3", cut="date:1997-1998", drilldown="date:iso_year", measure="n"
+    ).collect()
+    assert {r["iso_year"]: r["n"] for r in out} == {1997: 4, 1998: 1}

@@ -17,9 +17,11 @@ set:
   Replicating texts verbatim instead would give every doc 10 exact
   twins — a quadratic pair blow-up that measures the synthetic
   replication, not the operator.
-- ``embeddings``: per-copy deterministic jitter (±0.0004·dim-pattern),
-  large enough to break exact-duplicate vectors across copies, small
-  enough to keep the cosine-neighborhood density realistic.
+- ``embeddings``: per-copy deterministic jitter of
+  ``0.0001·copy·((dim%5)-2)`` — up to ±0.0018 at copy 9, large enough
+  to break exact-duplicate vectors across copies, small enough (unit
+  vectors, ~64 dims ⇒ cosine shift ≲1e-3) to keep the
+  cosine-neighborhood density realistic.
 - ``lineitem/orders/customer/supplier/part/events``: key columns shift
   by copy-sized strides (joins stay consistent within a copy);
   value/date distributions are untouched.
