@@ -213,14 +213,18 @@ _RETRY_FIRST: tuple[str, ...] = (
 #    same catalog).
 #  - q_cut_range / q_cut_open_range / q_cut_hierarchy /
 #    q_cut_hierarchy_range / q_drilldown_cutlevel / q_drilldown_default:
-#    the cut grammar's range detection changed (a dash inside an ISO
-#    week label is no longer a range separator) and the loans2 fact
-#    gained two columns; all re-verified hash-green locally.
+#    the cut grammar's range detection changed twice (dash-in-value
+#    path parsing, then bound-tuple type-checking per code review) and
+#    the loans2 fact gained two columns; all re-verified hash-green
+#    locally (full 291-id sweep on final HEAD).
+#  - q_rollup_route: its day-rollup store build moved to the shared
+#    rollup.py helper (plan-equivalent; strict changed-code rule).
 _AUDIT_PRIORITY: tuple[str, ...] = (
     "q_kendall_tau", "q_mann_whitney", "q_chi2_independence",
     "q_mutual_information", "q_temperature_mix", "q_meta_dimensions",
     "q_cut_range", "q_cut_open_range", "q_cut_hierarchy",
     "q_cut_hierarchy_range", "q_drilldown_cutlevel", "q_drilldown_default",
+    "q_rollup_route",
 )
 
 
