@@ -158,3 +158,87 @@ def test_having_parser_rejects_arbitrary_strings_without_injection():
         ), s
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# dash-valued string levels (the iso_week shape) — r11 grammar hardening
+# ---------------------------------------------------------------------------
+
+ISO_META = FactMeta(
+    name="fw",
+    dimensions=(
+        Dimension(
+            name="date",
+            levels=(Level("iso_year"), Level("week"), Level("day")),
+            hierarchies=(Hierarchy("wk", ("iso_year", "week", "day")),),
+        ),
+    ),
+    measures=(Measure("n", column="day", aggregates=("count",)),),
+)
+
+ISO_ROWS = [
+    (y, f"Y{y}-W{w:02d}", d)
+    for y in (1996, 1997)
+    for w in (1, 2, 52)
+    for d in (1, 5)
+]
+
+
+@pytest.fixture(scope="module")
+def iso_engine(spark):
+    df = spark.createDataFrame(ISO_ROWS, "iso_year long, week string, day long")
+    eng = CubeEngine(Catalog({"fw": ISO_META}))
+    eng.register_fact("fw", df)
+    return eng
+
+
+iso_path = st.builds(
+    lambda y, w, d, depth: ",".join(
+        (str(y), f"Y{y}-W{w:02d}", str(d))[:depth]
+    ),
+    st.sampled_from([1995, 1996, 1997]),
+    st.sampled_from([1, 2, 52, 7]),
+    st.sampled_from([1, 5, 9]),
+    st.integers(1, 3),
+)
+iso_year_range = st.builds(
+    lambda a, b: f"{min(a, b)}-{max(a, b)}",
+    st.sampled_from([1995, 1996, 1997, 1998]),
+    st.sampled_from([1995, 1996, 1997, 1998]),
+)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=st.one_of(iso_path, iso_year_range))
+def test_dash_valued_path_cuts_match_python_semantics(iso_engine, spec):
+    """Property: on a hierarchy whose middle level holds dash-bearing
+    string values, every generated path cut (any depth — the week
+    label's internal dash must never read as a range separator) and
+    every first-level numeric range selects exactly the rows the
+    documented semantics select."""
+    df = iso_engine.aggregate(
+        "fw",
+        cut=f"date:{spec}",
+        drilldown="date:iso_year|date:week|date:day",
+        measure="n",
+    )
+    got = sorted(
+        (r["iso_year"], r["week"], r["day"]) for r in df.collect()
+    )
+
+    def keep(row):
+        y, w, d = row
+        if "," in spec or not spec.replace("-", "").isdigit() or "-" not in spec:
+            # path semantics: equality down the declared order
+            parts = spec.split(",")
+            tup = (str(y), w, str(d))
+            return tup[: len(parts)] == tuple(p.strip() for p in parts)
+        lo, _, hi = spec.partition("-")
+        return int(lo) <= y <= int(hi)
+
+    expected = sorted(row for row in ISO_ROWS if keep(row))
+    assert got == expected, f"cut={spec!r}"

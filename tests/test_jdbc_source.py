@@ -128,3 +128,27 @@ def test_jdbc_date_filter_pushdown_reaches_scan(spark, jdbc_views):
     plan = formatted_plan(spark.sql(bind_date(sql, dt.date(2024, 1, 10))))
     assert "PushedFilters:" in plan
     assert "LessThanOrEqual(LOAN_DATE" in plan.replace('"', ""), plan
+
+
+def test_jdbc_v2_catalog_pushes_aggregates_into_source(spark, jdbc_url):
+    """The DSv2 catalog leg: GROUP BY + COUNT/SUM execute INSIDE the
+    source database — the plan's scan node carries PushedAggregates /
+    PushedGroupByExpressions, so at scale the source returns
+    group-count rows instead of the fact spine.  (Identifier case is
+    the remote database's: Derby uppercases unquoted names.)"""
+    from opl_spark.sources.registry import register_jdbc_catalog
+
+    register_jdbc_catalog(
+        spark, "clavis", jdbc_url, driver=DRIVER
+    )
+    df = spark.sql(
+        "SELECT LIBRARY_ID, COUNT(*) AS n, SUM(VAL) AS s "
+        "FROM clavis.APP.LOAN GROUP BY LIBRARY_ID"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregates: [COUNT(*), SUM(VAL)]" in plan, plan
+    assert "PushedGroupByExpressions: [LIBRARY_ID]" in plan, plan
+    rows = {r["LIBRARY_ID"]: (r["n"], r["s"]) for r in df.collect()}
+    # 200 loans over 5 libraries: ids i with i%5==lib, val=i
+    assert rows[0] == (40, float(sum(i for i in range(200) if i % 5 == 0)))
+    assert set(rows) == set(range(5)) and all(n == 40 for n, _ in rows.values())

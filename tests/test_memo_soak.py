@@ -95,3 +95,62 @@ def test_two_full_memo_sweeps_share_one_warehouse(tmp_path):
     assert len(finals) >= 1, rollup
     for d in finals:
         assert os.path.exists(os.path.join(d, "_SUCCESS")), d
+
+
+def test_crashed_builder_temps_are_inert(spark, tmp_path):
+    """Contract pin: a leftover ``.tmp-*`` directory from a crashed
+    builder must neither block a fresh build nor pollute readers —
+    temps are dot-hidden, never read, never swept (a sweep could hit a
+    live concurrent builder's in-flight write)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opl_spark.sources.bucketing import (
+        bucketed_table_atomic,
+        materialize_parquet_atomic,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/").replace("file:", "")
+
+    # parquet store: plant a fake crashed temp with GARBAGE content
+    base = os.path.join(wh, "opl_crash_probe")
+    crash = os.path.join(base, ".tmp-deadbeef-1-1")
+    os.makedirs(crash, exist_ok=True)
+    with open(os.path.join(crash, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet at all")
+    got = materialize_parquet_atomic(
+        spark, "opl_crash_probe", str(tmp_path),
+        lambda: spark.range(7).select(F.col("id")),
+    )
+    assert got.count() == 7
+    assert os.path.exists(crash), "inert temp must never be swept"
+    # a second call reads the winner without rebuilding
+    assert materialize_parquet_atomic(
+        spark, "opl_crash_probe", str(tmp_path),
+        lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")),
+    ).count() == 7
+
+    # bucketed store: crashed temp next to the final location
+    crash2 = os.path.join(wh, ".opl_crash_edges_tmp_999_999")
+    os.makedirs(crash2, exist_ok=True)
+    with open(os.path.join(crash2, "junk"), "w") as f:
+        f.write("junk")
+    t = bucketed_table_atomic(
+        spark, "opl_crash_edges", str(tmp_path),
+        lambda: spark.range(20).select(
+            (F.col("id") % 3).alias("src"), F.col("id").alias("dst")
+        ),
+        bucket_col="src", num_buckets=4,
+    )
+    assert spark.table(t).count() == 20
+    assert os.path.exists(crash2), "inert temp must never be swept"
+
+    # cleanup our probes (safe: names are test-unique)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(crash2, ignore_errors=True)
+    loc = os.path.join(wh, t)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(loc, ignore_errors=True)
