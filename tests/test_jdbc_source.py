@@ -152,3 +152,39 @@ def test_jdbc_v2_catalog_pushes_aggregates_into_source(spark, jdbc_url):
     # 200 loans over 5 libraries: ids i with i%5==lib, val=i
     assert rows[0] == (40, float(sum(i for i in range(200) if i % 5 == 0)))
     assert set(rows) == set(range(5)) and all(n == 40 for n, _ in rows.values())
+
+
+def test_jdbc_v2_snapshot_aggregation_runs_in_source(spark, jdbc_url, tmp_path):
+    """The full production topology with the aggregation ITSELF pushed
+    to the source: SnapshotEngine.run over catalog-qualified fact SQL —
+    the source database computes the group-by (PushedAggregates on the
+    scan), Spark attaches audit columns and writes the warehouse.
+    This is exactly the reference's architecture (MySQL executes the
+    operator SQL, PHP stamps and stores rows) with Spark as the
+    stamping/storage tier."""
+    from opl_spark.snapshot import FactQuery, SnapshotEngine
+    from opl_spark.sources.registry import register_jdbc_catalog
+
+    register_jdbc_catalog(spark, "clavis2", jdbc_url, driver=DRIVER)
+    sql = (
+        "SELECT LIBRARY_ID AS library_id, COUNT(*) AS loans, "
+        "SUM(VAL) AS total_value "
+        "FROM clavis2.APP.LOAN WHERE LOAN_DATE <= @date GROUP BY LIBRARY_ID"
+    )
+    from opl_spark.snapshot import bind_date
+
+    plan = (
+        spark.sql(bind_date(sql, "2024-01-28"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedAggregates: [COUNT(*), SUM(VAL)]" in plan, plan
+    assert "LOAN_DATE" in plan.split("PushedFilters: [", 1)[1].split("]")[0], plan
+
+    eng = SnapshotEngine(spark, str(tmp_path / "wh"))
+    written = eng.run("2024-01-28", [FactQuery(9, "jdbc_loans_v2", sql)])
+    assert written == {"jdbc_loans_v2": 5}
+    rows = {
+        r["library_id"]: (r["loans"], r["total_value"])
+        for r in eng.fact_frame("jdbc_loans_v2").collect()
+    }
+    assert rows[0] == (40, float(sum(i for i in range(200) if i % 5 == 0)))
