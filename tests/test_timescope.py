@@ -93,3 +93,32 @@ def test_spark_scope_columns_match_python(spark):
             py.week,
             py.day,
         ), f"scope mismatch at {r['d']}"
+
+
+def test_spark_week_columns_match_python_isocalendar_exhaustively(spark):
+    """Every day over six years (incl. the 53-week years 1998/2004
+    patterns and all Dec/Jan boundaries): the Spark column builders
+    must agree with Python's isocalendar — the iso_week cube hierarchy
+    (r11) keys cuts and drilldowns off these columns, so a single
+    off-by-one day would silently misplace boundary rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from opl_spark.timescope import iso_week_year_col, week_label, week_label_col
+
+    start, end = dt.date(1995, 1, 1), dt.date(2000, 12, 31)
+    days = [(start + dt.timedelta(days=i)).isoformat()
+            for i in range((end - start).days + 1)]
+    d = F.to_date("ds")
+    out = spark.createDataFrame([(x,) for x in days], "ds: string").select(
+        "ds",
+        iso_week_year_col(d).alias("iy"),
+        week_label_col(d).alias("wl"),
+    ).collect()
+    assert len(out) == len(days)
+    for r in out:
+        py = dt.date.fromisoformat(r["ds"])
+        iso = py.isocalendar()
+        assert r["iy"] == iso[0], r["ds"]
+        assert r["wl"] == week_label(py) == f"Y{iso[0]}-W{iso[1]:02d}", r["ds"]
