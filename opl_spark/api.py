@@ -13,6 +13,7 @@ the heavy lifting stays distributed inside ``CubeEngine.aggregate``.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Any
 
 from opl_spark.cube import CubeEngine, to_table
@@ -25,15 +26,38 @@ class OlapApi:
     - ``/olap/<fact>/dimensions``                 (M2)
     - ``/olap/<fact>/measures``                   (M3)
     - ``/olap/<fact>/aggregate?cut=&drilldown=&measure=&aggregate=&output=``
-    """
 
-    def __init__(self, engine: CubeEngine, rollups=None):
+    ``plan_cache_size`` (default 128): dashboards repeat a small set of
+    aggregate requests verbatim, and each repeat would otherwise re-pay
+    grammar compilation + Catalyst analysis (the dominant share of
+    report-sized interactive latency — bench.py --latency).  Identical
+    (fact, params) requests therefore reuse the built DataFrame, whose
+    analyzed plan Spark caches on the object; EXECUTION still runs per
+    request.  Staleness horizon is unchanged: the cached plan reads the
+    same registered frame (and its file listing) a fresh build would —
+    re-registering a fact bumps its version and structurally
+    invalidates every cached plan over it.  Size 0 disables."""
+
+    def __init__(
+        self, engine: CubeEngine, rollups=None, plan_cache_size: int = 128
+    ):
         self.engine = engine
         self.catalog = engine.catalog
         #: optional opl_spark.rollups.RollupStore — core aggregate
         #: requests route through the materialized lattice when set
         #: (identical results either way; tests/test_rollups.py pins it)
         self.rollups = rollups
+        self._plan_cache_size = int(plan_cache_size)
+        self._plan_cache: OrderedDict[tuple, Any] = OrderedDict()
+
+    def clear_plan_cache(self) -> None:
+        """Drop every cached aggregate plan.  Fact re-registration
+        invalidates structurally (frame versions key the cache); call
+        this for out-of-band plan-affecting changes the key can't see —
+        e.g. re-materializing or re-configuring the rollup lattice
+        (identical RESULTS either way, but the routed scan target
+        changes)."""
+        self._plan_cache.clear()
 
     def handle(self, path: str, params: dict[str, str] | None = None) -> Any:
         params = params or {}
@@ -80,7 +104,31 @@ class OlapApi:
         explain contract ('previews exactly the plan aggregate runs')
         holds by construction because both routes call this.  Core
         requests route through the rollup lattice when configured;
-        extension params always go to the live engine."""
+        extension params always go to the live engine.  Built plans
+        are LRU-cached per (fact, frame version, plan params) — see
+        the class docstring; failed builds are never cached."""
+        key = (
+            fact,
+            self.engine.frame_version(fact),
+            tuple(
+                sorted(
+                    (k, v) for k, v in params.items() if k != "output"
+                )
+            ),
+        )
+        if self._plan_cache_size:
+            cached = self._plan_cache.get(key)
+            if cached is not None:
+                self._plan_cache.move_to_end(key)
+                return cached
+        df = self._build_aggregate_df_uncached(fact, params)
+        if self._plan_cache_size:
+            self._plan_cache[key] = df
+            if len(self._plan_cache) > self._plan_cache_size:
+                self._plan_cache.popitem(last=False)
+        return df
+
+    def _build_aggregate_df_uncached(self, fact: str, params: dict[str, str]):
         core_only = not any(
             k in params
             for k in ("top_n", "top_within", "having", "share", "share_within")

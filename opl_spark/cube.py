@@ -115,9 +115,19 @@ class CubeEngine:
     def __init__(self, catalog, fact_frames: dict[str, DataFrame] | None = None):
         self.catalog = catalog
         self._frames: dict[str, DataFrame] = dict(fact_frames or {})
+        #: bumped on every (re-)registration — consumers caching plans
+        #: built over a frame (OlapApi's request plan cache) key on
+        #: this so a swapped frame invalidates them structurally
+        self._versions: dict[str, int] = {n: 1 for n in self._frames}
 
     def register_fact(self, name: str, df: DataFrame) -> None:
         self._frames[name] = df
+        self._versions[name] = self._versions.get(name, 0) + 1
+
+    def frame_version(self, name: str) -> int:
+        """Monotonic per-fact registration counter (0 = never
+        registered); part of any plan-cache key over this fact."""
+        return self._versions.get(name, 0)
 
     def frame(self, name: str) -> DataFrame:
         if name not in self._frames:

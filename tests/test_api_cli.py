@@ -416,3 +416,50 @@ def test_cli_srp_probe_closes_build_probe_append_loop(spark, sf_dir, tmp_path, c
     with pytest.raises(SystemExit, match="needs columns"):
         cli_main(["-c", "srp-probe", "--store", store, "--batch",
                   str(sf_dir) + "/documents.parquet"])
+
+
+def test_aggregate_plan_cache_reuses_and_invalidates(spark, sf_dir):
+    """The request plan cache (r11): identical aggregate requests
+    reuse the built DataFrame (no re-analysis), different params build
+    fresh plans, re-registering the fact invalidates structurally, and
+    results are identical cached or not."""
+    from pyspark.sql import functions as F
+
+    eng = CubeEngine(default_catalog())
+    eng.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    api = OlapApi(eng)
+    p = {"cut": "date:1997", "drilldown": "date", "measure": "loans"}
+
+    d1 = api._build_aggregate_df("loans2", p)
+    d2 = api._build_aggregate_df("loans2", p)
+    assert d1 is d2  # cache hit: same analyzed plan object
+    # output=table vs json share the plan (output excluded from key)
+    assert api._build_aggregate_df("loans2", {**p, "output": "table"}) is d1
+    d3 = api._build_aggregate_df("loans2", {**p, "measure": "value"})
+    assert d3 is not d1
+
+    # served results equal an uncached engine's
+    uncached = OlapApi(eng, plan_cache_size=0)
+    assert uncached._build_aggregate_df(
+        "loans2", p
+    ) is not uncached._build_aggregate_df("loans2", p)
+    assert api.handle("/olap/loans2/aggregate", p) == uncached.handle(
+        "/olap/loans2/aggregate", p
+    )
+
+    # re-registration bumps the frame version -> fresh plan over the
+    # new frame (here: a filtered frame, so the answer changes too)
+    before = api.handle("/olap/loans2/aggregate", p)
+    eng.register_fact(
+        "loans2", build_loans_fact(spark, sf_dir).filter(F.col("month") <= 6)
+    )
+    d4 = api._build_aggregate_df("loans2", p)
+    assert d4 is not d1
+    after = api.handle("/olap/loans2/aggregate", p)
+    assert before != after  # stale cache would have answered 'before'
+
+    # malformed requests are not cached and still raise each time
+    bad = {"cut": "date", "drilldown": "date"}
+    for _ in range(2):
+        with pytest.raises(ValueError):
+            api.handle("/olap/loans2/aggregate", bad)

@@ -233,10 +233,15 @@ def test_aggregate_routes_through_lattice_and_breaking_it_shows(routed_server):
     orig = store.route
     try:
         store.route = lambda *a, **k: None  # deliberately broken routing
+        # out-of-band routing change: the plan cache can't see it (the
+        # cache key covers fact/frame-version/params — results would be
+        # identical either way), so this white-box probe clears it
+        api.clear_plan_cache()
         broken = api._build_aggregate_df("loans2", dict(AGG_PARAMS))
         assert "latency_lattice" not in formatted_plan(broken)
     finally:
         store.route = orig
+        api.clear_plan_cache()
 
 
 def test_http_aggregate_latency_guard(routed_server):
