@@ -13,6 +13,7 @@ the heavy lifting stays distributed inside ``CubeEngine.aggregate``.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from typing import Any
 
@@ -49,6 +50,9 @@ class OlapApi:
         self.rollups = rollups
         self._plan_cache_size = int(plan_cache_size)
         self._plan_cache: OrderedDict[tuple, Any] = OrderedDict()
+        # the server is ThreadingHTTPServer: concurrent requests mutate
+        # the LRU (move_to_end / popitem) — guard the compound ops
+        self._plan_cache_lock = threading.Lock()
 
     def clear_plan_cache(self) -> None:
         """Drop every cached aggregate plan.  Fact re-registration
@@ -57,7 +61,8 @@ class OlapApi:
         e.g. re-materializing or re-configuring the rollup lattice
         (identical RESULTS either way, but the routed scan target
         changes)."""
-        self._plan_cache.clear()
+        with self._plan_cache_lock:
+            self._plan_cache.clear()
 
     def handle(self, path: str, params: dict[str, str] | None = None) -> Any:
         params = params or {}
@@ -117,15 +122,17 @@ class OlapApi:
             ),
         )
         if self._plan_cache_size:
-            cached = self._plan_cache.get(key)
-            if cached is not None:
-                self._plan_cache.move_to_end(key)
-                return cached
+            with self._plan_cache_lock:
+                cached = self._plan_cache.get(key)
+                if cached is not None:
+                    self._plan_cache.move_to_end(key)
+                    return cached
         df = self._build_aggregate_df_uncached(fact, params)
         if self._plan_cache_size:
-            self._plan_cache[key] = df
-            if len(self._plan_cache) > self._plan_cache_size:
-                self._plan_cache.popitem(last=False)
+            with self._plan_cache_lock:
+                self._plan_cache[key] = df
+                if len(self._plan_cache) > self._plan_cache_size:
+                    self._plan_cache.popitem(last=False)
         return df
 
     def _build_aggregate_df_uncached(self, fact: str, params: dict[str, str]):
