@@ -53,10 +53,16 @@ DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 def seed_source(spark, db_path: str) -> str:
     """The stand-in ILS database: loans across libraries over a
-    December/January ISO-week boundary."""
+    December/January ISO-week boundary.  Re-runnable: existing tables
+    are dropped and re-seeded."""
     url = f"jdbc:derby:{db_path}"
     conn = spark._jvm.java.sql.DriverManager.getConnection(url + ";create=true")
     st = conn.createStatement()
+    for table in ("loan", "library"):
+        try:
+            st.executeUpdate(f"DROP TABLE {table}")
+        except Exception:
+            pass  # first run: nothing to drop
     st.executeUpdate(
         "CREATE TABLE loan (id INT PRIMARY KEY, library_id INT, "
         "loan_date DATE, val DECIMAL(10,2))"
@@ -82,8 +88,14 @@ def seed_source(spark, db_path: str) -> str:
 
 
 def main(work_dir: str) -> None:
+    import shutil
+
     spark = get_spark(app_name="jdbc-production-tour")
     url = seed_source(spark, os.path.join(work_dir, "clavis"))
+    # fresh warehouses per run — a leftover one would make the first
+    # eng.run() a no-op and misreport the idempotence demonstration
+    for sub in ("wh", "wh_strict"):
+        shutil.rmtree(os.path.join(work_dir, sub), ignore_errors=True)
 
     # -- leg 1: classic views (filter pushdown + partitioned reads) --
     register_jdbc_sources(
@@ -118,6 +130,10 @@ def main(work_dir: str) -> None:
         ._jdf.queryExecution().executedPlan().toString()
     )
     pushed = [ln.strip() for ln in plan.splitlines() if "PushedAggregates" in ln]
+    assert pushed, (
+        "aggregate pushdown did not fire — was the catalog name already "
+        "resolved without pushDownAggregate?\n" + plan
+    )
     print(f"[2] source-side aggregation: {pushed[0][:110]}...")
     eng.run("1997-01-08", [FactQuery(2, "loans_v2", v2_sql)])
 

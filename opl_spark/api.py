@@ -48,7 +48,7 @@ class OlapApi:
         #: requests route through the materialized lattice when set
         #: (identical results either way; tests/test_rollups.py pins it)
         self.rollups = rollups
-        self._plan_cache_size = int(plan_cache_size)
+        self._plan_cache_size = max(0, int(plan_cache_size))
         self._plan_cache: OrderedDict[tuple, Any] = OrderedDict()
         # the server is ThreadingHTTPServer: concurrent requests mutate
         # the LRU (move_to_end / popitem) — guard the compound ops
@@ -58,9 +58,12 @@ class OlapApi:
         """Drop every cached aggregate plan.  Fact re-registration
         invalidates structurally (frame versions key the cache); call
         this for out-of-band plan-affecting changes the key can't see —
-        e.g. re-materializing or re-configuring the rollup lattice
-        (identical RESULTS either way, but the routed scan target
-        changes)."""
+        e.g. re-configuring the rollup lattice.  (An in-place rollup
+        RE-materialization additionally deletes the files a cached
+        plan's index lists; ``_aggregate`` self-heals that case by
+        evicting and rebuilding on execution failure, so a daemon
+        survives `-c materialize` from another process without this
+        call.)"""
         with self._plan_cache_lock:
             self._plan_cache.clear()
 
@@ -104,6 +107,20 @@ class OlapApi:
         rows = [r.asDict() for r in df.collect()]
         return {"data": rows} if rows else {"message": "empty_dataset"}
 
+    def _cache_key(self, fact: str, params: dict[str, str]) -> tuple:
+        return (
+            fact,
+            self.engine.frame_version(fact),
+            tuple(
+                sorted((k, v) for k, v in params.items() if k != "output")
+            ),
+        )
+
+    def _evict_plan(self, fact: str, params: dict[str, str]) -> None:
+        """Drop one cached plan (execution-failure recovery path)."""
+        with self._plan_cache_lock:
+            self._plan_cache.pop(self._cache_key(fact, params), None)
+
     def _build_aggregate_df(self, fact: str, params: dict[str, str]):
         """ONE plan builder for ``/aggregate`` and ``/explain`` — the
         explain contract ('previews exactly the plan aggregate runs')
@@ -111,28 +128,23 @@ class OlapApi:
         requests route through the rollup lattice when configured;
         extension params always go to the live engine.  Built plans
         are LRU-cached per (fact, frame version, plan params) — see
-        the class docstring; failed builds are never cached."""
-        key = (
-            fact,
-            self.engine.frame_version(fact),
-            tuple(
-                sorted(
-                    (k, v) for k, v in params.items() if k != "output"
-                )
-            ),
-        )
-        if self._plan_cache_size:
-            with self._plan_cache_lock:
-                cached = self._plan_cache.get(key)
-                if cached is not None:
-                    self._plan_cache.move_to_end(key)
-                    return cached
+        the class docstring; failed builds are never cached, and
+        ``_aggregate`` evicts-and-retries when a cached plan's
+        EXECUTION fails (a rollup re-materialized in place deletes the
+        files a cached plan's index lists)."""
+        if not self._plan_cache_size:
+            return self._build_aggregate_df_uncached(fact, params)
+        key = self._cache_key(fact, params)
+        with self._plan_cache_lock:
+            cached = self._plan_cache.get(key)
+            if cached is not None:
+                self._plan_cache.move_to_end(key)
+                return cached
         df = self._build_aggregate_df_uncached(fact, params)
-        if self._plan_cache_size:
-            with self._plan_cache_lock:
-                self._plan_cache[key] = df
-                if len(self._plan_cache) > self._plan_cache_size:
-                    self._plan_cache.popitem(last=False)
+        with self._plan_cache_lock:
+            self._plan_cache[key] = df
+            if len(self._plan_cache) > self._plan_cache_size:
+                self._plan_cache.popitem(last=False)
         return df
 
     def _build_aggregate_df_uncached(self, fact: str, params: dict[str, str]):
@@ -182,6 +194,25 @@ class OlapApi:
     def _aggregate(self, fact: str, params: dict[str, str]) -> Any:
         self.catalog.fact(fact)  # unknown fact -> KeyError -> 404
         df = self._build_aggregate_df(fact, params)
+        try:
+            return self._materialize(df, params)
+        except (KeyError, ValueError):
+            raise  # request errors — nothing to retry
+        except Exception:
+            # a CACHED plan can outlive its scanned files (an in-place
+            # rollup re-materialization deletes the parts its file
+            # index lists); without eviction the poisoned entry would
+            # 400 this shape until restart.  Evict, rebuild, retry
+            # ONCE — a fresh-plan failure is a real error and raises.
+            if not self._plan_cache_size:
+                raise
+            self._evict_plan(fact, params)
+            return self._materialize(
+                self._build_aggregate_df(fact, params), params
+            )
+
+    @staticmethod
+    def _materialize(df, params: dict[str, str]) -> Any:
         if params.get("output") == "table":
             # S11 — first row = column names, then value rows
             # (Codice.gs:349 request / 155-184 consumption)

@@ -463,3 +463,45 @@ def test_aggregate_plan_cache_reuses_and_invalidates(spark, sf_dir):
     for _ in range(2):
         with pytest.raises(ValueError):
             api.handle("/olap/loans2/aggregate", bad)
+
+
+def test_poisoned_cached_plan_evicts_and_retries(spark, sf_dir, tmp_path):
+    """The cache's execution-failure recovery path (code review r11):
+    a cached plan whose scanned files vanished (in-place rollup
+    re-materialization on an object store; files GC'd between listing
+    and read) must be evicted and rebuilt once — not served as a
+    permanent 400.  Poison injected white-box: the local-FS overwrite
+    happens to re-resolve listings, so the failure is planted
+    directly to pin the branch deterministically."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    eng = CubeEngine(default_catalog())
+    eng.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    api = OlapApi(eng)
+    p = {"cut": "date:1997", "drilldown": "date", "measure": "loans"}
+    good = api.handle("/olap/loans2/aggregate", p)
+
+    # a df whose EXECUTION fails: parquet read whose files are deleted
+    doomed_dir = str(tmp_path / "doomed")
+    spark.range(5).select(
+        F.col("id").alias("month"), F.col("id").alias("loans")
+    ).write.parquet(doomed_dir)
+    doomed = spark.read.parquet(doomed_dir)
+    shutil.rmtree(doomed_dir)
+    key = api._cache_key("loans2", p)
+    with api._plan_cache_lock:
+        api._plan_cache[key] = doomed
+    # fails on execution -> evict -> rebuild -> correct answer
+    assert api.handle("/olap/loans2/aggregate", p) == good
+    with api._plan_cache_lock:
+        assert api._plan_cache[key] is not doomed
+    # with the cache disabled, the same execution failure raises
+    u = OlapApi(eng, plan_cache_size=0)
+    spark.range(3).write.parquet(doomed_dir)
+    doomed2 = spark.read.parquet(doomed_dir)
+    shutil.rmtree(doomed_dir)
+    u._build_aggregate_df = lambda fact, params: doomed2
+    with pytest.raises(Exception):
+        u.handle("/olap/loans2/aggregate", p)

@@ -347,3 +347,28 @@ def test_explain_concurrent_requests_get_their_own_plans(server):
             "concurrent /explain response diverged from its sequential "
             f"reference for shape {i % len(shapes)}"
         )
+
+
+def test_cached_plan_survives_inplace_rollup_rematerialization(
+    spark, sf_dir, tmp_path
+):
+    """Poisoned-plan self-heal (code review r11): `-c materialize`
+    from another process overwrites the lattice parquet IN PLACE,
+    deleting the part files a cached plan's index lists.  The next
+    request for that shape must evict, rebuild (the rollup path lists
+    files fresh per build), and answer — not 400 until restart."""
+    from opl_spark.rollups import RollupStore
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    store = RollupStore(spark, str(tmp_path / "lattice"))
+    groupings = [["year", "month", "day", "loan_type"]]
+    store.materialize(engine, "loans2", groupings)
+    api = OlapApi(engine, rollups=store)
+
+    before = api.handle("/olap/loans2/aggregate", dict(AGG_PARAMS))
+    assert before.get("data")
+    # the in-place overwrite another session would run
+    store.materialize(engine, "loans2", groupings)
+    after = api.handle("/olap/loans2/aggregate", dict(AGG_PARAMS))
+    assert after == before

@@ -188,3 +188,24 @@ def test_jdbc_v2_snapshot_aggregation_runs_in_source(spark, jdbc_url, tmp_path):
         for r in eng.fact_frame("jdbc_loans_v2").collect()
     }
     assert rows[0] == (40, float(sum(i for i in range(200) if i % 5 == 0)))
+
+
+def test_jdbc_v2_catalog_reregistration_takes_effect(spark, jdbc_url):
+    """Re-registering a catalog name must actually apply the new
+    options: Spark caches catalog INSTANCES by name on first
+    resolution, so register_jdbc_catalog resets the manager's cache
+    when overwriting (code review r11 — without it the old connection
+    silently kept serving)."""
+    from opl_spark.sources.registry import register_jdbc_catalog
+
+    register_jdbc_catalog(spark, "clavis3", jdbc_url, driver=DRIVER)
+    q = "SELECT LIBRARY_ID, COUNT(*) AS n FROM clavis3.APP.LOAN GROUP BY LIBRARY_ID"
+    plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregates" in plan  # instance now cached by name
+
+    register_jdbc_catalog(
+        spark, "clavis3", jdbc_url, pushdown_aggregates=False, driver=DRIVER
+    )
+    spark.conf.set("spark.sql.catalog.clavis3.pushDownAggregate", "false")
+    plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregates" not in plan, plan  # new conf took effect
