@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--host", default="127.0.0.1", help="bind address (serve)")
     p.add_argument("--port", type=int, default=8080, help="bind port (serve)")
+    p.add_argument(
+        "--plan-cache", type=int, default=128,
+        help="serve: LRU size of the request plan cache (0 disables)",
+    )
     p.add_argument("-d", "--date", help="pivot date YYYY-MM-DD (add)")
     p.add_argument("-f", "--fact", help="restrict to one fact table")
     p.add_argument("--settings", help="olapSettings.json path (add)")
@@ -366,7 +370,11 @@ def main(argv: list[str] | None = None) -> int:
         if not served:
             raise SystemExit("serve: no registered fact tables in warehouse")
         server = OlapHttpServer(
-            OlapApi(cube, rollups=_rollup_store(spark, args.warehouse)),
+            OlapApi(
+                cube,
+                rollups=_rollup_store(spark, args.warehouse),
+                plan_cache_size=args.plan_cache,
+            ),
             host=args.host, port=args.port,
         )
         print(json.dumps({"serving": served, "port": server.port}))
