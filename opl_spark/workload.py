@@ -87,26 +87,20 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     # move to the END in window order.  Per-round history (which ids
     # entered when, rows-only terminal states, the r3 HUGEINT and r4
     # scd2 retries) lives in CORRECTNESS_r*.json and git history of
-    # this tuple.  Last rotation: r11, after the 50/50-green r10 window
-    # (15 _AUDIT_PRIORITY re-confirmations + 12 first-contact greens
-    # [the r10 rank/graph/recall ids] + 23 regression re-checks moved
-    # to the tail).
-    "q_pmi", "q_gopher_rules", "q_quality_calibrate", "q_salted_join",
-    "q_pca_project", "q_kfold", "q_weighted_sample", "q_regional_revenue",
-    "q_top_unshipped", "q_fuzzy_pairs", "q_exact_n_sample", "q_profile",
-    "q_scd2", "q_mask_spans", "q_audio_energy", "q_peak_concurrency",
-    "q_cube_share", "q_yoy_growth", "q_hopping_window", "q_data_checks",
-    "q_pricing_summary", "q_triangles", "q_winsorized", "q_mode", "q_id_gaps",
-    "q_attribution", "q_ks_drift", "q_benford", "q_variant_extract",
-    "q_unigram_train", "q_unigram_tokenize", "q_negative_pairs",
-    "q_hard_negatives", "q_drill_across", "q_mad_outliers",
-    "q_lang_confusion", "q_temporal_split", "q_class_separation",
-    "q_session_stats", "q_conversion_time", "q_bootstrap_mean", "q_ab_zstat",
-    "q_value_deciles", "q_pit_lookup", "q_basket_rules", "q_moving_avg",
-    "q_cusum_shift", "q_attribution_linear", "q_drill_across_cut",
-    "q_order_priority", "q_customer_distribution", "q_parts_supplier",
-    "q_big_orders", "q_min_cost_supplier", "q_pagerank", "q_image_phash",
-    "q_image_dedup", "q_scene_change", "q_embedding_standardize", "q_kcore",
+    # this tuple.  Last rotation: r12, after the 50/50-green r11 window
+    # (13 _AUDIT_PRIORITY re-confirmations + 4 first-contact greens
+    # [q_drilldown_week + the three exact-regime sketch promotions] +
+    # 33 regression re-checks moved to the tail).  The head below is
+    # now the r5-last-checked tranche (the oldest evidence repo-wide),
+    # per the r11 verdict's task 1.
+    "q_drill_across", "q_mad_outliers", "q_lang_confusion",
+    "q_temporal_split", "q_class_separation", "q_session_stats",
+    "q_conversion_time", "q_bootstrap_mean", "q_ab_zstat", "q_value_deciles",
+    "q_pit_lookup", "q_basket_rules", "q_moving_avg", "q_cusum_shift",
+    "q_attribution_linear", "q_drill_across_cut", "q_order_priority",
+    "q_customer_distribution", "q_parts_supplier", "q_big_orders",
+    "q_min_cost_supplier", "q_pagerank", "q_image_phash", "q_image_dedup",
+    "q_scene_change", "q_embedding_standardize", "q_kcore",
     "q_pareto_customers", "q_auc", "q_ece", "q_psi_drift",
     "q_heldout_perplexity", "q_embedding_outliers", "q_curriculum_order",
     "q_cohens_kappa", "q_retrieval_eval", "q_mrr", "q_label_noise",
@@ -127,54 +121,64 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_revenue_concentration", "q_bpe_fertility", "q_activity_heatmap",
     "q_ship_lag_quantiles", "q_purchase_intervals", "q_setsim_join",
     "q_bmp_decode", "q_krippendorff_alpha", "q_mcnemar", "q_blocklist_filter",
-    # r11: q_hll_rollup / q_theta_audience / q_kll_quantiles left this
-    # tuple — they gained exact-regime DuckDB oracles (rule 3), so they
-    # re-enter the window under the stronger hash check
-    "q_distinct_n", "q_approx_distinct", "q_topk_sketch",
-    "q_source_scan", "q_json_rows",
-    "q_type_cast", "q_audit_columns", "q_output_table", "q_projection",
-    "q_case_bucket", "q_date_arith", "q_filter_or", "q_time_scope",
-    "q_zero_fill", "q_active_users", "q_agg_sum", "q_agg_avg", "q_agg_count",
-    "q_aggregate_all", "q_measure_multi", "q_cut_eq", "q_cut_dice",
-    "q_entity_resolution", "q_label_prop", "q_cut_range", "q_cut_open_range",
-    "q_cut_set", "q_cut_hierarchy", "q_cut_hierarchy_range",
-    "q_drilldown_default", "q_drilldown_level", "q_drilldown_top",
-    "q_drilldown_multi", "q_drilldown_cutlevel", "q_cron_gate",
-    "q_idempotent_antijoin", "q_agg_median", "q_agg_extrema", "q_dedup_exact",
-    "q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_embedding",
-    "q_knn_batch", "q_lang_id", "q_quality_score", "q_token_count",
-    "q_fingerprint", "q_text_clean", "q_winnow", "q_tfidf", "q_pii_scrub",
-    "q_contamination", "q_multimodal_bytes", "q_multimodal_resize",
-    "q_frame_sample", "q_events_window", "q_sessionize", "q_salted_agg",
-    "q_embedding_centroid", "q_running_total", "q_top_per_group",
-    "q_pack_sequences", "q_distinct_users", "q_length_quantiles", "q_rollup",
-    "q_minhash_keep_best", "q_dedup_minhash", "q_dedup_clusters",
-    "q_keep_best", "q_srp_lsh", "q_simhash", "q_lsh_tuning", "q_bucket_stats",
-    "q_rendezvous_shard", "q_asof_join", "q_interval_join", "q_pivot",
-    "q_cube_sets", "q_pipeline_filter", "q_fact_accessions",
-    "q_fact_general_indexes", "q_fact_patrimonio", "q_meta_fact_tables",
-    "q_meta_dimensions", "q_meta_measures", "q_mix_sources",
-    "q_contamination_bloom", "q_zorder", "q_quantize", "q_stratified_sample",
-    "q_incremental_dedup", "q_semantic_dedup", "q_unigram_logprob",
-    "q_percentile_filter", "q_heavy_hitters", "q_chunk_docs",
-    "q_ccnet_bucket", "q_budget_sample", "q_bigram_logprob", "q_dup_weights",
-    "q_winnow_pairs", "q_repetition", "q_split_sample", "q_vocab_build",
-    "q_token_entropy", "q_corpus_stats", "q_multimodal_decode",
-    "q_cms_counts", "q_chi2_independence", "q_srp_incremental",
+    # r12: q_approx_distinct / q_topk_sketch left this tuple — they
+    # gained hash-checked oracles (rule 3: exact-regime top-k for
+    # space-saving; exact-endpoints + error-bound flag for HLL++), so
+    # they re-enter the window under the stronger check.
+    "q_distinct_n", "q_source_scan",
+    "q_json_rows", "q_type_cast", "q_audit_columns", "q_output_table",
+    "q_projection", "q_case_bucket", "q_date_arith", "q_filter_or",
+    "q_time_scope", "q_zero_fill", "q_active_users", "q_agg_sum", "q_agg_avg",
+    "q_agg_count", "q_aggregate_all", "q_measure_multi", "q_cut_eq",
+    "q_cut_dice", "q_entity_resolution", "q_label_prop", "q_cut_set",
+    "q_drilldown_level", "q_drilldown_top", "q_drilldown_multi",
+    "q_cron_gate", "q_idempotent_antijoin", "q_agg_median", "q_agg_extrema",
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_ngram_capped",
+    "q_dedup_embedding", "q_knn_batch", "q_lang_id", "q_quality_score",
+    "q_token_count", "q_fingerprint", "q_text_clean", "q_winnow", "q_tfidf",
+    "q_pii_scrub", "q_contamination", "q_multimodal_bytes",
+    "q_multimodal_resize", "q_frame_sample", "q_events_window",
+    "q_sessionize", "q_salted_agg", "q_embedding_centroid", "q_running_total",
+    "q_top_per_group", "q_pack_sequences", "q_distinct_users",
+    "q_length_quantiles", "q_rollup", "q_minhash_keep_best",
+    "q_dedup_minhash", "q_dedup_clusters", "q_keep_best", "q_srp_lsh",
+    "q_simhash", "q_lsh_tuning", "q_bucket_stats", "q_rendezvous_shard",
+    "q_asof_join", "q_interval_join", "q_pivot", "q_cube_sets",
+    "q_pipeline_filter", "q_fact_accessions", "q_fact_general_indexes",
+    "q_fact_patrimonio", "q_meta_fact_tables", "q_meta_measures",
+    "q_mix_sources", "q_contamination_bloom", "q_zorder", "q_quantize",
+    "q_stratified_sample", "q_incremental_dedup", "q_semantic_dedup",
+    "q_unigram_logprob", "q_percentile_filter", "q_heavy_hitters",
+    "q_chunk_docs", "q_ccnet_bucket", "q_budget_sample", "q_bigram_logprob",
+    "q_dup_weights", "q_winnow_pairs", "q_repetition", "q_split_sample",
+    "q_vocab_build", "q_token_entropy", "q_corpus_stats",
+    "q_multimodal_decode", "q_cms_counts", "q_srp_incremental",
     "q_ivf_recall_curve", "q_similarity_ivf_kmeans", "q_similarity_topk",
     "q_similarity_ivf", "q_quantized_topk", "q_pq_topk", "q_ivfpq_topk",
-    "q_pq_rerank", "q_mmr_select", "q_hybrid_search", "q_rollup_route",
-    "q_pagerank_bucketed", "q_label_prop_bucketed", "q_srp_recall_curve",
-    "q_mutual_information", "q_dup_cluster_sizes", "q_degree_distribution",
-    "q_lsh_recall_measured", "q_dominant_matching", "q_spearman", "q_gini",
-    "q_kendall_tau", "q_lorenz_deciles", "q_cuped", "q_mann_whitney",
-    "q_bpe_merges", "q_bpe_segment", "q_funnel", "q_retention",
-    "q_zscore_outliers", "q_bm25_search", "q_soft_dedup_sample",
-    "q_embedding_norms", "q_props_extract", "q_source_overlap", "q_cube_topk",
-    "q_date_spine", "q_substring_dup", "q_event_transitions", "q_correlation",
-    "q_asof_forward", "q_cube_having", "q_temperature_mix", "q_histogram",
-    "q_rolling_active", "q_new_returning", "q_snapshot_diff",
-    "q_phrase_search",
+    "q_pq_rerank", "q_mmr_select", "q_hybrid_search", "q_pagerank_bucketed",
+    "q_label_prop_bucketed", "q_srp_recall_curve", "q_dup_cluster_sizes",
+    "q_degree_distribution", "q_lsh_recall_measured", "q_dominant_matching",
+    "q_spearman", "q_gini", "q_lorenz_deciles", "q_cuped", "q_bpe_merges",
+    "q_bpe_segment", "q_funnel", "q_retention", "q_zscore_outliers",
+    "q_bm25_search", "q_soft_dedup_sample", "q_embedding_norms",
+    "q_props_extract", "q_source_overlap", "q_cube_topk", "q_date_spine",
+    "q_substring_dup", "q_event_transitions", "q_correlation",
+    "q_asof_forward", "q_cube_having", "q_histogram", "q_rolling_active",
+    "q_new_returning", "q_snapshot_diff", "q_phrase_search", "q_kendall_tau",
+    "q_mann_whitney", "q_chi2_independence", "q_mutual_information",
+    "q_temperature_mix", "q_meta_dimensions", "q_cut_range",
+    "q_cut_open_range", "q_cut_hierarchy", "q_cut_hierarchy_range",
+    "q_drilldown_cutlevel", "q_drilldown_default", "q_rollup_route",
+    "q_drilldown_week", "q_hll_rollup", "q_theta_audience", "q_kll_quantiles",
+    "q_pmi", "q_gopher_rules", "q_quality_calibrate", "q_salted_join",
+    "q_pca_project", "q_kfold", "q_weighted_sample", "q_regional_revenue",
+    "q_top_unshipped", "q_fuzzy_pairs", "q_exact_n_sample", "q_profile",
+    "q_scd2", "q_mask_spans", "q_audio_energy", "q_peak_concurrency",
+    "q_cube_share", "q_yoy_growth", "q_hopping_window", "q_data_checks",
+    "q_pricing_summary", "q_triangles", "q_winsorized", "q_mode", "q_id_gaps",
+    "q_attribution", "q_ks_drift", "q_benford", "q_variant_extract",
+    "q_unigram_train", "q_unigram_tokenize", "q_negative_pairs",
+    "q_hard_negatives",
 )
 
 # Ids that failed a driver hash check and carry a fix awaiting driver
@@ -190,41 +194,23 @@ _RETRY_FIRST: tuple[str, ...] = (
 # REGARDLESS of whether they already sit in _DRIVER_AUDITED — a local
 # re-verification is not a driver audit, and changed code re-earns its
 # hard signal.  Clear an id once its fresh CORRECTNESS row is green.
-# Round-11 state: all FIFTEEN r10 priority ids went green in the r10
-# window (CORRECTNESS_r10.json rows 1-15) and rotated to the tuple
-# tail.  Ids re-entering for r11 changes (locally hash-verified at
-# sf0.01; the driver re-audit is the hard signal):
-#  - q_kendall_tau: oracle-only change (r10 ADVICE) — conc/disc now
-#    COALESCE to 0 on the empty single-distinct-x self-join, and a
-#    fully-tied margin yields NULL tau instead of a DuckDB /0,
-#    matching kendall_tau_b's contract.  Lineitem input is
-#    non-degenerate, so the expected hash is unchanged.
-#  - q_mann_whitney: oracle-only change (r10 ADVICE) — zero-sigma /
-#    empty-group / n<2 degenerate inputs yield NULL z, matching
-#    mann_whitney_u.  Orders input is non-degenerate; hash unchanged.
-#  - q_chi2_independence / q_mutual_information / q_temperature_mix:
-#    the unordered OVER () grand-total folds became 1-row broadcast
-#    join-backs (r10 verdict task 4) — same values (sentinel-coalesced
-#    levels, count_distinct == collect_set size), new plan shape; the
-#    unordered-window plan audit now runs exemption-free.
-#  - q_meta_dimensions: the loans2 date dimension gained the iso_week
-#    hierarchy levels (iso_year, week — r10 verdict task 7), so the
-#    flattened metadata rows changed (oracle self-derives from the
-#    same catalog).
-#  - q_cut_range / q_cut_open_range / q_cut_hierarchy /
-#    q_cut_hierarchy_range / q_drilldown_cutlevel / q_drilldown_default:
-#    the cut grammar's range detection changed twice (dash-in-value
-#    path parsing, then bound-tuple type-checking per code review) and
-#    the loans2 fact gained two columns; all re-verified hash-green
-#    locally (full 291-id sweep on final HEAD).
-#  - q_rollup_route: its day-rollup store build moved to the shared
-#    rollup.py helper (plan-equivalent; strict changed-code rule).
+# Round-12 state: all THIRTEEN r11 priority ids (plus the 4
+# first-contact ids) went green in the r11 window
+# (CORRECTNESS_r11.json, 50/50) and rotated to the tuple tail.  Ids
+# re-entering for r12 changes (locally hash-verified at sf0.01; the
+# driver re-audit is the hard signal):
+#  - q_topk_sketch: gained an exact-regime DuckDB oracle (r11 verdict
+#    task 2) — with counters >= distinct keys space-saving is exact,
+#    so the id is hash-checked now (mirrors the r11 KLL/Theta/HLL
+#    promotions).
+#  - q_approx_distinct: gained a DuckDB-exact twin of the merge-tree
+#    endpoints (r11 verdict task 2) — emits the exact per-group
+#    distinct counts (hash-checked) plus a within_bound flag folding
+#    the 3·rsd HLL++ error-bound assertion into the row hash; the raw
+#    estimate has no exact regime (linear counting), documented in the
+#    oracle docstring.
 _AUDIT_PRIORITY: tuple[str, ...] = (
-    "q_kendall_tau", "q_mann_whitney", "q_chi2_independence",
-    "q_mutual_information", "q_temperature_mix", "q_meta_dimensions",
-    "q_cut_range", "q_cut_open_range", "q_cut_hierarchy",
-    "q_cut_hierarchy_range", "q_drilldown_cutlevel", "q_drilldown_default",
-    "q_rollup_route",
+    "q_topk_sketch", "q_approx_distinct",
 )
 
 

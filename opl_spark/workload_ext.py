@@ -1402,17 +1402,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_distinct")  # HLL sketch — engine-specific, rows-only
+@register(
+    "q_approx_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via HyperLogLog++
     (``approx_count_distinct``) — the sketch tier: mergeable fixed-size
     state instead of exact distinct sets, the 100 TB swap-in for
-    count-distinct dashboards.  Sketch values are engine-specific, so
-    the driver check is rows-only; ``tests/test_operators.py`` bounds
-    the relative error against the exact count."""
+    count-distinct dashboards.
+
+    Oracle (r11 verdict task 2): the raw HLL++ estimate has NO exact
+    regime to promote — Spark's implementation keeps xxhash64-keyed
+    registers and estimates small cardinalities with linear counting
+    (an estimator, not a coupon recorder like DataSketches' LIST/SET
+    modes), so no engine-neutral SQL can replay the value at any
+    scale.  The strongest hash-checkable contract is therefore the
+    merge-tree ENDPOINTS: emit the exact per-group distinct count
+    (hash-checked against DuckDB) plus a ``within_bound`` flag folding
+    the 3·rsd error-bound assertion into the row hash — the driver row
+    turns red if the sketch ever drifts outside its documented bound.
+    The estimate still runs in the plan (same partial/merge tree it
+    has at 100 TB); production drops the exact leg and keeps only the
+    sketch.  ``tests/test_operators.py`` pins the same bound."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    rsd = 0.05
+    per = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    # 3-sigma-ish envelope with an absolute floor for tiny groups
+    # (3·rsd·n < 1 there, where linear counting is near-exact anyway).
+    bound = F.greatest(
+        F.lit(4.0), F.lit(3 * rsd) * F.col("exact_users").cast("double")
+    )
+    return per.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+            <= bound
+        ).alias("within_bound"),
     )
 
 
@@ -7759,14 +7794,34 @@ def q_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_topk_sketch")
+@register(
+    "q_topk_sketch",
+    oracle=r"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS value
+    FROM documents
+)
+SELECT value, COUNT(*) AS est
+FROM toks GROUP BY value
+ORDER BY est DESC, value LIMIT 20
+""",
+)
 def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-saving top-20 tokens with 200 fixed counters per
     partition (Metwally et al., ICDT 2005): sketch-sized state, merge
     by summary rows + one threshold scalar, estimate ≥ true always.
-    Rows-only: within-partition estimates depend on arrival order
-    (inherent to space-saving); the overcount bound and top-item
-    recovery are pinned by tests/test_operators.py."""
+
+    Oracle (r11 verdict task 2): space-saving is EXACT whenever no
+    partition evicts — with fewer distinct values per partition than
+    counters, every slot holds a full count, every eviction threshold
+    is 0, and the merged upper bound collapses to the true global
+    count.  The synthetic documents corpus has ~31 distinct tokens
+    against 200 counters at every gate scale, so the registered id is
+    hash-checked against the exact top-20 (same ``est DESC, value``
+    tie-break).  The eviction regime — arrival-order-dependent
+    estimates, overcount ≤ N/counters, heavy-hitter recovery — is
+    pinned by tests/test_operators.py on a crafted 3010-key stream
+    that forces displacement."""
     from opl_spark.operators.sketch import space_saving_topk
 
     docs = load_table(spark, sf_dir, "documents")

@@ -398,6 +398,9 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         .collect()
     }
     assert set(approx) == set(exact)
+    # same envelope q_approx_distinct folds into its driver row hash
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(4.0, 3 * 0.05 * n), (et, approx[et], n)
     for etype, n in exact.items():
         assert abs(approx[etype] - n) <= max(2, 0.15 * n), (etype, approx[etype], n)
 
