@@ -518,13 +518,15 @@ _LATENCY_SHAPES = [
 
 def _pcts(samples: list[float]) -> tuple[float, float]:
     """(p50, p95) in ms by the nearest-rank method: the k-th order
-    statistic with k = ceil(p·n) — for n=100 that is s[94], not
-    s[95] (int(0.95·n) indexes one rank too high; code review r11)."""
+    statistic with k = ceil(p·n) — for n=100 that is s[49]/s[94],
+    not s[50]/s[95] (int(p·n) indexes one rank too high; code review
+    r11 for p95, ADVICE r12 for the same off-by-one in p50)."""
     import math
 
     s = sorted(samples)
+    p50 = s[max(0, math.ceil(0.5 * len(s)) - 1)]
     p95 = s[max(0, math.ceil(0.95 * len(s)) - 1)]
-    return (round(s[len(s) // 2] * 1000, 1), round(p95 * 1000, 1))
+    return (round(p50 * 1000, 1), round(p95 * 1000, 1))
 
 
 def latency_main() -> None:

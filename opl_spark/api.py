@@ -107,12 +107,21 @@ class OlapApi:
         rows = [r.asDict() for r in df.collect()]
         return {"data": rows} if rows else {"message": "empty_dataset"}
 
+    # the params _build_aggregate_df_uncached actually consumes — the
+    # cache key must fold in nothing else, or requests differing only
+    # in junk parameters occupy distinct LRU slots and evict the hot
+    # dashboard plans the cache exists for (ADVICE r12)
+    _PLAN_PARAMS = (
+        "cut", "drilldown", "measure", "aggregate", "hierarchy",
+        "top_n", "top_within", "having", "share", "share_within",
+    )
+
     def _cache_key(self, fact: str, params: dict[str, str]) -> tuple:
         return (
             fact,
             self.engine.frame_version(fact),
             tuple(
-                sorted((k, v) for k, v in params.items() if k != "output")
+                (k, params[k]) for k in self._PLAN_PARAMS if k in params
             ),
         )
 

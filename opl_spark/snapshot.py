@@ -107,7 +107,11 @@ def degrade_types_strict(df: DataFrame) -> DataFrame:
     (``Table::$assocDataTyes``, OLAP.php:51-58) for bit-compatible
     migration audits: NEWDECIMAL columns land in INT(21) — MySQL
     coerces with ROUND-half-away-from-zero, which Spark's HALF_UP
-    ``round`` matches exactly — and VAR_STRING lands in VARCHAR(50),
+    ``round`` matches exactly, then CLAMPS to the 32-bit INT range
+    (display width 21 notwithstanding, INT is 4 bytes; non-strict
+    MySQL saturates at ±2^31−1 with a warning), replicated here so
+    large measures diff byte-for-byte too (ADVICE r12) — and
+    VAR_STRING lands in VARCHAR(50),
     i.e. silent truncation at 50 chars.  The engine's DEFAULT keeps
     full precision (SURVEY.md §1.2 — the degradation is a reference
     defect, not a feature); this mode exists so an operator migrating
@@ -121,7 +125,16 @@ def degrade_types_strict(df: DataFrame) -> DataFrame:
     cols = []
     for f in df.schema.fields:
         if isinstance(f.dataType, T.DecimalType):
-            cols.append(F.round(F.col(f.name), 0).cast("long").alias(f.name))
+            r = F.round(F.col(f.name), 0).cast("long")
+            # when/when/otherwise, not least/greatest: those SKIP
+            # nulls, which would turn a NULL measure into the clamp
+            # bound instead of keeping it NULL
+            clamped = (
+                F.when(r > 2147483647, F.lit(2147483647))
+                .when(r < -2147483648, F.lit(-2147483648))
+                .otherwise(r)
+            )
+            cols.append(clamped.cast("long").alias(f.name))
         elif isinstance(f.dataType, T.StringType):
             cols.append(F.substring(F.col(f.name), 1, 50).alias(f.name))
         else:

@@ -490,6 +490,10 @@ def test_poisoned_cached_plan_evicts_and_retries(spark, sf_dir, tmp_path):
     ).write.parquet(doomed_dir)
     doomed = spark.read.parquet(doomed_dir)
     shutil.rmtree(doomed_dir)
+    # unknown/ignored params must not mint new LRU slots (ADVICE r12)
+    assert api._cache_key("loans2", p) == api._cache_key(
+        "loans2", {**p, "junk": "1", "output": "table"}
+    )
     key = api._cache_key("loans2", p)
     with api._plan_cache_lock:
         api._plan_cache[key] = doomed

@@ -443,6 +443,9 @@ def test_strict_type_parity_mode_degrades_like_reference(registered, tmp_path):
         "SELECT CAST(2.5 AS DECIMAL(18,2)) AS pos_half, "
         "CAST(-2.5 AS DECIMAL(18,2)) AS neg_half, "
         "CAST(2.4 AS DECIMAL(18,2)) AS below, "
+        "CAST(9999999999.4 AS DECIMAL(18,1)) AS big, "
+        "CAST(-9999999999 AS DECIMAL(18,0)) AS neg_big, "
+        "CAST(NULL AS DECIMAL(18,2)) AS null_dec, "
         "repeat('x', 60) AS longstr, "
         "CAST(7 AS BIGINT) AS keep_long "
         "FROM region LIMIT 1"
@@ -451,6 +454,10 @@ def test_strict_type_parity_mode_degrades_like_reference(registered, tmp_path):
     strict.run("1998-06-01", [FactQuery(1, "f_parity", sql)])
     row = strict.fact_frame("f_parity").collect()[0]
     assert (row["pos_half"], row["neg_half"], row["below"]) == (3, -3, 2)
+    # MySQL INT saturation (non-strict clamp at ±2^31; ADVICE r12) —
+    # and NULL must stay NULL, not become a clamp bound
+    assert (row["big"], row["neg_big"]) == (2147483647, -2147483648)
+    assert row["null_dec"] is None
     assert len(row["longstr"]) == 50
     assert row["keep_long"] == 7
     types = dict(strict.fact_frame("f_parity").dtypes)

@@ -209,3 +209,17 @@ def test_jdbc_v2_catalog_reregistration_takes_effect(spark, jdbc_url):
     spark.conf.set("spark.sql.catalog.clavis3.pushDownAggregate", "false")
     plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
     assert "PushedAggregates" not in plan, plan  # new conf took effect
+
+    # the cache reset must not snap a live USE <catalog>.<ns> context
+    # back to spark_catalog (ADVICE r12)
+    spark.sql("USE clavis3.APP")
+    try:
+        register_jdbc_catalog(
+            spark, "clavis3", jdbc_url, pushdown_aggregates=False, driver=DRIVER
+        )
+        assert spark.catalog.currentCatalog() == "clavis3"
+        assert spark.sql("SELECT current_schema()").first()[0] == "APP"
+        # unqualified resolution still works post-reregistration
+        assert spark.sql("SELECT COUNT(*) FROM LOAN").first()[0] > 0
+    finally:
+        spark.sql("USE spark_catalog.default")
