@@ -149,17 +149,35 @@ class SnapshotEngine:
     ``strict_type_parity=True`` applies the reference's documented
     type degradation (:func:`degrade_types_strict`) to every fact
     result before the audit columns attach — for migration-period
-    byte-parity only; leave off otherwise."""
+    byte-parity only; leave off otherwise.
+
+    ``jdbc_sink`` (an :class:`opl_spark.sinks.JdbcSink`) redirects fact
+    tables INTO a target database — the reference's exact write
+    topology (second PDO connection + prepared INSERT loop,
+    OLAP.php:128-164) as auto-create + ALTER-on-drift + idempotent
+    per-scope delete+insert.  Reads (``fact_frame``/``exists``) and the
+    E4 guard follow the sink; the parquet-layout maintenance surface
+    (``compact``/``upsert``/``expire_partitions``) stays parquet-only —
+    a database delegates layout to its own storage engine."""
 
     def __init__(
         self,
         spark: SparkSession,
         warehouse_dir: str,
         strict_type_parity: bool = False,
+        jdbc_sink=None,
     ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.strict_type_parity = strict_type_parity
+        self.jdbc_sink = jdbc_sink
+
+    def _require_parquet(self, op: str) -> None:
+        if self.jdbc_sink is not None:
+            raise ValueError(
+                f"{op} is a parquet-warehouse layout operation; with a "
+                "JDBC sink the target database owns storage layout"
+            )
 
     def _path(self, fact_table: str) -> str:
         return os.path.join(self.warehouse_dir, fact_table)
@@ -176,9 +194,13 @@ class SnapshotEngine:
 
     def fact_frame(self, fact_table: str) -> DataFrame:
         """Read a fact table with schema merge across evolved appends."""
+        if self.jdbc_sink is not None:
+            return self.jdbc_sink.fact_frame(self.spark, fact_table)
         return self.spark.read.option("mergeSchema", "true").parquet(self._path(fact_table))
 
     def exists(self, fact_table: str) -> bool:
+        if self.jdbc_sink is not None:
+            return self.jdbc_sink.exists(self.spark, fact_table)
         fs, hpath = self._fs(self._path(fact_table))
         if not (fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory()):
             return False
@@ -194,8 +216,13 @@ class SnapshotEngine:
         Null-safe scope equality via ``eqNullSafe`` — unlike the
         reference, NULLed scope fields of weekly/monthly/yearly facts
         compare correctly.  Partition filters on year/month make this a
-        pruned metadata-sized scan, not a table scan.
+        pruned metadata-sized scan, not a table scan (with a JDBC sink,
+        a predicate-pushed remote probe).
         """
+        if self.jdbc_sink is not None:
+            return self.jdbc_sink.already_executed(
+                self.spark, fact_table, query_id, scope
+            )
         if not self.exists(fact_table):
             return False
         df = self.fact_frame(fact_table)
@@ -214,6 +241,7 @@ class SnapshotEngine:
         100 TB the write parallelizes across executors with no driver
         involvement.
         """
+        self._require_parquet("write")
         (
             df.write.mode("append")
             .partitionBy("year", "month")
@@ -259,6 +287,7 @@ class SnapshotEngine:
         maintainable — with the usual object-store caveat that a
         "rename" there is a copy, making the table-format path the
         better swap on S3-likes."""
+        self._require_parquet("compact")
         path = self._path(fact_table)
         tmp = path + "__compacting"
         df = self.fact_frame(fact_table)
@@ -344,6 +373,7 @@ class SnapshotEngine:
         inside a partition are a different operation (rewrite via
         ``upsert``); this is the cheap calendar-based tier.
         """
+        self._require_parquet("expire_partitions")
         fs, hpath = self._fs(self._path(fact_table))
         if not fs.exists(hpath):
             return []
@@ -418,6 +448,7 @@ class SnapshotEngine:
         side; the incoming batch is taken as the FULL new version of
         every key it mentions.
         """
+        self._require_parquet("upsert")
         if not self.exists(fact_table):
             self.write(df, fact_table)
             return {"replaced": 0, "inserted": df.count(), "kept": 0}
@@ -487,7 +518,13 @@ class SnapshotEngine:
             # row count observed as a side effect of the write itself —
             # a separate .count() would re-execute the fact query
             obs = Observation(f"snapshot_{fq.fact_table}_{fq.query_id}")
-            self.write(df.observe(obs, F.count(F.lit(1)).alias("rows")), fq.fact_table)
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            if self.jdbc_sink is not None:
+                self.jdbc_sink.write_scope(
+                    self.spark, observed, fq.fact_table, fq.query_id, scope
+                )
+            else:
+                self.write(observed, fq.fact_table)
             written[fq.fact_table] = written.get(fq.fact_table, 0) + obs.get["rows"]
         return written
 

@@ -154,6 +154,66 @@ def test_jdbc_v2_catalog_pushes_aggregates_into_source(spark, jdbc_url):
     assert set(rows) == set(range(5)) and all(n == 40 for n, _ in rows.values())
 
 
+def test_jdbc_v2_pushes_all_five_aggregates_and_predicates(spark, jdbc_url):
+    """r11 verdict task 5: everything the reference's operator-authored
+    SQL could compute source-side (OLAP.php:334-343 — COUNT/SUM/MIN/
+    MAX/AVG over a WHERE) must push through the DSv2 catalog in ONE
+    scan: PushedAggregates carries all five, PushedFilters carries the
+    predicate, and the ReadSchema is the five agg buckets + key — the
+    source returns group rows, never the fact spine."""
+    from opl_spark.sources.registry import register_jdbc_catalog
+
+    register_jdbc_catalog(spark, "clavis4", jdbc_url, driver=DRIVER)
+    df = spark.sql(
+        "SELECT LIBRARY_ID, COUNT(*) AS n, SUM(VAL) AS s, MIN(VAL) AS mn, "
+        "MAX(VAL) AS mx, AVG(VAL) AS av "
+        "FROM clavis4.APP.LOAN WHERE LIBRARY_ID > 0 GROUP BY LIBRARY_ID"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PushedAggregates: [COUNT(*), SUM(VAL), MIN(VAL), MAX(VAL), AVG(VAL)]"
+        in plan
+    ), plan
+    assert "PushedFilters: [LIBRARY_ID IS NOT NULL, LIBRARY_ID > 0]" in plan
+    assert "PushedGroupByExpressions: [LIBRARY_ID]" in plan, plan
+    rows = {
+        r["LIBRARY_ID"]: (r["n"], r["s"], r["mn"], r["mx"], r["av"])
+        for r in df.collect()
+    }
+    # loans: ids i in 0..199, library i%5, val=i — library 1 holds 1,6,...,196
+    vals1 = [float(i) for i in range(200) if i % 5 == 1]
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1] == (40, sum(vals1), min(vals1), max(vals1), sum(vals1) / 40)
+
+
+def test_jdbc_v2_limit_pushdown_conf_and_derby_dialect_gap(spark, jdbc_url):
+    """LIMIT pushdown through the v2 path is dialect-gated: the scan
+    can only absorb a limit when the dialect composes a limit clause.
+    register_jdbc_catalog sets pushDownLimit, and MySQL — the
+    reference's production database — pushes (``LIMIT n``); Derby's
+    upstream dialect returns an EMPTY limit clause (no LIMIT syntax,
+    and Spark never taught it ``FETCH FIRST``), so against the
+    embedded test database the plan keeps CollectLimit above the scan.
+    All three facts are pinned so a Spark upgrade that closes the
+    Derby gap flips the last assert and we upgrade to a live
+    PushedLimit plan check."""
+    from opl_spark.sources.registry import register_jdbc_catalog
+
+    register_jdbc_catalog(spark, "clavis5", jdbc_url, driver=DRIVER)
+    assert spark.conf.get("spark.sql.catalog.clavis5.pushDownLimit") == "true"
+    jvm = spark._jvm
+    mysql = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:mysql://x/db")
+    assert mysql.getLimitClause(7) == "LIMIT 7"
+    derby = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(jdbc_url)
+    assert derby.getLimitClause(7) == ""
+    df = spark.sql("SELECT ID, VAL FROM clavis5.APP.LOAN WHERE VAL > 10.0 LIMIT 7")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # predicate still pushes even when the limit cannot
+    assert "PushedFilters: [VAL IS NOT NULL, VAL > 10.0]" in plan, plan
+    assert "PushedLimit" not in plan and "CollectLimit" in plan, plan
+    assert len(df.collect()) == 7
+
+
 def test_jdbc_v2_snapshot_aggregation_runs_in_source(spark, jdbc_url, tmp_path):
     """The full production topology with the aggregation ITSELF pushed
     to the source: SnapshotEngine.run over catalog-qualified fact SQL —
@@ -223,3 +283,75 @@ def test_jdbc_v2_catalog_reregistration_takes_effect(spark, jdbc_url):
         assert spark.sql("SELECT COUNT(*) FROM LOAN").first()[0] > 0
     finally:
         spark.sql("USE spark_catalog.default")
+
+def test_jdbc_sink_snapshot_to_derby_end_to_end(spark, jdbc_views, tmp_path):
+    """r11 verdict task 6: the reference WRITES snapshots into a
+    database (second PDO connection, CREATE TABLE + prepared INSERT
+    loop, OLAP.php:128-164) — drive the full Spark equivalent against
+    the live embedded Derby: read the Clavis-shaped JDBC views, write
+    the fact INTO Derby via JdbcSink (auto-create, S6), honor the E4
+    re-run guard against the target database, evolve the table with
+    ALTER ADD on a grown fact (S7), and cure a half-written scope with
+    the per-scope delete+insert."""
+    from opl_spark.sinks import JdbcSink
+    from opl_spark.snapshot import AUDIT_COLUMNS, FactQuery, SnapshotEngine
+    from opl_spark.timescope import gate
+
+    sink = JdbcSink(url=jdbc_views, driver=DRIVER)
+    eng = SnapshotEngine(spark, str(tmp_path / "unused"), jdbc_sink=sink)
+    sql = (
+        "SELECT l.library_id, lb.consortia_id, "
+        "COUNT(*) AS loans, SUM(l.val) AS total_value "
+        "FROM loan l JOIN library lb ON l.library_id = lb.id "
+        "WHERE l.loan_date <= @date GROUP BY l.library_id, lb.consortia_id"
+    )
+    fq = FactQuery(11, "olap_loans", sql, cron="daily")
+
+    # first run: table auto-created in Derby, rows landed with audit cols
+    written = eng.run("2024-01-28", [fq])
+    assert written == {"olap_loans": 5}
+    out = eng.fact_frame("olap_loans")
+    assert set(c.lower() for c in AUDIT_COLUMNS) <= set(
+        c.lower() for c in out.columns
+    )
+    rows = {r["library_id"]: r["loans"] for r in out.collect()}
+    assert sum(rows.values()) == 200
+
+    # E4 against the TARGET database: same scope re-run writes nothing
+    assert eng.run("2024-01-28", [fq]) == {}
+
+    # the string audit column must be comparable (VARCHAR, not Derby's
+    # CLOB default for StringType) — a weekly scope exercises it
+    wfq = FactQuery(12, "olap_loans_w", sql, cron="weekly")
+    assert eng.run("2024-01-28", [wfq]) == {"olap_loans_w": 5}  # a Sunday
+    assert eng.run("2024-01-28", [wfq]) == {}  # E4 with week-label scope
+
+    # delete+insert idempotence: re-materializing one scope directly
+    # (the crashed-run recovery path) leaves NO duplicates
+    scope = gate("2024-01-28", "daily")
+    from opl_spark.snapshot import attach_audit
+
+    df = attach_audit(spark.sql(
+        sql.replace("@date", "DATE '2024-01-28'")), 11, scope)
+    sink.write_scope(spark, df, "olap_loans", 11, scope)
+    assert eng.fact_frame("olap_loans").count() == 5  # not 10
+
+    # schema evolution: the fact grows a column -> ALTER TABLE ADD,
+    # old rows read NULL
+    sql2 = sql.replace(
+        "SUM(l.val) AS total_value",
+        "SUM(l.val) AS total_value, AVG(l.val) AS avg_value",
+    )
+    written = eng.run("2024-01-27", [FactQuery(11, "olap_loans", sql2)])
+    assert written == {"olap_loans": 5}
+    evolved = eng.fact_frame("olap_loans")
+    assert "avg_value" in [c.lower() for c in evolved.columns]
+    by_day = {r["day"]: r for r in evolved.collect()}
+    assert by_day[27]["AVG_VALUE" if "AVG_VALUE" in evolved.columns
+                      else "avg_value"] is not None
+    assert by_day[28][[c for c in evolved.columns
+                       if c.lower() == "avg_value"][0]] is None
+
+    # parquet-layout maintenance is refused under a JDBC sink
+    with pytest.raises(ValueError, match="parquet-warehouse"):
+        eng.compact("olap_loans")
