@@ -57,10 +57,14 @@ class OlapHttpServer:
     >>> srv.stop()
 
     Context-manager form closes the socket on exit.  Unknown routes
-    (``OlapApi.handle`` raises KeyError) map to 404; any other engine
-    error maps to 400 with the exception text — errors are reported,
-    never swallowed into empty 200s.
-    """
+    (``OlapApi.handle`` raises KeyError) map to 404; malformed requests
+    (ValueError — bad cut grammar, unknown having column, …) map to
+    400; anything else is an ENGINE failure and maps to 500 — always
+    with the exception text, errors are reported, never swallowed into
+    empty 200s.  The 400/500 split matters operationally: a client
+    must not retry a 400 (the request is wrong) but may retry a 500 (a
+    transient task failure — e.g. an allocation retry under GC
+    pressure — served mid-soak is a retryable condition, r12)."""
 
     def __init__(self, api: OlapApi, host: str = "127.0.0.1", port: int = 0):
         outer_api = api
@@ -73,8 +77,10 @@ class OlapHttpServer:
                     payload = outer_api.handle(url.path, params)
                 except KeyError as exc:
                     self._reply(404, {"error": str(exc)})
-                except Exception as exc:  # noqa: BLE001 — boundary layer
+                except ValueError as exc:
                     self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+                except Exception as exc:  # noqa: BLE001 — boundary layer
+                    self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
                 else:
                     self._reply(200, payload)
 
