@@ -79,23 +79,30 @@ class JdbcSink:
     def _resolve_table(self, conn, table: str) -> str | None:
         """The stored name of ``table`` (dialect case rules apply:
         Spark creates it unquoted, so e.g. Derby uppercases), or None
-        if absent."""
+        if absent.  JDBC metadata treats the name as a PATTERN where
+        ``_`` is a single-char wildcard — and every fact table name
+        has underscores — so each row is re-checked for an exact
+        match (``olap_loans`` must not resolve via ``olap0loans``)."""
         meta = conn.getMetaData()
         for candidate in (table, table.upper(), table.lower()):
             rs = meta.getTables(None, None, candidate, None)
             try:
-                if rs.next():
-                    return candidate
+                while rs.next():
+                    if rs.getString("TABLE_NAME") == candidate:
+                        return candidate
             finally:
                 rs.close()
         return None
 
     def _table_columns(self, conn, stored: str) -> list[str]:
+        # same wildcard caveat as _resolve_table: filter to the exact
+        # table so a wildcard-sibling's columns never leak in
         rs = conn.getMetaData().getColumns(None, None, stored, None)
         cols = []
         try:
             while rs.next():
-                cols.append(rs.getString("COLUMN_NAME"))
+                if rs.getString("TABLE_NAME") == stored:
+                    cols.append(rs.getString("COLUMN_NAME"))
         finally:
             rs.close()
         return cols
