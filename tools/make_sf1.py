@@ -17,11 +17,19 @@ set:
   Replicating texts verbatim instead would give every doc 10 exact
   twins — a quadratic pair blow-up that measures the synthetic
   replication, not the operator.
-- ``embeddings``: per-copy deterministic jitter of
-  ``0.0001·copy·((dim%5)-2)`` — up to ±0.0018 at copy 9, large enough
-  to break exact-duplicate vectors across copies, small enough (unit
-  vectors, ~64 dims ⇒ cosine shift ≲1e-3) to keep the
-  cosine-neighborhood density realistic.
+- ``embeddings``: per-copy deterministic DIMENSION ROTATION (circular
+  shift by ``copy·7`` positions).  A permutation is an isometry, so
+  every WITHIN-copy cosine — the original neighborhood structure — is
+  preserved exactly, while cross-copy cosines are shifted
+  autocorrelations of near-uniform vectors (≈0 ± 1/√64), i.e. no new
+  near-dup pairs.  r12 note: the first derivation used a ±0.0018
+  additive jitter instead, believing small perturbation ≈ same
+  density — it actually manufactured a 10-CLIQUE of near-twins
+  (cos ≈ 0.999999) per source vector, the exact constant-duplicate-SET
+  blow-up the documents rule above exists to avoid, and the full-suite
+  sf1 slope caught it as a 34× super-linear flag on the SRP
+  incremental probe (candidate pairs grew with clique², measuring the
+  synthetic replication, not the operator).
 - ``lineitem/orders/customer/supplier/part/events``: key columns shift
   by copy-sized strides (joins stay consistent within a copy);
   value/date distributions are untouched.
@@ -78,8 +86,8 @@ def main() -> None:
         """,
         "embeddings": f"""
             SELECT vec_id + cp * {C} AS vec_id,
-                   CAST(list_transform(embedding,
-                        (x, i) -> x + 0.0001 * cp * ((i % 5) - 2))
+                   CAST(list_transform(range(1, len(embedding) + 1),
+                        i -> embedding[((i - 1 + cp * 7) % len(embedding)) + 1])
                         AS FLOAT[]) AS embedding,
                    label
             FROM read_parquet('{SRC}/embeddings.parquet') CROSS JOIN copies
