@@ -847,6 +847,7 @@ def srp_probe(
     banded_batch: DataFrame,
     threshold: float,
     exclude_ids: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Core SRP probe: join a banded batch against banded store rows
     on ``(band, bucket_shard, key)``, verify bucket-mates with the
@@ -867,7 +868,21 @@ def srp_probe(
     tie-break (max cos, then MIN stored id) rides one struct-max via
     arithmetic negation of the id, which keeps the aggregation
     map-side combinable (a window would forbid partial aggregation).
-    Non-numeric ids raise immediately rather than mis-sorting."""
+    Non-numeric ids raise immediately rather than mis-sorting.
+
+    ``max_bucket`` (r12, the SRP twin of the MinHash family's
+    hot-bucket guard): store-side ``(band, key)`` buckets wider than
+    the cap are DROPPED before the join — one map-side-combinable
+    count over the store's bucket keys, no window.  This bounds the
+    candidate bill at ``bands · Σ min(b, cap) · p`` when a clustered
+    corpus (or a degenerate boilerplate embedding) floods a bucket —
+    the failure mode the full-suite sf1 slope measured as the
+    q_srp_incremental 31.7× flag (a 6-bit band key is a CONSTANT 64
+    buckets, so occupancy grows with n).  The trade is recall on
+    exactly the vectors whose neighborhoods are over-wide; a vector
+    present in ≥1 surviving band bucket still probes.  Default None
+    preserves exact bucket semantics (the registered queries' oracles
+    replay candidates bit-for-bit and stay cap-free)."""
     from pyspark.sql.types import NumericType
 
     id_type = store.schema["vec_id"].dataType
@@ -884,6 +899,15 @@ def srp_probe(
         "key",
         "bucket_shard",
     )
+    if max_bucket is not None:
+        widths = old.groupBy("band", "key", "bucket_shard").agg(
+            F.count(F.lit(1)).alias("__bw")
+        )
+        old = (
+            old.join(widths, ["band", "key", "bucket_shard"])
+            .filter(F.col("__bw") <= max_bucket)
+            .drop("__bw")
+        )
     cand = (
         banded_batch.join(old, ["band", "key", "bucket_shard"])
         .select("vec_id", "vec", "old_id", "old_vec")
@@ -929,6 +953,7 @@ def srp_dedup_incremental(
     threshold: float = 0.8,
     append: bool = True,
     exclude_self: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Probe a new embedding batch against the persisted SRP index:
     emits ``(vec_id, dup_of, cos)`` for every new vector whose exact
@@ -991,7 +1016,9 @@ def srp_dedup_incremental(
             ),
         )
     exclude = banded.select("vec_id").distinct() if exclude_self else None
-    dups = srp_probe(store, banded, threshold, exclude_ids=exclude)
+    dups = srp_probe(
+        store, banded, threshold, exclude_ids=exclude, max_bucket=max_bucket
+    )
     dups = dups.localCheckpoint(eager=True)  # pin before the store mutates
     if append:
         banded.write.partitionBy("band", "bucket_shard").mode("append").parquet(

@@ -862,6 +862,43 @@ def test_srp_probe_rejects_non_numeric_id(spark):
         srp_probe(rows, rows, threshold=0.5)
 
 
+def test_srp_probe_hot_bucket_cap(spark):
+    """The r12 hot-bucket guard (SRP twin of the MinHash max_bucket):
+    a store whose one bucket is flooded by near-identical vectors must
+    (a) drop ONLY that bucket's candidates under the cap — the probe
+    vector living in a normal bucket still matches — and (b) be exact
+    (cap=None) by default.  Crafted: 40 copies of one direction flood
+    every band bucket they share; one distinct pair lives elsewhere."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.similarity import _srp_store_rows, srp_probe
+
+    flood = [(i, [1.0, 0.02 * (i % 3), 0.0, 0.0]) for i in range(40)]
+    pair = [(100, [0.0, 0.0, 1.0, 0.05]), (101, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(
+        flood + pair, "vec_id long, embedding array<double>"
+    )
+    store = _srp_store_rows(
+        df.filter(F.col("vec_id") != 101), "embedding", "vec_id", 4,
+        n_bits=8, bands=2,
+    )
+    batch = _srp_store_rows(
+        df.filter(F.col("vec_id").isin(39, 101)), "embedding", "vec_id", 4,
+        n_bits=8, bands=2,
+    )
+    # exact: both probes match (39 against the flood, 101 against 100)
+    exact = {r["vec_id"]: r["dup_of"] for r in
+             srp_probe(store, batch, 0.9).filter(
+                 F.col("dup_of") != F.col("vec_id")).collect()}
+    assert exact[101] == 100 and 39 in exact
+    # capped at 10: the 40-wide flood buckets drop, the pair survives
+    capped = {r["vec_id"]: r["dup_of"] for r in
+              srp_probe(store, batch, 0.9, max_bucket=10).filter(
+                  F.col("dup_of") != F.col("vec_id")).collect()}
+    assert capped.get(101) == 100
+    assert 39 not in capped  # its only candidates lived in capped buckets
+
+
 def test_hybrid_search_rrf_contract(spark, sf_dir):
     """RRF contract: (1) every fused doc came from a leg shortlist;
     (2) a doc in BOTH legs outscores the same ranks taken singly;
