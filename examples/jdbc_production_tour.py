@@ -18,7 +18,12 @@ Usage:
     migration-period byte diffing;
 4.  serve cube queries over the warehoused fact — including the
     iso_week hierarchy, whose ISO week-year boundaries a calendar
-    cut would get wrong — through the plan-cached API surface.
+    cut would get wrong — through the plan-cached API surface;
+5.  snapshot INTO a second database via ``JdbcSink`` (r12) — the
+    reference's exact write topology (two connections: read the ILS,
+    write the OLAP DB; OLAP.php:128-164) with auto-create, the E4
+    guard probing the TARGET database, and idempotent per-scope
+    delete+insert.
 
 Everything printed is report-sized; the same composition pointed at a
 real MySQL/Postgres URL (plus its driver jar) is the production
@@ -191,6 +196,27 @@ def main(work_dir: str) -> None:
     print(f"[4] calendar-1997 total {sum(r['loans'] for r in cal['data'])} vs "
           f"iso-1997 total {sum(r['loans'] for r in resp['data'])} — the "
           "boundary days are the difference")
+
+    # -- leg 5: snapshot INTO a database — the reference's write
+    # topology (second connection to the OLAP MySQL, OLAP.php:128-164)
+    # via JdbcSink: auto-create, E4 against the TARGET database, and
+    # idempotent per-scope delete+insert (r12) --
+    from opl_spark.sinks import JdbcSink
+
+    olap_url = f"jdbc:derby:{os.path.join(work_dir, 'olapdb')};create=true"
+    sink_eng = SnapshotEngine(
+        spark, os.path.join(work_dir, "unused"),
+        jdbc_sink=JdbcSink(url=olap_url, driver=DRIVER),
+    )
+    w = sink_eng.run("1997-01-08", [FactQuery(3, "olap_loans", v2_sql)])
+    print(f"[5] snapshot INTO Derby (auto-created table) wrote: {w}")
+    assert sink_eng.run("1997-01-08", [FactQuery(3, "olap_loans", v2_sql)]) == {}
+    print("[5] E4 re-run guard held against the TARGET database")
+    back = sink_eng.fact_frame("olap_loans")
+    n = back.count()
+    print(f"[5] read-back from the OLAP database: {n} audit-stamped rows "
+          f"(cols: {', '.join(back.columns[:6])}, ...)")
+
     spark.stop()
     print("tour complete")
 
