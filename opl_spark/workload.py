@@ -87,71 +87,53 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     # move to the END in window order.  Per-round history (which ids
     # entered when, rows-only terminal states, the r3 HUGEINT and r4
     # scd2 retries) lives in CORRECTNESS_r*.json and git history of
-    # this tuple.  Last rotation: r12, after the 50/50-green r11 window
-    # (13 _AUDIT_PRIORITY re-confirmations + 4 first-contact greens
-    # [q_drilldown_week + the three exact-regime sketch promotions] +
-    # 33 regression re-checks moved to the tail).  The head below is
-    # now the r5-last-checked tranche (the oldest evidence repo-wide),
-    # per the r11 verdict's task 1.
-    "q_drill_across", "q_mad_outliers", "q_lang_confusion",
-    "q_temporal_split", "q_class_separation", "q_session_stats",
-    "q_conversion_time", "q_bootstrap_mean", "q_ab_zstat", "q_value_deciles",
-    "q_pit_lookup", "q_basket_rules", "q_moving_avg", "q_cusum_shift",
-    "q_attribution_linear", "q_drill_across_cut", "q_order_priority",
-    "q_customer_distribution", "q_parts_supplier", "q_big_orders",
-    "q_min_cost_supplier", "q_pagerank", "q_image_phash", "q_image_dedup",
-    "q_scene_change", "q_embedding_standardize", "q_kcore",
-    "q_pareto_customers", "q_auc", "q_ece", "q_psi_drift",
-    "q_heldout_perplexity", "q_embedding_outliers", "q_curriculum_order",
-    "q_cohens_kappa", "q_retrieval_eval", "q_mrr", "q_label_noise",
-    "q_kneser_ney", "q_readability", "q_zipf_fit", "q_l_diversity",
-    "q_bitmap_count", "q_feature_hash", "q_vad_segments", "q_cluster_terms",
-    "q_sentence_dedup", "q_volume_shipping", "q_market_share",
-    "q_product_profit", "q_returned_items", "q_late_lines", "q_promo_effect",
-    "q_top_supplier", "q_small_qty_revenue", "q_waiting_suppliers",
-    "q_sales_opportunity", "q_dsir_weights", "q_spend_trend",
-    "q_seasonal_naive", "q_forecast_revenue", "q_important_stock",
-    "q_discounted_revenue", "q_dominant_suppliers", "q_containment_pairs",
-    "q_ewma_daily", "q_stupid_backoff", "q_random_projection", "q_bfs_hops",
-    "q_user_journey", "q_naive_bayes", "q_pr_curve", "q_line_dedup",
-    "q_churn_cohort", "q_dedup_report", "q_cdc_chunks", "q_skew_report",
-    "q_vocab_coverage", "q_k_anonymity", "q_doc_keywords",
-    "q_survival_hazard", "q_acf", "q_theil_sen", "q_rfm_segments",
-    "q_periodic_snapshot", "q_seasonality_strength",
+    # this tuple.  Last rotation: r13, after the 50/50-green r12 window
+    # (2 _AUDIT_PRIORITY sketch-promotion confirmations [q_topk_sketch,
+    # q_approx_distinct — both now in this tuple for the first time,
+    # hash-oracled] + 48 regression re-checks moved to the tail).  The
+    # head below is the r6-last-checked tranche followed by the oldest
+    # r7 ids — the r12 verdict's task 1 staleness walk; the mechanical
+    # gate on this walk is tests/test_audit_rotation.py.
+    "q_market_share", "q_product_profit", "q_returned_items", "q_late_lines",
+    "q_promo_effect", "q_top_supplier", "q_small_qty_revenue",
+    "q_waiting_suppliers", "q_sales_opportunity", "q_dsir_weights",
+    "q_spend_trend", "q_seasonal_naive", "q_forecast_revenue",
+    "q_important_stock", "q_discounted_revenue", "q_dominant_suppliers",
+    "q_containment_pairs", "q_ewma_daily", "q_stupid_backoff",
+    "q_random_projection", "q_bfs_hops", "q_user_journey", "q_naive_bayes",
+    "q_pr_curve", "q_line_dedup", "q_churn_cohort", "q_dedup_report",
+    "q_cdc_chunks", "q_skew_report", "q_vocab_coverage", "q_k_anonymity",
+    "q_doc_keywords", "q_survival_hazard", "q_acf", "q_theil_sen",
+    "q_rfm_segments", "q_periodic_snapshot", "q_seasonality_strength",
     "q_revenue_concentration", "q_bpe_fertility", "q_activity_heatmap",
     "q_ship_lag_quantiles", "q_purchase_intervals", "q_setsim_join",
     "q_bmp_decode", "q_krippendorff_alpha", "q_mcnemar", "q_blocklist_filter",
-    # r12: q_approx_distinct / q_topk_sketch left this tuple — they
-    # gained hash-checked oracles (rule 3: exact-regime top-k for
-    # space-saving; exact-endpoints + error-bound flag for HLL++), so
-    # they re-enter the window under the stronger check.
-    "q_distinct_n", "q_source_scan",
-    "q_json_rows", "q_type_cast", "q_audit_columns", "q_output_table",
-    "q_projection", "q_case_bucket", "q_date_arith", "q_filter_or",
-    "q_time_scope", "q_zero_fill", "q_active_users", "q_agg_sum", "q_agg_avg",
-    "q_agg_count", "q_aggregate_all", "q_measure_multi", "q_cut_eq",
-    "q_cut_dice", "q_entity_resolution", "q_label_prop", "q_cut_set",
-    "q_drilldown_level", "q_drilldown_top", "q_drilldown_multi",
-    "q_cron_gate", "q_idempotent_antijoin", "q_agg_median", "q_agg_extrema",
-    "q_dedup_exact", "q_dedup_ngram", "q_dedup_ngram_capped",
-    "q_dedup_embedding", "q_knn_batch", "q_lang_id", "q_quality_score",
-    "q_token_count", "q_fingerprint", "q_text_clean", "q_winnow", "q_tfidf",
-    "q_pii_scrub", "q_contamination", "q_multimodal_bytes",
-    "q_multimodal_resize", "q_frame_sample", "q_events_window",
-    "q_sessionize", "q_salted_agg", "q_embedding_centroid", "q_running_total",
-    "q_top_per_group", "q_pack_sequences", "q_distinct_users",
-    "q_length_quantiles", "q_rollup", "q_minhash_keep_best",
-    "q_dedup_minhash", "q_dedup_clusters", "q_keep_best", "q_srp_lsh",
-    "q_simhash", "q_lsh_tuning", "q_bucket_stats", "q_rendezvous_shard",
-    "q_asof_join", "q_interval_join", "q_pivot", "q_cube_sets",
-    "q_pipeline_filter", "q_fact_accessions", "q_fact_general_indexes",
-    "q_fact_patrimonio", "q_meta_fact_tables", "q_meta_measures",
-    "q_mix_sources", "q_contamination_bloom", "q_zorder", "q_quantize",
-    "q_stratified_sample", "q_incremental_dedup", "q_semantic_dedup",
-    "q_unigram_logprob", "q_percentile_filter", "q_heavy_hitters",
-    "q_chunk_docs", "q_ccnet_bucket", "q_budget_sample", "q_bigram_logprob",
-    "q_dup_weights", "q_winnow_pairs", "q_repetition", "q_split_sample",
-    "q_vocab_build", "q_token_entropy", "q_corpus_stats",
+    "q_distinct_n", "q_source_scan", "q_json_rows", "q_type_cast",
+    "q_audit_columns", "q_output_table", "q_projection", "q_case_bucket",
+    "q_date_arith", "q_filter_or", "q_time_scope", "q_zero_fill",
+    "q_active_users", "q_agg_sum", "q_agg_avg", "q_agg_count",
+    "q_aggregate_all", "q_measure_multi", "q_cut_eq", "q_cut_dice",
+    "q_entity_resolution", "q_label_prop", "q_cut_set", "q_drilldown_level",
+    "q_drilldown_top", "q_drilldown_multi", "q_cron_gate",
+    "q_idempotent_antijoin", "q_agg_median", "q_agg_extrema", "q_dedup_exact",
+    "q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_embedding",
+    "q_knn_batch", "q_lang_id", "q_quality_score", "q_token_count",
+    "q_fingerprint", "q_text_clean", "q_winnow", "q_tfidf", "q_pii_scrub",
+    "q_contamination", "q_multimodal_bytes", "q_multimodal_resize",
+    "q_frame_sample", "q_events_window", "q_sessionize", "q_salted_agg",
+    "q_embedding_centroid", "q_running_total", "q_top_per_group",
+    "q_pack_sequences", "q_distinct_users", "q_length_quantiles", "q_rollup",
+    "q_minhash_keep_best", "q_dedup_minhash", "q_dedup_clusters",
+    "q_keep_best", "q_srp_lsh", "q_simhash", "q_lsh_tuning", "q_bucket_stats",
+    "q_rendezvous_shard", "q_asof_join", "q_interval_join", "q_pivot",
+    "q_cube_sets", "q_pipeline_filter", "q_fact_accessions",
+    "q_fact_general_indexes", "q_fact_patrimonio", "q_meta_fact_tables",
+    "q_meta_measures", "q_mix_sources", "q_contamination_bloom", "q_zorder",
+    "q_quantize", "q_stratified_sample", "q_incremental_dedup",
+    "q_semantic_dedup", "q_unigram_logprob", "q_percentile_filter",
+    "q_heavy_hitters", "q_chunk_docs", "q_ccnet_bucket", "q_budget_sample",
+    "q_bigram_logprob", "q_dup_weights", "q_winnow_pairs", "q_repetition",
+    "q_split_sample", "q_vocab_build", "q_token_entropy", "q_corpus_stats",
     "q_multimodal_decode", "q_cms_counts", "q_srp_incremental",
     "q_ivf_recall_curve", "q_similarity_ivf_kmeans", "q_similarity_topk",
     "q_similarity_ivf", "q_quantized_topk", "q_pq_topk", "q_ivfpq_topk",
@@ -178,7 +160,21 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_pricing_summary", "q_triangles", "q_winsorized", "q_mode", "q_id_gaps",
     "q_attribution", "q_ks_drift", "q_benford", "q_variant_extract",
     "q_unigram_train", "q_unigram_tokenize", "q_negative_pairs",
-    "q_hard_negatives",
+    "q_hard_negatives", "q_topk_sketch", "q_approx_distinct",
+    "q_drill_across", "q_mad_outliers", "q_lang_confusion",
+    "q_temporal_split", "q_class_separation", "q_session_stats",
+    "q_conversion_time", "q_bootstrap_mean", "q_ab_zstat", "q_value_deciles",
+    "q_pit_lookup", "q_basket_rules", "q_moving_avg", "q_cusum_shift",
+    "q_attribution_linear", "q_drill_across_cut", "q_order_priority",
+    "q_customer_distribution", "q_parts_supplier", "q_big_orders",
+    "q_min_cost_supplier", "q_pagerank", "q_image_phash", "q_image_dedup",
+    "q_scene_change", "q_embedding_standardize", "q_kcore",
+    "q_pareto_customers", "q_auc", "q_ece", "q_psi_drift",
+    "q_heldout_perplexity", "q_embedding_outliers", "q_curriculum_order",
+    "q_cohens_kappa", "q_retrieval_eval", "q_mrr", "q_label_noise",
+    "q_kneser_ney", "q_readability", "q_zipf_fit", "q_l_diversity",
+    "q_bitmap_count", "q_feature_hash", "q_vad_segments", "q_cluster_terms",
+    "q_sentence_dedup", "q_volume_shipping",
 )
 
 # Ids that failed a driver hash check and carry a fix awaiting driver
@@ -194,23 +190,19 @@ _RETRY_FIRST: tuple[str, ...] = (
 # REGARDLESS of whether they already sit in _DRIVER_AUDITED — a local
 # re-verification is not a driver audit, and changed code re-earns its
 # hard signal.  Clear an id once its fresh CORRECTNESS row is green.
-# Round-12 state: all THIRTEEN r11 priority ids (plus the 4
-# first-contact ids) went green in the r11 window
-# (CORRECTNESS_r11.json, 50/50) and rotated to the tuple tail.  Ids
-# re-entering for r12 changes (locally hash-verified at sf0.01; the
+# Round-13 state: both r12 priority ids (the q_topk_sketch /
+# q_approx_distinct oracle promotions) went green in the r12 window
+# (CORRECTNESS_r12.json, 50/50) and rotated into the tuple tail.  Ids
+# re-entering for r13 changes (locally hash-verified at sf0.01; the
 # driver re-audit is the hard signal):
-#  - q_topk_sketch: gained an exact-regime DuckDB oracle (r11 verdict
-#    task 2) — with counters >= distinct keys space-saving is exact,
-#    so the id is hash-checked now (mirrors the r11 KLL/Theta/HLL
-#    promotions).
-#  - q_approx_distinct: gained a DuckDB-exact twin of the merge-tree
-#    endpoints (r11 verdict task 2) — emits the exact per-group
-#    distinct counts (hash-checked) plus a within_bound flag folding
-#    the 3·rsd HLL++ error-bound assertion into the row hash; the raw
-#    estimate has no exact regime (linear counting), documented in the
-#    oracle docstring.
+#  - q_approx_distinct: the within_bound envelope widened from 3·rsd
+#    to 5·rsd (ADVICE r12) — 3·rsd is one-sided ~99.7% PER GROUP, so
+#    across groups × rounds a legitimate tail draw flips the flag and
+#    turns the driver row red with no code defect; at 5·rsd the
+#    per-group tail is ~6e-7 while the assertion still pins the
+#    sketch to its documented error regime.
 _AUDIT_PRIORITY: tuple[str, ...] = (
-    "q_topk_sketch", "q_approx_distinct",
+    "q_approx_distinct",
 )
 
 

@@ -1425,8 +1425,14 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale.  The strongest hash-checkable contract is therefore the
     merge-tree ENDPOINTS: emit the exact per-group distinct count
     (hash-checked against DuckDB) plus a ``within_bound`` flag folding
-    the 3·rsd error-bound assertion into the row hash — the driver row
+    a 5·rsd error-bound assertion into the row hash — the driver row
     turns red if the sketch ever drifts outside its documented bound.
+    The envelope is 5·rsd, not 3·rsd (ADVICE r12): rsd is a standard
+    deviation, so a 3σ flag is one-sided ~99.7% PER GROUP — across
+    groups × driver rounds a legitimate tail draw would flip the row
+    red with no code defect; 5σ (~6e-7) keeps the pin while removing
+    the flake.  tests/test_operators.py pins the tighter 3·rsd bound
+    where a single fixed dataset makes it deterministic.
     The estimate still runs in the plan (same partial/merge tree it
     has at 100 TB); production drops the exact leg and keeps only the
     sketch.  ``tests/test_operators.py`` pins the same bound."""
@@ -1436,10 +1442,11 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    # 3-sigma-ish envelope with an absolute floor for tiny groups
-    # (3·rsd·n < 1 there, where linear counting is near-exact anyway).
+    # 5-sigma envelope with an absolute floor for tiny groups
+    # (5·rsd·n < 1 there, where linear counting is near-exact anyway);
+    # see the docstring for why 3σ would flake across driver rounds.
     bound = F.greatest(
-        F.lit(4.0), F.lit(3 * rsd) * F.col("exact_users").cast("double")
+        F.lit(4.0), F.lit(5 * rsd) * F.col("exact_users").cast("double")
     )
     return per.select(
         "event_type",
