@@ -14,9 +14,14 @@ Spark engine: :class:`JdbcSink` plugs into ``SnapshotEngine`` and
   -only, never narrowing, matching the parquet sink's contract;
 - honors the E4 re-run guard with a scope-pruned remote read (the
   predicate pushes into the database, so the check is index-sized);
-- makes re-materialization idempotent by DELETE-then-INSERT on the
-  (queryId, scope) slice — the reference's ``alreadyExecuted`` skip
-  plus a cure for half-written scopes that its row loop cannot offer.
+- makes re-materialization idempotent AND reader-atomic (r12 verdict
+  task 3) by staging each (queryId, scope) slice into a side table
+  with Spark's parallel JDBC writer, then swapping it in with ONE
+  driver-side transaction (DELETE slice + INSERT..SELECT, single
+  commit) — a concurrent API reader observes the full old scope or
+  the full new scope, never a half-materialized one, and a run that
+  crashes mid-write leaves the target untouched (the reference's row
+  loop turns both cases into permanent partial scopes).
 
 Scale note: the snapshot RESULT is aggregate-sized (group rows, not
 the fact spine), so a JDBC sink is legitimate at any corpus scale —
@@ -66,11 +71,38 @@ class JdbcSink:
 
     # -- driver-side JDBC plumbing ------------------------------------
 
+    #: option keys Spark's JDBC reader/writer consumes itself — never
+    #: forwarded as java.sql connection properties (lower-cased match;
+    #: the list mirrors JDBCOptions' non-connection parameters)
+    _SPARK_OPTION_KEYS = frozenset({
+        "url", "dbtable", "query", "driver", "numpartitions",
+        "partitioncolumn", "lowerbound", "upperbound", "fetchsize",
+        "batchsize", "truncate", "cascadetruncate", "isolationlevel",
+        "createtableoptions", "createtablecolumntypes",
+        "customschema", "pushdownpredicate", "pushdownaggregate",
+        "pushdownlimit", "pushdownoffset", "pushdowntablesample",
+        "sessioninitstatement", "querytimeout", "keytab", "principal",
+        "refreshkrb5config", "connectionprovider", "preparequery",
+    })
+
     def _connect(self, spark: SparkSession):
+        """Driver-side connection carrying the same credentials the
+        Spark reader/writer paths get: every ``options`` entry that is
+        not a Spark-only knob (user/password, SSL flags, …) goes into
+        the ``java.util.Properties`` bag — ADVICE r12: a bare
+        ``getConnection(url)`` authenticated only against
+        credential-less embedded Derby and broke exists /
+        already_executed / delete against real MySQL/Postgres
+        targets."""
         jvm = spark._jvm
         if self.driver:
             jvm.java.lang.Class.forName(self.driver)
-        return jvm.java.sql.DriverManager.getConnection(self.url)
+        props = jvm.java.util.Properties()
+        for k, v in self.options.items():
+            if k.lower() in self._SPARK_OPTION_KEYS:
+                continue
+            props.setProperty(k, str(v))
+        return jvm.java.sql.DriverManager.getConnection(self.url, props)
 
     def _quote(self, spark: SparkSession, name: str) -> str:
         dialect = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(self.url)
@@ -187,8 +219,7 @@ class JdbcSink:
             st = conn.createStatement()
             try:
                 return st.executeUpdate(
-                    f"DELETE FROM {stored} "
-                    f"WHERE {self._scope_where(spark, query_id, scope)}"
+                    self._delete_sql(spark, stored, query_id, scope)
                 )
             finally:
                 st.close()
@@ -217,8 +248,7 @@ class JdbcSink:
                 st = conn.createStatement()
                 try:
                     st.executeUpdate(
-                        f"ALTER TABLE {stored} ADD COLUMN "
-                        f"{self._quote(spark, f_.name)} {ddl}"
+                        self._alter_add_sql(spark, stored, f_.name, ddl)
                     )
                 finally:
                     st.close()
@@ -227,26 +257,43 @@ class JdbcSink:
         finally:
             conn.close()
 
-    def write_scope(
-        self,
-        spark: SparkSession,
-        df: DataFrame,
-        table: str,
-        query_id: int,
-        scope: Scope,
-    ) -> None:
-        """Idempotent per-scope materialization: widen the table if the
-        fact grew columns, DELETE the (queryId, scope) slice (cures a
-        half-written scope a crashed run left behind — the case the
-        reference's row loop turns into permanent duplicates), then
-        parallel batched INSERT via Spark's JDBC writer.  First write
-        auto-creates the table (S6)."""
-        if self.exists(spark, table):
-            self.ensure_columns(spark, df, table)
-            self.delete_scope(spark, table, query_id, scope)
+    # -- statement builders (pure text — pinned per-dialect by
+    # tests/test_jdbc_source.py's MySQL/Derby matrix) ------------------
+
+    @staticmethod
+    def stage_name(table: str) -> str:
+        return f"{table}__stage"
+
+    def _delete_sql(
+        self, spark: SparkSession, stored: str, query_id: int, scope: Scope
+    ) -> str:
+        return (
+            f"DELETE FROM {stored} "
+            f"WHERE {self._scope_where(spark, query_id, scope)}"
+        )
+
+    def _insert_select_sql(
+        self, spark: SparkSession, target: str, stage: str, cols: list[str]
+    ) -> str:
+        """INSERT..SELECT with an explicit column list both sides —
+        the target may be wider than the staged fact (schema drift adds
+        columns other facts carry; they read NULL here), so positional
+        insertion would mis-align."""
+        names = ", ".join(self._quote(spark, c) for c in cols)
+        return f"INSERT INTO {target} ({names}) SELECT {names} FROM {stage}"
+
+    def _alter_add_sql(
+        self, spark: SparkSession, stored: str, col: str, ddl_type: str
+    ) -> str:
+        return (
+            f"ALTER TABLE {stored} ADD COLUMN "
+            f"{self._quote(spark, col)} {ddl_type}"
+        )
+
+    def _jdbc_writer(self, df: DataFrame, table: str, mode: str):
         writer = (
             df.write.format("jdbc")
-            .mode("append")
+            .mode(mode)
             .option("url", self.url)
             .option("dbtable", table)
         )
@@ -264,4 +311,117 @@ class JdbcSink:
                 )
         for k, v in opts.items():
             writer = writer.option(k, str(v))
-        writer.save()
+        return writer
+
+    def stage_scope(self, spark: SparkSession, df: DataFrame, table: str) -> str:
+        """Parallel batched write of the scope slice into the staging
+        side table (dropped and recreated every call — a stale stage a
+        crashed run left behind is overwritten, never appended to).
+        Spark's per-partition transaction commits land HERE, where no
+        reader looks; the swap into the target is one transaction."""
+        stage = self.stage_name(table)
+        self._jdbc_writer(df, stage, "overwrite").save()
+        return stage
+
+    def _swap_scope(
+        self,
+        spark: SparkSession,
+        table: str,
+        stage: str,
+        cols: list[str],
+        query_id: int,
+        scope: Scope,
+    ) -> None:
+        """The atomic half: DELETE the (queryId, scope) slice and
+        INSERT the staged replacement in ONE driver-side transaction —
+        no partial scope is ever a COMMITTED state; a crash anywhere
+        before commit rolls back to full-old.
+
+        Reader visibility: on an MVCC target (the reference's MySQL/
+        InnoDB, Postgres) a READ_COMMITTED reader therefore sees the
+        full old scope until the commit and the full new one after.
+        On a pure-locking engine (embedded Derby) an aggregate scan
+        that straddles the commit can still mix pre/post rows at
+        READ_COMMITTED — that is the reader's isolation choice, not a
+        partial write; a SERIALIZABLE reader observes only full-old /
+        full-new (pinned by tests/test_jdbc_source.py)."""
+        conn = self._connect(spark)
+        try:
+            stored = self._resolve_table(conn, table)
+            stored_stage = self._resolve_table(conn, stage)
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(
+                    self._delete_sql(spark, stored, query_id, scope)
+                )
+                st.executeUpdate(
+                    self._insert_select_sql(spark, stored, stored_stage, cols)
+                )
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    def _drop_stage(self, spark: SparkSession, stage: str) -> None:
+        """Best-effort cleanup — a surviving stage table is inert (the
+        next stage_scope overwrites it) so failures are swallowed."""
+        conn = self._connect(spark)
+        try:
+            stored = self._resolve_table(conn, stage)
+            if stored is None:
+                return
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(f"DROP TABLE {stored}")
+            except Exception:
+                pass
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    def write_scope(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        table: str,
+        query_id: int,
+        scope: Scope,
+    ) -> None:
+        """Idempotent, reader-atomic per-scope materialization (r12
+        verdict task 3 + ADVICE r12): widen the target if the fact
+        grew columns (S7), stage the slice with Spark's parallel JDBC
+        writer, then swap it in with one DELETE+INSERT..SELECT
+        transaction.  First write auto-creates the target (S6).
+
+        Crash analysis (the ADVICE r12 mid-save hole): Spark's JDBC
+        writer commits per-partition, so the OLD direct append could
+        die having committed a partial slice — which E4's
+        already_executed then read as "done", skipping the scope
+        forever.  Per-partition commits now land in the staging table
+        only; the target mutates solely inside the swap transaction,
+        so any crash leaves it with the complete previous state and
+        the E4 probe answers correctly on the next run."""
+        if self.exists(spark, table):
+            self.ensure_columns(spark, df, table)
+        else:
+            # auto-create (S6): Spark's writer creates the table from
+            # the df SCHEMA; a fresh empty local frame, not df.limit(0)
+            # — SnapshotEngine attaches an Observation to df for the
+            # written-rows count, and a limit-0 pre-execution would
+            # consume it before the staging write runs the real plan
+            empty = df.sparkSession.createDataFrame([], df.schema)
+            self._jdbc_writer(empty, table, "append").save()
+        stage = self.stage_scope(spark, df, table)
+        try:
+            self._swap_scope(
+                spark, table, stage, [f.name for f in df.schema.fields],
+                query_id, scope,
+            )
+        finally:
+            self._drop_stage(spark, stage)
