@@ -534,12 +534,14 @@ def latency_main() -> None:
     round-trips (plan + execute + collect) against a WARM parquet
     warehouse — the interactive story the throughput suite never
     measures (server.py requests are latency-bound on planner overhead
-    at report-sized results, not on scan throughput).  Also times the
-    rollup-router leg: the same monthly rollup question answered 100×
-    from the day-grain materialization vs directly from the fact —
-    the router's answer-time win is the reason the store exists.
-    Writes a JSON line; the committed analysis lives in BENCH_NOTES.md.
-    """
+    at report-sized results, not on scan throughput).  The headline
+    ``value`` is the ROUTED pinned mix (r12 verdict task 5): the same
+    10 shapes answered through an advise→materialize rollup lattice,
+    with a per-shape routedness receipt in ``mix_receipts``.  Also
+    times the rollup-router leg: the same monthly rollup question
+    answered 100× from the day-grain materialization vs directly from
+    the fact — the router's answer-time win is the reason the store
+    exists.  Writes a JSON line; analysis lives in BENCH_NOTES.md."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import tempfile
 
@@ -576,6 +578,29 @@ def latency_main() -> None:
         eng.aggregate("loans2", **kw).collect()
         lat.append(time.perf_counter() - t0)
     p50, p95 = _pcts(lat)
+
+    # routed mix (r12 verdict task 5): the SAME pinned mix answered
+    # through an advise→materialize lattice — share/having/top_n ride
+    # the routed report, so every shape routes; per-shape receipts
+    # (which rollup answered it) are committed alongside the timing
+    from opl_spark.rollups import RollupStore
+
+    store = RollupStore(spark, os.path.join(wh, "lattice"))
+    picked = store.advise(eng, "loans2", _LATENCY_SHAPES, max_rollups=10)
+    store.materialize(eng, "loans2", [p["cols"] for p in picked])
+    receipts = {
+        str(i): store.route_report(eng, "loans2", **kw)
+        for i, kw in enumerate(_LATENCY_SHAPES)
+    }
+    for kw in _LATENCY_SHAPES:  # warm-up the routed plans
+        store.aggregate(eng, "loans2", **kw).collect()
+    rlat: list[float] = []
+    for i in range(100):
+        kw = _LATENCY_SHAPES[i % len(_LATENCY_SHAPES)]
+        t0 = time.perf_counter()
+        store.aggregate(eng, "loans2", **kw).collect()
+        rlat.append(time.perf_counter() - t0)
+    rm50, rm95 = _pcts(rlat)
 
     # the API surface with the request plan cache: dashboards repeat a
     # small shape set verbatim, so after the first cycle every call
@@ -642,10 +667,13 @@ def latency_main() -> None:
     d50, d95 = _pcts(d_lat)
     print(json.dumps({
         "metric": "interactive_latency_ms",
-        "value": p50,
+        "value": rm50,
         "unit": "ms",
         "n_calls": len(lat),
         "cube_p50_ms": p50, "cube_p95_ms": p95,
+        "routed_mix_p50_ms": rm50, "routed_mix_p95_ms": rm95,
+        "routed_shapes": sum(1 for r in receipts.values() if r["routed"]),
+        "mix_receipts": receipts,
         "api_cached_p50_ms": a50, "api_cached_p95_ms": a95,
         "api_uncached_p50_ms": u50, "api_uncached_p95_ms": u95,
         "routed_p50_ms": r50, "routed_p95_ms": r95,

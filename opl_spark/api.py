@@ -110,11 +110,28 @@ class OlapApi:
     # the params _build_aggregate_df_uncached actually consumes — the
     # cache key must fold in nothing else, or requests differing only
     # in junk parameters occupy distinct LRU slots and evict the hot
-    # dashboard plans the cache exists for (ADVICE r12)
-    _PLAN_PARAMS = (
-        "cut", "drilldown", "measure", "aggregate", "hierarchy",
-        "top_n", "top_within", "having", "share", "share_within",
-    )
+    # dashboard plans the cache exists for (ADVICE r12).  Defined ONCE
+    # and consumed by BOTH _cache_key and _plan_kwargs (ADVICE r12,
+    # low): the builder reads request params exclusively through
+    # _plan_kwargs, so a future parameter added there without extending
+    # this tuple is structurally impossible — the lockstep is pinned by
+    # tests/test_http_server.py::test_plan_params_single_source.
+    _CORE_PLAN_PARAMS = ("cut", "drilldown", "measure", "aggregate", "hierarchy")
+    _EXT_PLAN_PARAMS = ("top_n", "top_within", "having", "share", "share_within")
+    _PLAN_PARAMS = _CORE_PLAN_PARAMS + _EXT_PLAN_PARAMS
+
+    @classmethod
+    def _plan_kwargs(cls, params: dict[str, str]) -> dict:
+        """The ONE place request params become aggregate kwargs — every
+        name here is in _PLAN_PARAMS by construction (keys are drawn
+        from it), so the cache key can never miss a consumed param."""
+        kw = {k: params.get(k) for k in cls._CORE_PLAN_PARAMS}
+        kw["top_n"] = int(params["top_n"]) if "top_n" in params else None
+        kw["top_within"] = params.get("top_within")
+        kw["having"] = params.get("having")
+        kw["share"] = params.get("share") in ("1", "true", "yes")
+        kw["share_within"] = params.get("share_within")
+        return kw
 
     def _cache_key(self, fact: str, params: dict[str, str]) -> tuple:
         return (
@@ -157,34 +174,14 @@ class OlapApi:
         return df
 
     def _build_aggregate_df_uncached(self, fact: str, params: dict[str, str]):
-        core_only = not any(
-            k in params
-            for k in ("top_n", "top_within", "having", "share", "share_within")
-        )
+        kw = self._plan_kwargs(params)
         try:
-            if self.rollups is not None and core_only:
-                return self.rollups.aggregate(
-                    self.engine,
-                    fact,
-                    cut=params.get("cut"),
-                    drilldown=params.get("drilldown"),
-                    measure=params.get("measure"),
-                    aggregate=params.get("aggregate"),
-                    hierarchy=params.get("hierarchy"),
-                )
-            return self.engine.aggregate(
-                fact,
-                cut=params.get("cut"),
-                drilldown=params.get("drilldown"),
-                measure=params.get("measure"),
-                aggregate=params.get("aggregate"),
-                hierarchy=params.get("hierarchy"),
-                top_n=int(params["top_n"]) if "top_n" in params else None,
-                top_within=params.get("top_within"),
-                having=params.get("having"),
-                share=params.get("share") in ("1", "true", "yes"),
-                share_within=params.get("share_within"),
-            )
+            if self.rollups is not None:
+                # the lattice answers the core and post-processes
+                # share/having/top_n on the routed report (r12 verdict
+                # task 5); non-routable requests fall back inside
+                return self.rollups.aggregate(self.engine, fact, **kw)
+            return self.engine.aggregate(fact, **kw)
         except KeyError as exc:
             # a bad PARAMETER column (having/top_within/share_within)
             # is a malformed request (400), not a missing route (404)

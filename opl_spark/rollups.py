@@ -267,20 +267,21 @@ class RollupStore:
                     best = {"key": key, **info}
         return best
 
-    def aggregate(
+    def _route_plan(
         self,
         engine: CubeEngine,
         fact: str,
-        cut: str | None = None,
-        drilldown: str | None = None,
-        measure: str | None = None,
-        aggregate: str | None = None,
-        hierarchy: str | None = None,
-    ) -> DataFrame:
-        """`CubeEngine.aggregate`, answered from the lattice when a
-        rollup covers the query's cut + drilldown columns and every
-        requested aggregate derives from partials — else the base
-        engine, transparently (same output either way)."""
+        cut: str | None,
+        drilldown: str | None,
+        measure: str | None,
+        aggregate: str | None,
+        hierarchy: str | None,
+    ):
+        """Shared routing decision: ``(q, plan, group_cols, hit)`` when
+        a rollup covers the core of the request and every aggregate
+        derives from partials, else ``(q, None, None, reason)`` —
+        consumed by :meth:`aggregate` (to answer) and
+        :meth:`route_report` (to explain)."""
         meta = engine.catalog.fact(fact)
         q = CubeQuery(
             fact=meta,
@@ -302,19 +303,62 @@ class RollupStore:
             agg = aggregate or m.default_aggregate
             info = manifest["measures"].get(m.name)
             if agg not in _DERIVABLE or agg not in m.aggregates or info is None:
-                return engine.aggregate(
-                    fact,
-                    cut=cut,
-                    drilldown=drilldown,
-                    measure=measure,
-                    aggregate=aggregate,
-                    hierarchy=hierarchy,
-                )
+                return q, None, None, f"aggregate {agg!r} not derivable"
             plan.append((m, agg, info["fractional"]))
-
         group_cols, needed = self._needed_cols(engine, meta, q)
         hit = self.route(fact, needed, _fact_version(engine.frame(fact)))
         if hit is None:
+            return q, None, None, f"no rollup covers {sorted(needed)}"
+        return q, plan, group_cols, hit
+
+    def route_report(self, engine: CubeEngine, fact: str, **params) -> dict:
+        """Routedness evidence for one request shape: which rollup (if
+        any) would answer it and why not otherwise — the per-shape
+        receipt the latency recording (bench.py --latency) commits.
+        Post-aggregation params (top_n/having/share…) never block
+        routing (they apply to the report-sized routed result), so
+        only the core params participate."""
+        core = {
+            k: params.get(k)
+            for k in ("cut", "drilldown", "measure", "aggregate", "hierarchy")
+        }
+        _, plan, _, hit = self._route_plan(engine, fact, **core)
+        if plan is None:
+            return {"routed": False, "rollup": None, "reason": hit}
+        return {"routed": True, "rollup": hit["key"], "rows": hit["rows"]}
+
+    def aggregate(
+        self,
+        engine: CubeEngine,
+        fact: str,
+        cut: str | None = None,
+        drilldown: str | None = None,
+        measure: str | None = None,
+        aggregate: str | None = None,
+        hierarchy: str | None = None,
+        top_n: int | None = None,
+        top_within: str | None = None,
+        having: str | None = None,
+        share: bool = False,
+        share_within: str | None = None,
+    ) -> DataFrame:
+        """`CubeEngine.aggregate`, answered from the lattice when a
+        rollup covers the query's cut + drilldown columns and every
+        requested aggregate derives from partials — else the base
+        engine, transparently (same output either way).
+
+        Post-aggregation extensions (r12 verdict task 5) ride the
+        routed result: ``share``/``having``/``top_n`` are well-defined
+        on the re-aggregated report (the exact same dims × levels rows
+        the base engine post-processes), so they reuse CubeEngine's
+        post-processing in the same order — share → having → top —
+        instead of forcing the whole request back to the fact scan.
+        Equality with the base engine across the full pinned request
+        mix is asserted in tests/test_rollups.py."""
+        q, plan, group_cols, hit = self._route_plan(
+            engine, fact, cut, drilldown, measure, aggregate, hierarchy
+        )
+        if plan is None:
             return engine.aggregate(
                 fact,
                 cut=cut,
@@ -322,7 +366,13 @@ class RollupStore:
                 measure=measure,
                 aggregate=aggregate,
                 hierarchy=hierarchy,
+                top_n=top_n,
+                top_within=top_within,
+                having=having,
+                share=share,
+                share_within=share_within,
             )
+        meta = q.fact
 
         rdf = self.spark.read.parquet(
             os.path.join(self._fact_dir(fact), hit["key"])
@@ -362,6 +412,18 @@ class RollupStore:
             if group_cols
             else rdf.agg(*exprs)
         )
+        # post-processing mirrors CubeEngine.aggregate exactly:
+        # share → having → top_n, then the deterministic ordering
+        if share or share_within:
+            out = CubeEngine._apply_share(out, len(group_cols), share_within)
+        if having:
+            out = out.filter(
+                CubeEngine._compile_having(out, len(group_cols), having)
+            )
+        if top_n is not None:
+            out = CubeEngine._apply_top(
+                out, len(group_cols), int(top_n), top_within
+            )
         if not group_cols:
             return out
         return out.orderBy(*out.columns[: len(group_cols)])

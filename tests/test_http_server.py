@@ -401,3 +401,40 @@ def test_serve_daemon_endurance_soak(sf_dir, tmp_path):
         f"stdout:\n{proc.stdout[-2000:]}\n\nstderr:\n{proc.stderr[-3000:]}"
     )
     assert "SOAK OK" in proc.stdout, proc.stdout[-2000:]
+
+
+def test_plan_params_single_source():
+    """ADVICE r12 (low): the plan-cache key and the builder must read
+    the SAME parameter list.  _plan_kwargs is the builder's only access
+    to request params; every key it consumes (and every aggregate
+    kwarg CubeEngine/RollupStore accept) must be in _PLAN_PARAMS, so a
+    newly added parameter can never silently share a cached plan."""
+    import inspect
+
+    from opl_spark.api import OlapApi
+    from opl_spark.cube import CubeEngine
+
+    # every request param _plan_kwargs consumes is in _PLAN_PARAMS
+    consumed = set(OlapApi._plan_kwargs(
+        {k: "1" for k in OlapApi._PLAN_PARAMS} | {"junk": "x"}
+    ))
+    assert consumed == set(OlapApi._PLAN_PARAMS)
+    # ...and _PLAN_PARAMS covers the full aggregate signature, so a
+    # param added to CubeEngine.aggregate without extending the tuple
+    # fails here instead of drifting
+    sig = inspect.signature(CubeEngine.aggregate)
+    agg_params = set(sig.parameters) - {"self", "fact"}
+    assert agg_params == set(OlapApi._PLAN_PARAMS), (
+        "CubeEngine.aggregate params and OlapApi._PLAN_PARAMS drifted"
+    )
+    # junk params influence neither the kwargs nor the cache key
+    class _Eng:
+        def frame_version(self, fact):  # minimal duck-type
+            return 7
+
+    api = OlapApi.__new__(OlapApi)
+    api.engine = _Eng()
+    base = {"drilldown": "date", "measure": "value"}
+    assert api._cache_key("f", base) == api._cache_key("f", base | {"junk": "x"})
+    for k in OlapApi._PLAN_PARAMS:
+        assert api._cache_key("f", base) != api._cache_key("f", base | {k: "zz"}), k

@@ -180,3 +180,47 @@ def test_advise_recommends_covering_groupings(spark, sf_dir, tmp_path):
         routed = store.aggregate(engine, "loans2", **params)
         base = engine.aggregate("loans2", **params)
         assert _rows(routed) == _rows(base), params
+
+
+def test_full_pinned_mix_routes_and_matches(spark, sf_dir, tmp_path):
+    """r12 verdict task 5: the ENTIRE 10-shape pinned interactive mix
+    (bench.py _LATENCY_SHAPES — every grammar surface the HTTP API
+    serves, including share/having/top_n post-processing) must (a)
+    route through an advise→materialize lattice, per-shape receipts
+    included, and (b) answer identically to the base engine."""
+    import bench
+
+    engine = CubeEngine(default_catalog())
+    engine.register_fact("loans2", build_loans_fact(spark, sf_dir))
+    store = RollupStore(spark, str(tmp_path / "lattice"))
+    picked = store.advise(
+        engine, "loans2", bench._LATENCY_SHAPES, max_rollups=10
+    )
+    store.materialize(engine, "loans2", [p["cols"] for p in picked])
+
+    receipts = {}
+    for i, kw in enumerate(bench._LATENCY_SHAPES):
+        receipts[i] = store.route_report(engine, "loans2", **kw)
+        base = engine.aggregate("loans2", **kw)
+        routed = store.aggregate(engine, "loans2", **kw)
+        assert routed.columns == base.columns, (i, kw)
+        assert _rows(routed) == _rows(base), (i, kw)
+    unrouted = {i: r for i, r in receipts.items() if not r["routed"]}
+    assert not unrouted, f"pinned-mix shapes not routed: {unrouted}"
+
+
+def test_post_processing_rides_the_routed_result(navigator):
+    """share/having/top_n on a ROUTED core must not silently fall back
+    to the fact scan: the route_report stays routed (post params are
+    report-sized), and results match the base engine."""
+    engine, store = navigator
+    kwargs = dict(
+        cut="date:1996", drilldown="date", measure="value",
+        share=True, having="value >= 0", top_n=3,
+    )
+    rep = store.route_report(engine, "loans2", **kwargs)
+    assert rep["routed"], rep
+    base = engine.aggregate("loans2", **kwargs)
+    routed = store.aggregate(engine, "loans2", **kwargs)
+    assert routed.columns == base.columns
+    assert _rows(routed) == _rows(base)
