@@ -160,12 +160,14 @@ def main(argv: list[str] | None = None) -> int:
         help="exact-cosine duplicate threshold (srp-probe)",
     )
     p.add_argument(
-        "--srp-bits", type=int, default=24,
-        help="SRP signature bits (srp-probe; must match the store's)",
+        "--srp-bits", type=int, default=None,
+        help="SRP signature bits (srp-probe; must match the store's; "
+        "default: advised from --threshold, refusing below ~cos 0.7)",
     )
     p.add_argument(
-        "--srp-bands", type=int, default=4,
-        help="SRP bands (srp-probe; must match the store's)",
+        "--srp-bands", type=int, default=None,
+        help="SRP bands (srp-probe; must match the store's; default: "
+        "advised from --threshold alongside --srp-bits)",
     )
     p.add_argument(
         "--no-append", action="store_true",

@@ -674,6 +674,101 @@ def srp_banding_advise(
     return out
 
 
+#: the smallest SRP band key (in sign bits) the index defaults will
+#: accept: a band key of r bits has only 2^r distinct values, so bucket
+#: occupancy at fixed r grows LINEARLY with corpus size and the
+#: candidate bill quadratically — the failure mode the full-suite sf1
+#: slope measured on q_srp_incremental (6-bit keys => a constant 64
+#: buckets).  8 bits (256 buckets/band) is the floor below which the
+#: defaults refuse to go.
+SRP_MIN_ROWS_PER_BAND = 8
+
+#: signature budgets the default derivation searches, cheapest first —
+#: SRP bits are weak versus MinHash rows (a MinHash band key is r WIDE
+#: hashes; an SRP band key is r single bits), so honest banding at
+#: cosine thresholds needs bigger budgets than text LSH's 64.
+SRP_DEFAULT_BUDGETS = (24, 32, 48, 64, 96, 128, 192)
+
+
+def srp_banding_defaults(
+    cos_threshold: float,
+    target_recall: float = 0.9,
+    min_rows_per_band: int = SRP_MIN_ROWS_PER_BAND,
+    budgets: tuple = SRP_DEFAULT_BUDGETS,
+) -> tuple[int, int]:
+    """Derive ``(n_bits, bands)`` for the persisted SRP index from the
+    declared verify threshold (r12 verdict task 6): the smallest
+    signature budget whose banding meets ``target_recall`` at the
+    threshold with band keys of at least ``min_rows_per_band`` bits.
+
+    Below cos ≈ 0.7 the per-bit agreement (1 − θ/π) is weak enough
+    that NO banding inside the budget list reaches the recall target
+    without dropping to short band keys — the quadratic-fan-out regime
+    BENCH_NOTES documents for q_srp_incremental's sf1 slope — so the
+    derivation REFUSES with guidance instead of silently installing a
+    flood-prone index: pass explicit ``n_bits``/``bands`` (and a
+    ``max_bucket`` cap on the probe) to opt in, or route the job
+    through the IVF family, which is the registered 100 TB path for
+    low-threshold best-match tasks."""
+    for budget in budgets:
+        fits = [
+            r
+            for r in srp_banding_advise(
+                cos_threshold, budget, target_recall=target_recall
+            )
+            if r["recall_at_threshold"] >= target_recall
+            and r["rows_per_band"] >= min_rows_per_band
+        ]
+        if fits:
+            # lowest false-positive proxy among qualifying factorizations
+            best = min(fits, key=lambda r: r["fp_at_below"])
+            return budget, best["bands"]
+    raise ValueError(
+        f"srp_banding_defaults: no banding within a {budgets[-1]}-bit "
+        f"budget reaches recall {target_recall} at cos_threshold "
+        f"{cos_threshold} with band keys >= {min_rows_per_band} bits — "
+        f"below ~0.7 SRP banding needs short keys whose bucket fan-out "
+        f"grows quadratically with corpus size.  Opt in explicitly with "
+        f"n_bits=/bands= (and a max_bucket probe cap), or use the IVF "
+        f"index family for low-threshold best-match tasks."
+    )
+
+
+def _resolve_srp_banding(
+    threshold: float, n_bits: int | None, bands: int | None
+) -> tuple[int, int]:
+    """Banding resolution shared by :func:`build_srp_index` /
+    :func:`srp_dedup_incremental`: explicit values pass through
+    untouched (the caller owns the trade; registered queries pin their
+    oracles this way); ``None`` derives from the advisor at the
+    declared threshold.  An explicit budget with derived bands warns
+    when the pick falls below the key-width floor instead of refusing
+    (the budget was the caller's word)."""
+    import warnings
+
+    if n_bits is not None and bands is not None:
+        return n_bits, bands
+    if n_bits is None and bands is not None:
+        raise ValueError(
+            "_resolve_srp_banding: bands= without n_bits= is ambiguous — "
+            "give both or neither"
+        )
+    if n_bits is None:
+        return srp_banding_defaults(threshold)
+    rows = srp_banding_advise(threshold, n_bits)
+    best = next((r for r in rows if r.get("recommended")), rows[0])
+    if best["rows_per_band"] < SRP_MIN_ROWS_PER_BAND:
+        warnings.warn(
+            f"SRP banding at cos_threshold {threshold} within an explicit "
+            f"{n_bits}-bit budget picked {best['rows_per_band']}-bit band "
+            f"keys (< {SRP_MIN_ROWS_PER_BAND}): bucket fan-out grows "
+            f"quadratically with corpus size — cap probes with max_bucket "
+            f"or raise the budget",
+            stacklevel=3,
+        )
+    return n_bits, best["bands"]
+
+
 def srp_plane_coeff(j: int, i: int) -> int:
     """Deterministic integer hyperplane coefficient for SRP-LSH bit
     ``j``, dimension ``i``: the portable 32-bit md5 hash of ``"j:i"``
@@ -816,14 +911,40 @@ def _srp_store_rows(
     )
 
 
+def _write_srp_meta(
+    spark, store_path: str, dims: int, n_bits: int, bands: int
+) -> None:
+    """Persist the store's banding as a 1-row parquet under
+    ``_srp_meta`` — underscore-prefixed, so Spark's file index hides it
+    from the partitioned signature scan.  The store is self-describing:
+    probes resolve their banding FROM it, which is what makes derived
+    defaults safe (a probe declaring a different threshold than the
+    build can never silently band-mismatch the persisted keys)."""
+    spark.createDataFrame(
+        [(int(dims), int(n_bits), int(bands))],
+        "dims int, n_bits int, bands int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{store_path}/_srp_meta")
+
+
+def _read_srp_meta(spark, store_path: str) -> dict | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{store_path}/_srp_meta").first()
+    except AnalysisException:
+        return None  # legacy store (pre-manifest) or no store at all
+    return None if row is None else row.asDict()
+
+
 def build_srp_index(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     store_path: str,
     dims: int,
-    n_bits: int = 24,
-    bands: int = 4,
+    n_bits: int | None = None,
+    bands: int | None = None,
+    threshold: float = 0.8,
 ) -> None:
     """Materialize the corpus's banded SRP signatures as the
     persistent EMBEDDING near-dup index: parquet partitioned by
@@ -836,10 +957,21 @@ def build_srp_index(
     vectors ride along because the probe's exact-cosine verify needs
     them — at 100 TB of media the embedding store is still orders
     smaller than the payloads, and it is the only thing history ever
-    re-reads."""
+    re-reads.
+
+    Banding defaults (r12 verdict task 6): when ``n_bits``/``bands``
+    are omitted they derive from :func:`srp_banding_defaults` at the
+    declared ``threshold`` the downstream probes will verify at —
+    recall ≥ 0.9 with band keys ≥ 8 bits, refusing below ~cos 0.7
+    where banding fan-out goes quadratic (explicit values opt in and
+    pass through untouched).  The resolved banding is persisted in the
+    store's ``_srp_meta`` manifest, and probes default to it — so the
+    build is the ONE place banding is decided."""
+    n_bits, bands = _resolve_srp_banding(threshold, n_bits, bands)
     _srp_store_rows(df, vec_col, id_col, dims, n_bits, bands).write.partitionBy(
         "band", "bucket_shard"
     ).mode("overwrite").parquet(store_path)
+    _write_srp_meta(df.sparkSession, store_path, dims, n_bits, bands)
 
 
 def srp_probe(
@@ -948,8 +1080,8 @@ def srp_dedup_incremental(
     vec_col: str,
     id_col: str,
     dims: int,
-    n_bits: int = 24,
-    bands: int = 4,
+    n_bits: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.8,
     append: bool = True,
     exclude_self: bool = False,
@@ -993,6 +1125,23 @@ def srp_dedup_incremental(
     from pyspark.errors import AnalysisException
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    # banding resolution (r12 verdict task 6): the store's _srp_meta
+    # manifest is the source of truth — a probe can never band-mismatch
+    # the persisted keys, whatever threshold it declares.  Explicit
+    # values must AGREE with the manifest; derivation from the
+    # threshold happens only when there is no store yet (bootstrap)
+    # or the store predates the manifest (legacy, pass explicit).
+    meta = _read_srp_meta(spark, store_path)
+    if meta is not None:
+        if n_bits is not None and (n_bits, bands) != (meta["n_bits"], meta["bands"]):
+            raise ValueError(
+                f"srp_dedup_incremental: explicit banding ({n_bits}, {bands}) "
+                f"contradicts the store's manifest "
+                f"({meta['n_bits']}, {meta['bands']}) at {store_path}"
+            )
+        n_bits, bands = meta["n_bits"], meta["bands"]
+    else:
+        n_bits, bands = _resolve_srp_banding(threshold, n_bits, bands)
     banded = _srp_store_rows(
         new_batch, vec_col, id_col, dims, n_bits, bands
     ).localCheckpoint(eager=True)
@@ -1004,6 +1153,7 @@ def srp_dedup_incremental(
             banded.write.partitionBy("band", "bucket_shard").mode(
                 "append"
             ).parquet(store_path)
+            _write_srp_meta(spark, store_path, dims, n_bits, bands)
         id_type = banded.schema["vec_id"].dataType
         return spark.createDataFrame(
             [],

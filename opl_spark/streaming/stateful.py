@@ -371,8 +371,8 @@ def srp_probe_foreach_batch(
     vec_col: str,
     id_col: str,
     dims: int,
-    n_bits: int = 24,
-    bands: int = 4,
+    n_bits: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.8,
 ):
     """The STREAMING leg of the persisted SRP-LSH index

@@ -619,6 +619,7 @@ def test_srp_probe_stream_detects_across_microbatches(spark, sf_dir, tmp_path):
         build_srp_index,
         srp_dedup_incremental,
         srp_probe,
+        _read_srp_meta,
         _srp_store_rows,
     )
     from opl_spark.sources import load_table
@@ -689,13 +690,17 @@ def test_srp_probe_stream_detects_across_microbatches(spark, sf_dir, tmp_path):
     assert rows[pair_hits[0]]["cos"] == 1.0
 
     # (a) store-matched reports agree with the one-shot batch probe of
-    # the ORIGINAL store (same banding, same threshold)
+    # the ORIGINAL store (same banding, same threshold) — the store's
+    # _srp_meta manifest is the banding source of truth (r13: derived
+    # defaults), so the reference probe reads it rather than hard-coding
+    meta = _read_srp_meta(spark, store)
     batch_ref = {
         (r["vec_id"], r["dup_of"])
         for r in srp_probe(
             spark.read.parquet(store).filter(F.col("vec_id") % 2 == 0),
             _srp_store_rows(spark.read.parquet(arr_dir).drop("f"),
-                            "embedding", "vec_id", dims, 24, 4),
+                            "embedding", "vec_id", dims,
+                            meta["n_bits"], meta["bands"]),
             threshold=0.95,
         ).collect()
     }
@@ -706,7 +711,10 @@ def test_srp_probe_stream_detects_across_microbatches(spark, sf_dir, tmp_path):
     assert stream_store_matches <= batch_ref
 
     # (c) the index stayed current: bands x arriving rows appended
-    assert spark.read.parquet(store).count() == n_store0 + 4 * n_arrived
+    assert (
+        spark.read.parquet(store).count()
+        == n_store0 + meta["bands"] * n_arrived
+    )
 
 
 def test_minhash_probe_stream_bootstrap_and_cross_batch(spark, sf_dir, tmp_path):
