@@ -127,3 +127,22 @@ def test_upcoming_window_leads_with_the_stalest_ids(ledger, order):
             f"window slots spent on fresher ids while age-{max_age} ids "
             f"wait: {wasted}"
         )
+
+
+def test_survey_inventory_is_generated_and_covers_registry(order):
+    """r12 verdict task 8: SURVEY.md §7.5 carries the GENERATED
+    inventory — marker-delimited, one row per registered id.  A new
+    query without a regenerated survey (or a hand-deleted row) fails
+    here; audit-column drift alone does not (the ledger test above
+    owns staleness)."""
+    import tools.gen_survey_inventory as gen
+
+    with open(os.path.join(REPO, "SURVEY.md")) as fh:
+        text = fh.read()
+    assert gen.BEGIN in text and gen.END in text
+    block = text.split(gen.BEGIN)[1].split(gen.END)[0]
+    listed = set(re.findall(r"^\| `(q_\w+)` \|", block, re.M))
+    assert listed == set(order), (
+        f"generated inventory out of sync: missing={sorted(set(order) - listed)} "
+        f"extra={sorted(listed - set(order))} — run tools/gen_survey_inventory.py"
+    )
