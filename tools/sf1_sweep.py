@@ -27,6 +27,7 @@ Usage:
 Env: SF1_DIR (default /tmp/opl_sf1), SF1_CPUS (default 12).
 """
 
+import glob as glob_mod
 import json
 import os
 import re
@@ -67,12 +68,65 @@ def tranche() -> list[str]:
     return fam + rest[::3]
 
 
+#: per-id DuckDB-side wall clock budget — an oracle that cannot answer
+#: inside it at sf1 is recorded as a DOCUMENTED timeout (with the Spark
+#: row count), never a silent skip.  q_distinct_n's UNNEST-everything
+#: ngram oracle is the known case: 360M generated rows × near-all-
+#: distinct strings (sf1's per-copy token suffixes) — the Spark side
+#: runs in ~20 s; the replay formulation, not the operator, is what
+#: doesn't scale.
+ORACLE_TIMEOUT = int(os.environ.get("SF1_ORACLE_TIMEOUT", "600"))
+
+
+def _oracle_job(sql: str, sf_dir: str, out_path: str) -> None:
+    """Child process: DuckDB side only (forked so a runaway oracle can
+    be killed without touching the worker's JVM)."""
+    import pickle
+
+    from oracle import duck_connection
+
+    con = duck_connection(sf_dir)
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    rows = rel.fetchall()
+    con.close()
+    with open(out_path, "wb") as fh:
+        pickle.dump((cols, rows), fh)
+
+
+def _run_oracle(sql: str, sf_dir: str, timeout: int):
+    """(cols, rows) or None on timeout."""
+    import multiprocessing as mp
+    import pickle
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".pkl", dir="/tmp/sf1_sweep")
+    os.close(fd)
+    p = mp.get_context("fork").Process(
+        target=_oracle_job, args=(sql, sf_dir, path)
+    )
+    p.start()
+    p.join(timeout)
+    try:
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            return None
+        if p.exitcode != 0:
+            raise RuntimeError(f"oracle child died rc={p.exitcode}")
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
 def worker(ids: list[str], out: str) -> None:
     sys.path.insert(0, REPO)
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from pyspark.sql import SparkSession
 
-    from oracle import compare
+    from oracle import frame_signature
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -91,30 +145,43 @@ def worker(ids: list[str], out: str) -> None:
         t0 = time.time()
         try:
             df = qs[name](spark, SF1_DIR)
-            n = df.count()
+            srows = [tuple(r) for r in df.collect()]
+            n = len(srows)
             if n > MAX_COLLECT_ROWS:
                 results[name] = {
                     "rows_match": None, "schema_match": None,
                     "hash_match": None, "spark_rows": n,
-                    "err": f"result too wide to collect ({n} rows)",
+                    "err": f"result too wide to hash ({n} rows)",
                     "secs": round(time.time() - t0, 1),
                 }
                 continue
-            r = compare(df, osql[name], SF1_DIR)
-            r = {
-                k: r[k]
-                for k in ("rows_match", "schema_match", "hash_match",
-                          "spark_rows", "oracle_rows")
-                if k in r
-            }
-            r["err"] = None
+            oracle = _run_oracle(osql[name], SF1_DIR, ORACLE_TIMEOUT)
+            if oracle is None:
+                r = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": n,
+                    "err": f"oracle timeout (> {ORACLE_TIMEOUT}s at sf1)",
+                }
+            else:
+                ocols, orows = oracle
+                sn, sc, sh = frame_signature(df.columns, srows)
+                on, oc, oh = frame_signature(ocols, orows)
+                r = {
+                    "rows_match": sn == on, "schema_match": sc == oc,
+                    "hash_match": sh == oh, "spark_rows": sn,
+                    "oracle_rows": on, "err": None,
+                }
         except Exception as exc:  # noqa: BLE001 — recorded, not fatal
             r = {"rows_match": False, "schema_match": False,
                  "hash_match": False, "err": f"{type(exc).__name__}: {exc}"[:400]}
         r["secs"] = round(time.time() - t0, 1)
         results[name] = r
-        status = "green" if r.get("hash_match") else "RED"
+        status = "green" if r.get("hash_match") else (
+            "TIMEOUT" if r.get("err", "").startswith("oracle timeout") else "RED"
+        )
         print(f"[sf1] {name}: {status} ({r['secs']}s)", flush=True)
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1)
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
     spark.stop()
@@ -162,10 +229,32 @@ def orchestrate() -> None:
     print(f"sf1 sweep done: {greens}/{len(merged)} hash-green", flush=True)
 
 
+def merge(chunk_glob: str = "/tmp/sf1_sweep/chunk_*.json") -> None:
+    """Merge per-chunk worker outputs into CORRECTNESS_SF1.json (used
+    when chunks are driven externally rather than by orchestrate())."""
+    merged: dict = {}
+    for path in sorted(glob_mod.glob(chunk_glob)):
+        with open(path) as fh:
+            merged.update(json.load(fh))
+    greens = sum(1 for r in merged.values() if r.get("hash_match"))
+    payload = {
+        "sf_dir": SF1_DIR,
+        "derivation": "tools/make_sf1.py over /root/testdata/sf0.1",
+        "n_ids": len(merged),
+        "hash_green": greens,
+        "results": merged,
+    }
+    with open(os.path.join(REPO, "CORRECTNESS_SF1.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    print(f"merged: {greens}/{len(merged)} hash-green")
+
+
 if __name__ == "__main__":
     if "--worker" in sys.argv:
         ids = sys.argv[sys.argv.index("--worker") + 1].split(",")
         out = sys.argv[sys.argv.index("--out") + 1]
         worker(ids, out)
+    elif "--merge" in sys.argv:
+        merge()
     else:
         orchestrate()
