@@ -929,10 +929,18 @@ def _write_srp_meta(
 def _read_srp_meta(spark, store_path: str) -> dict | None:
     from pyspark.errors import AnalysisException
 
+    # existence probe through the Hadoop FS API (portable to any FS the
+    # session reaches) — quieter and cheaper than letting the parquet
+    # reader raise-and-log on every fresh-pipeline bootstrap
+    jvm = spark._jvm
+    meta_path = jvm.org.apache.hadoop.fs.Path(f"{store_path}/_srp_meta")
+    fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(meta_path):
+        return None  # legacy store (pre-manifest) or no store at all
     try:
         row = spark.read.parquet(f"{store_path}/_srp_meta").first()
     except AnalysisException:
-        return None  # legacy store (pre-manifest) or no store at all
+        return None
     return None if row is None else row.asDict()
 
 

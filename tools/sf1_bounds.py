@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Bound checks for the sf1 sweep's declared sketch-regime exits (r12
+verdict task 2: "every divergence must be a declared sketch-regime exit
+with its bound checked").
+
+At sf1 four sketch ids leave the exact regimes their DuckDB oracles
+replay (documented in each query's docstring):
+
+- q_topk_sketch    — >200 distinct tokens/partition → space-saving
+                     evicts; bound: est >= true and est-true <= N/200.
+- q_hll_rollup     — >coupon-budget distinct users/week → HLL dense
+                     mode; bound: |est-exact| <= 3·rsd·exact,
+                     rsd = 1.04/sqrt(2^12) (lgK 12) ≈ 1.63%.
+- q_theta_audience — >4096 users/day → theta < 1; bound: relative
+                     error vs exact set algebra <= 3/sqrt(4096) ≈ 4.7%
+                     (intersection/difference compound two sketches).
+- q_kll_quantiles  — >k-item buffer → compaction; bound: the reported
+                     quantile's TRUE rank within p ± 0.005 (documented
+                     normalized rank error ~0.05% at k=4096; 10×
+                     headroom for the merge tree).
+
+Each check recomputes the EXACT answer in DuckDB (the oracle SQL),
+re-runs the Spark sketch at sf1, verifies the bound row by row, and
+annotates CORRECTNESS_SF1.json in place:
+``results[id] += {regime_exit, bound, bound_ok, max_err...}``.
+
+Also annotates q_srp_lsh's divergence (11 oracle-only pairs, all at
+cosine == the 0.3 verify threshold — raw-double summation-order
+boundary; candidate generation is integer-exact and agreed) after the
+diff has been reproduced by hand — see the committed analysis note.
+
+Usage: python tools/sf1_bounds.py   (needs /tmp/opl_sf1)
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1_DIR = os.environ.get("SF1_DIR", "/tmp/opl_sf1")
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from pyspark.sql import SparkSession
+
+    from oracle import duck_connection
+
+    spark = (
+        SparkSession.builder.master("local[12]")
+        .config("spark.sql.shuffle.partitions", "12")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", "4g")
+        .appName("sf1-bounds")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    con = duck_connection(SF1_DIR)
+    notes: dict[str, dict] = {}
+
+    # -- q_topk_sketch: space-saving overcount bound --------------------
+    est = {r["value"]: r["est"] for r in qs["q_topk_sketch"](spark, SF1_DIR).collect()}
+    truth = dict(
+        con.sql(
+            r"""WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+                 FROM documents)
+                SELECT t, COUNT(*) FROM toks GROUP BY 1"""
+        ).fetchall()
+    )
+    n_stream = sum(truth.values())
+    slack = n_stream / 200  # counters=200
+    viol = [
+        (t, v, truth.get(t, 0))
+        for t, v in est.items()
+        if not (truth.get(t, 0) <= v <= truth.get(t, 0) + slack)
+    ]
+    exact_top = {
+        t for (t,) in con.sql(
+            r"""WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+                 FROM documents)
+                SELECT t FROM toks GROUP BY 1 ORDER BY COUNT(*) DESC, t LIMIT 20"""
+        ).fetchall()
+    }
+    notes["q_topk_sketch"] = {
+        "regime_exit": True,
+        "bound": f"true <= est <= true + N/counters (N={n_stream}, slack={slack:.0f})",
+        "bound_ok": not viol,
+        "violations": viol[:5],
+        "exact_top20_recovered": len(exact_top & set(est)),
+        "max_overcount": max(v - truth.get(t, 0) for t, v in est.items()),
+    }
+
+    # -- q_hll_rollup: HLL lgK=12 relative-error bound -------------------
+    hll = {r["week"]: r["est_users"] for r in qs["q_hll_rollup"](spark, SF1_DIR).collect()}
+    exact = dict(
+        con.sql(
+            """SELECT CAST(date_trunc('week', ts) AS DATE), COUNT(DISTINCT user_id)
+               FROM events GROUP BY 1"""
+        ).fetchall()
+    )
+    rsd = 1.04 / (2**12) ** 0.5
+    errs = {str(w): abs(hll[w] - exact[w]) / exact[w] for w in hll}
+    notes["q_hll_rollup"] = {
+        "regime_exit": True,
+        "bound": f"|est-exact|/exact <= 3*rsd = {3 * rsd:.4f} (lgK=12)",
+        "bound_ok": all(v <= 3 * rsd for v in errs.values()),
+        "max_rel_err": max(errs.values()),
+    }
+
+    # -- q_theta_audience: theta k=4096 relative error -------------------
+    srows = {
+        (r["day_a"], r["day_b"]): r for r in qs["q_theta_audience"](spark, SF1_DIR).collect()
+    }
+    orows = {
+        (r[0], r[1]): r
+        for r in con.sql(e.oracle_sql()["q_theta_audience"]).fetchall()
+    }
+    # set-operation error scales with the sizes the sketches SAMPLE
+    # (the operands / their union), not with the result cell — a small
+    # intersection of two large days legitimately carries a large
+    # RELATIVE error while its ABSOLUTE error stays ~union/sqrt(k)
+    # (theta ≈ k/n sampling; Dasgupta et al., DataSketches theta docs)
+    bound = 3 / 4096**0.5
+    max_union_err, ok = 0.0, True
+    for k, sr in srows.items():
+        er = orows[k]
+        union_exact = er[2]  # either_day
+        for i, col in enumerate(("either_day", "both_days", "new_users", "churned_users")):
+            exact_v = er[2 + i]
+            err_vs_union = abs(sr[col] - exact_v) / union_exact
+            max_union_err = max(max_union_err, err_vs_union)
+            ok = ok and err_vs_union <= bound
+    notes["q_theta_audience"] = {
+        "regime_exit": True,
+        "bound": (
+            f"per-cell |est-exact| <= 3/sqrt(k) x either_day "
+            f"(= {bound:.4f} of the union; k=4096)"
+        ),
+        "bound_ok": ok,
+        "max_err_vs_union": max_union_err,
+    }
+
+    # -- q_kll_quantiles: normalized rank error ---------------------------
+    kll = {r["week"]: r for r in qs["q_kll_quantiles"](spark, SF1_DIR).collect()}
+    eps, ok, max_dev = 0.005, True, 0.0
+    for week, r in kll.items():
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            lo, hi = con.sql(
+                """SELECT SUM(CASE WHEN value < ? THEN 1 ELSE 0 END) / COUNT(*),
+                          SUM(CASE WHEN value <= ? THEN 1 ELSE 0 END) / COUNT(*)
+                   FROM events WHERE CAST(date_trunc('week', ts) AS DATE) = ?""",
+                params=[r[col], r[col], week],
+            ).fetchone()
+            # true rank interval of the reported value must overlap p ± eps
+            dev = max(0.0, float(lo) - p, p - float(hi))
+            max_dev = max(max_dev, dev)
+            ok = ok and dev <= eps
+    notes["q_kll_quantiles"] = {
+        "regime_exit": True,
+        "bound": f"reported value's rank within p +/- {eps} (k=4096, doc ~0.0005)",
+        "bound_ok": ok,
+        "max_rank_dev": max_dev,
+    }
+
+    # -- q_srp_lsh: float-boundary divergence (analysis reproduced) ------
+    notes["q_srp_lsh"] = {
+        "divergence": "float-boundary",
+        "detail": (
+            "11 oracle-only pairs, every one at cosine == the 0.3 verify "
+            "threshold: the raw-double dot/norm sums round to 0.300000 in "
+            "DuckDB's summation order and just below in Spark's; candidate "
+            "generation (integer sign-bit buckets) agreed bit-for-bit and "
+            "all shared pairs carry identical cosines.  Engine float "
+            "summation order, not an operator defect; no boundary pairs "
+            "exist at the sf0.01 gate, where the id is hash-exact."
+        ),
+    }
+    notes["q_unigram_train"] = {
+        "divergence": "oracle-formulation",
+        "detail": (
+            "the unrolled-Viterbi DuckDB oracle guards words > 8 chars by "
+            "design; the sf1 DERIVATION (make_sf1 per-copy '~c' token "
+            "suffixes) pushes corpus words past that bound, so the replay "
+            "refuses — a derivation artifact, not an operator divergence "
+            "(hash-exact at the sf0.01 gate)."
+        ),
+    }
+    con.close()
+    spark.stop()
+
+    path = os.path.join(REPO, "CORRECTNESS_SF1.json")
+    with open(path) as fh:
+        payload = json.load(fh)
+    for k, v in notes.items():
+        payload["results"].setdefault(k, {}).update(v)
+    payload["bounds_checked"] = sorted(
+        k for k, v in notes.items() if v.get("regime_exit")
+    )
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True, default=str)
+    print(json.dumps(notes, indent=1, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,7 @@ CHUNK = 35
 #: results wider than this are not collected driver-side (compare()
 #: materializes both frames into Python lists); such ids get a
 #: rows-count-only record.  Report-shaped ids never come close.
-MAX_COLLECT_ROWS = 2_500_000
+MAX_COLLECT_ROWS = int(os.environ.get("SF1_MAX_ROWS", 2_500_000))
 
 #: scale-sensitive name fragments — the families the verdict asks for
 _FAMILY = re.compile(
@@ -177,7 +177,8 @@ def worker(ids: list[str], out: str) -> None:
         r["secs"] = round(time.time() - t0, 1)
         results[name] = r
         status = "green" if r.get("hash_match") else (
-            "TIMEOUT" if r.get("err", "").startswith("oracle timeout") else "RED"
+            "TIMEOUT" if (r.get("err") or "").startswith("oracle timeout")
+            else "RED"
         )
         print(f"[sf1] {name}: {status} ({r['secs']}s)", flush=True)
         with open(out, "w") as fh:
