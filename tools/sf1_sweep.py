@@ -234,7 +234,13 @@ def merge(chunk_glob: str = "/tmp/sf1_sweep/chunk_*.json") -> None:
     """Merge per-chunk worker outputs into CORRECTNESS_SF1.json (used
     when chunks are driven externally rather than by orchestrate())."""
     merged: dict = {}
-    for path in sorted(glob_mod.glob(chunk_glob)):
+    # numeric chunk order, so a later retry chunk overrides an earlier
+    # attempt's record for the same id (chunk_16 > chunk_5)
+    paths = sorted(
+        glob_mod.glob(chunk_glob),
+        key=lambda p: int(re.search(r"chunk_(\d+)", p).group(1)),
+    )
+    for path in paths:
         with open(path) as fh:
             merged.update(json.load(fh))
     greens = sum(1 for r in merged.values() if r.get("hash_match"))
