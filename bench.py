@@ -614,9 +614,18 @@ def latency_main() -> None:
             for k, v in kw.items()
         }
 
-    api_lat: dict[str, list[float]] = {"cached": [], "uncached": []}
-    for mode, size in (("cached", 128), ("uncached", 0)):
-        api = OlapApi(eng, plan_cache_size=size)
+    # "routed+cached" is the production server configuration — lattice
+    # routing for rollup-sized scans AND the plan cache for build reuse;
+    # it is the leg the <120 ms pinned-mix target (r12 verdict task 5)
+    # is judged on.  The unrouted legs isolate the cache's own win.
+    api_lat: dict[str, list[float]] = {}
+    for mode, size, rollups in (
+        ("routed_cached", 128, store),
+        ("cached", 128, None),
+        ("uncached", 0, None),
+    ):
+        api = OlapApi(eng, rollups=rollups, plan_cache_size=size)
+        api_lat[mode] = []
         for kw in _LATENCY_SHAPES:  # warm-up pass
             api.handle("/olap/loans2/aggregate", _api_params(kw))
         for i in range(100):
@@ -624,6 +633,7 @@ def latency_main() -> None:
             t0 = time.perf_counter()
             api.handle("/olap/loans2/aggregate", _api_params(kw))
             api_lat[mode].append(time.perf_counter() - t0)
+    s50, s95 = _pcts(api_lat["routed_cached"])
     a50, a95 = _pcts(api_lat["cached"])
     u50, u95 = _pcts(api_lat["uncached"])
 
@@ -667,9 +677,10 @@ def latency_main() -> None:
     d50, d95 = _pcts(d_lat)
     print(json.dumps({
         "metric": "interactive_latency_ms",
-        "value": rm50,
+        "value": s50,  # the served pinned mix: API + lattice + plan cache
         "unit": "ms",
         "n_calls": len(lat),
+        "served_mix_p50_ms": s50, "served_mix_p95_ms": s95,
         "cube_p50_ms": p50, "cube_p95_ms": p95,
         "routed_mix_p50_ms": rm50, "routed_mix_p95_ms": rm95,
         "routed_shapes": sum(1 for r in receipts.values() if r["routed"]),

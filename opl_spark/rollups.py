@@ -69,6 +69,19 @@ class RollupStore:
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
         self.base_dir = base_dir
+        # request-path caches (r13): a routed aggregate is interactive —
+        # re-reading the manifest JSON, re-resolving every rollup's
+        # parquet file index, and re-listing the fact's input files on
+        # EVERY request cost more than the routed scan saved.  The
+        # manifest cache keys on the file's mtime (a re-materialize —
+        # this process or another — rewrites it, invalidating both
+        # caches); the frame cache keys on the manifest identity; the
+        # fact-version cache keys on the registered frame OBJECT, whose
+        # resolved file index is immutable (a re-registration is a new
+        # object and SnapshotEngine appends re-register).
+        self._manifest_cache: dict[str, tuple[float, dict]] = {}
+        self._frame_cache: dict[tuple, DataFrame] = {}
+        self._version_cache: dict[int, str] = {}
 
     def _fact_dir(self, fact: str) -> str:
         return os.path.join(self.base_dir, fact)
@@ -77,11 +90,42 @@ class RollupStore:
         return os.path.join(self._fact_dir(fact), "_LATTICE.json")
 
     def _load_manifest(self, fact: str) -> dict:
+        path = self._manifest_path(fact)
         try:
-            with open(self._manifest_path(fact)) as fh:
-                return json.load(fh)
+            mtime = os.stat(path).st_mtime_ns
         except FileNotFoundError:
             return {"rollups": {}, "measures": {}}
+        hit = self._manifest_cache.get(fact)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        with open(path) as fh:
+            manifest = json.load(fh)
+        self._manifest_cache[fact] = (mtime, manifest)
+        # manifest changed on disk → any cached rollup frames list files
+        # a re-materialize may have replaced
+        self._frame_cache = {
+            k: v for k, v in self._frame_cache.items() if k[0] != fact
+        }
+        return manifest
+
+    def _rollup_frame(self, fact: str, key: str, version) -> DataFrame:
+        ck = (fact, key, version)
+        df = self._frame_cache.get(ck)
+        if df is None:
+            df = self.spark.read.parquet(os.path.join(self._fact_dir(fact), key))
+            self._frame_cache[ck] = df
+        return df
+
+    def _fact_version_cached(self, frame: DataFrame) -> str:
+        # the registered frame is a long-lived object in the engine's
+        # registry; a re-registration (how appends become visible) is a
+        # NEW object and naturally misses this cache
+        key = id(frame)
+        v = self._version_cache.get(key)
+        if v is None:
+            v = _fact_version(frame)
+            self._version_cache[key] = v
+        return v
 
     # -- build --------------------------------------------------------------
 
@@ -306,7 +350,9 @@ class RollupStore:
                 return q, None, None, f"aggregate {agg!r} not derivable"
             plan.append((m, agg, info["fractional"]))
         group_cols, needed = self._needed_cols(engine, meta, q)
-        hit = self.route(fact, needed, _fact_version(engine.frame(fact)))
+        hit = self.route(
+            fact, needed, self._fact_version_cached(engine.frame(fact))
+        )
         if hit is None:
             return q, None, None, f"no rollup covers {sorted(needed)}"
         return q, plan, group_cols, hit
@@ -374,8 +420,8 @@ class RollupStore:
             )
         meta = q.fact
 
-        rdf = self.spark.read.parquet(
-            os.path.join(self._fact_dir(fact), hit["key"])
+        rdf = self._rollup_frame(
+            fact, hit["key"], self._load_manifest(fact).get("fact_version")
         )
         for t in q.cut_terms:
             dim = meta.dimension(t.dimension)
