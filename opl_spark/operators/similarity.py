@@ -2279,10 +2279,16 @@ def random_projection(
             F.sequence(F.lit(1), F.lit(in_dim)),
             lambda v, i: v.cast("double") * sign(i, j),
         )
+        # trailing + 0.0 canonicalizes IEEE signed zero: a projection
+        # that rounds to zero emerges as −0.0 or +0.0 depending on the
+        # engine's summation order (equal values, different reprs —
+        # the r13 sf1 sweep caught one such row); −0.0 + 0.0 = +0.0
+        # and every other value is untouched.  The oracle carries the
+        # same term.
         return F.round(
             F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x) * F.lit(scale),
             6,
-        )
+        ) + F.lit(0.0)
 
     return df.select(
         F.col(id_col).alias("id"),

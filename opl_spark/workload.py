@@ -203,6 +203,15 @@ _RETRY_FIRST: tuple[str, ...] = (
 #    sketch to its documented error regime.
 _AUDIT_PRIORITY: tuple[str, ...] = (
     "q_approx_distinct",
+    #  - q_weighted_sample: both emissions gained a `+ 0.0` signed-zero
+    #    canonicalization (IEEE −0.0 + 0.0 = +0.0) after the r13
+    #    full-registry sf1 sweep caught a doc whose A-ES key rounds to
+    #    −0.0 in DuckDB but +0.0 in Spark; the sf0.01 output is
+    #    bit-identical, the re-audit is procedural (rule 5).
+    #  - q_random_projection: same signed-zero canonicalization, same
+    #    sweep finding (one sf1 projection rounds to −0.0 in DuckDB's
+    #    summation order, +0.0 in Spark's).
+    "q_weighted_sample", "q_random_projection",
 )
 
 

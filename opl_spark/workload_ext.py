@@ -4167,7 +4167,7 @@ def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id, n_chars,
        ROUND(ln((((doc_id * 2654435761 + 11) % 4294967296) + 0.5)
-                / 4294967296.0) / n_chars, 6) AS skey
+                / 4294967296.0) / n_chars, 6) + 0.0 AS skey
 FROM documents
 ORDER BY skey DESC, doc_id
 LIMIT 50
@@ -4179,13 +4179,21 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-pass reproducible alternative to sequential weighted
     draws.  Map-only key expression + TakeOrdered top-k; no global
     sort, no sampling state, rerunnable to the same sample
-    anywhere."""
+    anywhere.
+
+    The ``+ 0.0`` on both emissions canonicalizes IEEE signed zero
+    (−0.0 + 0.0 = +0.0; every other value is untouched): ln(u)/w is a
+    tiny NEGATIVE for u near 1, and a doc whose key rounds to zero at
+    6 decimals emerges as −0.0 in DuckDB but +0.0 in Spark — equal
+    values, different reprs, a value-hash mismatch.  No such doc
+    exists at the sf0.01 gate; the full-registry sf1 sweep (r13,
+    CORRECTNESS_SF1.json) surfaced one."""
     docs = load_table(spark, sf_dir, "documents")
     u = (
         F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(11), F.lit(1 << 32))
         + F.lit(0.5)
     ) / F.lit(float(1 << 32))
-    skey = F.round(F.log(u) / F.col("n_chars"), 6)
+    skey = F.round(F.log(u) / F.col("n_chars"), 6) + F.lit(0.0)
     return (
         docs.select("doc_id", "n_chars", skey.alias("skey"))
         .orderBy(F.col("skey").desc(), "doc_id")
@@ -8530,7 +8538,7 @@ SELECT vec_id AS id, CAST(j AS INT) AS dim,
                                   + i * j * 2246822519 + 11)
                               % 4294967296 < 2147483648
                        THEN 1.0 ELSE -1.0 END)),
-           'sum') * 0.25, 6) AS value
+           'sum') * 0.25, 6) + 0.0 AS value
 FROM embeddings, range(1, 17) t(j)
 """,
 )
