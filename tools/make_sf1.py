@@ -49,7 +49,11 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+#: copies of the sf0.1 base (default 10 → "sf1").  Overridable via
+#: OPL_SF1_COPIES for intermediate scales — r13 uses 3 ("sf0.3") to
+#: give the three pair/wedge-expansion DuckDB oracle replays that time
+#: out at sf1 a completable above-gate parity leg.
+COPIES = int(os.environ.get("OPL_SF1_COPIES", "10"))
 
 #: key strides — far above any sf0.1 key range
 C = 10_000_000   # custkey / partkey / doc_id / vec_id / user_id
