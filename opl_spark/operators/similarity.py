@@ -571,6 +571,7 @@ def embedding_dup_pairs(
     id_col: str,
     bucket_col: str,
     threshold: float = 0.99,
+    integer_exact: bool = False,
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine ≥ threshold, compared only
     within ``bucket_col`` groups (the blocking key — an LSH band, an
@@ -584,7 +585,20 @@ def embedding_dup_pairs(
     ``round(·,6) ≥ threshold`` predicate is applied engine-side so
     rounding semantics match SQL HALF_UP.  Bucket sizes bound both
     memory (n²) and skew — at 100 TB the blocking key must keep groups
-    ≤ ~10⁵ rows (sub-block larger cells upstream)."""
+    ≤ ~10⁵ rows (sub-block larger cells upstream).
+
+    ``integer_exact=True`` is the ENGINE-PORTABLE verify for
+    integer-valued vectors (e.g. :func:`quantized_weights_col` output):
+    the threshold test runs in exact integer arithmetic —
+    ``d ≥ 0 ∧ den²·d² ≥ num²·‖a‖²·‖b‖²`` with ``num/den =
+    Fraction(threshold)`` — so inclusion can NEVER flip on float
+    summation order (the sf1 q_srp_lsh divergence class: 11 pairs
+    whose raw-double cosines straddled 0.3 by one ulp between numpy
+    and DuckDB).  The emitted cosine is then a chain of single
+    correctly-rounded IEEE ops on integer-exact inputs
+    (``d / (√‖a‖² · √‖b‖²)``), identical on every engine.  The raw
+    float path stays the default — true cosines on un-quantized
+    coordinates."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     id_type = df.schema[id_col].dataType
@@ -596,6 +610,19 @@ def embedding_dup_pairs(
         ]
     )
     pre_threshold = threshold - 1e-9
+    if integer_exact:
+        from fractions import Fraction
+
+        if threshold <= 0:
+            raise ValueError(
+                "embedding_dup_pairs(integer_exact) needs threshold > 0: "
+                "the squared compare drops sign information"
+            )
+        frac = Fraction(str(threshold))
+        t_num, t_den = frac.numerator, frac.denominator
+        # int64 guard: den²·d² and num²·na·nb must stay < 2^63, and
+        # every gemm partial sum < 2^53 (d ≤ max‖·‖²  ⇒  one bound)
+        norm_cap = (1 << 31) // max(t_num, t_den, 1)
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -604,11 +631,34 @@ def embedding_dup_pairs(
         order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
         ids = pdf["__id"].to_numpy()[order]
         a = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64, copy=False)
-        a /= np.linalg.norm(a, axis=1, keepdims=True)
-        gram = a @ a.T
-        iu, ju = np.triu_indices(n, k=1)
-        cos = gram[iu, ju]
-        keep = cos >= pre_threshold
+        if integer_exact:
+            # unnormalized exact-integer gram (products and partial
+            # sums all < 2^53 under the norm_cap guard ⇒ any BLAS
+            # summation order yields the same exact value)
+            gram = a @ a.T
+            norms = np.diag(gram)
+            if norms.max(initial=0.0) > norm_cap:
+                raise ValueError(
+                    "embedding_dup_pairs(integer_exact): squared norm "
+                    f"{norms.max()} exceeds the int64-safe cap {norm_cap} "
+                    f"for threshold {threshold} — coarsen the "
+                    "quantization grid or use the float path"
+                )
+            iu, ju = np.triu_indices(n, k=1)
+            d = gram[iu, ju]
+            di = np.rint(d).astype(np.int64)
+            na = np.rint(norms).astype(np.int64)
+            keep = (di >= 0) & (
+                t_den * t_den * di * di >= t_num * t_num * na[iu] * na[ju]
+            )
+            sa = np.sqrt(norms)
+            cos = d / (sa[iu] * sa[ju])
+        else:
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            gram = a @ a.T
+            iu, ju = np.triu_indices(n, k=1)
+            cos = gram[iu, ju]
+            keep = cos >= pre_threshold
         return pd.DataFrame(
             {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "raw_cos": cos[keep]}
         )
@@ -622,9 +672,15 @@ def embedding_dup_pairs(
         .groupBy("__bk")
         .applyInPandas(block, out_schema)
     )
-    return pairs.select(
+    rounded = pairs.select(
         "id_a", "id_b", F.round("raw_cos", 6).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    )
+    if integer_exact:
+        # inclusion already decided by the kernel's exact-integer
+        # predicate; a float re-filter here could disagree at the
+        # boundary (the very class this mode removes)
+        return rounded
+    return rounded.filter(F.col("cosine") >= threshold)
 
 
 def srp_agreement_prob(cosine: float) -> float:
@@ -790,6 +846,7 @@ def srp_lsh_pairs(
     n_bits: int = 24,
     bands: int = 4,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Signed-random-projection LSH (Charikar 2002 — the COSINE twin
     of MinHash banding) over an embedding column: each vector's
@@ -815,7 +872,25 @@ def srp_lsh_pairs(
     reference an attribute, never re-evaluate the transform — the
     repo's HOF-capture rule); one shuffle on the (band, key) bucket;
     per-bucket gemm verify via :func:`embedding_dup_pairs`'s kernel
-    (n·d floats cross Arrow per bucket, never n² rows)."""
+    (n·d floats cross Arrow per bucket, never n² rows).
+
+    ``portable=True`` verifies on the QUANTIZED integer coordinates
+    (the same 1e-3 grid the bucket keys already use) with
+    ``embedding_dup_pairs(integer_exact=True)`` — inclusion at the
+    threshold is exact integer arithmetic and the emitted cosine is
+    engine-deterministic, so a SQL oracle replays the whole query
+    hash-exact at any scale (the raw-double default left 11 sf1 pairs
+    straddling cosine 0.3 by one ulp of engine summation order).
+    Same portable-vs-fast-path contract as
+    :func:`~opl_spark.operators.dedup.minhash_dedup_pairs`."""
+    if portable:
+        melted = srp_banded_keys(
+            df, vec_col, id_col, dims, n_bits, bands, keep_quantized=True
+        ).select("__id", "__q", F.struct("band", "key").alias("__bk"))
+        return embedding_dup_pairs(
+            melted, "__q", "__id", "__bk", threshold=threshold,
+            integer_exact=True,
+        ).distinct()
     melted = srp_banded_keys(df, vec_col, id_col, dims, n_bits, bands).select(
         "__id", "__v", F.struct("band", "key").alias("__bk")
     )
@@ -833,12 +908,15 @@ def srp_banded_keys(
     dims: int,
     n_bits: int = 24,
     bands: int = 4,
+    keep_quantized: bool = False,
 ) -> DataFrame:
     """The shared SRP banding stage: ``(__id, __v double-array, band,
     key)`` — one row per (vector, band), keys from the integer sign-bit
     construction documented on :func:`srp_lsh_pairs` (which consumes
     this; :func:`build_srp_index` / :func:`srp_dedup_incremental`
-    persist/probe it)."""
+    persist/probe it).  ``keep_quantized`` carries the ``__q``
+    integer-grid column through for the portable integer-exact
+    verify."""
     if n_bits % bands != 0:
         raise ValueError(
             f"srp_banded_keys: n_bits ({n_bits}) must divide evenly into "
@@ -868,7 +946,8 @@ def srp_banded_keys(
         bit_cols.append(
             F.expr(f"case when {proj} >= 0.0D then 1 else 0 end").alias(f"__b{j}")
         )
-    staged = qdf.select("__id", "__v", *bit_cols)
+    carry = ["__id", "__v"] + (["__q"] if keep_quantized else [])
+    staged = qdf.select(*carry, *bit_cols)
     keys = [
         sum(
             (F.col(f"__b{b * rows_per_band + k}") * (1 << k))
@@ -876,10 +955,9 @@ def srp_banded_keys(
         ).alias(f"__k{b}")
         for b in range(bands)
     ]
-    keyed = staged.select("__id", "__v", *keys)
+    keyed = staged.select(*carry, *keys)
     return keyed.select(
-        "__id",
-        "__v",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -888,7 +966,9 @@ def srp_banded_keys(
                 ]
             )
         ).alias("__bk"),
-    ).select("__id", "__v", F.col("__bk.band").alias("band"), F.col("__bk.key").alias("key"))
+    ).select(
+        *carry, F.col("__bk.band").alias("band"), F.col("__bk.key").alias("key")
+    )
 
 
 #: bucket_shard fan-out of the persisted SRP index — with band as the

@@ -408,21 +408,25 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _srp_oracle(
     dims: int = 64, n_bits: int = 24, bands: int = 4, threshold: float = 0.3
 ) -> str:
-    """SQL replay of srp_lsh_pairs: the plane literals come from the
-    SAME driver-side generator as the Spark plan, buckets replay in
-    integer arithmetic, and the verify reuses the proven raw-double
-    cosine idiom (q_dedup_embedding)."""
+    """SQL replay of srp_lsh_pairs(portable=True): the plane literals
+    come from the SAME driver-side generator as the Spark plan, buckets
+    replay in integer arithmetic, and the verify is the INTEGER-EXACT
+    quantized-cosine contract — inclusion by ``den²·d² ≥ num²·na·nb``
+    over exact integers (no float summation-order boundary; the
+    raw-double idiom left 11 sf1 pairs straddling cosine==0.3 by one
+    engine ulp), emitted cosine a chain of single correctly-rounded
+    IEEE ops on identical integer inputs."""
+    from fractions import Fraction
+
     from opl_spark.operators.similarity import srp_plane_coeff
 
+    frac = Fraction(str(threshold))
+    t_num, t_den = frac.numerator, frac.denominator
     rows = n_bits // bands
     vals = ", ".join(
         f"({j}, {i}, {srp_plane_coeff(j, i)})"
         for j in range(n_bits)
         for i in range(dims)
-    )
-    cos = (
-        "ROUND(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))"
-        " * sqrt(list_dot_product(y.v, y.v))), 6)"
     )
     return f"""
 WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -442,10 +446,22 @@ keys AS (
 cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+scored AS (
+    SELECT c.id_a, c.id_b,
+           list_dot_product(x.qv, y.qv) AS dq,
+           list_dot_product(x.qv, x.qv) AS naq,
+           list_dot_product(y.qv, y.qv) AS nbq
+    FROM cand c JOIN q x ON x.id = c.id_a JOIN q y ON y.id = c.id_b
 )
-SELECT DISTINCT id_a, id_b, {cos} AS cosine
-FROM cand JOIN e x ON x.id = id_a JOIN e y ON y.id = id_b
-WHERE {cos} >= {threshold}
+SELECT DISTINCT id_a, id_b,
+       ROUND(dq / (sqrt(naq) * sqrt(nbq)), 6) AS cosine
+FROM scored
+WHERE dq >= 0
+  AND CAST({t_den * t_den} AS HUGEINT)
+        * CAST(dq AS HUGEINT) * CAST(dq AS HUGEINT)
+      >= CAST({t_num * t_num} AS HUGEINT)
+        * CAST(naq AS HUGEINT) * CAST(nbq AS HUGEINT)
 """
 
 
@@ -455,13 +471,18 @@ def q_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH (Charikar 2002) banding over integer hyperplane sign bits →
     per-bucket exact-cosine gemm verify — the COSINE twin of
     q_dedup_minhash's text LSH, next to the label-blocked
-    q_dedup_embedding (operators/similarity.py:srp_lsh_pairs).  The
-    whole bucket structure is integer-exact, so the oracle replays
-    candidates bit-for-bit."""
+    q_dedup_embedding (operators/similarity.py:srp_lsh_pairs).  Runs
+    the PORTABLE integer-exact verify (quantized-grid cosine, exact
+    integer threshold test), so the oracle replays buckets bit-for-bit
+    AND the verified pairs hash-exact at any scale — the raw-double
+    verify stays the operator default and left 11 sf1 pairs straddling
+    cosine==0.3 by one ulp of engine summation order."""
     from opl_spark.operators.similarity import srp_lsh_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return srp_lsh_pairs(emb, "embedding", "vec_id", dims=64, threshold=0.3)
+    return srp_lsh_pairs(
+        emb, "embedding", "vec_id", dims=64, threshold=0.3, portable=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5222,7 +5243,17 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_chain(iters: int, max_word: int = 8, max_piece: int = 4) -> str:
+#: unrolled-Viterbi position bound shared by the three unigram oracle
+#: generators.  The base corpus caps words at 8 chars; scale
+#: derivations (tools/make_sf1.py) append per-copy ``~c`` suffixes
+#: (+2), so 12 gives the replay headroom without the sf1 refusal the
+#: r13 sweep recorded (the wlen guard still fails LOUDLY past it).
+_UNIGRAM_MAX_WORD = 12
+
+
+def _unigram_chain(
+    iters: int, max_word: int = _UNIGRAM_MAX_WORD, max_piece: int = 4
+) -> str:
     """CTE chain replaying unigram-LM hard-EM training (mirrors
     ``operators/unigram.py:unigram_train``): substring seed counts,
     then per-iteration Viterbi E-steps as an unrolled forward DP
@@ -5401,7 +5432,9 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_tokenize_oracle(iters: int = 2, max_word: int = 8) -> str:
+def _unigram_tokenize_oracle(
+    iters: int = 2, max_word: int = _UNIGRAM_MAX_WORD
+) -> str:
     """Apply-side replay: train (2 EM rounds) + prune as in the train
     oracle, then one more unrolled Viterbi under the pruned vocab;
     per-word piece counts come from the backtrace rows and join back
@@ -5436,7 +5469,9 @@ GROUP BY d.doc
 """
 
 
-def _unigram_apply_cte(max_word: int = 8, max_piece: int = 4) -> str:
+def _unigram_apply_cte(
+    max_word: int = _UNIGRAM_MAX_WORD, max_piece: int = 4
+) -> str:
     """The forward-DP + backtrace CTEs of one Viterbi pass under
     ``vocabfv`` (tag ``ug``) — same structure the training chain
     unrolls, emitted as a bare fragment appended after the vocab

@@ -234,6 +234,50 @@ def test_srp_lsh_finds_planted_duplicate_without_blocking_key(spark):
     assert got == {(1, 2): 1.0}
 
 
+def test_srp_lsh_portable_integer_exact_verify(spark):
+    """portable=True verifies on the quantized integer grid with an
+    exact-integer threshold test: the planted duplicate still pairs at
+    cosine 1.0, the far vector stays excluded, and a pair sitting
+    EXACTLY at the threshold in exact arithmetic is included — the
+    float-boundary class the mode exists to remove."""
+    from opl_spark.operators.similarity import srp_lsh_pairs
+
+    d = 8
+    base = [1.0, 0.5, -0.25, 0.125, 0.75, -0.5, 0.3, -0.7]
+    far = [-x for x in base]
+    rows = [(1, base), (2, list(base)), (3, far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in srp_lsh_pairs(
+            df, "embedding", "vec_id", dims=d, threshold=0.9, portable=True
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+    # exact-threshold inclusion (one shared bucket, banding bypassed):
+    # u=(1,0,..), v=(3,4,0,..) integer coords ⇒ cosine exactly 3/5; the
+    # integer predicate 25·d² ≥ 9·na·nb holds with EQUALITY — included,
+    # where a float verify is at the mercy of the last ulp.  w=(4,3,..)
+    # vs v has cosine 24/25 = 0.96 > 0.6 (included); u vs w cosine 4/5.
+    u = [1.0] + [0.0] * (d - 1)
+    v = [3.0, 4.0] + [0.0] * (d - 2)
+    w = [4.0, 3.0] + [0.0] * (d - 2)
+    from opl_spark.operators.similarity import embedding_dup_pairs
+
+    df2 = spark.createDataFrame(
+        [(10, u, 0), (11, v, 0), (12, w, 0)],
+        "vec_id long, q array<double>, bk int",
+    )
+    got2 = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dup_pairs(
+            df2, "q", "vec_id", "bk", threshold=0.6, integer_exact=True
+        ).collect()
+    }
+    assert got2 == {(10, 11): 0.6, (10, 12): 0.8, (11, 12): 0.96}
+
+
 def test_unigram_logprob_ranks_rare_tokens_higher(spark):
     from opl_spark.operators.text import unigram_logprob
 
