@@ -4323,12 +4323,38 @@ def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared fuzzy-linkage pair CTE: SymSpell deletion-key CANDIDATES
+#: (complete for distance ≤ 1: a substitution at i collides on the
+#: delete-at-i key, an insert/delete on identity-vs-delete) verified
+#: by an actual ``levenshtein`` call per candidate — the verify stays
+#: independent of the operator's positional shortcut while the
+#: candidate space is bucket-bounded, so the replay scales the way the
+#: operator does (the old all-pairs ``v × v`` scan was quadratic in
+#: distinct names and timed out at sf1 — the FORMULATION, not the
+#: operator; see CORRECTNESS_SF1.json r13).
+_FUZZY_P_CTE = """
+v AS MATERIALIZED (SELECT DISTINCT c_name AS w FROM customer),
+dk AS MATERIALIZED (
+    SELECT w, w AS k FROM v
+    UNION ALL
+    SELECT w, substr(w, 1, CAST(t.i - 1 AS INTEGER))
+              || substr(w, CAST(t.i + 1 AS INTEGER)) AS k
+    FROM v, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+cand AS MATERIALIZED (
+    SELECT DISTINCT a.w AS a, b.w AS b
+    FROM dk a JOIN dk b ON a.k = b.k AND a.w < b.w
+),
+p AS MATERIALIZED (
+    SELECT a, b FROM cand WHERE levenshtein(a, b) <= 1
+)"""
+
+
 @register(
     "q_fuzzy_pairs",
-    oracle="""
-WITH v AS (SELECT DISTINCT c_name AS w FROM customer)
-SELECT a.w AS a, b.w AS b
-FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+    oracle=f"""
+WITH {_FUZZY_P_CTE}
+SELECT a, b FROM p
 """,
 )
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4472,23 +4498,64 @@ def q_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_repeated_spans(docs, "text", "doc_id", n=10)
 
 
-@register(
-    "q_entity_resolution",
-    oracle="""
-WITH RECURSIVE v AS (SELECT DISTINCT c_name AS w FROM customer),
-p AS (
-    SELECT a.w AS a, b.w AS b
-    FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
-),
-e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
-reach(node, r) AS (
-    SELECT DISTINCT a, a FROM e
-    UNION
-    SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r
-)
-SELECT node AS name, MIN(r) AS canonical FROM reach GROUP BY node
-""",
-)
+def _star_cc_oracle(rounds: int = 10) -> str:
+    """Entity-resolution replay at linkage-graph scale: the fuzzy pair
+    set (``_FUZZY_P_CTE``) fed through ``rounds`` unrolled alternating
+    large-star/small-star contractions (Kiveris et al. 2014 — the same
+    O(log n)-round CC the Spark side runs in dedup_clusters_star), then
+    a LOUD ``error()`` guard if the edge set is not a min-centered star
+    set at the end (a silently-unconverged replay would hash-mismatch
+    confusingly).  The old formulation's RECURSIVE ``reach`` built the
+    full transitive closure — Σ component² rows, quadratic on the giant
+    digit-substitution component, the sf1/sf0.3 timeout recorded in
+    CORRECTNESS_SF1.json; per-round state here is one row per directed
+    edge."""
+    ctes = [f"e0 AS MATERIALIZED (SELECT a AS lo, b AS hi FROM p)"]
+    for r in range(rounds):
+        ctes.append(f"""
+nb{r} AS MATERIALIZED (SELECT lo AS u, hi AS v FROM e{r}
+                       UNION ALL SELECT hi, lo FROM e{r}),
+m{r} AS MATERIALIZED (
+    SELECT u, v, LEAST(MIN(v) OVER (PARTITION BY u), u) AS m FROM nb{r}),
+lg{r} AS MATERIALIZED (SELECT v AS a, m AS b FROM m{r} WHERE v > u),
+nl{r} AS MATERIALIZED (SELECT a AS u, b AS v FROM lg{r}
+                       UNION ALL SELECT b, a FROM lg{r}),
+ms{r} AS MATERIALIZED (
+    SELECT u, v, LEAST(MIN(v) OVER (PARTITION BY u), u) AS m FROM nl{r}),
+sm{r} AS MATERIALIZED (
+    SELECT v AS a, m AS b FROM ms{r} WHERE v <= u
+    UNION ALL
+    SELECT u AS a, MIN(m) AS b FROM ms{r} GROUP BY u),
+e{r + 1} AS MATERIALIZED (
+    SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+    FROM sm{r} WHERE a <> b)""")
+    return f"""
+WITH {_FUZZY_P_CTE},
+{",".join(ctes)},
+fin AS MATERIALIZED (
+    SELECT u, MIN(v) AS mv, COUNT(*) AS deg
+    FROM (SELECT lo AS u, hi AS v FROM e{rounds}
+          UNION ALL SELECT hi, lo FROM e{rounds})
+    GROUP BY u),
+guard AS (
+    -- min-centered star set <=> every node is its own min or a leaf
+    SELECT CASE WHEN COUNT(*) > 0
+                THEN CAST(error('star CC not converged in {rounds} '
+                                || 'rounds — raise the unroll bound')
+                          AS INTEGER)
+                ELSE 1 END AS ok
+    FROM fin WHERE LEAST(mv, u) <> u AND deg > 1),
+members AS (SELECT DISTINCT x FROM (
+    SELECT a AS x FROM p UNION ALL SELECT b FROM p))
+SELECT m.x AS name,
+       COALESCE(LEAST(f.mv, f.u), m.x) AS canonical
+FROM members m
+LEFT JOIN fin f ON f.u = m.x
+CROSS JOIN guard
+"""
+
+
+@register("q_entity_resolution", oracle=_star_cc_oracle())
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end: symmetric-delete (SymSpell)
     linkage edges over customer names -> connected components ->
@@ -4898,19 +4965,30 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_triangles",
-    oracle="""
-WITH v AS (SELECT DISTINCT c_name AS w FROM customer),
-p AS (
-    SELECT a.w AS a, b.w AS b
-    FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
-),
+    oracle=f"""
+WITH {_FUZZY_P_CTE},
 nodes AS (SELECT COUNT(DISTINCT x) AS n FROM (
     SELECT a AS x FROM p UNION SELECT b FROM p)),
+sym AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+                     UNION ALL SELECT b, a FROM p),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM sym GROUP BY u),
+-- degree-oriented edges (lower (deg, id) endpoint first): caps every
+-- out-degree at O(sqrt(m)) so the wedge join can't blow up on a hub —
+-- the same orientation the Spark side uses; the old ordered triple
+-- join paid the unoriented sum-of-degree-squares
+oriented AS MATERIALIZED (
+    SELECT s.u, s.v
+    FROM sym s JOIN deg du ON du.u = s.u JOIN deg dv ON dv.u = s.v
+    WHERE du.c < dv.c OR (du.c = dv.c AND s.u < s.v)
+),
+wedges AS (
+    SELECT o1.v AS a, o2.v AS b
+    FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u AND o1.v < o2.v
+),
 tri AS (
     SELECT COUNT(*) AS t
-    FROM p e1
-    JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
-    JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b
+    FROM wedges w
+    JOIN p e ON e.a = LEAST(w.a, w.b) AND e.b = GREATEST(w.a, w.b)
 )
 SELECT nodes.n AS n_nodes, (SELECT COUNT(*) FROM p) AS n_edges,
        tri.t AS n_triangles

@@ -24,11 +24,6 @@ re-runs the Spark sketch at sf1, verifies the bound row by row, and
 annotates CORRECTNESS_SF1.json in place:
 ``results[id] += {regime_exit, bound, bound_ok, max_err...}``.
 
-Also annotates q_srp_lsh's divergence (11 oracle-only pairs, all at
-cosine == the 0.3 verify threshold — raw-double summation-order
-boundary; candidate generation is integer-exact and agreed) after the
-diff has been reproduced by hand — see the committed analysis note.
-
 Usage: python tools/sf1_bounds.py   (needs /tmp/opl_sf1)
 """
 
@@ -166,29 +161,10 @@ def main() -> None:
         "max_rank_dev": max_dev,
     }
 
-    # -- q_srp_lsh: float-boundary divergence (analysis reproduced) ------
-    notes["q_srp_lsh"] = {
-        "divergence": "float-boundary",
-        "detail": (
-            "11 oracle-only pairs, every one at cosine == the 0.3 verify "
-            "threshold: the raw-double dot/norm sums round to 0.300000 in "
-            "DuckDB's summation order and just below in Spark's; candidate "
-            "generation (integer sign-bit buckets) agreed bit-for-bit and "
-            "all shared pairs carry identical cosines.  Engine float "
-            "summation order, not an operator defect; no boundary pairs "
-            "exist at the sf0.01 gate, where the id is hash-exact."
-        ),
-    }
-    notes["q_unigram_train"] = {
-        "divergence": "oracle-formulation",
-        "detail": (
-            "the unrolled-Viterbi DuckDB oracle guards words > 8 chars by "
-            "design; the sf1 DERIVATION (make_sf1 per-copy '~c' token "
-            "suffixes) pushes corpus words past that bound, so the replay "
-            "refuses — a derivation artifact, not an operator divergence "
-            "(hash-exact at the sf0.01 gate)."
-        ),
-    }
+    # (r13 late-round: the former q_srp_lsh float-boundary and
+    # q_unigram_* oracle-formulation annotations are retired — the
+    # integer-exact portable verify and the max_word=12 DP bound make
+    # those ids hash-exact at sf1; see chunk_31 in the sweep record.)
     con.close()
     spark.stop()
 
