@@ -81,7 +81,7 @@ class RollupStore:
         # object and SnapshotEngine appends re-register).
         self._manifest_cache: dict[str, tuple[float, dict]] = {}
         self._frame_cache: dict[tuple, DataFrame] = {}
-        self._version_cache: dict[int, str] = {}
+        self._version_cache: dict[int, tuple[DataFrame, str]] = {}
 
     def _fact_dir(self, fact: str) -> str:
         return os.path.join(self.base_dir, fact)
@@ -119,12 +119,16 @@ class RollupStore:
     def _fact_version_cached(self, frame: DataFrame) -> str:
         # the registered frame is a long-lived object in the engine's
         # registry; a re-registration (how appends become visible) is a
-        # NEW object and naturally misses this cache
+        # NEW object and naturally misses this cache.  The entry PINS
+        # the frame it describes: an id()-only key could be recycled by
+        # the allocator after the old frame is collected and would then
+        # serve the dead frame's version to an unrelated one
         key = id(frame)
-        v = self._version_cache.get(key)
-        if v is None:
-            v = _fact_version(frame)
-            self._version_cache[key] = v
+        hit = self._version_cache.get(key)
+        if hit is not None and hit[0] is frame:
+            return hit[1]
+        v = _fact_version(frame)
+        self._version_cache[key] = (frame, v)
         return v
 
     # -- build --------------------------------------------------------------
