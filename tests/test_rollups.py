@@ -224,3 +224,20 @@ def test_post_processing_rides_the_routed_result(navigator):
     routed = store.aggregate(engine, "loans2", **kwargs)
     assert routed.columns == base.columns
     assert _rows(routed) == _rows(base)
+
+
+def test_version_cache_pins_frame_and_checks_identity(navigator):
+    """The request-path version cache keys on id(frame) — the entry
+    must PIN the frame (so a collected frame's id can't be recycled to
+    an unrelated one) and validate identity on hit, serving per-object
+    versions even if two live frames ever shared an id slot."""
+    engine, store = navigator
+    f1 = engine.frame("loans2")
+    v1 = store._fact_version_cached(f1)
+    assert store._fact_version_cached(f1) == v1  # stable on re-ask
+    ent = store._version_cache[id(f1)]
+    assert ent[0] is f1 and ent[1] == v1  # the frame itself is pinned
+    # a hit whose stored object is NOT the caller's frame must recompute
+    f2 = f1.sparkSession.createDataFrame([(1,)], "x long")
+    store._version_cache[id(f2)] = (f1, "stale-version")
+    assert store._fact_version_cached(f2) != "stale-version"
