@@ -646,3 +646,50 @@ def test_mann_whitney_u_complement(spark, rows):
         assert r2["z"] is None
     else:
         assert abs(r1["z"] + r2["z"]) <= 2e-6
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-50, 50), min_size=3, max_size=3),
+        min_size=2, max_size=7, unique_by=tuple,
+    ),
+    num=st.integers(1, 9),
+    den=st.integers(10, 10),
+)
+def test_integer_exact_verify_matches_fraction_arithmetic(spark, vecs, num, den):
+    """embedding_dup_pairs(integer_exact=True): for random integer
+    vectors, pair inclusion must equal EXACT rational arithmetic
+    cos(a,b) >= num/den (Fraction — no floats anywhere), and every
+    emitted cosine must round-trip the deterministic d/(sqrt*sqrt)
+    expression.  This is the contract that retires the sf1
+    float-boundary class: no summation order can flip membership."""
+    from fractions import Fraction
+
+    from opl_spark.operators.similarity import embedding_dup_pairs
+
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 2:
+        return
+    threshold = num / den  # e.g. 0.3 — str() gives the exact decimal
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, q array<double>, bk int")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            df, "q", "vec_id", "bk", threshold=threshold, integer_exact=True
+        ).collect()
+    }
+    frac_t = Fraction(str(threshold))
+    want = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            a, b = vecs[i], vecs[j]
+            d = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a)
+            nb = sum(x * x for x in b)
+            # cos >= t  <=>  d >= 0 and d^2/(na*nb) >= t^2 (exact)
+            if d >= 0 and Fraction(d * d, na * nb) >= frac_t * frac_t:
+                want.add((i, j))
+    assert got == want
