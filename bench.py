@@ -913,7 +913,9 @@ def streaming_main() -> None:
         "input_rows": n_rows,
         "n_files": n_files,
         "legs": legs,
-        "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
+        "sf": (lambda m: float(m.group(1)) if m else os.path.basename(
+            sf_dir.rstrip("/")))(
+            re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))),
     }))
     spark.stop()
 
