@@ -807,26 +807,15 @@ def streaming_main() -> None:
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     n_rows = batch.count()
     ts_nanos = dict(batch.dtypes).get("ts") == "bigint"
-    # stage the replay as n_files CONTIGUOUS TIME SLICES in arrival
-    # order — production streams arrive roughly in event time, and a
-    # shuffled replay would advance the watermark past nearly all
-    # later-arriving rows, benching the late-drop path instead of the
-    # steady state (caught in the smoke run: 990 of 8953 windows
-    # survived a repartition()-ordered replay)
-    from pyspark.sql.window import Window
+    # time-ordered replay staging: a shuffled replay advances the
+    # watermark past nearly all later-arriving rows and benches the
+    # late-drop path (smoke run: 990 of 8953 windows survived) —
+    # production arrival is ~event-time order
+    from opl_spark.streaming.events import stage_time_ordered_arrivals
 
-    src = os.path.join(scratch, "arrivals")
-    os.makedirs(src, exist_ok=True)
-    sliced = batch.withColumn(
-        "__slice", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    src = stage_time_ordered_arrivals(
+        batch, os.path.join(scratch, "arrivals"), n_files
     )
-    for i in range(1, n_files + 1):
-        part = os.path.join(scratch, f"slice_{i:03d}")
-        (sliced.filter(F.col("__slice") == i).drop("__slice")
-         .coalesce(1).write.parquet(part))
-        pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
-        os.rename(os.path.join(part, pq),
-                  os.path.join(src, f"arrival-{i:03d}.parquet"))
 
     def arrivals():
         raw = (

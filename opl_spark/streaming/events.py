@@ -264,3 +264,46 @@ def hopping_counts(
             F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
         )
     )
+
+
+def stage_time_ordered_arrivals(
+    df: DataFrame,
+    out_dir: str,
+    n_files: int,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> str:
+    """Stage a batch frame as ``n_files`` CONTIGUOUS TIME SLICES named
+    in arrival order (``arrival-001.parquet`` …) — the replay input
+    for a ``maxFilesPerTrigger=1`` file stream that mimics production
+    arrival (events reach a stream roughly in event time).
+
+    A shuffled replay is the wrong bench/test harness for watermarked
+    legs: one out-of-order file advances the watermark past most later
+    rows and exercises the LATE-DROP path instead of the steady state
+    (bench.py --streaming's smoke run lost 89% of windows that way).
+    Slicing by ``ntile`` over the event-time order keeps every row —
+    completeness under replay is asserted in tests/test_streaming.py.
+
+    One driver-side loop of ``n_files`` single-partition writes: the
+    staging is replay tooling for test-scale data, not a corpus path.
+    """
+    from pyspark.sql.window import Window
+
+    os.makedirs(out_dir, exist_ok=True)
+    sliced = df.withColumn(
+        "__slice", F.ntile(n_files).over(Window.orderBy(*order_cols))
+    )
+    scratch = tempfile.mkdtemp(prefix="opl-arrivals-")
+    try:
+        for i in range(1, n_files + 1):
+            part = os.path.join(scratch, f"slice_{i:03d}")
+            (sliced.filter(F.col("__slice") == i).drop("__slice")
+             .coalesce(1).write.parquet(part))
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(part, pq),
+                      os.path.join(out_dir, f"arrival-{i:03d}.parquet"))
+    finally:
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out_dir

@@ -772,3 +772,39 @@ def test_minhash_probe_stream_bootstrap_and_cross_batch(spark, sf_dir, tmp_path)
     assert rows[pair_hits[0]]["sim"] == 1.0
     # the bootstrapped store holds bands x arriving rows
     assert spark.read.parquet(store).count() == 16 * n_arrived
+
+
+def test_time_ordered_staging_is_complete_and_ordered(spark, sf_dir, tmp_path):
+    """stage_time_ordered_arrivals: the sliced replay holds every
+    original row exactly once, and file i's max event time never
+    exceeds file i+1's min — the arrival order that keeps a
+    watermarked replay on the steady-state path instead of the
+    late-drop path."""
+    from opl_spark.streaming.events import stage_time_ordered_arrivals
+
+    events = load_table(spark, sf_dir, "events")
+    out = stage_time_ordered_arrivals(events, str(tmp_path / "arr"), 5)
+    files = sorted(
+        f for f in __import__("os").listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 5
+    total = 0
+    prev_max = None
+    for f in files:
+        part = spark.read.parquet(f"{out}/{f}")
+        total += part.count()
+        lo, hi = part.agg(F.min("ts"), F.max("ts")).first()
+        if prev_max is not None:
+            assert prev_max <= lo, (f, prev_max, lo)
+        prev_max = hi
+    assert total == events.count()
+    # replayed through the watermarked windowed agg, nothing drops
+    staged = (
+        spark.readStream.schema(spark.read.parquet(out).schema)
+        .option("maxFilesPerTrigger", 1).parquet(out)
+    )
+    got = run_to_memory(
+        windowed_counts(staged), "staged_windowed", output_mode="complete"
+    )
+    want = windowed_counts(load_table(spark, sf_dir, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
