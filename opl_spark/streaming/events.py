@@ -163,28 +163,58 @@ def stream_to_fact(
 
     foreachBatch alone is at-least-once: a crash between the parquet
     append and the checkpoint commit replays the microbatch on restart.
-    The ``__batch_id`` guard below makes the append idempotent — a
-    replayed batch id that already reached the sink is skipped (a
-    column-pruned, footer-stats-bounded probe, not a data scan) — which
-    together with the checkpoint yields effective exactly-once.
+    Each batch therefore lands as its own ``__batch_id=N`` PARTITION
+    via stage-then-rename — written to a dot-prefixed staging dir
+    (hidden from Spark's file index) and swapped in with ONE directory
+    rename — the parquet twin of the JDBC sink's staging-table swap:
+
+    - the replay probe is an O(1) partition-directory existence check
+      (the old footer-stats probe re-listed the whole sink every
+      batch — O(batches) growth — and worse, a crash inside the raw
+      append's job commit could leave a PARTIAL batch visible that the
+      probe then read as done, making it permanent);
+    - a crash during staging leaves only hidden files the replay
+      overwrites; a crash between rename and checkpoint replays into
+      the existence check and skips — exactly-once either side.
+
+    Directory rename is atomic on POSIX/HDFS; object stores (S3A)
+    emulate it per-object and need a real committer instead — the
+    reference's deployment (filesystem + MySQL) never hits that.
+    Stale ``.stage-*`` dirs always belong to an unckeckpointed batch
+    (the checkpoint only commits after this function returns), so the
+    replay itself cures them — no janitor needed.
 
     ``update`` output mode emits a window again whenever a later batch
     changes it, so the raw sink rows are NOT directly summable; read
     the table through :func:`read_stream_fact`, which keeps the latest
-    emission per window.  Drains with ``availableNow`` so the same
-    entry point serves replay/testing and a live trigger."""
+    emission per window (``__batch_id`` now arrives as the partition
+    column).  Drains with ``availableNow`` so the same entry point
+    serves replay/testing and a live trigger."""
 
     def append_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        try:
-            sink = spark.read.parquet(fact_path)
-            if sink.filter(F.col("__batch_id") == batch_id).limit(1).count() > 0:
-                return  # replayed batch — already committed to the sink
-        except Exception:
-            pass  # first batch: sink does not exist yet
-        df.withColumn("__batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            fact_path
-        )
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        part = hpath(f"{fact_path}/__batch_id={batch_id}")
+        fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(part):
+            # replayed batch — already swapped into the sink.  The
+            # batch PLAN must still execute (noop sink): the stateful
+            # aggregation's state-store commits ride the batch's
+            # action, and a bare early return fails Spark's
+            # state-commit validation on a fresh-checkpoint replay —
+            # a latent hole this swap design inherited from the old
+            # footer-stats probe and the test suite now pins
+            df.write.mode("overwrite").format("noop").save()
+            return
+        stage = f"{fact_path}/.stage-{batch_id}"
+        # overwrite: a crashed earlier attempt's stage is stale
+        df.write.mode("overwrite").parquet(stage)
+        if not fs.rename(hpath(stage), part):
+            raise RuntimeError(
+                f"stream_to_fact: rename {stage} -> {part} failed "
+                "(single-writer contract violated?)"
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(append_batch)

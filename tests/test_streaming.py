@@ -808,3 +808,41 @@ def test_time_ordered_staging_is_complete_and_ordered(spark, sf_dir, tmp_path):
     )
     want = windowed_counts(load_table(spark, sf_dir, "events"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_to_fact_stage_swap_is_crash_honest(spark, sf_dir, tmp_path):
+    """The stage-then-rename append: a stale .stage dir from a crashed
+    attempt is hidden from readers and overwritten by the replay, and
+    an already-swapped __batch_id partition makes the replay a no-op —
+    the two crash windows either side of the rename."""
+    import os
+
+    from opl_spark.streaming.events import read_stream_fact
+
+    fact = str(tmp_path / "fact")
+    ckpt = str(tmp_path / "ckpt")
+    # simulate a crash mid-staging BEFORE any successful run: a stale
+    # hidden stage dir with garbage content
+    os.makedirs(os.path.join(fact, ".stage-0"))
+    with open(os.path.join(fact, ".stage-0", "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    stream_to_fact(
+        windowed_counts(read_events_stream(spark, sf_dir)), fact, ckpt
+    )
+    # the stale stage was overwritten and renamed away; no hidden dirs
+    # remain and the reader sees exactly the batch-equivalent result
+    assert not [d for d in os.listdir(fact) if d.startswith(".stage")]
+    parts = [d for d in os.listdir(fact) if d.startswith("__batch_id=")]
+    assert parts, "no batch partitions landed"
+    final = read_stream_fact(spark, fact)
+    batch = windowed_counts(load_table(spark, sf_dir, "events"))
+    assert _sorted_rows(final.select(*batch.columns)) == _sorted_rows(batch)
+    # replay with a fresh checkpoint (same batch ids): every partition
+    # already exists, so the existence probe skips them all — file
+    # count is unchanged (crash-after-rename-before-checkpoint window)
+    n_before = sum(len(fs) for _, _, fs in os.walk(fact))
+    stream_to_fact(
+        windowed_counts(read_events_stream(spark, sf_dir)), fact,
+        str(tmp_path / "ckpt2"),
+    )
+    assert sum(len(fs) for _, _, fs in os.walk(fact)) == n_before
