@@ -227,10 +227,23 @@ def contamination(
     probe is a map-side hash join against the corpus shingle stream
     (8-byte hashes, not strings), followed by one doc-keyed
     aggregation; the corpus is touched in a single pass."""
-    c_sh = corpus.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
-    ).select("doc", F.xxhash64("s").alias("sh"))
+    # ONE corpus shingling pass: stage the array (so the generator and
+    # array_size read one evaluation — the HOF/CSE staging rule), carry
+    # the doc's shingle count through the probe, and recover it in the
+    # aggregate (constant per doc, so max() is exact).  A separate
+    # sizes scan previously re-shingled the whole corpus (r13).
+    c_sh = (
+        corpus.select(
+            F.col(id_col).alias("doc"),
+            shingles_col(F.col(text_col), n).alias("__arr"),
+        )
+        .select(
+            "doc",
+            F.array_size("__arr").cast("long").alias("n_sh"),
+            F.explode("__arr").alias("s"),
+        )
+        .select("doc", "n_sh", F.xxhash64("s").alias("sh"))
+    )
     b_sh = bench.select(
         F.col(id_col).alias("bdoc"),
         F.explode(shingles_col(F.col(text_col), n)).alias("s"),
@@ -241,13 +254,10 @@ def contamination(
         .agg(
             F.count_distinct("sh").alias("n_overlap"),
             F.count_distinct("bdoc").alias("n_bench_docs"),
+            F.max("n_sh").alias("n_sh"),
         )
     )
-    sizes = corpus.select(
-        F.col(id_col).alias("doc"),
-        F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
-    )
-    return hits.join(sizes, "doc").select(
+    return hits.select(
         "doc",
         "n_overlap",
         "n_bench_docs",
@@ -1004,14 +1014,28 @@ def bloom_contamination(
     is that the bench side exceeds broadcast limits; AQE picks the
     strategy at real sizes.
     """
-    c_sh = corpus.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
-    ).select("doc", F.xxhash64("s").alias("sh"))
+    # ONE corpus shingling pass with the shingle count carried through
+    # the probe — the same staged-array restructure as `contamination`
+    # (a separate sizes scan previously re-shingled the corpus, r13)
+    c_sh = (
+        corpus.select(
+            F.col(id_col).alias("doc"),
+            shingles_col(F.col(text_col), n).alias("__arr"),
+        )
+        .select(
+            "doc",
+            F.array_size("__arr").cast("long").alias("n_sh"),
+            F.explode("__arr").alias("s"),
+        )
+        .select("doc", "n_sh", F.xxhash64("s").alias("sh"))
+    )
     b_sh = bench.select(
         F.col(id_col).alias("bdoc"),
         F.explode(shingles_col(F.col(text_col), n)).alias("s"),
     ).select("bdoc", F.xxhash64("s").alias("sh"))
+    # two consumers (the filter-build action + the exact join):
+    # materialize the bench shingle stream once (r13)
+    b_sh = b_sh.localCheckpoint(eager=False)
     bloom = build_bloom(b_sh.select("sh"), "sh", m_bits, k)
     survivors = c_sh.filter(bloom_might_contain(F.col("sh"), bloom, m_bits, k))
     hits = (
@@ -1020,13 +1044,10 @@ def bloom_contamination(
         .agg(
             F.count_distinct("sh").alias("n_overlap"),
             F.count_distinct("bdoc").alias("n_bench_docs"),
+            F.max("n_sh").alias("n_sh"),
         )
     )
-    sizes = corpus.select(
-        F.col(id_col).alias("doc"),
-        F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
-    )
-    return hits.join(sizes, "doc").select(
+    return hits.select(
         "doc",
         "n_overlap",
         "n_bench_docs",
@@ -1158,10 +1179,15 @@ def source_overlap(
     )
     if max_group_freq is not None:
         buckets = buckets.filter(F.size("ds") <= max_group_freq)
+    # two consumers (sizes + pair expansion): materialize the bucket
+    # index once instead of re-shingling the corpus per branch (r13)
+    buckets = buckets.localCheckpoint(eager=False)
     sizes = (
         buckets.select(F.explode("ds").alias("src"))
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("n_sh"))
+        # sources-sized, read twice (the a-side and b-side joins)
+        .localCheckpoint(eager=False)
     )
     inter = (
         bucket_pairs(buckets)

@@ -103,6 +103,10 @@ def cohens_kappa(df: DataFrame, rater_a: Column, rater_b: Column) -> DataFrame:
         df.select(rater_a.alias("a"), rater_b.alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+        # labels²-sized frame with THREE consumers (row marginals, col
+        # marginals, totals): materialize once or each branch re-scans
+        # the corpus and re-evaluates the rater expressions (r13)
+        .localCheckpoint(eager=False)
     )
     rows = conf.groupBy("a").agg(F.sum("c").alias("row_c"))
     cols = conf.groupBy("b").agg(F.sum("c").alias("col_c"))
@@ -165,6 +169,9 @@ def krippendorff_alpha(
         df.select(rater_a.alias("a"), rater_b.alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+        # three consumers (rows, cols, totals) — same materialization
+        # rationale as cohens_kappa (r13)
+        .localCheckpoint(eager=False)
     )
     rows = conf.groupBy("a").agg(F.sum("c").alias("row_c"))
     cols = conf.groupBy("b").agg(F.sum("c").alias("col_c"))
@@ -276,7 +283,9 @@ def chi2_independence(
     cells = df.groupBy(
         F.coalesce(col_a.cast("string"), F.lit("__null__")).alias("__a"),
         F.coalesce(col_b.cast("string"), F.lit("__null__")).alias("__b"),
-    ).agg(F.count(F.lit(1)).alias("nc"))
+    ).agg(F.count(F.lit(1)).alias("nc")).localCheckpoint(eager=False)
+    # ^ category²-sized, two consumers (totals + margin windows):
+    # materialize once instead of scanning the fact table twice (r13)
     w_a, w_b = Window.partitionBy("__a"), Window.partitionBy("__b")
     # grand totals as a 1-row broadcast join-back, NOT an unordered
     # OVER () fold: the fold planned a single-partition WindowExec
@@ -348,7 +357,8 @@ def mutual_information(
     cells = df.groupBy(
         F.coalesce(col_a.cast("string"), F.lit("__null__")).alias("__a"),
         F.coalesce(col_b.cast("string"), F.lit("__null__")).alias("__b"),
-    ).agg(F.count(F.lit(1)).alias("nc"))
+    ).agg(F.count(F.lit(1)).alias("nc")).localCheckpoint(eager=False)
+    # ^ two consumers — same materialization as chi2_independence (r13)
     w_a, w_b = Window.partitionBy("__a"), Window.partitionBy("__b")
     # 1-row grand-total broadcast join-back (chi2_independence's
     # shape) instead of an unordered OVER () fold — see the note there

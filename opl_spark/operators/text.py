@@ -480,7 +480,15 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocab has two consumers (the corpus-total scalar action at
+    # construction + the scoring join): the lazy checkpoint makes the
+    # total action materialize it, so the join reads the stored frame
+    # instead of re-tokenizing the corpus (r13)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     total = int(vocab.agg(F.sum("c")).first()[0])
     scored = toks.join(vocab, "tok")
     return scored.groupBy("doc").agg(
@@ -681,7 +689,14 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
         ).alias("b"),
     )
-    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # two consumers (prefix totals + the scoring join): materialize
+    # the bigram counts once instead of re-exploding the corpus per
+    # branch (r13, the kneser_ney_logprob rationale)
+    cb = (
+        bg.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     cp = cb.groupBy(F.split(F.col("b"), " ")[0].alias("p")).agg(
         F.sum("c").alias("cp")
     )
@@ -994,10 +1009,6 @@ def stupid_backoff_score(
         )
 
     tr = toks(train)
-    c1 = tr.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    corpus = c1.agg(
-        F.sum("c1").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
-    )
 
     def with_next(df: DataFrame, n: int) -> DataFrame:
         from pyspark.sql import Window
@@ -1008,11 +1019,27 @@ def stupid_backoff_score(
             out = out.withColumn(f"w{j}", F.lead("w", j).over(w))
         return out
 
-    tr_seq = with_next(tr, 3)
+    # ONE tokenize + lead-window pass feeds all three count levels:
+    # the sequenced stream is materialized once (it previously
+    # re-executed per count table — 6 train scans in the plan), and
+    # c1 counts off tr_seq's identical rows instead of a separate tr
+    # branch (with_next only ADDS columns) (r13)
+    tr_seq = with_next(tr, 3).localCheckpoint(eager=False)
+    # each count table is read by ≥2 downstream joins — materialize
+    # the model tables once (they ARE the model; n-gram-sized)
+    c1 = (
+        tr_seq.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
+    )
+    corpus = c1.agg(
+        F.sum("c1").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
     c2 = (
         tr_seq.filter(F.col("w1").isNotNull())
         .groupBy(F.col("w").alias("a"), F.col("w1").alias("b"))
         .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
     )
     c3 = (
         tr_seq.filter(F.col("w2").isNotNull())
@@ -1105,7 +1132,15 @@ def naive_bayes_scores(
         ).filter(F.col("w") != "")
 
     tr = toks(train, label_col).withColumnRenamed(label_col, "label")
-    cw = tr.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c"))
+    # the model table has THREE consumers (class totals, vocab size,
+    # the scoring join) — materialize once or each branch re-tokenizes
+    # and re-aggregates the whole train split (r13: this was 3 full
+    # corpus passes in the q_pr_curve plan)
+    cw = (
+        tr.groupBy("label", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     totals = cw.groupBy("label").agg(F.sum("c").alias("t"))
     vocab = cw.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
     priors = (
@@ -1122,6 +1157,10 @@ def naive_bayes_scores(
             F.log(F.col("d_l").cast("double") / F.col("d")).alias("logprior"),
             (F.col("t") + F.col("v")).alias("denom"),
         )
+        # |classes| rows, consumed twice below (label fan-out + the
+        # denom join) — without this each use re-runs the prior/total/
+        # vocab aggregates (r13)
+        .localCheckpoint(eager=False)
     )
     tf = (
         toks(score)
@@ -1447,7 +1486,15 @@ def kneser_ney_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c12"))
+    # bigram-type-sized frame with FOUR consumers (prefix stats,
+    # suffix stats, type total, the scoring join): materialize once or
+    # each branch re-explodes and re-counts the whole corpus (r13:
+    # 5 documents scans in the q_kneser_ney plan before this)
+    cb = (
+        bg.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     pre = cb.groupBy(F.split(F.col("b"), " ")[0].alias("p")).agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fw")
     )
@@ -1556,7 +1603,14 @@ def heldout_perplexity(
     ).filter(F.col("tok") != "")
     train = toks.filter((F.col("doc") % train_mod) < train_lt)
     val = toks.filter((F.col("doc") % train_mod) >= train_lt)
-    vocab = train.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # two consumers ((tot, V) broadcast + the scoring join):
+    # materialize the vocab once instead of re-tokenizing the train
+    # split per branch (r13)
+    vocab = (
+        train.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     totals = vocab.agg(
         F.sum("c").alias("tot"), F.count(F.lit(1)).alias("v")
     )

@@ -2687,9 +2687,12 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
     )
     sketch = count_min_build(toks, "tok", width=2048, depth=4, portable=True)
+    # 20-row frame with two consumers (the probe set + the final
+    # join): materialize once instead of re-running the full vocab
+    # build per branch (r13)
     top = build_vocab(docs, "text", "doc_id", top_n=20).select(
         F.col("term"), F.col("corpus_freq")
-    )
+    ).localCheckpoint(eager=False)
     est = count_min_estimate(
         sketch, top.select("term"), "term", width=2048, depth=4, portable=True
     )
