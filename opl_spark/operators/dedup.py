@@ -206,6 +206,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingles_with_size(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """ONE corpus scan → ``(doc, n_sh, sh)`` per shingle: the doc's
+    shingle-hash stream with its set size carried on every row, so the
+    contamination family needs no second sizes scan.
+
+    Plan-shape care (r13, all three variants measured at sf0.1):
+
+    - ``explode(attr)`` over a staged array alias triggers
+      ``InferFiltersFromGenerate``; the inferred size/isnotnull filter
+      is then pushed through the staging projection, re-inlining the
+      full shingling expression TWICE more per doc (1.6x slower).
+    - ``array_size(expr)`` as a SIBLING of ``explode(expr)`` collapses
+      so the size recomputes the whole expression per exploded ROW
+      (~30x slower).
+    - This shape — staged array, explode of single-arg ``concat`` of
+      it — defeats both: the non-attribute generator input skips the
+      filter inference, and ``CollapseProject`` stages the array once
+      per doc (2 expression evaluations per doc total, one scan; the
+      old two-scan version paid the same 2 evaluations plus a second
+      parquet text read)."""
+    staged = df.select(
+        F.col(id_col).alias("doc"),
+        shingles_col(F.col(text_col), n).alias("__arr"),
+    )
+    return staged.select(
+        "doc",
+        F.array_size("__arr").cast("long").alias("n_sh"),
+        F.explode(F.concat("__arr")).alias("s"),
+    ).select("doc", "n_sh", F.xxhash64("s").alias("sh"))
+
+
 def contamination(
     corpus: DataFrame,
     bench: DataFrame,
@@ -227,23 +260,7 @@ def contamination(
     probe is a map-side hash join against the corpus shingle stream
     (8-byte hashes, not strings), followed by one doc-keyed
     aggregation; the corpus is touched in a single pass."""
-    # ONE corpus shingling pass: stage the array (so the generator and
-    # array_size read one evaluation — the HOF/CSE staging rule), carry
-    # the doc's shingle count through the probe, and recover it in the
-    # aggregate (constant per doc, so max() is exact).  A separate
-    # sizes scan previously re-shingled the whole corpus (r13).
-    c_sh = (
-        corpus.select(
-            F.col(id_col).alias("doc"),
-            shingles_col(F.col(text_col), n).alias("__arr"),
-        )
-        .select(
-            "doc",
-            F.array_size("__arr").cast("long").alias("n_sh"),
-            F.explode("__arr").alias("s"),
-        )
-        .select("doc", "n_sh", F.xxhash64("s").alias("sh"))
-    )
+    c_sh = _shingles_with_size(corpus, text_col, id_col, n)
     b_sh = bench.select(
         F.col(id_col).alias("bdoc"),
         F.explode(shingles_col(F.col(text_col), n)).alias("s"),
@@ -1014,21 +1031,9 @@ def bloom_contamination(
     is that the bench side exceeds broadcast limits; AQE picks the
     strategy at real sizes.
     """
-    # ONE corpus shingling pass with the shingle count carried through
-    # the probe — the same staged-array restructure as `contamination`
-    # (a separate sizes scan previously re-shingled the corpus, r13)
-    c_sh = (
-        corpus.select(
-            F.col(id_col).alias("doc"),
-            shingles_col(F.col(text_col), n).alias("__arr"),
-        )
-        .select(
-            "doc",
-            F.array_size("__arr").cast("long").alias("n_sh"),
-            F.explode("__arr").alias("s"),
-        )
-        .select("doc", "n_sh", F.xxhash64("s").alias("sh"))
-    )
+    # ONE corpus scan with the shingle count carried through the probe
+    # (see _shingles_with_size for the plan-shape rationale, r13)
+    c_sh = _shingles_with_size(corpus, text_col, id_col, n)
     b_sh = bench.select(
         F.col(id_col).alias("bdoc"),
         F.explode(shingles_col(F.col(text_col), n)).alias("s"),
