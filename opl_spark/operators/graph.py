@@ -31,12 +31,31 @@ from pyspark.sql import functions as F
 PR_SCALE = 1_000_000_000_000
 
 
+def both_directions(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Both orientations of every edge in ONE pass over the input —
+    ``explode(array(struct(s,d), struct(d,s)))``, the same multiset a
+    ``union`` of the frame with its swapped self emits, but planned as
+    a single subtree.  A union plans (and at materialization EXECUTES)
+    the upstream derivation once per branch — for an edge list derived
+    from a join+distinct that is two full joins for one edge set
+    (guide §2.4: remove shuffles/passes outright)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
+
+
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected view of an edge list: both directions, self-loops
     dropped, duplicates removed (so degrees are simple row counts)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     return (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        both_directions(edges, src, dst)
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )

@@ -6836,10 +6836,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = raw.union(
-        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return pagerank(edges, iterations=3)
+    # both orientations in ONE pass (r13): a union here plans — and at
+    # the operator's edge checkpoint, executes — the orders⋈lineitem
+    # join+distinct once per branch
+    from opl_spark.operators.graph import both_directions
+
+    return pagerank(both_directions(raw), iterations=3)
 
 
 _PHASH_CTE = """
@@ -7099,10 +7101,10 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = raw.union(
-        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return kcore_prune(edges, k=4, rounds=3)
+    # both orientations in ONE pass (r13) — see q_pagerank's note
+    from opl_spark.operators.graph import both_directions
+
+    return kcore_prune(both_directions(raw), k=4, rounds=3)
 
 
 @register(
@@ -8085,9 +8087,14 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = raw.union(
-        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # both orientations in ONE pass (r13): the union planned the
+    # orders⋈lineitem join+distinct once per branch, and its trailing
+    # .distinct() was a content no-op (raw is distinct and the two
+    # orientation classes are parity-disjoint: src even, dst odd) that
+    # still paid a full exchange
+    from opl_spark.operators.graph import both_directions
+
+    edges = both_directions(raw)
     # label_propagation(checkpoint=True) lazily localCheckpoints the
     # edge frame itself — no caller-side checkpoint, or the same
     # corpus-sized edge RDD would persist twice.
@@ -8721,10 +8728,10 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = raw.union(
-        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return bfs_hops(edges, seed=2, rounds=3)
+    # both orientations in ONE pass (r13) — see q_pagerank's note
+    from opl_spark.operators.graph import both_directions
+
+    return bfs_hops(both_directions(raw), seed=2, rounds=3)
 
 
 @register(
@@ -10180,9 +10187,12 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return raw.union(
-        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # both orientations in ONE pass (r13) — see q_pagerank's note;
+    # here the 2x join ran once per data directory (the bucketed
+    # layout write), but the write itself halves
+    from opl_spark.operators.graph import both_directions
+
+    return both_directions(raw)
 
 
 from opl_spark.workload import _ORACLES as _REGISTERED_ORACLES  # noqa: E402
