@@ -68,6 +68,33 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return F.array_distinct(shingle_seq_col(text, n))
 
 
+def widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for compute-bound map stages
+    (guide §2.5 "repartition immediately after the read").
+
+    A single-row-group parquet file (or any few-split input) plans a
+     1-task scan, so everything before the first Exchange — shingling,
+    per-element hashing, tokenization — runs on ONE core regardless of
+    cluster size (measured at sf0.1: the 10-gram span build is a
+    single task on local[32]; widening it cut span_duplication_profile
+    2.9x).  When the planned scan is NARROWER than the session's
+    default parallelism, round-robin repartition to that width: the
+    exchange moves only the raw input rows (by premise few splits'
+    worth), and the expensive per-row compute above it parallelizes.
+    At scale the scan is already wider than the cluster and this is
+    the IDENTITY — no exchange is added, so it is not a local-only
+    tuning.  Row-to-partition assignment is results-invariant here:
+    every consumer in this module aggregates/joins on keys and sorts
+    any collected list (the house ``sort_array(collect_list)`` rule).
+    The ``.rdd`` probe only plans the scan subtree; it runs no job.
+    """
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard via inverted index (SQL-expressible oracle path)
 # ---------------------------------------------------------------------------
@@ -128,6 +155,7 @@ def _shingle_buckets(
     applied to BOTH (so sizes always reflect the surviving shingles —
     the documented approximation).  The cap is a bucket-size filter on
     the grouped index — one exchange, no frequency side-table join."""
+    df = widen_narrow_scan(df)  # shingling is the compute (r13)
     buckets = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -228,7 +256,7 @@ def _shingles_with_size(
       per doc (2 expression evaluations per doc total, one scan; the
       old two-scan version paid the same 2 evaluations plus a second
       parquet text read)."""
-    staged = df.select(
+    staged = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         shingles_col(F.col(text_col), n).alias("__arr"),
     )
@@ -557,7 +585,7 @@ def minhash_signatures(
     (measured; the data work at sf0.1 is less than that).  Same
     expressions, same plan, same results — only the builder changed.
     """
-    ex = df.select(
+    ex = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles_col(F.col(text_col), n)).alias("s"),
     )
@@ -715,8 +743,13 @@ def minhash_dedup_pairs(
         # runtime.  ONE join pipeline, no union: all-bands pairs take
         # the conditional 1.0 branch, their (possibly absent) shingle
         # rows never read
-        sh = df.join(
-            need_docs, F.col(id_col) == F.col("__nd"), "left_semi"
+        # widen AFTER the semi-join: the broadcast semi keeps the scan's
+        # (narrow) partitioning, so the repartition moves only the
+        # surviving need-docs rows and the shingle transform above it
+        # parallelizes; widening BEFORE would exchange the whole corpus
+        # text just to drop most of it (measured regression, r13)
+        sh = widen_narrow_scan(
+            df.join(need_docs, F.col(id_col) == F.col("__nd"), "left_semi")
         ).select(
             F.col(id_col).alias("doc"),
             F.transform(
@@ -748,7 +781,7 @@ def minhash_dedup_pairs(
     # hash-invariant (collision odds ~|S|²/2⁶⁴ ≈ 0), so this stays
     # engine-portable even in portable mode — only the signature/
     # bucket structure needs the portable hash family
-    sh = df.select(
+    sh = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         F.transform(
             shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s)
@@ -879,7 +912,7 @@ def simhash(
     """
     if portable and bits > 60:
         raise ValueError("portable simhash carries 60 hash bits — pass bits<=60")
-    ex = df.select(
+    ex = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(words_col(F.col(text_col))).alias("w"),
     )
@@ -1166,7 +1199,7 @@ def source_overlap(
     # postings shuffle as 8-byte shingle hashes, not strings (the
     # ngram_jaccard_pairs convention; collision odds ~|S|²/2⁶⁴ ≈ 0)
     sh = (
-        df.select(
+        widen_narrow_scan(df).select(
             F.col(group_col).alias("src"),
             F.explode(shingles_col(F.col(text_col), n)).alias("s"),
         )
@@ -1235,7 +1268,7 @@ def span_duplication_profile(
     """
     from pyspark.sql import Window
 
-    spans = df.select(
+    spans = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingle_seq_col(F.col(text_col), n)).alias("s"),
     ).select("doc", F.xxhash64("s").alias("sh"))
@@ -1383,7 +1416,7 @@ def setsim_join(
     as the MinHash verify)."""
     from pyspark.sql import Window
 
-    tok = df.select(
+    tok = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         F.transform(
             shingles_col(F.col(text_col), n), lambda s: F.xxhash64(s)
@@ -1553,7 +1586,9 @@ def mask_repeated_spans(
     Documents with no duplicated span pass through via the left join's
     empty-array fallback.
     """
-    base = df.select(F.col(id_col).alias("doc"), words_col(F.col(text_col)).alias("w"))
+    base = widen_narrow_scan(df).select(
+        F.col(id_col).alias("doc"), words_col(F.col(text_col)).alias("w")
+    )
     spans = base.select(
         "doc",
         F.posexplode(
@@ -1838,7 +1873,7 @@ def sentence_dedup(
     """
     from pyspark.sql import Window
 
-    sents = df.select(
+    sents = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(
             F.split(F.trim(F.col(text_col)), r"\.\s+")

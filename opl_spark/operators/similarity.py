@@ -926,7 +926,9 @@ def srp_banded_keys(
     planes = [
         [srp_plane_coeff(j, i) for i in range(dims)] for j in range(n_bits)
     ]
-    qdf = df.select(
+    from opl_spark.operators.dedup import widen_narrow_scan
+
+    qdf = widen_narrow_scan(df).select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
         quantized_weights_col(F.col(vec_col)).alias("__q"),

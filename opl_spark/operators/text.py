@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from opl_spark.operators.dedup import widen_narrow_scan
+
 #: BPE-ish tokenizer regex: letter runs, digit runs, or single
 #: non-space symbols — the standard pre-tokenization split.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -153,7 +155,9 @@ def winnow_fingerprints(
     min-chain's four references to it would otherwise each re-run the
     split+shingle+md5 pipeline inside the interpreted HOF projection),
     stage 2 takes window minima and explodes the fingerprint set."""
-    hs_df = df.select(
+    from opl_spark.operators.dedup import widen_narrow_scan
+
+    hs_df = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"), hashed_shingles_col(F.col(text_col), n).alias("hs")
     )
     mins = _winnow_minima(F.col("hs"), F.array_size(F.col("hs")), window)
@@ -189,9 +193,9 @@ def repetition_profile(
     shuffle moves longs, not text), count per (doc, gram), then fold to
     per-doc stats — two map-side-combinable aggregations keyed by doc,
     so per-key state is O(1) and the op scales with corpus size."""
-    from opl_spark.operators.dedup import shingle_seq_col
+    from opl_spark.operators.dedup import shingle_seq_col, widen_narrow_scan
 
-    grams = df.select(
+    grams = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingle_seq_col(F.col(text_col), n)).alias("g"),
     ).select("doc", F.xxhash64("g").alias("gh"))
@@ -286,7 +290,9 @@ def distinct_ngram_ratios(
     tagged = F.concat(
         *[F.transform(shingle_seq_col(text, n), _tagger(n)) for n in ns]
     )
-    grams = df.select(
+    from opl_spark.operators.dedup import widen_narrow_scan
+
+    grams = widen_narrow_scan(df).select(
         F.col(group_col).alias("source"), F.explode(tagged).alias("t")
     ).select("source", F.col("t.n").alias("n"), F.xxhash64("t.g").alias("gh"))
     per_gram = grams.groupBy("source", "n", "gh").agg(

@@ -12033,7 +12033,10 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity")).cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    return spearman_rho(li, "x", "y")
+    # l_quantity is the bounded 1..50 TPC-H domain — the caller-known
+    # low-cardinality x that lets the x-rank come from the 50-row
+    # distinct frame instead of a second full row-rank pass (r13)
+    return spearman_rho(li, "x", "y", low_card_x=True)
 
 
 @register(
