@@ -1873,7 +1873,7 @@ def sentence_dedup(
     """
     from pyspark.sql import Window
 
-    sents = widen_narrow_scan(df).select(
+    sents = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
             F.split(F.trim(F.col(text_col)), r"\.\s+")

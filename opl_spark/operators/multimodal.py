@@ -57,13 +57,6 @@ def with_media_column(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Test-fixture ingestion: pack a text column into the canonical
     binary media layout (stand-in for reading real blobs; the driver
     environment ships no media files)."""
-    from opl_spark.operators.dedup import widen_narrow_scan
-
-    # widen BEFORE the pack: the exchange (if any — identity when the
-    # scan is already cluster-wide) moves raw text, and every
-    # downstream Arrow/pandas decode pass gets one Python worker per
-    # partition instead of one total (r13, guide §2.5)
-    df = widen_narrow_scan(df)
     return df.select(
         F.struct(
             F.encode(F.col(text_col), "UTF-8").alias("media_bytes"),
@@ -377,10 +370,6 @@ def synthetic_bmp_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     make_udf = F.pandas_udf(make, T.BinaryType())
     ident = F.col(id_col).cast("long")
-    from opl_spark.operators.dedup import widen_narrow_scan
-
-    # widen before the pandas-UDF encode pass — see with_media_column
-    df = widen_narrow_scan(df)
     return df.select(
         F.struct(
             make_udf(ident, F.octet_length(F.col(text_col)).cast("long")).alias(
