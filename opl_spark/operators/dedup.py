@@ -1834,9 +1834,16 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         )
         .select("u", "v")
     )
-    w1 = ranked.select(F.col("u"), F.col("v").alias("a"))
-    w2 = ranked.select(F.col("u"), F.col("v").alias("b"))
-    wedges = w1.join(w2, "u").filter(F.col("a") < F.col("b"))
+    # wedge expansion via the house grouped-bucket trick (r13): the
+    # classic w1⋈w2 self-join plans the oriented-edge derivation once
+    # per alias and shuffles it twice; grouping each u's (distinct,
+    # oriented) out-neighbors once and expanding position pairs
+    # map-side emits the identical a<b wedge set from ONE exchange
+    # (bucket_pairs' sorted-array order IS the a<b filter).  Out-degree
+    # is O(√m) by the orientation, so bucket width is bounded.
+    wedges = bucket_pairs(
+        ranked.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("ds"))
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     closing = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     tris = wedges.join(closing, ["a", "b"]).count()
     stats = e.agg(
