@@ -2055,10 +2055,15 @@ def near_dedup_incremental(
         "band_key",
         "bucket_shard",
     )
-    cand = (
-        banded.join(store, ["band", "bucket_shard", "band_key"])
-        .select("doc", "old_doc", "sig", "old_sig")
-        .distinct()
+    # no pair-dedup before the verify (r13, same rewrite as
+    # similarity.py:srp_probe): duplicate (doc, old_doc) candidates
+    # from multi-band collisions verify to the identical (sim,
+    # old_doc) struct and the keep-best max absorbs them, so the old
+    # ``.distinct()`` was an extra Exchange carrying both 64-long
+    # signature arrays — strictly more shuffle bytes than the ≤
+    # bands−1 redundant zip_with evaluations it saved.
+    cand = banded.join(store, ["band", "bucket_shard", "band_key"]).select(
+        "doc", "old_doc", "sig", "old_sig"
     )
     if exclude_self:
         cand = cand.join(

@@ -1130,10 +1130,17 @@ def srp_probe(
             .filter(F.col("__bw") <= max_bucket)
             .drop("__bw")
         )
-    cand = (
-        banded_batch.join(old, ["band", "key", "bucket_shard"])
-        .select("vec_id", "vec", "old_id", "old_vec")
-        .distinct()
+    # NO pair-dedup between the banded join and the verify (r13): a
+    # pair colliding in several bands verifies to the SAME (cos,
+    # old_id) struct each time, and the closing keep-best max is
+    # duplicate-insensitive — so the old ``.distinct()`` here was a
+    # full extra Exchange of BOTH raw vectors (~2·dims·8 B per
+    # candidate) purely to avoid ≤ bands−1 redundant map-side dot
+    # products per pair.  Dropping it removes the only payload-sized
+    # shuffle between the bucket join and the (combiner-shrunk)
+    # keep-best aggregation.
+    cand = banded_batch.join(old, ["band", "key", "bucket_shard"]).select(
+        "vec_id", "vec", "old_id", "old_vec"
     )
     if exclude_ids is not None:
         cand = cand.join(
