@@ -1653,29 +1653,39 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     small-star(u): every neighbor v ≤ u (and u itself) links to m(u)
     At the fixpoint every component is a star centered on its min.
 
-    Execution shape — 3 shuffles per round, not 7: each half-round
+    Execution shape — 2 shuffles per round, not 7: each half-round
     computes m(u) as a WINDOW min over the symmetric edge explode
     (``min(v) over (partition by u)`` — one exchange; the old
     groupBy-min + re-join paid the nb exchange twice and the join a
     third time, and a broadcast of m would cap V at driver memory,
-    which a 100 TB linkage graph exceeds).  The large-star output
-    feeds small-star WITHOUT an intermediate distinct — duplicates
-    don't change a min and the round's closing ``canon`` removes them
-    (large-star emits no self-loops at all: a = v > u ≥ m = b).
-    Small-star's per-node self-link ``(u, m)`` reuses the window
-    stage's partitioning (a groupBy on the window's own key plans no
-    exchange).
+    which a 100 TB linkage graph exceeds).  NO per-round edge dedup
+    (r13): every operator in the round — m, the star relink targets,
+    the final keeper min — is a function of the SUPPORT of the edge
+    multiset, and duplicate rows map one-to-one through large/small
+    relinks, so the multiset's support evolves exactly as the deduped
+    edge set would and its row count stays bounded by |E| + |V|
+    (large keeps one direction per edge row; small keeps one per
+    large row plus one self-link per node).  The old closing
+    ``canon`` distinct was therefore a third full exchange per round
+    buying only row-count shrinkage.  Large-star emits no self-loops
+    at all (a = v > u ≥ m = b); small-star's are dropped by one
+    map-side ``a != b`` filter.  The per-node self-link ``(u, m)``
+    reuses the window stage's partitioning (a groupBy on the window's
+    own key plans no exchange).
 
     Convergence detection is STRUCTURAL and rides the round's own
-    window pass: the edge set is a min-centered star set iff no node
-    has both m(u) != u (it is not a center) and degree > 1 (it is not
-    a leaf) — checked with a take-1 ``isEmpty`` on the neighbor frame
-    the round computes anyway.  The checkpointed frame is that
-    neighbor frame (lineage truncation per round), the round body and
-    the final keeper read both reuse it, and the driver only ever
-    sees the boolean — never data.  Versus the edge-signature scheme
-    this saves the opening full pass AND the one wasted
-    detect-no-change round after the fixpoint.
+    window pass: the edge support is a min-centered star set iff no
+    node has both m(u) != u (it is not a center) and more than one
+    DISTINCT neighbor (it is not a leaf) — and since m(u) != u forces
+    m(u) = min(v), "more than one distinct neighbor" is exactly
+    ``max(v) != m`` on the same window (duplicate-tolerant where a
+    plain degree count is not) — checked with a take-1 ``isEmpty`` on
+    the neighbor frame the round computes anyway.  The checkpointed
+    frame is that neighbor frame (lineage truncation per round), the
+    round body and the final keeper read both reuse it, and the
+    driver only ever sees the boolean — never data.  Versus the
+    edge-signature scheme this saves the opening full pass AND the
+    one wasted detect-no-change round after the fixpoint.
     """
     from pyspark.sql import Window
 
@@ -1703,44 +1713,35 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         return e.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("lo").alias("u"), F.col("hi").alias("v")),
-                    F.struct(F.col("hi").alias("u"), F.col("lo").alias("v")),
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
                 )
             ).alias("p")
         ).select("p.u", "p.v")
 
     _w_u = Window.partitionBy("u")
 
-    def with_min(nb: DataFrame, deg: bool = False) -> DataFrame:
+    def with_min(nb: DataFrame, mx: bool = False) -> DataFrame:
         # m(u) = min(N(u) ∪ {u}) attached to every (u, v) row in ONE
-        # exchange (window min — no join back); the degree rides the
+        # exchange (window min — no join back); the max rides the
         # same window when the star-check needs it
         out = nb.withColumn("m", F.least(F.min("v").over(_w_u), F.col("u")))
-        return out.withColumn("deg", F.count(F.lit(1)).over(_w_u)) if deg else out
-
-    def canon(e: DataFrame) -> DataFrame:
-        return (
-            e.select(
-                F.least(F.col("a"), F.col("b")).alias("lo"),
-                F.greatest(F.col("a"), F.col("b")).alias("hi"),
-            )
-            .filter(F.col("lo") != F.col("hi"))
-            .distinct()
-        )
+        return out.withColumn("mx", F.max("v").over(_w_u)) if mx else out
 
     if max_iter < 1:
         raise ValueError("dedup_clusters_star: max_iter must be >= 1")
-    edges = undirected
+    edges = undirected.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     nb = None
     for _ in range(max_iter):
         # checkpoint the SYMMETRIC NEIGHBOR frame (not the edge list):
         # the star-check materializes it, then the round body and —
         # on the last round — the keeper read reuse the same blocks
-        nb = with_min(nbrs(edges), deg=True).localCheckpoint(eager=False)
-        # min-centered star set ⇔ every node is a center (m == u) or a
-        # degree-1 leaf; take-1 scan, short-circuits on the first
-        # counterexample
-        if nb.filter((F.col("m") != F.col("u")) & (F.col("deg") > 1)).isEmpty():
+        nb = with_min(nbrs(edges), mx=True).localCheckpoint(eager=False)
+        # min-centered star support ⇔ every node is a center (m == u)
+        # or a single-distinct-neighbor leaf (m != u forces m =
+        # min(v), so max(v) != m ⇔ ≥ 2 distinct neighbors); take-1
+        # scan, short-circuits on the first counterexample
+        if nb.filter((F.col("m") != F.col("u")) & (F.col("mx") != F.col("m"))).isEmpty():
             break
         # large-star: a = v > u ≥ m = b, so no self-loops and no need
         # to canonicalize before small-star (dups can't change a min)
@@ -1760,16 +1761,19 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         # the per-node self-link rides the window's partitioning: a
         # groupBy on the window key plans NO extra exchange
         selfs = nb2.groupBy("u").agg(F.min("m").alias("m"))
+        # next round's edges: the raw small-star multiset, self-loops
+        # dropped map-side — no canonicalize/distinct exchange (see
+        # docstring: every consumer is support-invariant)
         small = (
             nb2.filter(F.col("v") <= F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .union(selfs.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        edges = canon(small)
+        edges = small.filter(F.col("a") != F.col("b"))
     else:
         # round budget exhausted before the fixpoint: refresh nb so
         # the keeper read still reflects the LAST round's progress
-        nb = with_min(nbrs(edges), deg=True).localCheckpoint(eager=False)
+        nb = with_min(nbrs(edges), mx=True).localCheckpoint(eager=False)
     # at the fixpoint each component is a star on its min, and m(u) IS
     # the keeper (center: m == u; leaf: m == its center) — read it off
     # the already-checkpointed neighbor frame, no extra edge pass
