@@ -1849,15 +1849,35 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         ranked.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("ds"))
     ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     closing = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    tris = wedges.join(closing, ["a", "b"]).count()
-    stats = e.agg(
-        F.count(F.lit(1)).alias("n_edges"),
-    ).first()
-    n_nodes = nbr.select("u").distinct().count()
-    spark = pairs.sparkSession
-    return spark.createDataFrame(
-        [(n_nodes, stats["n_edges"], tris)],
-        "n_nodes long, n_edges long, n_triangles long",
+    # single-action fold (r13): the three census figures used to be
+    # three SERIAL driver actions (count, first, count) stitched back
+    # with createDataFrame — three full job round-trips per call.  The
+    # house tagged-Union fold (the q_lsh_recall_measured shape — no
+    # 1-row × 1-row nested-loop join, so the repo-wide cartesian audit
+    # stays exemption-free) plans them as one lazy query: each leg is
+    # a combinable single-row aggregate, the closing keyless agg folds
+    # the 3-row union, and the checkpointed edge list still
+    # materializes exactly once inside the one job.
+    def leg(tag: str, v):
+        return v.select(F.lit(tag).alias("k"), F.col("v"))
+
+    folded = (
+        leg("n", nbr.agg(F.count_distinct("u").alias("v")))
+        .unionAll(leg("e", e.agg(F.count(F.lit(1)).alias("v"))))
+        .unionAll(
+            leg(
+                "t",
+                wedges.join(closing, ["a", "b"]).agg(
+                    F.count(F.lit(1)).alias("v")
+                ),
+            )
+        )
+    )
+    pick = lambda tag: F.max(F.when(F.col("k") == tag, F.col("v")))
+    return folded.groupBy().agg(
+        pick("n").alias("n_nodes"),
+        pick("e").alias("n_edges"),
+        pick("t").alias("n_triangles"),
     )
 
 
