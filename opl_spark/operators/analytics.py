@@ -328,34 +328,53 @@ def validate_contract(
     orphan checks.  Emits ``(rule, n_rows, n_violations)`` — one row
     per rule, never row-level data, so the report is rule-sized.
 
-    All column checks reduce in ONE pass (a single aggregate of
-    conditional sums — no per-rule jobs); each FK check is one
-    LEFT ANTI join against the (deduped, usually broadcast) parent key
-    set plus a count.
+    ALL rules reduce in one pass over ``df`` (r13; was one aggregate
+    pass plus a separate anti-join scan + count per FK rule, stitched
+    on the driver): each FK check becomes a row-count-preserving LEFT
+    join against the deduped parent keys carrying a hit marker (the
+    parent side is key-distinct, so the join is 1:1 at most and every
+    conditional sum still sees each input row exactly once), the
+    orphan test is ``col IS NOT NULL AND marker IS NULL``, and the
+    per-rule report rows come from exploding ONE struct array off the
+    single aggregate row.  Fully lazy — no driver actions, no
+    createDataFrame round-trip, and ``df`` is scanned once however
+    many rules there are.
     """
+    probe = df
+    fk = fk or []
+    fk_preds: list[tuple[str, "F.Column"]] = []
+    for i, (name, col, parent, pcol) in enumerate(fk):
+        hit = f"__hit_{i}"
+        probe = probe.join(
+            parent.select(
+                F.col(pcol).alias(col), F.lit(1).alias(hit)
+            ).distinct(),
+            col,
+            "left",
+        )
+        fk_preds.append(
+            (name, F.col(col).isNotNull() & F.col(hit).isNull())
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, pred in checks:
+    for name, pred in list(checks) + fk_preds:
         aggs.append(F.sum(pred.cast("long")).alias(name))
-    row = df.agg(*aggs).first()
-    n = row["__n"]
+    row = probe.agg(*aggs)
     # sum() over zero rows is NULL — an empty load is a valid input to
     # a validator and must report 0 violations, not crash
-    out = [(name, n, int(row[name] or 0)) for name, _ in checks]
-    for name, col, parent, pcol in fk or []:
-        orphans = (
-            df.select(F.col(col))
-            .filter(F.col(col).isNotNull())
-            .join(
-                parent.select(F.col(pcol).alias(col)).distinct(),
-                col,
-                "left_anti",
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.coalesce(F.col(name), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
             )
-            .count()
-        )
-        out.append((name, n, int(orphans)))
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        out, "rule string, n_rows long, n_violations long"
+            for name, _ in list(checks) + fk_preds
+        ]
+    )
+    return row.select(F.explode(rules).alias("r")).select(
+        "r.rule", "r.n_rows", "r.n_violations"
     )
 
 
