@@ -479,27 +479,28 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Emits ``(doc, n_tokens, avg_nll)``.  Two map-side-combinable
     aggregations (vocab counts, per-doc average) around one shuffle
     join of the token stream against the vocabulary on the token key.
-    The corpus token total crosses the driver as a single scalar
-    (metadata-sized, like the IVF centroid table).
+    The corpus token total rides the plan as a 1-row broadcast
+    (r13; was a driver-side ``.first()`` scalar — a serial job per
+    call): ``sum(c) cast double`` is the identical IEEE divisor the
+    literal was, so per-row arithmetic and the oracle hash are
+    unchanged, and the whole operator is one lazy plan.
     """
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    # vocab has two consumers (the corpus-total scalar action at
-    # construction + the scoring join): the lazy checkpoint makes the
-    # total action materialize it, so the join reads the stored frame
-    # instead of re-tokenizing the corpus (r13)
+    # vocab has two consumers (the corpus-total broadcast leg + the
+    # scoring join): the lazy checkpoint pins one physical copy
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
-    total = int(vocab.agg(F.sum("c")).first()[0])
-    scored = toks.join(vocab, "tok")
+    total = vocab.agg(F.sum("c").cast("double").alias("__tt"))
+    scored = toks.join(vocab, "tok").join(F.broadcast(total))
     return scored.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg(-F.log(F.col("c").cast("double") / F.lit(float(total)))), 6).alias(
+        F.round(F.avg(-F.log(F.col("c").cast("double") / F.col("__tt"))), 6).alias(
             "avg_nll"
         ),
     )
@@ -542,10 +543,14 @@ def heavy_hitters(
     partition set first, then exactly on the survivors).
 
     One map-side-combinable (token → distinct-doc) aggregation; the
-    doc total crosses the driver as a single scalar.  Emits
-    ``(tok, n_docs, round(doc_frac, 6))``.
+    doc total rides the plan as a 1-row ``count_distinct`` broadcast
+    (r13; was a serial ``distinct().count()`` driver action before the
+    real pass — same divisor value, identical IEEE division, one lazy
+    plan).  Emits ``(tok, n_docs, round(doc_frac, 6))``.
     """
-    n_docs = df.select(id_col).distinct().count()
+    nd = df.select(F.col(id_col).alias("__doc")).agg(
+        F.count_distinct("__doc").cast("double").alias("__nd")
+    )
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -553,13 +558,17 @@ def heavy_hitters(
         ).alias("tok"),
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
-    return counts.select(
-        "tok",
-        "n_docs",
-        F.round(F.col("n_docs").cast("double") / F.lit(float(n_docs)), 6).alias(
-            "doc_frac"
-        ),
-    ).filter(F.col("doc_frac") >= min_doc_frac)
+    return (
+        counts.join(F.broadcast(nd))
+        .select(
+            "tok",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__nd"), 6
+            ).alias("doc_frac"),
+        )
+        .filter(F.col("doc_frac") >= min_doc_frac)
+    )
 
 
 def build_vocab(

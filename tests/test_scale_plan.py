@@ -255,6 +255,12 @@ def test_no_scale_killers_in_any_registered_query(spark):
         # lazy RRF now exposes bm25's 1-row corpus-stats crossJoin in
         # the fused plan (the legs are LIMIT-bounded shortlists)
         "q_hybrid_search",
+        # 1-row corpus-token-total broadcast onto the scored token
+        # stream (r13: unigram_logprob's total rides the plan instead
+        # of a driver .first() scalar; ccnet_bucket consumes it)
+        "q_unigram_logprob", "q_ccnet_bucket",
+        # 1-row distinct-doc-count broadcast onto the token-df counts
+        "q_heavy_hitters",
         # 1-row bigram-type total broadcast onto the scored stream
         "q_kneser_ney",
         # 1-row confusion totals x 1-row marginal-product broadcast
