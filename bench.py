@@ -336,26 +336,35 @@ BENCH_QUERIES = [
 #: first clean recording after the change (a code delta would
 #: otherwise masquerade as host speed).
 CALIBRATION_REF = {
-    "q_dedup_ngram": 2.101,
-    "q_winnow_pairs": 1.577,
+    # r13 re-pin (the maintenance rule above): nine of the twelve
+    # control ids' implementations changed in the r13 optimization
+    # round (widen_narrow_scan, grouped-bucket wedges, star-CC round
+    # restructure, the single-action triangle fold), so their old
+    # references would report the code speedups as host speed.  Each
+    # changed pin is the MEDIAN over three clean full-bench
+    # recordings on the r13 host of (that run's time ÷ that run's
+    # host factor), where the host factor is the median ratio of the
+    # three UNCHANGED controls (q_ivfpq_topk, q_bigram_logprob,
+    # q_kneser_ney — host factors 1.163 / 1.383 / 1.290 across the
+    # three recordings) against their original pins — i.e. the new
+    # pins are expressed on the same ~1.0-host-day scale as the
+    # originals.  Median, not min, so run-local spikes (one recording
+    # had q_dedup_ngram at 9.2 s against 2.5/2.2 s in the others)
+    # cannot bias a pin in either direction.  Derivation recorded in
+    # OPTIMIZATION_r13.md.
+    "q_dedup_ngram": 2.157,
+    "q_winnow_pairs": 1.063,
     "q_ivfpq_topk": 1.797,
-    "q_containment_pairs": 2.360,
-    # re-pinned r9: simhash's votes+pack moved to a single expr string
-    # (construction-time change, identical output); reference is the
-    # first clean post-change recording (148.0 s run, calibration
-    # 0.916 per the other five controls)
-    "q_simhash": 0.847,
+    "q_containment_pairs": 1.255,
+    "q_simhash": 0.848,
     "q_bigram_logprob": 1.060,
-    # widened r10: the 6-id median jittered ±20% across same-day runs
-    # (BENCH_NOTES round-10 host-day caveat) — six more mid-weight,
-    # shuffle-heavy ids, untouched since their pins, taken from the
-    # committed r9 recording of record (151.1 s run); a 12-id median
-    # is robust to any single control's positional noise
-    "q_entity_resolution": 3.621,
-    "q_setsim_join": 3.347,
-    "q_triangles": 3.072,
-    "q_label_prop_bucketed": 1.871,
-    "q_distinct_n": 1.925,
+    "q_entity_resolution": 4.722,
+    "q_setsim_join": 3.181,
+    # triangles' single-action fold landed between recordings 1 and
+    # 2, so its pin is the median of the two post-fold recordings
+    "q_triangles": 3.752,
+    "q_label_prop_bucketed": 2.301,
+    "q_distinct_n": 1.073,
     "q_kneser_ney": 1.163,
 }
 
