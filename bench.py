@@ -38,7 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # constant memory, OLAP.php:91-102 row pump — so should a bench
 # session).  Overridable two ways: an explicit SPARK_GRAFT_DRIVER_MEM,
 # or a caller-provided PYSPARK_SUBMIT_ARGS (setdefault never clobbers).
-_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+#: --heavy runs 10× data (sf1): default its heap a notch higher — the
+#: full-suite sf1 slope recording OOMed a 4 g driver mid-run
+#: (BENCH_NOTES.md, GCLocker storm); explicit env still wins.
+_DRIVER_MEM = os.environ.get(
+    "SPARK_GRAFT_DRIVER_MEM", "6g" if "--heavy" in sys.argv else "4g"
+)
 os.environ.setdefault(
     "PYSPARK_SUBMIT_ARGS", f"--driver-memory {_DRIVER_MEM} pyspark-shell"
 )
@@ -323,6 +328,96 @@ BENCH_QUERIES = [
     # round-11: iso-week hierarchy drilldown (ISO year-boundary cut)
     "q_drilldown_week",
 ]
+
+#: ``--heavy`` leg (r14 verdict task 3): the c8≈c32 totals proved the
+#: 235-id suite at sf0.1 is per-job fixed-cost bound — per-id wall
+#: there measures scheduler latency, not operator cost, so real
+#: shuffle/scan eliminations are invisible in it.  This leg runs the
+#: TOP-30 ids by measured sf1 cost (BENCH_SLOPE_SF1.json, the derived
+#: 10× directory tools/make_sf1.py builds) at sf1, where the compute
+#: tier's c8/c32 ratio is visibly > 1 and operator wins move the
+#: number.  q_srp_incremental (the sf1 top id) is EXCLUDED by design:
+#: its 31.7× slope is banding-inherent (n²/64 candidate bill at the
+#: registered 24/4 opt-in — see BENCH_NOTES.md), so at sf1 it measures
+#: the documented regime, not the engine, and it alone would cost more
+#: than a third of the leg.  The list is pinned (not derived per run)
+#: so cross-round --heavy totals compare like for like.
+HEAVY_QUERIES = [
+    "q_substring_dup",
+    "q_lsh_recall_measured",
+    "q_distinct_n",
+    "q_containment_pairs",
+    "q_entity_resolution",
+    "q_setsim_join",
+    "q_triangles",
+    "q_minhash_keep_best",
+    "q_bucket_stats",
+    "q_keep_best",
+    "q_label_prop",
+    "q_dedup_minhash",
+    "q_mask_spans",
+    "q_contamination_bloom",
+    "q_spearman",
+    "q_contamination",
+    "q_winnow_pairs",
+    "q_pagerank",
+    "q_source_overlap",
+    "q_cdc_chunks",
+    "q_cms_counts",
+    "q_dedup_ngram",
+    "q_kneser_ney",
+    "q_fuzzy_pairs",
+    "q_winnow",
+    "q_bigram_logprob",
+    "q_cohens_kappa",
+    "q_dominant_matching",
+    "q_bmp_decode",
+    "q_random_projection",
+]
+
+
+def heavy_main() -> None:
+    """``bench.py --heavy``: the HEAVY_QUERIES set at the sf1-derived
+    directory (``SPARK_GRAFT_HEAVY_DIR``, default /tmp/opl_sf1 — build
+    it once with ``python tools/make_sf1.py``), same run_set
+    methodology and session hygiene as the main leg, same
+    ``$SPARK_GRAFT_CPUS`` honoring (the c8-vs-c32 ratio of THIS leg is
+    the scaling measurement sf0.1 cannot give).  Writes
+    BENCH_HEAVY_DETAIL.json and prints one JSON line.  Additive: the
+    main ``bench.py`` contract (env, methodology, output line) is
+    untouched."""
+    hv_dir = os.environ.get("SPARK_GRAFT_HEAVY_DIR", "/tmp/opl_sf1")
+    if not os.path.isdir(hv_dir):
+        raise SystemExit(
+            f"--heavy: {hv_dir} missing — run `python tools/make_sf1.py"
+            f" {hv_dir}` first (derives the sf1 leg from the driver's"
+            " sf0.1 parquet)"
+        )
+    from opl_spark import workload
+    from opl_spark.session import get_spark
+
+    spark = get_spark(app_name="opl-bench-heavy")
+    times = run_set(spark, workload.queries(), hv_dir, HEAVY_QUERIES)
+    total = round(sum(times.values()), 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HEAVY_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"metric": "heavy_queries_total_wall", "value": total,
+             "unit": "sec", "queries": times, "sf": 1.0, "dir": hv_dir},
+            fh, indent=1, sort_keys=True,
+        )
+        fh.write("\n")
+    print(json.dumps({
+        "metric": "heavy_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "sf": 1.0,
+        "detail": "BENCH_HEAVY_DETAIL.json",
+    }))
+
 
 #: Host-speed calibration control set (BENCH_NOTES.md protocol, now
 #: emitted in the closing JSON instead of prose): shuffle-heavy ids
@@ -925,5 +1020,7 @@ if __name__ == "__main__":
         latency_main()
     elif "--streaming" in sys.argv:
         streaming_main()
+    elif "--heavy" in sys.argv:
+        heavy_main()
     else:
         main()

@@ -150,11 +150,39 @@ def _shingle_buckets(
 ):
     """Shared inverted-index build for the shingle-pair family
     (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): per
-    shingle-hash the SORTED bucket of doc ids holding it, plus per-doc
-    set sizes, with the optional ``max_doc_freq`` stop-shingle cap
-    applied to BOTH (so sizes always reflect the surviving shingles —
-    the documented approximation).  The cap is a bucket-size filter on
-    the grouped index — one exchange, no frequency side-table join."""
+    shingle-hash the SORTED bucket holding it, plus per-doc set sizes,
+    with the optional ``max_doc_freq`` stop-shingle cap applied to
+    BOTH (so sizes always reflect the surviving shingles — the
+    documented approximation).  The cap is a bucket-size filter on the
+    grouped index — one exchange, no frequency side-table join.
+
+    Shape (r14): with no cap, the set size RIDES THE POSTINGS as a
+    ``struct(doc, n_sh)`` bucket entry (:func:`_shingles_with_size` —
+    ONE corpus scan, one shingle evaluation per doc) and ``sizes`` is
+    returned as ``None``; the caller reads ``id_x.n_sh`` off the
+    expanded pair instead of joining a sizes frame.  The old shape
+    scanned and re-shingled the corpus a second time for the map-only
+    sizes side and paid two |pairs|-frame joins to attach it — at
+    100 TB the sizes frame exceeds broadcast range and those joins are
+    real shuffles; carried sizes cost 8 bytes per posting/pair-stream
+    row instead (guide §2.3/§2.4).  ``sort_array`` over
+    ``struct(doc, n_sh)`` orders by ``doc`` first (docs are distinct
+    within a bucket), so pair expansion order — and thus the emitted
+    ``id_a < id_b`` orientation — is unchanged.  With the cap, sizes
+    must count SURVIVING shingles, so the filtered path keeps the
+    explode-and-count sizes frame (plain doc buckets, sizes joined)."""
+    if max_doc_freq is None:
+        # widen applied inside _shingles_with_size
+        buckets = (
+            _shingles_with_size(df, text_col, id_col, n)
+            .groupBy("sh")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("doc", "n_sh"))).alias(
+                    "ds"
+                )
+            )
+        )
+        return buckets, None
     df = widen_narrow_scan(df)  # shingling is the compute (r13)
     buckets = (
         df.select(
@@ -164,21 +192,13 @@ def _shingle_buckets(
         .select("doc", F.xxhash64("s").alias("sh"))
         .groupBy("sh")
         .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") <= max_doc_freq)
     )
-    if max_doc_freq is not None:
-        buckets = buckets.filter(F.size("ds") <= max_doc_freq)
-        sizes = (
-            buckets.select(F.explode("ds").alias("doc"))
-            .groupBy("doc")
-            .agg(F.count(F.lit(1)).alias("n_sh"))
-        )
-    else:
-        # map-only: |shingle set| = array_size of the distinct-shingle
-        # array — no explode, no shuffle for the size side
-        sizes = df.select(
-            F.col(id_col).alias("doc"),
-            F.array_size(shingles_col(F.col(text_col), n)).cast("long").alias("n_sh"),
-        )
+    sizes = (
+        buckets.select(F.explode("ds").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     return buckets, sizes
 
 
@@ -216,6 +236,28 @@ def ngram_jaccard_pairs(
     # (one postings pass), not a postings self-join (two) — see
     # :func:`bucket_pairs`
     buckets, sizes = _shingle_buckets(df, text_col, id_col, n, max_doc_freq)
+    jac = F.round(
+        F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    )
+    if sizes is None:
+        # sizes ride the postings (see _shingle_buckets): group the
+        # struct pairs with the sizes as EXTRA KEYS — n_sh is a
+        # function of the doc id, so the groups are identical and the
+        # partial aggregation is untouched; no sizes joins, no second
+        # corpus scan
+        inter = (
+            bucket_pairs(buckets)
+            .groupBy(
+                F.col("id_a.doc").alias("id_a"),
+                F.col("id_a.n_sh").alias("na"),
+                F.col("id_b.doc").alias("id_b"),
+                F.col("id_b.n_sh").alias("nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return inter.select(
+            "id_a", "id_b", jac.alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
     inter = (
         bucket_pairs(buckets)
         .groupBy("id_a", "id_b")
@@ -223,9 +265,6 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
-    jac = F.round(
-        F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-    )
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -2177,6 +2216,45 @@ def containment_pairs(
     also in B.
     """
     buckets, sizes = _shingle_buckets(df, text_col, id_col, n, max_doc_freq)
+    if sizes is None:
+        # sizes ride the postings (see _shingle_buckets): the mirror
+        # explode carries the NEW a-side's size, so the threshold test
+        # and score are map-side — no sizes join, no second corpus scan
+        und = (
+            bucket_pairs(buckets)
+            .groupBy(
+                F.col("id_a.doc").alias("id_a"),
+                F.col("id_a.n_sh").alias("na"),
+                F.col("id_b.doc").alias("id_b"),
+                F.col("id_b.n_sh").alias("nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        inter = und.select(
+            F.explode(
+                F.array(
+                    F.struct("id_a", "id_b", "inter", "na"),
+                    F.struct(
+                        F.col("id_b").alias("id_a"),
+                        F.col("id_a").alias("id_b"),
+                        F.col("inter"),
+                        F.col("nb").alias("na"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.id_a", "p.id_b", "p.inter", "p.na")
+        return (
+            inter.filter(
+                F.col("inter") * threshold_den >= F.col("na") * threshold_num
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(F.col("inter").cast("double") / F.col("na"), 6).alias(
+                    "containment"
+                ),
+            )
+        )
     und = (
         bucket_pairs(buckets)
         .groupBy("id_a", "id_b")

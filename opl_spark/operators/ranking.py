@@ -189,6 +189,34 @@ def _pearson_over(
     )
 
 
+def _rank2_from_counts(counts: DataFrame, v_col: str, c_col: str) -> DataFrame:
+    """Doubled tie-averaged ranks of a SMALL pre-counted value frame
+    ``(v, c)`` — ``rank2 = 2·#{u < v} + c + 1`` via a broadcast
+    theta-join over the frame itself (|domain|² comparisons), the same
+    closed form :func:`avg_rank2` computes.  For a domain-bounded
+    column (an ordinal scale, a 1..50 quantity) this replaces
+    avg_rank2's whole range-exchange + partition-id checkpoint +
+    window + offset machinery — all of it sized for |rows|-distinct
+    frames — with one tiny in-plan join: no extra corpus scan, no
+    sampling job, no checkpoint.  Only for caller-asserted SMALL
+    domains: the theta-join is quadratic in |domain|."""
+    lt = counts.select(
+        F.col(v_col).alias("__bv"), F.col(c_col).alias("__bc")
+    )
+    return (
+        counts.join(F.broadcast(lt), F.col("__bv") < F.col(v_col), "left")
+        .groupBy(v_col, c_col)
+        .agg(F.coalesce(F.sum("__bc"), F.lit(0)).alias("__lt"))
+        .select(
+            F.col(v_col),
+            F.col(c_col),
+            (
+                F.lit(2) * F.col("__lt") + F.col(c_col) + F.lit(1)
+            ).alias("rank2"),
+        )
+    )
+
+
 def spearman_rho(
     df: DataFrame, x_col: str, y_col: str, low_card_x: bool = False
 ) -> DataFrame:
@@ -216,16 +244,23 @@ def spearman_rho(
         # caller-asserted domain knowledge (guide §8): when x ranges
         # over a small fixed domain (an ordinal scale, a bounded count
         # like order quantity), its rank2 is a function of the VALUE —
-        # rank the |domain|-sized distinct frame (:func:`avg_rank2`)
-        # and broadcast it back instead of paying a second full row
-        # rank pass (range exchange + checkpoint + window over every
-        # row).  rank2 per row is identical by definition (both are
-        # 2·#{u<v}+c+1 over the same n rows); measured 0.7 s off the
-        # sf0.1 Spearman.  For ~row-distinct x this would broadcast a
-        # row-sized frame — keep the default row path there.
+        # rank the |domain|-sized count frame and broadcast it back
+        # instead of paying a second full row rank pass (range
+        # exchange + checkpoint + window over every row).  r14: the
+        # counts now come OFF THE Y-RANK PASS's materialized frame
+        # (ranked_y rows = base rows — both null screens sit in base —
+        # and Catalyst prunes the unused window from the count
+        # branch), and the |domain|-sized frame ranks via the
+        # broadcast theta-join closed form (:func:`_rank2_from_counts`
+        # — identical 2·#{u<v}+c+1 by definition), so the corpus scans
+        # once total and avg_rank2's range-exchange + checkpoint +
+        # window machinery drops out of the plan.  For ~row-distinct
+        # x this would broadcast a row-sized frame — keep the default
+        # row path there.
         ranked_y = row_rank2(base, "yv", "ry2")
-        xr = avg_rank2(base, "xv").select(
-            F.col("v").alias("xv"), F.col("rank2").alias("rx2")
+        xc = ranked_y.groupBy("xv").agg(F.count(F.lit(1)).alias("c"))
+        xr = _rank2_from_counts(xc, "xv", "c").select(
+            "xv", F.col("rank2").alias("rx2")
         )
         ranked = ranked_y.join(F.broadcast(xr), "xv")
     else:

@@ -539,3 +539,38 @@ def test_round10_new_query_plan_shapes(spark, sf_dir):
     assert "Union" in p2, p2
     p3 = formatted_plan(qs["q_degree_distribution"](spark, sf_dir))
     assert "HashAggregate" in p3 and "CartesianProduct" not in p3, p3
+
+
+def test_shingle_pair_sizes_ride_postings_no_join(spark, sf_dir):
+    """r14: with no stop-shingle cap, the per-doc set size rides the
+    postings as a struct(doc, n_sh) bucket entry, so the Jaccard /
+    containment score needs NO sizes join and NO second corpus scan —
+    the whole pair pipeline is scan → index groupBy → pair groupBy.
+    Pin it at the plan level: zero join nodes, exactly one parquet
+    scan of the corpus.  (The capped path keeps the sizes join — sizes
+    there must count SURVIVING shingles.)"""
+    import re
+
+    from opl_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+    from opl_spark.plans import formatted_plan
+    from opl_spark.sources import load_table
+
+    def joins(df) -> int:
+        return len(
+            re.findall(
+                r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+                r"|BroadcastNestedLoopJoin|CartesianProduct)",
+                formatted_plan(df),
+            )
+        )
+
+    def scans(df) -> int:
+        return len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(df)))
+
+    docs = load_table(spark, sf_dir, "documents")
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    assert joins(jac) == 0
+    assert scans(jac) == 1
+    cont = containment_pairs(docs, "text", "doc_id", n=3)
+    assert joins(cont) == 0
+    assert scans(cont) == 1
