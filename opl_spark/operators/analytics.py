@@ -342,13 +342,28 @@ def validate_contract(
     """
     probe = df
     fk = fk or []
+    checks = list(checks)
+    if not checks and not fk:
+        # zero rules: F.array() of no elements is VOID-typed and the
+        # explode below would raise AnalysisException (r13 advice) —
+        # an empty report is the contract, emitted without a scan
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_rows long, n_violations long"
+        )
     fk_preds: list[tuple[str, "F.Column"]] = []
     for i, (name, col, parent, pcol) in enumerate(fk):
         hit = f"__hit_{i}"
+        # broadcast: the deduped parent KEY frame is the small side by
+        # contract (a dimension's key set); without the hint a
+        # non-broadcast plan would shuffle the full-width fact once
+        # per FK rule where the old anti-join moved only the key
+        # column (r13 advice)
         probe = probe.join(
-            parent.select(
-                F.col(pcol).alias(col), F.lit(1).alias(hit)
-            ).distinct(),
+            F.broadcast(
+                parent.select(
+                    F.col(pcol).alias(col), F.lit(1).alias(hit)
+                ).distinct()
+            ),
             col,
             "left",
         )

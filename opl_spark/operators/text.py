@@ -547,6 +547,12 @@ def heavy_hitters(
     (r13; was a serial ``distinct().count()`` driver action before the
     real pass — same divisor value, identical IEEE division, one lazy
     plan).  Emits ``(tok, n_docs, round(doc_frac, 6))``.
+
+    Contract: ``id_col`` must be non-null (the house id convention —
+    every registered corpus id is).  ``count_distinct`` ignores NULLs,
+    so a NULL-id row's tokens would count in numerators while its doc
+    fell out of the divisor (r13 advice); NULL ids are a data defect
+    to surface upstream (validate_contract), not to average over.
     """
     nd = df.select(F.col(id_col).alias("__doc")).agg(
         F.count_distinct("__doc").cast("double").alias("__nd")

@@ -353,3 +353,38 @@ def test_ewma_62_step_window_no_overflow(spark):
         want = math.floor(ref * 1e6 + 0.5) / 1e6
         assert abs(r["ewma"] - want) < 1e-9, (i, r["ewma"], want)
         assert r["n_window"] == min(i + 1, 62)
+
+
+def test_validate_contract_with_no_rules_returns_empty_report(spark):
+    """r14 (r13 advice): zero checks and no fk used to raise an
+    AnalysisException (explode of a VOID-typed empty array); the
+    contract is an empty (rule, n_rows, n_violations) report."""
+    from opl_spark.operators.analytics import validate_contract
+
+    df = spark.createDataFrame([(1,)], "v long")
+    out = validate_contract(df, checks=[])
+    assert out.columns == ["rule", "n_rows", "n_violations"]
+    assert out.collect() == []
+
+
+def test_validate_contract_fk_parent_keys_are_broadcast(spark):
+    """r14 (r13 advice): each FK rule's deduped parent-key frame must
+    broadcast — a shuffled plan would move the full-width fact once
+    per FK rule where the old anti-join moved only the key column."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.analytics import validate_contract
+    from opl_spark.plans import formatted_plan
+
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "id long, pid long")
+    parent = spark.createDataFrame([(10,)], "pid long")
+    out = validate_contract(
+        fact,
+        checks=[("neg", F.col("id") < 0)],
+        fk=[("orphan_pid", "pid", parent, "pid")],
+    )
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    rows = {r["rule"]: (r["n_rows"], r["n_violations"]) for r in out.collect()}
+    assert rows == {"neg": (2, 0), "orphan_pid": (2, 1)}
