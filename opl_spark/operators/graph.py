@@ -258,11 +258,18 @@ def bfs_hops(edges: DataFrame, seed, rounds: int = 3) -> DataFrame:
     hop = length of the shortest path.
 
     Per round: one frontier⋈edges join + one node-keyed min — the
-    textbook iterative-BFS data shape.  Distance state stays node-
-    sized and in-cluster; lineage is truncated per round with a lazy
-    ``localCheckpoint`` so the k-round plan never nests.  Exact
-    integer hops, so a fixed-round prefix is engine-portable (the
-    oracle unrolls the same rounds as CTEs).
+    textbook iterative-BFS data shape.  r14: the join side really is
+    the FRONTIER (nodes first reached LAST round, ``hop == r``), not
+    the whole visited set — a node at distance < r had its edges
+    expanded in an earlier round, so re-expanding it can only emit
+    dominated ``hop`` candidates the min discards; dropping them is
+    provably output-identical and shrinks the per-round join input
+    from |visited| to |frontier| (guide §2.3 — shuffle fewer rows;
+    on an expander most nodes are interior by round 2).  Distance
+    state stays node-sized and in-cluster; lineage is truncated per
+    round with a lazy ``localCheckpoint`` so the k-round plan never
+    nests.  Exact integer hops, so a fixed-round prefix is
+    engine-portable (the oracle unrolls the same rounds as CTEs).
     """
     e = edges.select("src", "dst").localCheckpoint(eager=False)
     # the seed row is unconditional — a sink/absent seed is still at
@@ -279,9 +286,12 @@ def bfs_hops(edges: DataFrame, seed, rounds: int = 3) -> DataFrame:
             ]
         ),
     )
-    for _ in range(rounds):
+    for r in range(rounds):
+        # frontier-only expansion (docstring): nodes first reached
+        # last round; round 0's frontier is the seed frame itself
+        frontier = dist.filter(F.col("hop") == r) if r else dist
         nxt = (
-            dist.join(e, dist["node"] == e["src"])
+            frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
         )
         dist = (
