@@ -87,27 +87,12 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     # move to the END in window order.  Per-round history (which ids
     # entered when, rows-only terminal states, the r3 HUGEINT and r4
     # scd2 retries) lives in CORRECTNESS_r*.json and git history of
-    # this tuple.  Last rotation: r13, after the 50/50-green r12 window
-    # (2 _AUDIT_PRIORITY sketch-promotion confirmations [q_topk_sketch,
-    # q_approx_distinct — both now in this tuple for the first time,
-    # hash-oracled] + 48 regression re-checks moved to the tail).  The
-    # head below is the r6-last-checked tranche followed by the oldest
-    # r7 ids — the r12 verdict's task 1 staleness walk; the mechanical
-    # gate on this walk is tests/test_audit_rotation.py.
-    "q_market_share", "q_product_profit", "q_returned_items", "q_late_lines",
-    "q_promo_effect", "q_top_supplier", "q_small_qty_revenue",
-    "q_waiting_suppliers", "q_sales_opportunity", "q_dsir_weights",
-    "q_spend_trend", "q_seasonal_naive", "q_forecast_revenue",
-    "q_important_stock", "q_discounted_revenue", "q_dominant_suppliers",
-    "q_containment_pairs", "q_ewma_daily", "q_stupid_backoff",
-    "q_random_projection", "q_bfs_hops", "q_user_journey", "q_naive_bayes",
-    "q_pr_curve", "q_line_dedup", "q_churn_cohort", "q_dedup_report",
-    "q_cdc_chunks", "q_skew_report", "q_vocab_coverage", "q_k_anonymity",
-    "q_doc_keywords", "q_survival_hazard", "q_acf", "q_theil_sen",
-    "q_rfm_segments", "q_periodic_snapshot", "q_seasonality_strength",
-    "q_revenue_concentration", "q_bpe_fertility", "q_activity_heatmap",
-    "q_ship_lag_quantiles", "q_purchase_intervals", "q_setsim_join",
-    "q_bmp_decode", "q_krippendorff_alpha", "q_mcnemar", "q_blocklist_filter",
+    # this tuple.  Last rotation: r14, after the 50/50-green r13 window
+    # (CORRECTNESS_r13.json — the 3 r13 _AUDIT_PRIORITY re-entries
+    # [q_approx_distinct, q_weighted_sample, q_random_projection] all
+    # confirmed green and cleared, 47 rotation slots moved to the
+    # tail).  The mechanical gate on this walk is
+    # tests/test_audit_rotation.py.
     "q_distinct_n", "q_source_scan", "q_json_rows", "q_type_cast",
     "q_audit_columns", "q_output_table", "q_projection", "q_case_bucket",
     "q_date_arith", "q_filter_or", "q_time_scope", "q_zero_fill",
@@ -115,18 +100,19 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_aggregate_all", "q_measure_multi", "q_cut_eq", "q_cut_dice",
     "q_entity_resolution", "q_label_prop", "q_cut_set", "q_drilldown_level",
     "q_drilldown_top", "q_drilldown_multi", "q_cron_gate",
-    "q_idempotent_antijoin", "q_agg_median", "q_agg_extrema", "q_dedup_exact",
-    "q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_embedding",
-    "q_knn_batch", "q_lang_id", "q_quality_score", "q_token_count",
-    "q_fingerprint", "q_text_clean", "q_winnow", "q_tfidf", "q_pii_scrub",
-    "q_contamination", "q_multimodal_bytes", "q_multimodal_resize",
-    "q_frame_sample", "q_events_window", "q_sessionize", "q_salted_agg",
-    "q_embedding_centroid", "q_running_total", "q_top_per_group",
-    "q_pack_sequences", "q_distinct_users", "q_length_quantiles", "q_rollup",
+    "q_idempotent_antijoin", "q_agg_median", "q_agg_extrema",
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_ngram_capped",
+    "q_dedup_embedding", "q_knn_batch", "q_lang_id", "q_quality_score",
+    "q_token_count", "q_fingerprint", "q_text_clean", "q_winnow", "q_tfidf",
+    "q_pii_scrub", "q_contamination", "q_multimodal_bytes",
+    "q_multimodal_resize", "q_frame_sample", "q_events_window",
+    "q_sessionize", "q_salted_agg", "q_embedding_centroid",
+    "q_running_total", "q_top_per_group", "q_pack_sequences",
+    "q_distinct_users", "q_length_quantiles", "q_rollup",
     "q_minhash_keep_best", "q_dedup_minhash", "q_dedup_clusters",
-    "q_keep_best", "q_srp_lsh", "q_simhash", "q_lsh_tuning", "q_bucket_stats",
-    "q_rendezvous_shard", "q_asof_join", "q_interval_join", "q_pivot",
-    "q_cube_sets", "q_pipeline_filter", "q_fact_accessions",
+    "q_keep_best", "q_srp_lsh", "q_simhash", "q_lsh_tuning",
+    "q_bucket_stats", "q_rendezvous_shard", "q_asof_join", "q_interval_join",
+    "q_pivot", "q_cube_sets", "q_pipeline_filter", "q_fact_accessions",
     "q_fact_general_indexes", "q_fact_patrimonio", "q_meta_fact_tables",
     "q_meta_measures", "q_mix_sources", "q_contamination_bloom", "q_zorder",
     "q_quantize", "q_stratified_sample", "q_incremental_dedup",
@@ -151,16 +137,16 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_temperature_mix", "q_meta_dimensions", "q_cut_range",
     "q_cut_open_range", "q_cut_hierarchy", "q_cut_hierarchy_range",
     "q_drilldown_cutlevel", "q_drilldown_default", "q_rollup_route",
-    "q_drilldown_week", "q_hll_rollup", "q_theta_audience", "q_kll_quantiles",
-    "q_pmi", "q_gopher_rules", "q_quality_calibrate", "q_salted_join",
-    "q_pca_project", "q_kfold", "q_weighted_sample", "q_regional_revenue",
+    "q_drilldown_week", "q_hll_rollup", "q_theta_audience",
+    "q_kll_quantiles", "q_pmi", "q_gopher_rules", "q_quality_calibrate",
+    "q_salted_join", "q_pca_project", "q_kfold", "q_regional_revenue",
     "q_top_unshipped", "q_fuzzy_pairs", "q_exact_n_sample", "q_profile",
     "q_scd2", "q_mask_spans", "q_audio_energy", "q_peak_concurrency",
     "q_cube_share", "q_yoy_growth", "q_hopping_window", "q_data_checks",
-    "q_pricing_summary", "q_triangles", "q_winsorized", "q_mode", "q_id_gaps",
-    "q_attribution", "q_ks_drift", "q_benford", "q_variant_extract",
-    "q_unigram_train", "q_unigram_tokenize", "q_negative_pairs",
-    "q_hard_negatives", "q_topk_sketch", "q_approx_distinct",
+    "q_pricing_summary", "q_triangles", "q_winsorized", "q_mode",
+    "q_id_gaps", "q_attribution", "q_ks_drift", "q_benford",
+    "q_variant_extract", "q_unigram_train", "q_unigram_tokenize",
+    "q_negative_pairs", "q_hard_negatives", "q_topk_sketch",
     "q_drill_across", "q_mad_outliers", "q_lang_confusion",
     "q_temporal_split", "q_class_separation", "q_session_stats",
     "q_conversion_time", "q_bootstrap_mean", "q_ab_zstat", "q_value_deciles",
@@ -174,7 +160,22 @@ _DRIVER_AUDITED: tuple[str, ...] = (
     "q_cohens_kappa", "q_retrieval_eval", "q_mrr", "q_label_noise",
     "q_kneser_ney", "q_readability", "q_zipf_fit", "q_l_diversity",
     "q_bitmap_count", "q_feature_hash", "q_vad_segments", "q_cluster_terms",
-    "q_sentence_dedup", "q_volume_shipping",
+    "q_sentence_dedup", "q_volume_shipping", "q_approx_distinct",
+    "q_weighted_sample", "q_random_projection", "q_market_share",
+    "q_product_profit", "q_returned_items", "q_late_lines", "q_promo_effect",
+    "q_top_supplier", "q_small_qty_revenue", "q_waiting_suppliers",
+    "q_sales_opportunity", "q_dsir_weights", "q_spend_trend",
+    "q_seasonal_naive", "q_forecast_revenue", "q_important_stock",
+    "q_discounted_revenue", "q_dominant_suppliers", "q_containment_pairs",
+    "q_ewma_daily", "q_stupid_backoff", "q_bfs_hops", "q_user_journey",
+    "q_naive_bayes", "q_pr_curve", "q_line_dedup", "q_churn_cohort",
+    "q_dedup_report", "q_cdc_chunks", "q_skew_report", "q_vocab_coverage",
+    "q_k_anonymity", "q_doc_keywords", "q_survival_hazard", "q_acf",
+    "q_theil_sen", "q_rfm_segments", "q_periodic_snapshot",
+    "q_seasonality_strength", "q_revenue_concentration", "q_bpe_fertility",
+    "q_activity_heatmap", "q_ship_lag_quantiles", "q_purchase_intervals",
+    "q_setsim_join", "q_bmp_decode", "q_krippendorff_alpha", "q_mcnemar",
+    "q_blocklist_filter",
 )
 
 # Ids that failed a driver hash check and carry a fix awaiting driver
@@ -190,28 +191,29 @@ _RETRY_FIRST: tuple[str, ...] = (
 # REGARDLESS of whether they already sit in _DRIVER_AUDITED — a local
 # re-verification is not a driver audit, and changed code re-earns its
 # hard signal.  Clear an id once its fresh CORRECTNESS row is green.
-# Round-13 state: both r12 priority ids (the q_topk_sketch /
-# q_approx_distinct oracle promotions) went green in the r12 window
-# (CORRECTNESS_r12.json, 50/50) and rotated into the tuple tail.  Ids
-# re-entering for r13 changes (locally hash-verified at sf0.01; the
-# driver re-audit is the hard signal):
-#  - q_approx_distinct: the within_bound envelope widened from 3·rsd
-#    to 5·rsd (ADVICE r12) — 3·rsd is one-sided ~99.7% PER GROUP, so
-#    across groups × rounds a legitimate tail draw flips the flag and
-#    turns the driver row red with no code defect; at 5·rsd the
-#    per-group tail is ~6e-7 while the assertion still pins the
-#    sketch to its documented error regime.
+# Round-14 state: all three r13 priority ids (q_approx_distinct
+# envelope widening, q_weighted_sample / q_random_projection
+# signed-zero canonicalization) went green in the r13 window
+# (CORRECTNESS_r13.json, 50/50) and rotated to the tuple tail.  Ids
+# re-entering for r14 optimization changes (each output-identity
+# verified locally — collect-compare + sf0.01 hash-exact sweep; the
+# driver re-audit is the hard signal, rule 5):
+#  - star-CC alternating-round dedup + probe cadence
+#    (dedup_clusters_star): q_entity_resolution;
+#  - shingle sizes riding the postings (_shingle_buckets /
+#    ngram_jaccard_pairs / containment_pairs): every consumer —
+#    q_dedup_ngram, q_dedup_ngram_capped (same function, capped
+#    branch), q_dedup_clusters, q_keep_best, q_containment_pairs,
+#    q_lsh_recall_measured, q_dup_cluster_sizes (via _cc_labels);
+#  - spearman x-rank off the y-pass (spearman_rho): q_spearman;
+#  - frontier-only BFS expansion (bfs_hops): q_bfs_hops;
+#  - validate_contract broadcast FK parents + zero-rule fix:
+#    q_data_checks.
 _AUDIT_PRIORITY: tuple[str, ...] = (
-    "q_approx_distinct",
-    #  - q_weighted_sample: both emissions gained a `+ 0.0` signed-zero
-    #    canonicalization (IEEE −0.0 + 0.0 = +0.0) after the r13
-    #    full-registry sf1 sweep caught a doc whose A-ES key rounds to
-    #    −0.0 in DuckDB but +0.0 in Spark; the sf0.01 output is
-    #    bit-identical, the re-audit is procedural (rule 5).
-    #  - q_random_projection: same signed-zero canonicalization, same
-    #    sweep finding (one sf1 projection rounds to −0.0 in DuckDB's
-    #    summation order, +0.0 in Spark's).
-    "q_weighted_sample", "q_random_projection",
+    "q_entity_resolution", "q_dedup_ngram", "q_dedup_ngram_capped",
+    "q_dedup_clusters", "q_keep_best", "q_containment_pairs",
+    "q_lsh_recall_measured", "q_dup_cluster_sizes", "q_spearman",
+    "q_bfs_hops", "q_data_checks",
 )
 
 

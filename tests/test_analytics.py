@@ -15,6 +15,7 @@ def _ev(spark, rows):
     )
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_funnel_requires_strict_order(spark):
     from opl_spark.operators.analytics import funnel
 
@@ -261,6 +262,7 @@ def test_zscore_overflow_raises_instead_of_undercounting(spark):
         zscore_outliers(df, "grp", "value", z=3, value_decimals=2).collect()
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_scd2_apply_merge_and_idempotence(spark):
     """SCD2 merge contract: a change batch closes the open interval at
     the effective date and opens a new current row for keys whose

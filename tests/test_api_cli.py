@@ -359,6 +359,7 @@ def test_cli_explain_only_valid_on_aggregate(tmp_path, capsys):
         cli_main(["-c", "lsh-advise", "--lsh-threshold", "1.0"])
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_cli_srp_probe_closes_build_probe_append_loop(spark, sf_dir, tmp_path, capsys):
     """The CLI twin of test_srp_dedup_incremental_store (r9 verdict
     task 5): `-c srp-probe` alone closes the whole index lifecycle —

@@ -25,6 +25,12 @@ warehouse) with the orthogonal failure axis: one writer whose TASKS
 die.
 """
 
+import pytest
+
+#: slow tier (r14): property/soak/cluster suites run via `pytest -m slow`;
+#: the default (`-m 'not slow'`) is the fast tier the driver's verify times.
+pytestmark = pytest.mark.slow
+
 import os
 import subprocess
 import sys

@@ -113,6 +113,7 @@ cut_term = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(terms=st.lists(cut_term, min_size=1, max_size=3))
+@pytest.mark.slow  # r14 slow tier
 def test_cut_matches_python_semantics(engine, terms):
     cut = "|".join(f"{d}:{s}" for d, s in terms)
     # drill every level explicitly (D5 form) so each surviving row is
@@ -214,6 +215,7 @@ iso_year_range = st.builds(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(spec=st.one_of(iso_path, iso_year_range))
+@pytest.mark.slow  # r14 slow tier
 def test_dash_valued_path_cuts_match_python_semantics(iso_engine, spec):
     """Property: on a hierarchy whose middle level holds dash-bearing
     string values, every generated path cut (any depth — the week

@@ -89,6 +89,7 @@ def test_read_media_dir_binary_ingestion(spark, tmp_path):
     assert feats.count() == 2
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_python_data_source_generates_deterministic_partitions(spark):
     """The custom Python data source must parallelize generation across
     its declared partitions and produce identical data on re-read

@@ -374,6 +374,7 @@ def test_cached_plan_survives_inplace_rollup_rematerialization(
     after = api.handle("/olap/loans2/aggregate", dict(AGG_PARAMS))
     assert after == before
 
+@pytest.mark.slow  # r14 slow tier
 def test_serve_daemon_endurance_soak(sf_dir, tmp_path):
     """r11 verdict task 4, run in its OWN subprocess (tests/
     soak_worker.py): 8 client threads × 500 mixed aggregate /

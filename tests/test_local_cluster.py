@@ -14,6 +14,12 @@ worker JVMs.  Each id is hash-compared to its DuckDB oracle at
 sf0.001.
 """
 
+import pytest
+
+#: slow tier (r14): property/soak/cluster suites run via `pytest -m slow`;
+#: the default (`-m 'not slow'`) is the fast tier the driver's verify times.
+pytestmark = pytest.mark.slow
+
 import os
 import subprocess
 import sys

@@ -13,6 +13,12 @@ The shared warehouse is a private tmp dir, so the repo's own
 spark-warehouse (possibly in use by another session) is never touched.
 """
 
+import pytest
+
+#: slow tier (r14): property/soak/cluster suites run via `pytest -m slow`;
+#: the default (`-m 'not slow'`) is the fast tier the driver's verify times.
+pytestmark = pytest.mark.slow
+
 import glob
 import os
 import subprocess

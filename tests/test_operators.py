@@ -75,6 +75,7 @@ def test_minhash_finds_exact_jaccard_pairs(spark, docs):
             assert pair in lsh
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_lsh_bucket_cap_is_subset_with_full_recall(spark, docs):
     """The hot-bucket guard (max_bucket) must only ever REMOVE candidate
     pairs (capped ⊆ uncapped), and at a realistic cap the known
@@ -109,6 +110,7 @@ def test_lsh_bucket_cap_is_subset_with_full_recall(spark, docs):
     assert minhash_lsh_candidates(sigs, max_bucket=1).count() == 0
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_minhash_band_skip_same_pair_set(spark, docs):
     """The all-bands-agree verify skip (band_skip=True) must emit the
     SAME thresholded pair set as the full exact verify — the skip only
@@ -446,6 +448,7 @@ def test_kmeans_ivf_recall(spark, sf_dir):
     assert len(truth & approx) / len(truth) >= 0.5, (truth, approx)
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_quantized_kmeans_ivf_matches_float_lloyd_cells(spark, sf_dir):
     """The integer (oracle-replayable) k-means must behave like the
     float Lloyd loop it mirrors: recall ≥ 0.5 of the brute-force
@@ -616,6 +619,7 @@ def test_mmr_select_properties(spark, sf_dir):
     assert again == picks
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_near_dedup_incremental_store(spark, sf_dir, tmp_path):
     """Incremental near-dup: a persisted banded-signature store built
     once, then probed by a new ingest batch.  Verbatim copies must
@@ -664,6 +668,7 @@ def test_near_dedup_incremental_store(spark, sf_dir, tmp_path):
     assert re_got[900003]["dup_of"] == 900003 and re_got[900003]["sim"] == 1.0
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_srp_dedup_incremental_store(spark, sf_dir, tmp_path):
     """Incremental EMBEDDING near-dup — the SRP twin of the banded-
     MinHash store contract: a persisted (band, bucket_shard)-
@@ -723,6 +728,7 @@ def test_srp_dedup_incremental_store(spark, sf_dir, tmp_path):
     assert any("band=" in d for d in os.listdir(store))
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_near_dedup_incremental_bootstrap_and_exclude_self(spark, sf_dir, tmp_path):
     """MinHash-store symmetry with the SRP twin (r10): a never-built
     store bootstraps on the first probe (empty report, signatures
@@ -771,6 +777,7 @@ def test_near_dedup_incremental_bootstrap_and_exclude_self(spark, sf_dir, tmp_pa
     assert r3[900002]["dup_of"] == 900002 and r3[900002]["sim"] == 1.0
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_srp_dedup_incremental_replay_reproduces(spark, sf_dir, tmp_path):
     """At-least-once replay contract (streaming leg): with
     ``exclude_self=True`` a replayed micro-batch — whose signatures
@@ -813,6 +820,7 @@ def test_srp_dedup_incremental_replay_reproduces(spark, sf_dir, tmp_path):
     assert r3 == {(900001, 900001, 1.0)}
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_srp_dedup_incremental_bootstrap_missing_store(spark, sf_dir, tmp_path):
     """Batch 0 against a never-built store bootstraps the index
     (empty report, signatures written) instead of dying on

@@ -47,6 +47,7 @@ def duck():
     con.close()
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_oracle_values_survive_pandas_conversion(duck):
     """Conversion-path invariance: every oracle's result must carry
     the SAME canonical values whether fetched natively (fetchall —
@@ -117,6 +118,7 @@ def test_documents_corpus_is_ascii(duck):
     )
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_no_oracle_emits_out_of_ns_bounds_datetimes(duck):
     """The driver's compare path converts oracle results through
     pandas ns-resolution Timestamps (bounds 1677-09-22 .. 2262-04-11).

@@ -8,6 +8,7 @@ can't see — determinism across runs, exactness of the Bloom path vs
 the broadcast path, and the Morton-key bit placement.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from opl_spark.operators.dedup import (
@@ -532,6 +533,7 @@ def test_ivfpq_self_hit_and_pool_pruning(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_cms_never_undercounts_and_merges(spark):
     from opl_spark.operators.sketch import (
         count_min_build,
@@ -610,6 +612,7 @@ def test_keep_best_supports_string_ids(spark):
     assert out == {"a": "b", "b": "b", "c": "b"}
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_minhash_keep_best_subsets_exact_composition(spark, sf_dir):
     """The LSH-candidate composition must emit a SUBSET of the exact
     inverted-index composition (banded LSH can miss low-similarity
@@ -666,6 +669,7 @@ def test_bpe_learns_expected_merges(spark):
     assert merges[1] == (1, "a", "b", 5)
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_bpe_segment_compresses_with_merges(spark):
     from opl_spark.operators.bpe import bpe_segment, learn_bpe_merges
 
@@ -842,6 +846,7 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert "__salt" not in salted.columns
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_star_components_equal_min_label_propagation(spark, sf_dir):
     """Large-star/small-star components must produce EXACTLY the
     min-label propagation labelling on the same pair set (both resolve
@@ -859,6 +864,7 @@ def test_star_components_equal_min_label_propagation(spark, sf_dir):
     assert a == b
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_star_components_converge_on_long_chain(spark):
     """A pure path graph (diameter = n-1) is min-label's worst case;
     the star algorithm must still resolve it to one component in its
@@ -966,6 +972,7 @@ def test_unigram_segments_out_of_vocab_characters(spark):
     assert sc > 3 * UNK_LOGPROB  # only the unseen chars pay the UNK price
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_udf_queries_run_with_driver_outside_repo(sf_dir):
     """The external harness imports __spark_entry__ from OUTSIDE the
     repo; Python workers then cannot import opl_spark, so every Arrow

@@ -7,6 +7,12 @@ capped low and the data tiny; these are semantics probes, not load
 tests.
 """
 
+import pytest
+
+#: slow tier (r14): property/soak/cluster suites run via `pytest -m slow`;
+#: the default (`-m 'not slow'`) is the fast tier the driver's verify times.
+pytestmark = pytest.mark.slow
+
 import math
 
 from hypothesis import HealthCheck, given, settings

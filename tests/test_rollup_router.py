@@ -126,6 +126,7 @@ def test_bitmap_words_stay_positive(spark):
     assert total == 200
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_incremental_refresh_equals_full_rebuild(spark, sf_dir, tmp_path):
     """Append-only maintenance: base build + delta refresh must equal
     a full rebuild over base+delta, and the refresh must rewrite ONLY
@@ -252,6 +253,7 @@ def test_bucketed_graph_queries_memoize_build_per_data_dir(spark, sf_dir):
     assert fs.getFileStatus(path).getModificationTime() == built_at
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_ivf_centroids_memoize_training_per_data_dir(spark, sf_dir, monkeypatch):
     """The integer-k-means centroid chain follows the same per-data-dir
     memo semantics: ONE training pass (3 Lloyd rounds) serves both
@@ -376,6 +378,7 @@ def test_materialize_parquet_atomic_contract(spark):
     fs.delete(base, True)
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_bucketed_table_atomic_survives_two_process_race(tmp_path):
     """Two OS processes build the SAME content-addressed bucketed
     table concurrently against one warehouse; both must read the same

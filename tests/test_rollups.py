@@ -47,6 +47,7 @@ def _rows(df):
         dict(measure="value"),  # grand total, no drilldown
     ],
 )
+@pytest.mark.slow  # r14 slow tier
 def test_routed_equals_base_engine(navigator, kwargs):
     engine, store = navigator
     base = engine.aggregate("loans2", **kwargs)
@@ -182,6 +183,7 @@ def test_advise_recommends_covering_groupings(spark, sf_dir, tmp_path):
         assert _rows(routed) == _rows(base), params
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_full_pinned_mix_routes_and_matches(spark, sf_dir, tmp_path):
     """r12 verdict task 5: the ENTIRE 10-shape pinned interactive mix
     (bench.py _LATENCY_SHAPES — every grammar surface the HTTP API

@@ -208,6 +208,7 @@ def test_pack_sequences_window_is_sharded(spark, sf_dir):
         assert n_keys >= 2, spec
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_no_scale_killers_in_any_registered_query(spark):
     """Repo-wide physical-plan audit: no registered query may plan a
     cartesian product, a nested-loop join (except a broadcast against

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 
 @pytest.mark.parametrize("n", [1, 2, 3, 10, 99, 100, 101, 1000])
+@pytest.mark.slow  # r14 slow tier
 def test_kll_exact_regime_matches_quantile_disc(spark, n):
     """KLL(k=4096) below its k-item buffer holds every value, and its
     inclusive-rank get_quantile must equal DuckDB's quantile_disc on

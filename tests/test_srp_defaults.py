@@ -68,6 +68,7 @@ def test_bands_without_bits_is_rejected():
         _resolve_srp_banding(0.8, None, 4)
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_store_manifest_is_source_of_truth(spark, sf_dir, tmp_path):
     """A store built with derived defaults carries _srp_meta; a probe
     declaring a DIFFERENT threshold still resolves the store's banding

@@ -2,6 +2,7 @@
 produce identical results when run as real streams (availableNow
 replay), and the stateful dedup must emit exactly once per key."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from opl_spark.sources import load_table
@@ -78,6 +79,7 @@ def test_stream_staging_dir_is_stable(spark, sf_dir):
     assert os.path.isdir(expected)
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_interval_join_stream_equals_batch(spark, sf_dir):
     """Stream-stream interval join (clicks within the hour before each
     purchase) must equal the identical batch-expressed join — the same
@@ -210,6 +212,7 @@ def test_streaming_cms_fresh_checkpoint_merges_not_skips(spark, sf_dir, tmp_path
     ) == doubled
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_interval_join_stream_stream(spark, sf_dir, tmp_path):
     """interval_join's condition IS a Spark stream-stream interval
     join when both sides are watermarked — run it with two streaming
@@ -492,6 +495,7 @@ def test_topk_stream_matches_exact_counts(spark, sf_dir):
     ]
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_interval_join_left_outer_stream_stream(spark, sf_dir, tmp_path):
     """Watermark-driven OUTER stream-stream join: unmatched clicks get
     their null extension only after the watermark proves no view can
@@ -605,6 +609,7 @@ def test_dedup_within_watermark_bounds_state_not_correctness(spark, sf_dir):
     assert got.distinct().count() == got.count()
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_srp_probe_stream_detects_across_microbatches(spark, sf_dir, tmp_path):
     """The streaming leg of the persisted SRP index: arriving embedding
     micro-batches probe the store and append their own signatures, so
@@ -717,6 +722,7 @@ def test_srp_probe_stream_detects_across_microbatches(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_minhash_probe_stream_bootstrap_and_cross_batch(spark, sf_dir, tmp_path):
     """The TEXT streaming leg (r10, twin of the SRP test above) run
     from NOTHING: no build step — batch 0 bootstraps the store (empty
@@ -774,6 +780,7 @@ def test_minhash_probe_stream_bootstrap_and_cross_batch(spark, sf_dir, tmp_path)
     assert spark.read.parquet(store).count() == 16 * n_arrived
 
 
+@pytest.mark.slow  # r14 slow tier
 def test_time_ordered_staging_is_complete_and_ordered(spark, sf_dir, tmp_path):
     """stage_time_ordered_arrivals: the sliced replay holds every
     original row exactly once, and file i's max event time never

@@ -16,6 +16,7 @@ def test_every_query_has_a_callable():
 
 
 @pytest.mark.parametrize("name", PAIRS)
+@pytest.mark.slow  # r14 slow tier
 def test_oracle_parity(spark, sf_dir, name):
     df = workload.queries()[name](spark, sf_dir)
     assert_parity(df, workload.oracle_sql()[name], sf_dir)
