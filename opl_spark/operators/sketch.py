@@ -53,17 +53,31 @@ def count_min_build(
     width: int = 1024,
     depth: int = 4,
     portable: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: one explode of the depth cells per value, then
     one map-side-combinable count per (row, bucket).  The shuffle
     carries at most depth·width rows TOTAL regardless of input size —
-    the sketch, not the data."""
+    the sketch, not the data.
+
+    ``weight_col`` (r14): build from a PRE-AGGREGATED ``(value,
+    count)`` frame instead of the raw value stream — each cell adds
+    ``weight`` instead of 1, and Σ over distinct values of freq(v) is
+    by commutativity the identical integer the raw stream yields, so
+    sketch contents (and every downstream estimate) are bit-equal.
+    Use it when a consumer already pays the value-count aggregation
+    (q_cms_counts shares the vocabulary frame): the depth·|values|
+    cell explode then runs over the vocabulary, not the corpus, and
+    the corpus is scanned once for both."""
     cells = df.select(
-        F.explode(_cms_cells(F.col(col), width, depth, portable)).alias("cell")
+        F.explode(_cms_cells(F.col(col), width, depth, portable)).alias("cell"),
+        *((F.col(weight_col).alias("__w"),) if weight_col else ()),
     )
     return cells.groupBy(
         F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(
+        (F.sum("__w") if weight_col else F.count(F.lit(1))).alias("c")
+    )
 
 
 def count_min_merge(*sketches: DataFrame) -> DataFrame:

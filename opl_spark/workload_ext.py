@@ -2680,19 +2680,31 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 cells); est >= true stays asserted in
     tests/test_pipeline_ops.py."""
     from opl_spark.operators.sketch import count_min_build, count_min_estimate
-    from opl_spark.operators.text import build_vocab
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus pass (r14): the vocabulary frame (term, corpus_freq,
+    # doc_freq — build_vocab's pre-limit shape) feeds BOTH the sketch
+    # (weighted cell build: Σ freq per cell ≡ the raw-stream count by
+    # commutativity, bit-equal sketch) and the top-20 probe set; the
+    # old shape scanned and re-tokenized the corpus once per branch.
+    # Vocab-sized checkpoint, two consumers.
     toks = docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
     )
-    sketch = count_min_build(toks, "tok", width=2048, depth=4, portable=True)
-    # 20-row frame with two consumers (the probe set + the final
-    # join): materialize once instead of re-running the full vocab
-    # build per branch (r13)
-    top = build_vocab(docs, "text", "doc_id", top_n=20).select(
-        F.col("term"), F.col("corpus_freq")
-    ).localCheckpoint(eager=False)
+    vocabf = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("corpus_freq"))
+        .localCheckpoint(eager=False)
+    )
+    sketch = count_min_build(
+        vocabf, "term", width=2048, depth=4, portable=True,
+        weight_col="corpus_freq",
+    )
+    top = (
+        vocabf.orderBy(F.col("corpus_freq").desc(), F.col("term"))
+        .limit(20)
+        .select("term", "corpus_freq")
+    )
     est = count_min_estimate(
         sketch, top.select("term"), "term", width=2048, depth=4, portable=True
     )

@@ -1163,3 +1163,30 @@ def test_bpe_fertility_consistency(spark, sf_dir):
     for r in fert:
         assert r["fertility_x1e6"] >= 1_000_000
         assert 0 < r["chars_per_token"] <= r["n_chars"] / r["n_words"] + 1e-9
+
+
+def test_count_min_weighted_build_equals_raw_stream(spark):
+    """r14: building the sketch from a pre-aggregated (value, count)
+    frame with weight_col must yield the BIT-EQUAL sketch the raw
+    value stream does — Σ over distinct values of freq(v) per cell is
+    the same integer by commutativity.  This is what lets q_cms_counts
+    share one corpus pass between the sketch and the vocabulary."""
+    from pyspark.sql import functions as F
+
+    from opl_spark.operators.sketch import count_min_build
+
+    rows = [("a",), ("b",), ("a",), ("c",), ("a",), ("b",)]
+    raw = spark.createDataFrame(rows, "tok string")
+    pre = raw.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    s_raw = sorted(
+        map(tuple, count_min_build(raw, "tok", width=32, depth=3).collect())
+    )
+    s_pre = sorted(
+        map(
+            tuple,
+            count_min_build(
+                pre, "tok", width=32, depth=3, weight_col="freq"
+            ).collect(),
+        )
+    )
+    assert s_raw == s_pre and s_raw
