@@ -56,7 +56,21 @@ DECODED_SCHEMA = T.StructType(
 def with_media_column(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Test-fixture ingestion: pack a text column into the canonical
     binary media layout (stand-in for reading real blobs; the driver
-    environment ships no media files)."""
+    environment ships no media files).
+
+    Widened BY BYTES (r14): every downstream mapInPandas decode of a
+    few-split input otherwise runs on one Python worker, but THIS
+    tier's decodes are cheap enough that a full 32-way fan-out costs
+    more than it buys on a sub-MB input (alternated two-scale pairing:
+    sf0.1 audio 0.59 narrow vs 0.66 wide / phash 0.61 vs 0.91, while
+    sf1 reads 2.54 → 0.81 and 1.77 → 1.03).  1 MiB/slice arbitrates:
+    identity on the sub-MB sf0.1 input, ~5-way on sf1, and at real
+    scale the scan is wider than the cluster anyway (identity).  The
+    heavier BMP tier measured full-width fastest at BOTH scales and
+    keeps the plain widen — see synthetic_bmp_media."""
+    from opl_spark.operators.dedup import widen_narrow_scan
+
+    df = widen_narrow_scan(df, bytes_per_slice=1 << 20)
     return df.select(
         F.struct(
             F.encode(F.col(text_col), "UTF-8").alias("media_bytes"),
@@ -351,7 +365,21 @@ def synthetic_bmp_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Scale shape: map-only — one Arrow-batched pandas UDF pass, no
     shuffle; payload size is bounded by the dim rule (≤ 64×48×3 B
-    plus headers), so batch memory stays O(batch × 9 KiB)."""
+    plus headers), so batch memory stays O(batch × 9 KiB).
+
+    Widened (r14, reversing the r13 sf0.1-only revert with two-scale
+    evidence): the encode AND every downstream mapInPandas decode are
+    Python compute on a zero-shuffle plan, so a few-split input runs
+    the whole tier on ONE Python worker.  Properly ALTERNATED 3-way
+    pairing this round (none / bytes-proportional / full width, one
+    session, both scales): full width is fastest at BOTH scales —
+    sf0.1 2.00 → 1.74 s, sf1 9.74 → 1.89 s (5×) — i.e. the r13
+    "+32-worker hand-off" revert does not reproduce; the hand-off
+    cost is noise-level against even the sf0.1 tier's decode work.
+    Identity at scale (widen_narrow_scan contract)."""
+    from opl_spark.operators.dedup import widen_narrow_scan
+
+    df = widen_narrow_scan(df)
     encode = _bmp_tools()[1]
 
     def make(ids: pd.Series, ns: pd.Series) -> pd.Series:

@@ -2343,8 +2343,19 @@ def random_projection(
     shuffles, zero Python.  Emits the exploded ``(id, dim, value)``
     long form (round(6)) so the check hashes scalar rows, not array
     reprs.
+
+    Widened (r14): zero shuffles means a few-split input runs every
+    out_dim×in_dim inner product on ONE core — the same
+    single-row-group artifact the r13 SRP projection widen fixed
+    (srp_banded_keys measured 11.4 s narrow vs 1.4 s widened for the
+    same compute class); identity at scale (widen_narrow_scan
+    contract).
     """
     import math
+
+    from opl_spark.operators.dedup import widen_narrow_scan
+
+    df = widen_narrow_scan(df)
 
     vec = F.col(vec_col)
     scale = 1.0 / math.sqrt(out_dim)

@@ -1289,7 +1289,7 @@ def cdc_chunks(
     Emits ``(doc, chunk_idx, chunk_hash, n_words)`` — feed to a
     groupBy(chunk_hash) for shift-robust near-dup detection.
     """
-    from opl_spark.operators.dedup import shingle_seq_col, words_col
+    from opl_spark.operators.dedup import shingle_seq_col, widen_narrow_scan, words_col
 
     # every intermediate is a NAMED COLUMN before any lambda captures
     # it: Spark re-evaluates captured outer EXPRESSIONS once per
@@ -1297,8 +1297,14 @@ def cdc_chunks(
     # shingle/hash expression trees instead of attributes turns the
     # boundary filter O(words²·shingling) — measured 104 s at sf0.1
     # vs ~1 s in this staged form
+    #
+    # widen (r14): the whole operator is MAP-ONLY (no exchange at
+    # all), so on a few-split input every md5-per-3-gram runs on one
+    # core regardless of cluster width — the sf1 heavy leg read
+    # 13.6 s for what is embarrassingly parallel compute.  Identity
+    # at scale (widen_narrow_scan contract).
     staged = (
-        df.select(
+        widen_narrow_scan(df).select(
             F.col(id_col).alias("doc"),
             words_col(F.col(text_col)).alias("w"),
             shingle_seq_col(F.col(text_col), 3).alias("g"),
