@@ -209,11 +209,21 @@ _RETRY_FIRST: tuple[str, ...] = (
 #  - frontier-only BFS expansion (bfs_hops): q_bfs_hops;
 #  - validate_contract broadcast FK parents + zero-rule fix:
 #    q_data_checks.
+#  - one-pass cms (count_min_build weight_col): q_cms_counts;
+#  - widen of the zero-shuffle map tiers (cdc_chunks,
+#    random_projection, synthetic_bmp_media full-width,
+#    with_media_column bytes-proportional): q_cdc_chunks,
+#    q_random_projection, q_bmp_decode, and every with_media_column
+#    consumer.
 _AUDIT_PRIORITY: tuple[str, ...] = (
     "q_entity_resolution", "q_dedup_ngram", "q_dedup_ngram_capped",
     "q_dedup_clusters", "q_keep_best", "q_containment_pairs",
     "q_lsh_recall_measured", "q_dup_cluster_sizes", "q_spearman",
-    "q_bfs_hops", "q_data_checks",
+    "q_bfs_hops", "q_data_checks", "q_cms_counts", "q_cdc_chunks",
+    "q_random_projection", "q_bmp_decode", "q_audio_energy",
+    "q_frame_sample", "q_image_dedup", "q_image_phash",
+    "q_multimodal_bytes", "q_multimodal_decode", "q_multimodal_resize",
+    "q_scene_change", "q_vad_segments",
 )
 
 
